@@ -1,0 +1,95 @@
+"""Multi-member gzip helpers.
+
+The reference keeps archives record-splittable by writing **one gzip
+member per record** (warc/warc.py:269-272, warc/gzip2.py:42-59; asserted
+by test_warc.py:100-109 — 10 records ⇒ 10 gzip magics) at compression
+level 9 (warc/gzip2.py:17,54).  Python 3's stdlib replaces the
+reference's hand-rolled ``gzip2`` module:
+
+  * write: ``gzip.compress(record_bytes, compresslevel=9)`` emits one
+    complete member; concatenating them yields the archive.
+  * read: ``zlib.decompressobj(wbits=31)`` + ``unused_data`` recovers
+    member boundaries (and hence per-record compressed offsets, the
+    basis of ``browse()``/CDX indexing — warc/warc.py:284-313).
+
+These helpers are what make a big ``.warc.gz`` splittable at record
+granularity for the distributed reader: member offsets are split points.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import BinaryIO, Iterator
+
+GZIP_MAGIC = b"\x1f\x8b"
+COMPRESS_LEVEL = 9  # parity with reference warc/gzip2.py:17,54
+
+
+def compress_member(data: bytes, mtime: int = 0) -> bytes:
+    """One complete gzip member for ``data`` (deterministic: mtime=0)."""
+    return gzip.compress(data, compresslevel=COMPRESS_LEVEL, mtime=mtime)
+
+
+def split_members(data: bytes) -> list[tuple[int, int, bytes]]:
+    """Split an in-memory multi-member gzip blob.
+
+    Returns ``[(offset, size, decompressed), ...]`` — offset/size in the
+    compressed stream.  Used by the distributed WARC datasource (one
+    record per member on the write path) and by ``browse()``-style
+    offset indexing.
+    """
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        raw = d.decompress(data[pos:])
+        if not d.eof:
+            raise IOError("Truncated gzip member at offset %d" % pos)
+        consumed = n - pos - len(d.unused_data)
+        out.append((pos, consumed, raw))
+        pos += consumed
+    return out
+
+
+def iter_members(fileobj: BinaryIO, chunk_size: int = 1 << 20) -> Iterator[tuple[int, int, bytes]]:
+    """Stream ``(offset, compressed_size, decompressed)`` per member.
+
+    Memory is bounded by one member (decompressed) + ``chunk_size`` of
+    compressed lookahead — suitable for iterating a large archive
+    without loading it whole.
+    """
+    offset = 0
+    buf = b""
+    eof = False
+    while True:
+        if not buf:
+            if eof:
+                return
+            chunk = fileobj.read(chunk_size)
+            if not chunk:
+                return
+            buf = chunk
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        consumed = 0
+        while True:
+            out.append(d.decompress(buf))
+            consumed += len(buf) - len(d.unused_data)
+            buf = d.unused_data
+            if d.eof:
+                break
+            chunk = fileobj.read(chunk_size)
+            if not chunk:
+                eof = True
+                if not d.eof:
+                    raise IOError("Truncated gzip member at offset %d" % offset)
+                break
+            buf = chunk
+        yield offset, consumed, b"".join(out)
+        offset += consumed
+
+
+def count_members(data: bytes) -> int:
+    return len(split_members(data))
