@@ -1,0 +1,139 @@
+"""WARC shard sink: Dataset of records → ``.warc.gz`` shards + CDX index.
+
+Write-path invariants (reference parity):
+  * exactly one gzip member per record, level 9
+    (warc/warc.py:269-272, gzip2.py:17,54; test_warc.py:100-109);
+  * one ``warcinfo`` record leads every shard (G12);
+  * the sink emits a CDX-like index row per record — (uri, shard,
+    compressed offset, length, digest) — the distributed counterpart of
+    ``WARCFile.browse()``/``tell()`` (warc/warc.py:284-313).
+
+Scale/resumability design:
+  * one shard file per input block (`map_batches` task) — no shuffle;
+  * shard names are content-addressed (sha1 of record ids) → reruns
+    overwrite the same file, so a restarted job is idempotent;
+  * files land via write-temp-then-rename (atomic on one node; on a
+    real cluster each worker renames on its own mount / object store).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+import pyarrow as pa
+
+from ..core import gzipm
+from ..core.warcrec import WARCHeader, sha1_digest
+from ..schema import CDX_SCHEMA
+from ..stages.assemble import record_id_for
+
+WARCINFO_FIELDS = (
+    "software: warc-ray/0.1\r\nformat: WARC File Format 1.0\r\n"
+)
+
+
+def warcinfo_bytes(shard_name: str, date: str) -> bytes:
+    """The shard-leading warcinfo record (deterministic id from name)."""
+    payload = WARCINFO_FIELDS.encode("ascii")
+    h = WARCHeader({})
+    h["WARC-Type"] = "warcinfo"
+    h["WARC-Record-ID"] = record_id_for("urn:warcinfo:" + shard_name, "warcinfo")
+    h["WARC-Date"] = date
+    h["WARC-Filename"] = shard_name
+    h["Content-Type"] = "application/warc-fields"
+    h["Content-Length"] = str(len(payload))
+    h["WARC-Payload-Digest"] = sha1_digest(payload)
+    return h.to_bytes() + payload + b"\r\n\r\n"
+
+
+class WriteWarcShard:
+    """``map_batches`` callable: one batch → one ``.warc.gz`` shard file.
+
+    Emits CDX index rows as its output table, so the pipeline's sink
+    stage doubles as index construction (zero extra passes).
+    """
+
+    def __init__(self, out_dir: str, date: str = "2026-01-01T00:00:00Z",
+                 compress: bool = True):
+        self.out_dir = out_dir
+        self.date = date
+        self.compress = compress
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({f.name: [] for f in CDX_SCHEMA}, schema=CDX_SCHEMA)
+        rec_ids = batch["record_id"].to_pylist()
+        name_h = hashlib.sha1("|".join(rec_ids).encode()).hexdigest()[:16]
+        ext = ".warc.gz" if self.compress else ".warc"
+        shard_name = f"part-{name_h}{ext}"
+        shard_path = os.path.join(self.out_dir, shard_name)
+
+        blobs = batch["record_bytes"].to_pylist()
+        rows = {k: [] for k in ("target_uri", "record_id", "rec_type",
+                                "offset", "length", "payload_digest")}
+        offset = 0
+        chunks = []
+        info = warcinfo_bytes(shard_name, self.date)
+        info_out = gzipm.compress_member(info) if self.compress else info
+        chunks.append(info_out)
+        rows["target_uri"].append("")
+        rows["record_id"].append(record_id_for("urn:warcinfo:" + shard_name, "warcinfo"))
+        rows["rec_type"].append("warcinfo")
+        rows["offset"].append(0)
+        rows["length"].append(len(info_out))
+        rows["payload_digest"].append(sha1_digest(WARCINFO_FIELDS.encode("ascii")))
+        offset = len(info_out)
+
+        for i, blob in enumerate(blobs):
+            out = gzipm.compress_member(blob) if self.compress else blob
+            chunks.append(out)
+            rows["target_uri"].append(batch["target_uri"][i].as_py())
+            rows["record_id"].append(rec_ids[i])
+            rows["rec_type"].append(batch["rec_type"][i].as_py())
+            rows["offset"].append(offset)
+            rows["length"].append(len(out))
+            rows["payload_digest"].append(batch["payload_digest"][i].as_py())
+            offset += len(out)
+
+        tmp = shard_path + ".tmp-%s" % uuid.uuid4().hex[:8]
+        with open(tmp, "wb") as f:
+            f.write(b"".join(chunks))
+        os.replace(tmp, shard_path)  # idempotent overwrite on rerun
+
+        n = len(rows["record_id"])
+        return pa.table({
+            "target_uri": rows["target_uri"],
+            "record_id": rows["record_id"],
+            "rec_type": rows["rec_type"],
+            "shard": [shard_path] * n,
+            "offset": rows["offset"],
+            "length": rows["length"],
+            "payload_digest": rows["payload_digest"],
+        }, schema=CDX_SCHEMA)
+
+
+def write_warc_shards(records_ds, out_dir: str, *, compress: bool = True,
+                      date: str = "2026-01-01T00:00:00Z",
+                      batch_size: int = 2048, clean: bool = True):
+    """Serialize+write a Dataset of serialized records; returns the CDX
+    index Dataset (lazy — consume it to drive the write).
+
+    ``clean=True``: the sink owns ``out_dir`` — stale shards from a
+    previous (possibly differently-batched) run are removed first, so a
+    rerun is idempotent at directory granularity.  Resumable pipelines
+    give each partition/round its own directory and skip completed ones
+    via their manifest (G16), rather than merging files in place.
+    """
+    if clean and os.path.isdir(out_dir):
+        suffix = ".warc.gz" if compress else ".warc"
+        for name in os.listdir(out_dir):
+            if name.endswith(suffix) or ".tmp-" in name:
+                os.unlink(os.path.join(out_dir, name))
+    return records_ds.map_batches(
+        WriteWarcShard(out_dir, date=date, compress=compress),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

@@ -1,0 +1,199 @@
+"""Record assembly: fetched/parsed docs → WARC record rows → record bytes.
+
+The columnar counterpart of the reference's write path:
+``WARCRecord(payload=..., headers=...)`` defaults (warc/warc.py:137-157)
+and ``WARCRecord.write_to`` (warc/warc.py:159-164), built on the same
+``warc_ray.core`` serializer so distributed output is byte-identical to
+the single-process library.
+
+Determinism: record ids are uuid5 of ``(uri, rec_type, salt)`` and dates
+come from a logical clock — the reference's ``uuid1()``/``utcnow()``
+defaults (warc/warc.py:84-86) are nondeterministic and never asserted
+by its tests (see SURVEY.md §7 Hard parts #2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid
+
+import numpy as np
+import pyarrow as pa
+
+from ..core.warcrec import CONTENT_TYPES, WARCHeader, sha1_digest
+from ..schema import WARC_RECORD_SCHEMA
+
+NAMESPACE = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # RFC 4122 URL ns
+
+
+def record_id_for(uri: str, rec_type: str, salt: str = "") -> str:
+    return "<urn:uuid:%s>" % uuid.uuid5(NAMESPACE, f"{uri}|{rec_type}|{salt}")
+
+
+def logical_date(round_no: int, base: str = "2026-01-01T00:00:") -> str:
+    """ISO-8601Z date from the crawl's logical clock (round number)."""
+    return f"{base}{min(59, round_no):02d}Z"
+
+
+def render_body(spans: list[dict]) -> bytes:
+    """Deterministic HTML-ish rendering of an interleaved span sequence.
+
+    The inverse direction (span extraction) must recover exactly
+    ``(kind, text, media_ref, order)`` — the per-row invariant of
+    BASELINE.json.
+    """
+    parts = []
+    for s in spans:
+        k = s["kind"]
+        if k == "text":
+            parts.append(s["text"])
+        elif k == "link":
+            parts.append('<a href="%s">%s</a>' % (s["media_ref"], s["text"]))
+        elif k == "image":
+            parts.append('<img src="%s">' % s["media_ref"])
+        else:
+            parts.append('<video src="%s">' % s["media_ref"])
+    return "\n".join(parts).encode("utf-8")
+
+
+def media_body(url: str) -> bytes:
+    """Deterministic pseudo-binary blob for a /media/ URL (sha1 chain)."""
+    h = hashlib.sha1(url.encode()).digest()
+    size = 256 + int.from_bytes(h[:2], "big") % 3840
+    out = bytearray()
+    block = h
+    while len(out) < size:
+        block = hashlib.sha1(block).digest()
+        out.extend(block)
+    return bytes(out[:size])
+
+
+def http_response_payload(body: bytes, content_type: str = "text/html") -> bytes:
+    """Status line + headers + body, the ``from_response`` layout
+    (reference warc/warc.py:228-236)."""
+    head = ("HTTP/1.1 200 OK\r\nContent-Type: %s\r\nContent-Length: %d\r\n\r\n"
+            % (content_type, len(body))).encode("ascii")
+    return head + body
+
+
+def http_request_payload(url: str, host: str) -> bytes:
+    path = "/" + url.split("://", 1)[1].split("/", 1)[1] if "/" in url.split("://", 1)[1] else "/"
+    return ("GET %s HTTP/1.1\r\nHost: %s\r\nUser-Agent: warc-ray/0.1\r\n\r\n"
+            % (path, host)).encode("ascii")
+
+
+def make_record_row(rec_type: str, uri: str, payload: bytes, date: str,
+                    ip: str = "", salt: str = "",
+                    extra: list[tuple[str, str]] | None = None) -> dict:
+    """One WARC_RECORD_SCHEMA row with write-path defaults applied."""
+    return {
+        "record_id": record_id_for(uri, rec_type, salt),
+        "rec_type": rec_type,
+        "target_uri": uri,
+        "date": date,
+        "ip_address": ip,
+        "content_type": CONTENT_TYPES.get(rec_type, "application/octet-stream"),
+        "content_length": len(payload),
+        "payload_digest": sha1_digest(payload),
+        "extra_headers": extra or [],
+        "payload": payload,
+    }
+
+
+def docs_to_response_records(batch: pa.Table, date: str = "2026-01-01T00:00:00Z") -> pa.Table:
+    """Interleaved docs → one ``response`` record per doc.
+
+    The minimum end-to-end slice (SURVEY.md §7 step 3): doc body is the
+    deterministic span rendering wrapped in an HTTP response payload.
+    """
+    rows = []
+    doc_ids = batch["doc_id"].to_pylist()
+    spans_col = batch["spans"].to_pylist()
+    for doc_id, spans in zip(doc_ids, spans_col):
+        uri = "urn:doc:%s" % doc_id
+        payload = http_response_payload(render_body(spans))
+        rows.append(make_record_row("response", uri, payload, date))
+    return pa.Table.from_pylist(rows, schema=WARC_RECORD_SCHEMA)
+
+
+def fetch_to_warc_records(batch: pa.Table) -> pa.Table:
+    """Fetch-log rows → ``request`` + ``response`` record pairs (G12).
+
+    The crawl-loop assembly stage; ``warcinfo`` records are emitted per
+    output shard by the sink, matching the reference's one-warcinfo-
+    per-file convention.
+    """
+    rows = []
+    cols = {name: batch[name].to_pylist()
+            for name in ("url", "host", "status", "round", "content_type", "body")}
+    for url, host, status, rnd, ctype, body in zip(
+            cols["url"], cols["host"], cols["status"], cols["round"],
+            cols["content_type"], cols["body"]):
+        date = logical_date(rnd)
+        rows.append(make_record_row(
+            "request", url, http_request_payload(url, host), date,
+            salt=f"r{rnd}"))
+        body = body or b""
+        status_line = "HTTP/1.1 200 OK" if status == 200 else "HTTP/1.1 %d X" % status
+        payload = (("%s\r\nContent-Type: %s\r\nContent-Length: %d\r\n\r\n"
+                    % (status_line, ctype, len(body))).encode("ascii") + body)
+        rows.append(make_record_row(
+            "response", url, payload, date, salt=f"r{rnd}",
+            extra=[("warc-concurrent-to", record_id_for(url, "request", f"r{rnd}"))]))
+    return pa.Table.from_pylist(rows, schema=WARC_RECORD_SCHEMA)
+
+
+def serialize_records(batch: pa.Table) -> pa.Table:
+    """WARC record rows → raw record bytes (header + payload + CRLF CRLF).
+
+    Uses core ``WARCHeader.to_bytes`` so distributed shards byte-match
+    the single-process ``WARCFile`` writer.  Header insertion order is
+    fixed: known headers first, then extras.
+    """
+    out_bytes = []
+    for row in batch.to_pylist():
+        headers = WARCHeader({})
+        headers["WARC-Type"] = row["rec_type"]
+        headers["WARC-Record-ID"] = row["record_id"]
+        headers["WARC-Date"] = row["date"]
+        if row["target_uri"]:
+            headers["WARC-Target-URI"] = row["target_uri"]
+        if row["ip_address"]:
+            headers["WARC-IP-Address"] = row["ip_address"]
+        headers["Content-Type"] = row["content_type"]
+        headers["Content-Length"] = str(row["content_length"])
+        headers["WARC-Payload-Digest"] = row["payload_digest"]
+        for k, v in row["extra_headers"] or []:
+            headers[k] = v
+        out_bytes.append(headers.to_bytes() + (row["payload"] or b"") + b"\r\n\r\n")
+    return pa.table({
+        "record_id": batch["record_id"],
+        "rec_type": batch["rec_type"],
+        "target_uri": batch["target_uri"],
+        "payload_digest": batch["payload_digest"],
+        "record_bytes": pa.array(out_bytes, type=pa.large_binary()),
+    })
+
+
+def parse_record_rows(records: list) -> pa.Table:
+    """core WARCRecord objects → WARC_RECORD_SCHEMA rows (read path)."""
+    from ..core.warcrec import KNOWN_HEADERS
+
+    fixed = {v.lower() for v in KNOWN_HEADERS.values()} | {"warc-payload-digest"}
+    rows = []
+    for rec in records:
+        h = rec.header
+        extras = [(k, v) for k, v in h.items() if k not in fixed]
+        rows.append({
+            "record_id": h.get("warc-record-id", ""),
+            "rec_type": h.get("warc-type", ""),
+            "target_uri": h.get("warc-target-uri", ""),
+            "date": h.get("warc-date", ""),
+            "ip_address": h.get("warc-ip-address", ""),
+            "content_type": h.get("content-type", ""),
+            "content_length": int(h.get("content-length", 0)),
+            "payload_digest": h.get("warc-payload-digest", ""),  # verbatim
+            "extra_headers": extras,
+            "payload": rec.payload_bytes(),
+        })
+    return pa.Table.from_pylist(rows, schema=WARC_RECORD_SCHEMA)
