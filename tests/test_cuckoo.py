@@ -1,0 +1,78 @@
+"""Cuckoo filter (G5): correctness, determinism, capacity, checkpoint."""
+
+import numpy as np
+import pytest
+
+from warc_ray.state.cuckoo import CuckooFilter
+
+
+def test_no_false_negatives():
+    f = CuckooFilter(10_000, seed=1)
+    rng = np.random.default_rng(0)
+    keys = rng.integers(1, 2**63, size=5_000, dtype=np.uint64)
+    seen = f.contains_or_add(keys)
+    assert not seen.any() or seen.mean() < 0.01  # a few FPs allowed
+    # every inserted key is found
+    again = f.contains_or_add(keys)
+    assert again.all()
+
+
+def test_duplicates_within_batch():
+    f = CuckooFilter(1024, seed=1)
+    keys = np.array([7, 8, 7, 9, 8, 7], dtype=np.uint64)
+    seen = f.contains_or_add(keys)
+    assert list(seen) == [False, False, True, False, True, True]
+
+
+def test_deterministic():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(1, 2**63, size=20_000, dtype=np.uint64)
+    a = CuckooFilter(30_000, seed=5)
+    b = CuckooFilter(30_000, seed=5)
+    sa = a.contains_or_add(keys)
+    sb = b.contains_or_add(keys)
+    assert (sa == sb).all()
+    assert a.table.tobytes() == b.table.tobytes()
+
+
+def test_high_load_with_evictions():
+    cap = 4096
+    f = CuckooFilter(cap, seed=2)
+    n = int(f.nbuckets * 4 * 0.90)  # 90% load forces eviction chains
+    rng = np.random.default_rng(4)
+    keys = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    f.contains_or_add(keys)
+    assert f.contains_or_add(keys).all()  # still no false negatives
+
+
+def test_low_false_positive_rate():
+    f = CuckooFilter(100_000, seed=7)
+    rng = np.random.default_rng(8)
+    f.contains_or_add(rng.integers(1, 2**62, size=50_000, dtype=np.uint64))
+    probe = rng.integers(2**62, 2**63, size=50_000, dtype=np.uint64)
+    fpr = np.array([int(k) in f for k in probe[:5000]]).mean()
+    assert fpr < 0.01  # theory ~0.012% for 16-bit fp, 4-way
+
+
+def test_checkpoint_roundtrip():
+    f = CuckooFilter(2048, seed=9)
+    rng = np.random.default_rng(10)
+    keys = rng.integers(1, 2**63, size=1000, dtype=np.uint64)
+    f.contains_or_add(keys)
+    g = CuckooFilter.from_state(f.state())
+    assert g.table.tobytes() == f.table.tobytes()
+    assert g.contains_or_add(keys).all()
+    # continued inserts stay deterministic after restore
+    more = rng.integers(1, 2**63, size=500, dtype=np.uint64)
+    f2 = f.contains_or_add(more)
+    g2 = g.contains_or_add(more)
+    assert (f2 == g2).all()
+    assert g.table.tobytes() == f.table.tobytes()
+
+
+def test_full_filter_raises():
+    f = CuckooFilter(64, seed=1)
+    rng = np.random.default_rng(11)
+    with pytest.raises(RuntimeError):
+        # way past capacity
+        f.contains_or_add(rng.integers(1, 2**63, size=10_000, dtype=np.uint64))

@@ -1,0 +1,162 @@
+"""URL layer: RFC 3986 canonicalization, SHA-1 hashing, link extraction.
+
+Stateless ``map_batches`` transforms (G2-G4).  The canonicalizer is a
+pure function (property-tested): scheme/host lower-cased, default ports
+stripped, dot-segments removed, percent-encoding normalized (uppercase
+hex, unreserved characters decoded), fragment dropped, query preserved.
+
+Link extraction explodes the interleaved ``spans`` column with
+``pyarrow.compute`` list kernels — no Python loop over rows for the
+flatten; only the (inherently per-string) canonicalization loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..schema import URL_SCHEMA
+
+DEFAULT_PORTS = {"http": "80", "https": "443"}
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
+
+
+def _normalize_pct(s: str) -> str:
+    """Uppercase %XX escapes; decode escapes of unreserved characters."""
+
+    def repl(m):
+        ch = chr(int(m.group(1), 16))
+        return ch if ch in _UNRESERVED else "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(repl, s)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if out and out[-1] != "":
+                out.pop()
+            continue
+        out.append(seg)
+    # preserve leading slash; re-add trailing slash semantics for ./..
+    p = "/".join(out)
+    if path.endswith(("/.", "/..", "/")) and not p.endswith("/"):
+        p += "/"
+    if not p.startswith("/"):
+        p = "/" + p
+    return p
+
+
+def canonicalize_url(url: str) -> str | None:
+    """Canonical form, or None for non-http(s)/malformed URLs."""
+    try:
+        parts = urlsplit(url.strip())
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https") or not parts.hostname:
+        return None
+    host = parts.hostname.lower().rstrip(".")
+    port = parts.port
+    netloc = host if (port is None or str(port) == DEFAULT_PORTS[scheme]) else f"{host}:{port}"
+    path = _normalize_pct(_remove_dot_segments(parts.path or "/"))
+    query = _normalize_pct(parts.query)
+    return f"{scheme}://{netloc}{path}" + (f"?{query}" if query else "")
+
+
+def host_of(url: str) -> str:
+    rest = url.split("://", 1)[1]
+    return rest.split("/", 1)[0].split(":")[0]
+
+
+def url_sha1(url: str) -> bytes:
+    """20-byte digest of the canonical URL (G4)."""
+    return hashlib.sha1(url.encode("utf-8")).digest()
+
+
+def url_hash64(url: str) -> int:
+    """uint64 key for the cuckoo filter (first 8 digest bytes)."""
+    return int.from_bytes(url_sha1(url)[:8], "big")
+
+
+def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Add ``url`` (canonical), ``url_sha1`` and ``host`` columns;
+    drops rows whose URL doesn't canonicalize."""
+    urls = batch[url_col].to_pylist()
+    canon = [canonicalize_url(u) for u in urls]
+    keep = np.array([c is not None for c in canon], dtype=bool)
+    batch = batch.drop_columns([url_col]).filter(pa.array(keep))
+    kept = [c for c in canon if c is not None]
+    sha = [hashlib.sha1(c.encode()).digest() for c in kept]
+    hosts = [host_of(c) for c in kept]
+    return batch.add_column(0, "url", pa.array(kept, type=pa.string())) \
+        .append_column("url_sha1", pa.array(sha, type=pa.binary(20))) \
+        .append_column("host", pa.array(hosts, type=pa.string()))
+
+
+def extract_links(batch: pa.Table, spans_col: str = "spans",
+                  doc_col: str = "doc_id", depth_col: str | None = None) -> pa.Table:
+    """Explode span lists → candidate URL rows (G2).
+
+    Emits ``(url, src_doc, src_offset, priority, depth)`` for every
+    link/image/video span; discovery order is carried by
+    ``(src_doc, src_offset)`` — the deterministic tie-break the frontier
+    sorts on, so no global sequence counter (and no global shuffle) is
+    needed.
+    """
+    spans = batch[spans_col]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans)
+    kind = flat.field("kind")
+    is_ref = pc.is_in(kind, value_set=pa.array(["link", "image", "video"]))
+    refs = flat.field("media_ref").filter(is_ref)
+    offs = flat.field("offset").filter(is_ref)
+    par = parents.filter(is_ref)
+    src_doc = pc.take(batch[doc_col], par)
+    if depth_col is not None:
+        depth = pc.add(pc.take(batch[depth_col], par), 1)
+    else:
+        depth = pa.array(np.zeros(len(par), dtype=np.int32))
+    # priority: media fetches lower priority (1) than page links (5)
+    prio = pc.if_else(pc.equal(kind.filter(is_ref), "link"),
+                      pa.scalar(5, type=pa.int32()), pa.scalar(1, type=pa.int32()))
+    return pa.table({
+        "url": refs,
+        "priority": prio,
+        "src_doc": src_doc,
+        "src_offset": offs,
+        "depth": pc.cast(depth, pa.int32()),
+    })
+
+
+def urls_from_seeds(seeds: pa.Table) -> pa.Table:
+    """Seed table → canonical URL rows with seed discovery order."""
+    n = seeds.num_rows
+    t = pa.table({
+        "url": seeds["url"],
+        "priority": pc.cast(seeds["priority"], pa.int32()),
+        "src_doc": pa.array([""] * n),
+        "src_offset": pa.array(np.arange(n, dtype=np.int32)),
+        "depth": pa.array(np.zeros(n, dtype=np.int32)),
+    })
+    return canonicalize_batch(t)
+
+
+def finish_url_schema(batch: pa.Table) -> pa.Table:
+    """Project/cast to URL_SCHEMA column order."""
+    cols = {f.name: pc.cast(batch[f.name], f.type) for f in URL_SCHEMA}
+    return pa.table(cols, schema=URL_SCHEMA)

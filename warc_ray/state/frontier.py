@@ -1,0 +1,285 @@
+"""Frontier shard: URL-seen cuckoo filter + per-host priority queues +
+token-bucket politeness + robots gating (G5-G9).
+
+One ``FrontierCore`` owns a deterministic slice of the host space
+(``shard_of(host) == shard_id``).  Sharding by **host** (not URL) means
+seen-set, priority queue, politeness bucket and robots cache for a host
+live together — one shuffle per round, and seen+queue updates are
+atomic per URL (SURVEY.md §7 "two-keyed frontier" note).
+
+Determinism (the crawl-order parity contract, BASELINE.json):
+  * offers are buffered per round and **sealed in sorted order**
+    ``(depth, src_doc, src_offset, url)`` — so the nondeterministic
+    arrival order of distributed fetch tasks never leaks into filter
+    insertion order or queue sequence numbers;
+  * queue ordering is the total order ``(-priority, seq)`` with ``seq``
+    assigned at seal time; politeness uses the **logical round clock**,
+    never wall-clock;
+  * the single-process oracle (pipelines/oracle.py) drives this same
+    class — parity by construction.
+
+The distributed wrapper ``FrontierShard`` is a Ray actor exchanging
+Arrow tables (zero-copy through the object store) and is restartable
+from checkpoint (its state is NOT re-derivable from lineage — SURVEY.md
+§4).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from .cuckoo import CuckooFilter
+
+
+@dataclass(frozen=True)
+class FrontierConfig:
+    rate: float = 1.0               # token-bucket refill per logical round
+    burst: int = 2                  # bucket capacity
+    per_round_host_budget: int = 2  # max emissions per host per round
+    max_rounds: int = 100
+    max_depth: int = 4
+    filter_capacity: int = 1 << 16  # per-shard cuckoo capacity
+    num_shards: int = 4
+    seed: int = 42
+
+
+def shard_of(host: str, num_shards: int) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.sha1(host.encode()).digest()[:4], "big") % num_shards
+
+
+def path_of(url: str) -> str:
+    rest = url.split("://", 1)[1]
+    return "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+
+
+def delay_rounds(crawl_delay_ms: int) -> int:
+    return crawl_delay_ms // 100  # 0ms→0, 100ms→1, 500ms→5 logical rounds
+
+
+class FrontierCore:
+    """Single-shard frontier state machine (pure python + numpy)."""
+
+    def __init__(self, shard_id: int, config: FrontierConfig,
+                 robots: dict[str, tuple[tuple[str, ...], int]] | None = None):
+        self.shard_id = shard_id
+        self.config = config
+        # host -> (disallow_prefixes, delay_rounds); missing host = allow-all
+        self.robots = robots or {}
+        self.filter = CuckooFilter(config.filter_capacity,
+                                   seed=config.seed * 1000 + shard_id)
+        self.queues: dict[str, list] = {}
+        self.tokens: dict[str, float] = {}
+        self.last_refill: dict[str, int] = {}
+        self.next_allowed: dict[str, int] = {}
+        self.seq = 0
+        self.buffer: list[tuple] = []
+        self.counters = {
+            "offered": 0, "dup": 0, "robots_denied": 0, "too_deep": 0,
+            "queued": 0, "emitted": 0,
+        }
+
+    # -- offer / seal ---------------------------------------------------
+
+    def offer(self, rows: list[tuple]) -> int:
+        """rows: (url, url_hash64, host, priority, src_doc, src_offset, depth)."""
+        self.buffer.extend(rows)
+        return len(rows)
+
+    def seal_round(self) -> None:
+        """Deterministically ingest this round's offers (sorted)."""
+        if not self.buffer:
+            return
+        buf = sorted(self.buffer, key=lambda r: (r[6], r[4], r[5], r[0]))
+        self.buffer = []
+        self.counters["offered"] += len(buf)
+        keys = np.array([r[1] for r in buf], dtype=np.uint64)
+        seen = self.filter.contains_or_add(keys)
+        for j, (url, _h, host, prio, _sd, _so, depth) in enumerate(buf):
+            if seen[j]:
+                self.counters["dup"] += 1
+                continue
+            if depth > self.config.max_depth:
+                self.counters["too_deep"] += 1
+                continue
+            rules = self.robots.get(host)
+            if rules:
+                p = path_of(url)
+                if any(p.startswith(pre) for pre in rules[0]):
+                    self.counters["robots_denied"] += 1
+                    continue
+            q = self.queues.setdefault(host, [])
+            heapq.heappush(q, (-prio, self.seq, url, depth))
+            self.seq += 1
+            self.counters["queued"] += 1
+
+    # -- emission -------------------------------------------------------
+
+    def pop_round(self, t: int) -> pa.Table:
+        """Emit every eligible URL at logical time ``t`` (G9)."""
+        cfg = self.config
+        out_url, out_host, out_prio, out_depth, out_seq = [], [], [], [], []
+        for host in sorted(h for h, q in self.queues.items() if q):
+            q = self.queues[host]
+            if self.next_allowed.get(host, 0) > t:
+                continue
+            last = self.last_refill.get(host, t)
+            tok = min(float(cfg.burst),
+                      self.tokens.get(host, float(cfg.burst)) + cfg.rate * (t - last))
+            self.last_refill[host] = t
+            budget = cfg.per_round_host_budget
+            dly = self.robots.get(host, ((), 0))[1]
+            k = 0
+            while q and tok >= 1.0 and budget > 0:
+                negprio, _seq, url, depth = heapq.heappop(q)
+                out_url.append(url)
+                out_host.append(host)
+                out_prio.append(-negprio)
+                out_depth.append(depth)
+                out_seq.append(k)
+                k += 1
+                tok -= 1.0
+                budget -= 1
+                if dly:
+                    self.next_allowed[host] = t + dly
+                    break  # crawl-delay: one fetch per delay window
+            self.tokens[host] = tok
+            if not q:
+                del self.queues[host]
+        self.counters["emitted"] += len(out_url)
+        return pa.table({
+            "url": pa.array(out_url, type=pa.string()),
+            "host": pa.array(out_host, type=pa.string()),
+            "priority": pa.array(out_prio, type=pa.int32()),
+            "depth": pa.array(out_depth, type=pa.int32()),
+            "round": pa.array([t] * len(out_url), type=pa.int32()),
+            "fetch_seq": pa.array(out_seq, type=pa.int64()),
+        })
+
+    def has_pending(self) -> bool:
+        return bool(self.buffer) or any(self.queues.values())
+
+    def earliest_allowed(self, t: int) -> int | None:
+        """Smallest future round at which a queued host becomes eligible
+        (for skipping idle rounds under crawl-delay)."""
+        vals = [self.next_allowed.get(h, t) for h, q in self.queues.items() if q]
+        return min(vals) if vals else None
+
+    # -- checkpoint (G16) ----------------------------------------------
+
+    def state(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "filter": self.filter.state(),
+            "queues": self.queues,
+            "tokens": self.tokens,
+            "last_refill": self.last_refill,
+            "next_allowed": self.next_allowed,
+            "seq": self.seq,
+            "counters": self.counters,
+        }
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self.state(), f)
+        os.replace(tmp, path)
+
+    def load(self, path: str) -> None:
+        with open(path, "rb") as f:
+            s = pickle.load(f)
+        self.filter = CuckooFilter.from_state(s["filter"])
+        self.queues = s["queues"]
+        self.tokens = s["tokens"]
+        self.last_refill = s["last_refill"]
+        self.next_allowed = s["next_allowed"]
+        self.seq = s["seq"]
+        self.counters = s["counters"]
+
+
+def robots_to_shard_dict(robots_table: pa.Table) -> dict:
+    """robots table → {host: (disallow_prefixes, delay_rounds)}; small
+    side — broadcast via ray.put, filtered per shard in the actor."""
+    out = {}
+    hosts = robots_table["host"].to_pylist()
+    rules = robots_table["disallow_prefixes"].to_pylist()
+    delays = robots_table["crawl_delay_ms"].to_pylist()
+    for h, r, d in zip(hosts, rules, delays):
+        if r or d:
+            out[h] = (tuple(r), delay_rounds(d))
+    return out
+
+
+def make_offer_rows(table: pa.Table) -> list[tuple]:
+    """URL-table rows → offer tuples (computes the 64-bit filter key)."""
+    from ..stages.urls import url_hash64
+
+    urls = table["url"].to_pylist()
+    hosts = table["host"].to_pylist()
+    prios = table["priority"].to_pylist()
+    srcs = table["src_doc"].to_pylist() if "src_doc" in table.column_names else [""] * len(urls)
+    offs = table["src_offset"].to_pylist() if "src_offset" in table.column_names else [0] * len(urls)
+    depths = table["depth"].to_pylist() if "depth" in table.column_names else [0] * len(urls)
+    return [
+        (u, url_hash64(u), h, p, s, o, d)
+        for u, h, p, s, o, d in zip(urls, hosts, prios, srcs, offs, depths)
+    ]
+
+
+def make_frontier_shard_cls():
+    """Ray actor class for FrontierCore (import-time Ray optional)."""
+    import ray
+
+    # max_restarts=0 on purpose: an auto-restarted shard would re-run
+    # __init__ with EMPTY state (silent frontier loss).  Recovery is the
+    # explicit checkpoint+resume path (G16) — fail fast instead.
+    @ray.remote(max_restarts=0)
+    class FrontierShard:
+        def __init__(self, shard_id: int, config: FrontierConfig,
+                     robots_ref=None, restore_path: str | None = None):
+            # ray.put refs passed as task args arrive auto-resolved
+            robots = robots_ref if isinstance(robots_ref, dict) else (
+                ray.get(robots_ref) if robots_ref is not None else {})
+            # keep only this shard's hosts (host-hash ownership)
+            mine = {h: r for h, r in robots.items()
+                    if shard_of(h, config.num_shards) == shard_id}
+            self.core = FrontierCore(shard_id, config, mine)
+            if restore_path and os.path.exists(restore_path):
+                self.core.load(restore_path)
+
+        def offer(self, table: pa.Table) -> int:
+            return self.core.offer(make_offer_rows(table))
+
+        def seal_round(self) -> dict:
+            self.core.seal_round()
+            return self.core.counters
+
+        def pop_round(self, t: int) -> pa.Table:
+            return self.core.pop_round(t)
+
+        def has_pending(self) -> bool:
+            return self.core.has_pending()
+
+        def earliest_allowed(self, t: int):
+            return self.core.earliest_allowed(t)
+
+        def stats(self) -> dict:
+            return dict(self.core.counters, shard_id=self.core.shard_id,
+                        filter_count=self.core.filter.count)
+
+        def checkpoint(self, path: str) -> str:
+            self.core.save(path)
+            return path
+
+        def filter_table_bytes(self) -> bytes:
+            """For seen-set parity checks: the raw cuckoo table."""
+            return self.core.filter.table.tobytes()
+
+    return FrontierShard
