@@ -50,3 +50,19 @@ def test_sample_data():
         "SSH-2.0-OpenSSH_5.3p1 Debian-3ubuntu3\r\n\n"
     )
     assert record == expected
+
+
+def test_open_archive_arc_gz_direct():
+    # Extension beyond the reference: open_archive on a .arc.gz wraps the
+    # stream in gzip transparently (the reference's own warc.open would
+    # hand ARCFile raw gzip bytes; its test wraps manually,
+    # test_common.py:33-40).
+    from warc_ray.core import open_archive
+
+    f = open_archive(os.path.join(DATA, "alexa_short_header.arc.gz"))
+    record = str(f.read())
+    expected = (
+        "http://www.killerjo.net:80/robots.txt 211.111.217.29 "
+        "20110804181142       39\nSSH-2.0-OpenSSH_5.3p1 Debian-3ubuntu3\r\n\n"
+    )
+    assert record == expected

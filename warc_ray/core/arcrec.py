@@ -190,12 +190,22 @@ class ARCFile:
     """Read/write ARC v1/v2 files with the mandatory filedesc header."""
 
     def __init__(self, filename=None, mode=None, fileobj=None, version=None,
-                 file_headers=None):
+                 file_headers=None, compress=None):
         if fileobj is None:
             mode = mode or "rb"
             if "b" not in mode:
                 mode += "b"
             fileobj = builtins.open(filename, mode)
+        # Transparent gzip for ``.arc.gz`` (the reference's ARCFile never
+        # wraps — its test wraps manually, test_common.py:33-40 — but
+        # warc.open() on a .arc.gz would hand it raw bytes; we extend
+        # WARCFile's .gz convention, warc/warc.py:250-254, to ARC).
+        if compress is None and filename and filename.endswith(".gz"):
+            compress = True
+        if compress:
+            import gzip as _gzip
+            fileobj = _gzip.GzipFile(fileobj=fileobj,
+                                     mode="rb" if "r" in (mode or "rb") else "wb")
         self.fileobj = fileobj
         if version is not None and int(version) not in (1, 2):
             raise TypeError("ARC version has to be 1 or 2")

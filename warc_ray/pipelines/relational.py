@@ -1,0 +1,189 @@
+"""Relational pipelines over the testdata star schema.
+
+The reference library has NO wide operators (SURVEY.md §2.A #27); these
+implement the graft layer's aggregate / join / sort / filter patterns
+(G11 host-grouping analog, G15 metrics aggs, G17 top-k reports) with
+Ray-Data-at-scale idioms:
+
+  * partial aggregation inside ``map_batches`` (one row per key per
+    batch) before the global ``groupby`` — the shuffle moves partials,
+    not rows;
+  * small dimension tables broadcast (read once per task closure, dict
+    lookup per batch) instead of a shuffle join;
+  * top-k via ``sort().limit()``.
+
+Cross-engine exactness: every aggregated measure is converted to
+INTEGER units per row (cents, milli-units) BEFORE summing, so sums are
+associative and bit-identical to the DuckDB oracle regardless of
+accumulation order.  ``round`` is applied only to values that are
+integral up to fp noise (prices ×100, integral quantities) — never to
+values that can tie at .5, where the engines' tie-break modes differ.
+Column names match the oracle SQL exactly (driver hash-compares).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Max, Sum
+
+INT64 = pa.int64()
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _i64(x) -> pa.Array:
+    return pc.cast(x, INT64)
+
+
+# ---------------------------------------------------------------------------
+# Q: pricing summary (TPC-H Q1 pattern: filter → partial agg → groupby)
+# ---------------------------------------------------------------------------
+
+CUTOFF = datetime.datetime(1998, 9, 1)
+
+
+def _q1_partial(batch: pa.Table) -> pa.Table:
+    batch = batch.filter(pc.less(batch["l_shipdate"], pa.scalar(CUTOFF)))
+    qty = _i64(pc.round(batch["l_quantity"]))                       # integral
+    cents = _i64(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)))
+    disc_pct = _i64(pc.round(pc.multiply(batch["l_discount"], 100.0)))
+    # revenue in (cents × percent) integer units: exact, order-free
+    rev = pc.multiply(cents, pc.subtract(pa.scalar(100, type=INT64), disc_pct))
+    t = pa.table({
+        "l_returnflag": batch["l_returnflag"],
+        "l_linestatus": batch["l_linestatus"],
+        "qty": qty, "rev": rev,
+    })
+    part = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("qty", "sum"), ("rev", "sum"), ("qty", "count")])
+    return part.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_rev_c2", "n_rows"])
+
+
+def agg_lineitem(sf_dir: str):
+    """Pricing summary: per-batch partial agg, tiny global groupby."""
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_shipdate"])
+    partials = ds.map_batches(_q1_partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_rev_c2", alias_name="sum_rev_c2"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+# ---------------------------------------------------------------------------
+# Q: revenue by nation (broadcast dimension join + partial agg)
+# ---------------------------------------------------------------------------
+
+def revenue_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation with both dims broadcast as dicts;
+    the fact table streams — no shuffle join."""
+    cust = pq.read_table(_pq(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_nation = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    nation_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        names = [nation_name.get(cust_nation.get(int(k), -1), "") for k in keys]
+        cents = _i64(pc.round(pc.multiply(batch["o_totalprice"], 100.0)))
+        t = pa.table({"n_name": pa.array(names, type=pa.string()), "cents": cents})
+        part = t.group_by("n_name").aggregate([("cents", "sum"), ("cents", "count")])
+        return part.rename_columns(["n_name", "revenue_cents", "n_orders"])
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                                     Sum("n_orders", alias_name="n_orders"))
+    return out.sort("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Q: top-k (sort shuffle) and grouped event metrics
+# ---------------------------------------------------------------------------
+
+def topk_events(sf_dir: str, k: int = 20):
+    """Top-k by value: the values are read, never recomputed — float
+    output is bit-identical to the oracle's."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(k)
+
+
+def events_by_type(sf_dir: str):
+    """Event metrics (G15 pattern): per-type counts + integer-milli sums."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        milli = _i64(pc.floor(pc.multiply(batch["value"], 1000.0)))
+        t = pa.table({"event_type": batch["event_type"], "milli": milli,
+                      "value": batch["value"]})
+        part = t.group_by("event_type").aggregate(
+            [("milli", "sum"), ("milli", "count"), ("value", "max")])
+        return part.rename_columns(
+            ["event_type", "sum_value_milli", "n_events", "max_value"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("sum_value_milli", alias_name="sum_value_milli"),
+            Sum("n_events", alias_name="n_events"),
+            Max("max_value", alias_name="max_value"))
+    return out.sort("event_type")
+
+
+def filter_orders(sf_dir: str, min_price: float = 100_000.0):
+    """Filter + project + computed column (vectorized predicate)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_totalprice",
+                                  "o_orderpriority"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["o_totalprice"], min_price))
+        price_k = _i64(pc.floor(pc.divide(batch["o_totalprice"], 1000.0)))
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "o_totalprice": batch["o_totalprice"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "price_k": price_k,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q: per-user event sessions (groupby.map_groups window pattern)
+# ---------------------------------------------------------------------------
+
+def user_event_stats(sf_dir: str):
+    """Per-user ordered-window stats via groupby(user).map_groups:
+    event count, distinct types, and the value delta between the user's
+    first and last event in time order (integer milli units)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type", "value"])
+
+    def per_user(g) -> "pa.Table":
+        g = g.sort_values(["ts", "value"])  # deterministic within ts ties
+        first = int(np.floor(g.value.iloc[0] * 1000.0))
+        last = int(np.floor(g.value.iloc[-1] * 1000.0))
+        return __import__("pandas").DataFrame({
+            "user_id": [g.user_id.iloc[0]],
+            "n_events": [len(g)],
+            "n_types": [g.event_type.nunique()],
+            "delta_milli": [last - first],
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return out.sort("user_id")

@@ -1,0 +1,125 @@
+"""Training-data pipeline entry points over the testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / Arrow table —
+these are the ``queries()`` implementations for the dedup / text /
+similarity / multimodal operator families (SURVEY.md §2.B extensions).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages import textstats as ts
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# -- text analysis ----------------------------------------------------------
+
+def token_counts(sf_dir: str):
+    return _docs(sf_dir).map_batches(ts.token_counts, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def quality_scores(sf_dir: str):
+    return _docs(sf_dir).map_batches(ts.quality_scores, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def lang_id(sf_dir: str):
+    return _docs(sf_dir).map_batches(ts.lang_id, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def doc_fingerprints(sf_dir: str):
+    return _docs(sf_dir).map_batches(ts.fingerprints, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+# -- dedup ------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str):
+    """Hash-partitioned exact dedup: per-batch combiner, global groupby,
+    output one surviving (keep_doc, n_copies) per distinct text."""
+    ds = _docs(sf_dir).map_batches(dd.add_text_hash, batch_format="pyarrow")
+    partial = ds.map_batches(dd.partial_dedup_agg, batch_format="pyarrow")
+    out = partial.groupby("text_hash").aggregate(
+        Min("keep_doc", alias_name="keep_doc"),
+        Sum("n_copies", alias_name="n_copies"),
+    )
+    return out.drop_columns(["text_hash"]).sort("keep_doc")
+
+
+def minhash_pairs(sf_dir: str, threshold_ppm: int = 500_000):
+    """MinHash-LSH near-dup candidate pairs, exact-Jaccard verified."""
+    docs_pq = os.path.join(sf_dir, "documents.parquet")
+    return dd.minhash_dedup_pairs(_docs(sf_dir), docs_pq,
+                                  threshold_ppm=threshold_ppm) \
+        .sort(["doc_a", "doc_b"])
+
+
+def simhash(sf_dir: str):
+    return _docs(sf_dir).map_batches(dd.simhash64, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.4):
+    """Cosine-threshold pairs (a<b), integer ids only."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = np.array(t["vec_id"].to_pylist())
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ds = _emb(sf_dir).map_batches(
+        sim.NearDupPairs, fn_constructor_args=(ids, mat, threshold),
+        batch_format="pyarrow", concurrency=2)
+    return ds.sort(["vec_a", "vec_b"])
+
+
+# -- similarity search ------------------------------------------------------
+
+def knn_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k for the first ``n_queries`` vectors."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_pylist()[:n_queries]
+    qm = np.array(t["embedding"].to_pylist()[:n_queries], dtype=np.float64)
+    return sim.knn_topk(_emb(sf_dir), ids, qm, k=k)
+
+
+def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 n_clusters: int = 16, nprobe: int = 4):
+    """IVF-bucketed ANN variant (approximate — the scale path)."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_pylist()[:n_queries]
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    cent = sim.kmeans_lite(mat, n_clusters)
+    return sim.ivf_topk(_emb(sf_dir), ids, mat[:n_queries], cent, k=k,
+                        nprobe=nprobe)
+
+
+# -- multimodal -------------------------------------------------------------
+
+def media_features(sf_dir: str):
+    """Decode/feature-extract pipeline over the synthetic corpus' media
+    blobs (actor-pool stage; codec stubbed — see stages/multimodal.py)."""
+    from .. import corpus as corpus_mod
+    from ..stages.multimodal import DecodeMediaFeatures, media_table_from_corpus
+
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    cdir = corpus_mod.ensure_corpus(prof)
+    media = media_table_from_corpus(cdir, prof.n_buckets)
+    feats = media.map_batches(DecodeMediaFeatures, batch_format="pyarrow",
+                              concurrency=2, batch_size=256)
+    return feats.drop_columns(["feature"]).sort("media_id")

