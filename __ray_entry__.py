@@ -82,25 +82,52 @@ def _seen_dedup_q(sf_dir: str):
     return out.sort("url")
 
 
-def _crawl_q(sf_dir: str):
-    """Full frontier crawl (seen-set, politeness, robots, round barriers);
-    value parity vs the single-process oracle is asserted in pytest —
-    here the driver records the rows-only check."""
+def _ensure_crawl(sf_dir: str) -> str:
+    """Run the frontier crawl for sf_dir's corpus once (deterministic);
+    later queries over the fetch log reuse the output directory."""
     import shutil
 
-    from warc_ray.pipelines.crawl import read_fetch_log, run_crawl
+    from warc_ray.pipelines.crawl import run_crawl
     from warc_ray.state.frontier import FrontierConfig
 
     cdir = _corpus_for(sf_dir)
     prof = corpus_mod.profile_for_sf_dir(sf_dir)
     out = os.path.join(_CRAWL_OUT, f"crawl-{prof.name}")
-    shutil.rmtree(out, ignore_errors=True)
-    run_crawl(cdir, out,
-              config=FrontierConfig(num_shards=max(4, prof.n_buckets // 2),
-                                    max_rounds=30,
-                                    filter_capacity=1 << 18),
-              write_warc=False)
+    done = os.path.join(out, "DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        run_crawl(cdir, out,
+                  config=FrontierConfig(num_shards=max(4, prof.n_buckets // 2),
+                                        max_rounds=30,
+                                        filter_capacity=1 << 18),
+                  write_warc=False)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _crawl_q(sf_dir: str):
+    """Full frontier crawl (seen-set, politeness, robots, round barriers);
+    value parity vs the single-process oracle is asserted in pytest —
+    here the driver records the rows-only check."""
+    from warc_ray.pipelines.crawl import read_fetch_log
+
+    out = _ensure_crawl(sf_dir)
     return read_fetch_log(out).sort(["round", "host", "fetch_seq", "url"])
+
+
+def _hottest_hosts_q(sf_dir: str):
+    from warc_ray.pipelines.crawl import read_fetch_log
+    from warc_ray.pipelines.reports import hottest_hosts
+
+    return hottest_hosts(read_fetch_log(_ensure_crawl(sf_dir)), k=20)
+
+
+def _crawl_metrics_q(sf_dir: str):
+    from warc_ray.pipelines.crawl import read_fetch_log
+    from warc_ray.pipelines.reports import crawl_metrics
+
+    return crawl_metrics(read_fetch_log(_ensure_crawl(sf_dir)))
 
 
 def _warc_roundtrip_q(sf_dir: str):
@@ -168,6 +195,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_seen_dedup": _seen_dedup_q,
         "q52_crawl_frontier": _crawl_q,
         "q53_warc_roundtrip": _warc_roundtrip_q,
+        # reports (G17) + metrics (G15) over the crawl fetch log
+        "q54_hottest_hosts": _hottest_hosts_q,
+        "q55_crawl_metrics": _crawl_metrics_q,
     }
 
 

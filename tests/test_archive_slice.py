@@ -100,3 +100,60 @@ def test_span_roundtrip_via_body(archive_out):
     assert len(rows) == 1
     body = bytes(rows[0]["payload"]).split(b"\r\n\r\n", 1)[1]
     assert body == render_body(spans)
+
+
+def test_vectorized_render_parity():
+    # render_payloads (Arrow kernels) must byte-match the per-row
+    # python pair http_response_payload(render_body(...)) — the oracle
+    # fetch path depends on it.
+    import pyarrow as pa
+
+    from warc_ray import corpus
+    from warc_ray.stages.assemble import (
+        http_response_payload,
+        render_body,
+        render_payloads,
+    )
+
+    t = corpus._gen_bucket(corpus.PROFILES["t2"], 3)
+    spans = t["spans"].combine_chunks()
+    vec = render_payloads(spans).to_pylist()
+    for i, s in enumerate(spans.to_pylist()):
+        assert vec[i] == http_response_payload(render_body(s)), i
+
+
+def test_fetch_group_matches_fetch_rows(tmp_path):
+    # The vectorized FetchGroup and the oracle's per-row fetch_rows
+    # must produce identical (url -> doc_id/status/body/spans) maps.
+    import pyarrow as pa
+
+    from warc_ray import corpus
+    from warc_ray.schema import SPAN_STRUCT
+    from warc_ray.stages.fetch import FetchGroup, add_bucket_column, fetch_rows
+
+    cdir = corpus.ensure_corpus("t1", root=str(tmp_path))
+    p = corpus.PROFILES["t1"]
+    urls = ([corpus.doc_url(i, p.n_hosts) for i in range(0, p.n_docs, 7)]
+            + [corpus.media_url(i, p.n_hosts) for i in range(0, p.n_docs, 13)]
+            + [corpus.doc_url(p.n_docs + 5, p.n_hosts),  # miss
+               "http://host-0.example/robots.txt"])      # non-doc
+    n = len(urls)
+    group = pa.table({
+        "url": pa.array(urls),
+        "host": pa.array(["h"] * n),
+        "priority": pa.array([1] * n, type=pa.int32()),
+        "depth": pa.array([0] * n, type=pa.int32()),
+        "round": pa.array([0] * n, type=pa.int32()),
+        "fetch_seq": pa.array(list(range(n)), type=pa.int64()),
+    })
+    group = add_bucket_column(group, p.n_buckets)
+    got = FetchGroup(cdir, p.n_buckets)(group)
+    exp = dict(zip(urls, fetch_rows(urls, cdir, p.n_buckets)))
+    assert got.num_rows == n
+    for row in got.to_pylist():
+        doc_id, status, ctype, body, spans = exp[row["url"]]
+        assert row["doc_id"] == doc_id
+        assert row["status"] == status
+        assert row["content_type"] == ctype
+        assert row["body"] == body
+        assert row["spans"] == list(spans)

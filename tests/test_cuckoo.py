@@ -76,3 +76,41 @@ def test_full_filter_raises():
     with pytest.raises(RuntimeError):
         # way past capacity
         f.contains_or_add(rng.integers(1, 2**63, size=10_000, dtype=np.uint64))
+
+
+def test_vectorized_matches_sequential_reference():
+    # The batch API must be bit-identical to the naive per-key loop
+    # (same seen flags, same table bytes, same kick stream).
+    import numpy as np
+
+    from warc_ray.state.cuckoo import CuckooFilter
+
+    rng = np.random.default_rng(7)
+    # heavy intra-batch duplication + enough load to trigger evictions
+    keys = rng.integers(0, 1 << 20, size=6000, dtype=np.uint64)
+
+    fast = CuckooFilter(4096, seed=3)
+    slow = CuckooFilter(4096, seed=3)
+
+    def sequential(filt, ks):
+        ks = np.asarray(ks, dtype=np.uint64)
+        fps = filt._fingerprint(ks)
+        i1s = filt._index1(ks)
+        i2s = filt._alt_index(i1s, fps)
+        seen = np.zeros(len(ks), dtype=bool)
+        for j in range(len(ks)):
+            i1, i2, fp = int(i1s[j]), int(i2s[j]), int(fps[j])
+            if filt._contains(i1, i2, fp):
+                seen[j] = True
+            else:
+                filt._insert(i1, i2, fp)
+        return seen
+
+    for lo in range(0, len(keys), 1500):
+        batch = keys[lo:lo + 1500]
+        got = fast.contains_or_add(batch)
+        exp = sequential(slow, batch)
+        assert (got == exp).all()
+    assert fast.table.tobytes() == slow.table.tobytes()
+    assert fast.count == slow.count
+    assert fast._kick_state == slow._kick_state

@@ -1,12 +1,12 @@
-"""Distributed crawl loop (G9): round-barrier frontier over Ray Data.
+"""Distributed crawl loop (G9): round-barrier frontier over Ray actors.
 
 Per logical round ``t``::
 
     emit    = ray.get([shard.pop_round(t) ...])        # politeness-bounded
-    fetched = Dataset(emit).groupby(bucket).map_groups(FetchGroup)
-    WARC    = fetched → request/response records → gz shards (round dir)
-    links   = fetched → extract spans → canonicalize → offer to shards
-              (pushed directly from map_batches tasks — no driver hop)
+    slices  = split emit by corpus bucket → worker (bucket % n_workers)
+    counts  = ray.get([worker.process_round(t, slice) ...])
+              # each worker: fetch → log parquet → WARC shard + CDX →
+              #              extract links → offer to frontier shards
     seal    = ray.get([shard.seal_round() ...])        # round barrier
 
 The barrier per round is REQUIRED for exact crawl-order parity with the
@@ -14,12 +14,27 @@ single-process oracle (SURVEY.md §4 Ordering); throughput comes from
 within-round parallelism.  Outputs are round-keyed directories with a
 manifest per round → a restarted run resumes from the last checkpoint
 and skips completed rounds (G16).
+
+Why raw actors, not per-round ``Dataset`` pipelines (SURVEY.md §2.B
+"custom operators", case (b)): a crawl round is a small,
+politeness-bounded batch (≤ burst × hosts rows) but there are hundreds
+of rounds.  Expressing each round as Dataset.map_batches/groupby costs
+a fresh task/actor pool + an all-to-all shuffle per round — fixed
+overhead that dominated wall-time ~50× over the useful work at bench
+scale.  Persistent ``CrawlWorker`` actors keep bucket caches and WARC
+sinks warm across rounds; the bucket → worker assignment is stable
+(``bucket % n_workers``) so each corpus bucket file is read by exactly
+one worker for the whole crawl (same co-partitioning a 256-node
+cluster would use).  The bulk, non-iterative paths (corpus → WARC
+archive, readers, reports) remain plain Ray Data pipelines
+(pipelines/archive.py, sources/).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import asdict
 
 import pyarrow as pa
@@ -28,7 +43,7 @@ import ray
 import ray.data as rd
 
 from .. import corpus as corpus_mod
-from ..sinks.warc_sink import write_warc_shards
+from ..sinks.warc_sink import WriteWarcShard
 from ..stages.assemble import fetch_to_warc_records, logical_date, serialize_records
 from ..stages.fetch import FetchGroup, add_bucket_column
 from ..stages.urls import canonicalize_batch, extract_links
@@ -36,7 +51,7 @@ from ..state.frontier import (
     FrontierConfig,
     make_frontier_shard_cls,
     robots_to_shard_dict,
-    shard_of,
+    split_by_host_shard,
 )
 
 LOG_COLS = ["url", "host", "doc_id", "status", "round", "fetch_seq", "depth"]
@@ -45,28 +60,25 @@ LOG_COLS = ["url", "host", "doc_id", "status", "round", "fetch_seq", "depth"]
 def route_and_offer(table: pa.Table, shards, num_shards: int) -> int:
     """Split a canonical-URL table by host-hash shard and push offers.
 
-    Runs on whatever process holds the batch (driver for seeds, Ray
-    workers for in-crawl links); acks are awaited so the caller's
+    Runs on whatever process holds the batch (driver for seeds,
+    CrawlWorker actors in-crawl); acks are awaited so the caller's
     barrier guarantees all offers landed before seal.
     """
     if table.num_rows == 0:
         return 0
-    hosts = table["host"].to_pylist()
-    sid = [shard_of(h, num_shards) for h in hosts]
-    refs = []
-    import numpy as np
-
-    sid = np.array(sid)
-    for s in range(num_shards):
-        mask = sid == s
-        if mask.any():
-            refs.append(shards[s].offer.remote(table.filter(pa.array(mask))))
+    refs = [
+        shards[s].offer.remote(sub)
+        for s, sub in enumerate(split_by_host_shard(table, num_shards))
+        if sub is not None
+    ]
     return sum(ray.get(refs))
 
 
 class OfferLinks:
     """map_batches stage: fetched rows → extracted+canonical links →
-    direct actor offers.  Emits one count row per batch."""
+    direct actor offers.  Emits one count row per batch.  (Used by the
+    Dataset-based re-crawl paths/tests; the crawl loop's workers call
+    the same extract/canonicalize/route functions inline.)"""
 
     def __init__(self, shards, num_shards: int):
         self.shards = shards
@@ -77,6 +89,101 @@ class OfferLinks:
         links = canonicalize_batch(links)
         n = route_and_offer(links, self.shards, self.num_shards)
         return pa.table({"offered": pa.array([n], type=pa.int64())})
+
+
+@ray.remote
+class WarcWriter:
+    """Persistent WARC assembly/compression worker.
+
+    Off the round critical path on purpose: WARC output never feeds the
+    frontier, so gzip (the single largest CPU cost) pipelines ACROSS
+    round barriers in a dedicated long-lived actor pool (persistent
+    processes — floating tasks churned Ray worker processes and
+    stalled the loop).  The crawl driver holds the returned refs and
+    flushes them before each checkpoint (durability) and at the end."""
+
+    def write_round(self, fetched: pa.Table, round_dir: str, part_id: int,
+                    date_str: str) -> int:
+        records = serialize_records(fetch_to_warc_records(fetched))
+        sink = WriteWarcShard(os.path.join(round_dir, "warc"), date=date_str)
+        cdx = sink(records)
+        cdx_dir = os.path.join(round_dir, "cdx")
+        os.makedirs(cdx_dir, exist_ok=True)
+        pq.write_table(cdx, os.path.join(cdx_dir, f"part-{part_id:03d}.parquet"))
+        return cdx.num_rows
+
+
+@ray.remote
+class CrawlWorker:
+    """Persistent per-round fetch/assemble/offer worker.
+
+    Owns buckets ``{b : b % n_workers == worker_id}`` for the whole
+    crawl: the bucket→spans cache stays warm, and every output file the
+    worker writes is keyed ``(round, worker_id)`` → reruns of a round
+    overwrite their own files (idempotent, resumable).
+    """
+
+    def __init__(self, worker_id: int, corpus_dir: str, n_buckets: int,
+                 shards, num_shards: int, out_dir: str, writers=None):
+        self.worker_id = worker_id
+        self.fetch = FetchGroup(corpus_dir, n_buckets)
+        self.shards = shards
+        self.num_shards = num_shards
+        self.out_dir = out_dir
+        self.writers = writers or []
+        self._log_buf: list = []
+
+    def flush_log(self, upto: int) -> int:
+        """Write buffered fetch-log rows (rounds < upto) as one parquet
+        part.  Called at checkpoint barriers and at crawl end — log
+        durability has checkpoint granularity, and per-round tiny-file
+        writes were a measurable slice of the round critical path."""
+        if not self._log_buf:
+            return 0
+        tbl = pa.concat_tables(self._log_buf)
+        self._log_buf = []
+        log_dir = os.path.join(self.out_dir, "log")
+        os.makedirs(log_dir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(
+            log_dir, f"part-{self.worker_id:03d}-r{upto:05d}.parquet"))
+        return tbl.num_rows
+
+    def process_round(self, t: int, urls: pa.Table, write_warc: bool) -> dict:
+        fetched = self.fetch(urls)
+        round_dir = os.path.join(self.out_dir, f"round={t:05d}")
+        self._log_buf.append(fetched.select(LOG_COLS))
+
+        warc_ref = None
+        if write_warc and self.writers:
+            w = self.writers[(t * 131 + self.worker_id) % len(self.writers)]
+            warc_ref = w.write_round.remote(
+                fetched, round_dir, self.worker_id, logical_date(t))
+
+        links = canonicalize_batch(
+            extract_links(fetched, doc_col="doc_id", depth_col="depth"))
+        # fire-and-forget: the DRIVER awaits these acks before sealing
+        # the round (the barrier), so this worker is free immediately
+        offer_refs = [
+            self.shards[s].offer.remote(sub)
+            for s, sub in enumerate(split_by_host_shard(links,
+                                                        self.num_shards))
+            if sub is not None
+        ]
+        return {"fetched": fetched.num_rows, "offer_refs": offer_refs,
+                "warc_ref": warc_ref}
+
+
+def _split_by_worker(emit: pa.Table, n_buckets: int, n_workers: int):
+    """bucket % n_workers slices, preserving deterministic row order."""
+    import numpy as np
+
+    emit = add_bucket_column(emit, n_buckets)
+    wid = emit["bucket"].to_numpy(zero_copy_only=False) % n_workers
+    out = []
+    for w in range(n_workers):
+        mask = wid == w
+        out.append(emit.filter(pa.array(mask)) if mask.any() else None)
+    return out
 
 
 def run_crawl(corpus_dir: str, out_dir: str, *,
@@ -101,6 +208,15 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         with open(manifest_path) as f:
             m = json.load(f)
         start_round = m["next_round"]
+        # drop log parts flushed after the manifest's checkpoint (crash
+        # between flush and manifest write) — the rerun regenerates them
+        log_dir = os.path.join(out_dir, "log")
+        if os.path.isdir(log_dir):
+            for name in os.listdir(log_dir):
+                if name.endswith(".parquet"):
+                    upto = int(name.rsplit("-r", 1)[1].split(".")[0])
+                    if upto > start_round:
+                        os.unlink(os.path.join(log_dir, name))
         shards = [
             Shard.remote(s, cfg, robots_ref,
                          restore_path=os.path.join(ckpt_dir, f"shard-{s:03d}.pkl"))
@@ -115,14 +231,33 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         route_and_offer(seeds, shards, cfg.num_shards)
         ray.get([s.seal_round.remote() for s in shards])
 
-    _fg = FetchGroup(corpus_dir, profile.n_buckets)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    budget = max(1, cpus - (cfg.num_shards + 3) // 4 - 1)
+    if fetch_concurrency is None:
+        # fetch:warc CPU ratio is ~1:1.4 → give fetch ~2/5 of the pool
+        # when WARC writing is on; writers take the rest.
+        fetch_concurrency = max(1, min(profile.n_buckets, 32,
+                                       budget * 2 // 5 if write_warc else budget))
+    n_workers = fetch_concurrency
+    n_writers = max(1, min(budget - n_workers, 2 * n_workers + 4)) \
+        if write_warc else 0
+    writers = [WarcWriter.remote() for _ in range(n_writers)]
+    workers = [
+        CrawlWorker.remote(w, corpus_dir, profile.n_buckets,
+                           shards, cfg.num_shards, out_dir, writers)
+        for w in range(n_workers)
+    ]
 
-    def fetcher(group: pa.Table) -> pa.Table:  # map_groups wants __name__
-        return _fg(group)
+    import time as _time
+
+    round_log = os.environ.get("WARC_RAY_ROUND_LOG")
     t = start_round
     rounds_run = 0
     total_fetched = 0
+    total_warc_records = 0
+    pending_warc: list = []
     while t < cfg.max_rounds:
+        _t0 = _time.perf_counter()
         tables = [tb for tb in ray.get([s.pop_round.remote(t) for s in shards])
                   if tb.num_rows]
         if not tables:
@@ -134,49 +269,54 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
             continue
         emit = pa.concat_tables(tables)
         round_dir = os.path.join(out_dir, f"round={t:05d}")
-        os.makedirs(os.path.join(round_dir, "log"), exist_ok=True)
+        if os.path.isdir(round_dir):          # rerun of an unfinished round
+            shutil.rmtree(round_dir)
 
-        urls_ds = rd.from_arrow(emit).map_batches(
-            lambda b: add_bucket_column(b, profile.n_buckets),
-            batch_format="pyarrow",
-        )
-        fetched = urls_ds.groupby("bucket").map_groups(
-            fetcher, batch_format="pyarrow"
-        ).materialize()           # round-sized (politeness-bounded)
-
-        # fetch log (parquet, round-keyed → resumable)
-        blocks = ray.get(fetched.to_arrow_refs())
-        log_tbl = pa.concat_tables([b.select(LOG_COLS) for b in blocks])
-        pq.write_table(log_tbl, os.path.join(round_dir, "log", "part-0.parquet"))
-        total_fetched += log_tbl.num_rows
-
-        if write_warc:
-            records = fetched.map_batches(fetch_to_warc_records, batch_format="pyarrow")
-            serialized = records.map_batches(serialize_records, batch_format="pyarrow")
-            cdx = write_warc_shards(serialized, os.path.join(round_dir, "warc"),
-                                    date=logical_date(t))
-            cdx.write_parquet(os.path.join(round_dir, "cdx"))
-
-        # discover + offer next frontier (pushed from workers)
-        fetched.map_batches(OfferLinks(shards, cfg.num_shards),
-                            batch_format="pyarrow").sum("offered")
+        _t1 = _time.perf_counter()
+        refs = [
+            workers[w].process_round.remote(t, sl, write_warc)
+            for w, sl in enumerate(_split_by_worker(emit, profile.n_buckets,
+                                                    n_workers))
+            if sl is not None
+        ]
+        counts = ray.get(refs)
+        _t2 = _time.perf_counter()
+        total_fetched += sum(c["fetched"] for c in counts)
+        pending_warc.extend(c["warc_ref"] for c in counts
+                            if c["warc_ref"] is not None)
+        # barrier: every offer must have LANDED in its shard before seal
+        ray.get([r for c in counts for r in c["offer_refs"]])
         ray.get([s.seal_round.remote() for s in shards])
+        if round_log:
+            with open(round_log, "a") as f:
+                f.write("%d %d %.3f %.3f %.3f\n" % (
+                    t, emit.num_rows, _t1 - _t0, _t2 - _t1,
+                    _time.perf_counter() - _t2))
 
         rounds_run += 1
         t += 1
         if checkpoint_every and rounds_run % checkpoint_every == 0:
+            # durability barrier: all WARC shards + log rows up to this
+            # round must be on disk before the manifest commits it
+            total_warc_records += sum(ray.get(pending_warc))
+            pending_warc = []
+            ray.get([w.flush_log.remote(t) for w in workers])
             _checkpoint(shards, ckpt_dir, manifest_path, t, cfg)
 
+    total_warc_records += sum(ray.get(pending_warc))
+    pending_warc = []
+    ray.get([w.flush_log.remote(t) for w in workers])
     if checkpoint_every:
         _checkpoint(shards, ckpt_dir, manifest_path, t, cfg)
     stats = ray.get([s.stats.remote() for s in shards])
     filters = ray.get([s.filter_table_bytes.remote() for s in shards])
-    for s in shards:
-        ray.kill(s)
+    for a in shards + workers + writers:
+        ray.kill(a)
     return {
         "rounds": rounds_run,
         "last_round": t,
         "total_fetched": total_fetched,
+        "warc_records": total_warc_records,
         "shard_stats": stats,
         "filter_bytes": filters,
         "out_dir": out_dir,
@@ -197,12 +337,9 @@ def _checkpoint(shards, ckpt_dir: str, manifest_path: str, next_round: int,
 
 
 def read_fetch_log(out_dir: str) -> "rd.Dataset":
-    """Union of all round logs (use for reports/parity checks)."""
+    """The crawl fetch log (rows carry their ``round`` column; file
+    layout is checkpoint-granular parts under ``out_dir/log/``)."""
     import glob
 
-    paths = []
-    for d in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, d, "log")
-        if d.startswith("round=") and os.path.isdir(p):
-            paths.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+    paths = sorted(glob.glob(os.path.join(out_dir, "log", "*.parquet")))
     return rd.read_parquet(paths)

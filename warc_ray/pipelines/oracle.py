@@ -20,9 +20,9 @@ from ..stages.urls import canonicalize_batch, extract_links, urls_from_seeds
 from ..state.frontier import (
     FrontierConfig,
     FrontierCore,
-    make_offer_rows,
     robots_to_shard_dict,
     shard_of,
+    split_by_host_shard,
 )
 from ..schema import SPAN_STRUCT
 
@@ -30,11 +30,10 @@ LOG_FIELDS = ("url", "host", "doc_id", "status", "round", "fetch_seq", "depth")
 
 
 def _route_offer(cores: list[FrontierCore], table: pa.Table, num_shards: int) -> int:
-    rows = make_offer_rows(table)
     n = 0
-    for r in rows:
-        cores[shard_of(r[2], num_shards)].offer([r])
-        n += 1
+    for s, sub in enumerate(split_by_host_shard(table, num_shards)):
+        if sub is not None:
+            n += cores[s].offer(sub)
     return n
 
 

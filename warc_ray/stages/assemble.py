@@ -35,6 +35,35 @@ def logical_date(round_no: int, base: str = "2026-01-01T00:00:") -> str:
     return f"{base}{min(59, round_no):02d}Z"
 
 
+def render_payloads(spans: pa.ListArray) -> pa.Array:
+    """Vectorized ``http_response_payload(render_body(...))`` for a
+    whole spans column → large_binary array.  MUST stay byte-identical
+    to the per-row Python pair below (the oracle's path) — pinned by
+    tests/test_archive_slice.py::test_vectorized_render_parity."""
+    import pyarrow.compute as pc
+
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    kind = flat.field("kind")
+    text = flat.field("text")
+    ref = flat.field("media_ref")
+    a = pc.binary_join_element_wise('<a href="', ref, '">', text, "</a>", "")
+    img = pc.binary_join_element_wise('<img src="', ref, '">', "")
+    vid = pc.binary_join_element_wise('<video src="', ref, '">', "")
+    piece = pc.if_else(pc.equal(kind, "text"), text,
+                       pc.if_else(pc.equal(kind, "link"), a,
+                                  pc.if_else(pc.equal(kind, "image"), img, vid)))
+    rebuilt = pa.ListArray.from_arrays(spans.offsets, piece)
+    bodies = pc.binary_join(rebuilt, "\n")
+    blen = pc.binary_length(pc.cast(bodies, pa.binary()))
+    head = pc.binary_join_element_wise(
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: ",
+        pc.cast(blen, pa.string()), "\r\n\r\n", "")
+    payload = pc.binary_join_element_wise(head, bodies, "")
+    return pc.cast(pc.cast(payload, pa.binary()), pa.large_binary())
+
+
 def render_body(spans: list[dict]) -> bytes:
     """Deterministic HTML-ish rendering of an interleaved span sequence.
 
@@ -57,15 +86,15 @@ def render_body(spans: list[dict]) -> bytes:
 
 
 def media_body(url: str) -> bytes:
-    """Deterministic pseudo-binary blob for a /media/ URL (sha1 chain)."""
+    """Deterministic pseudo-binary blob for a /media/ URL.
+
+    One PCG64 draw seeded from sha1(url) — a sha1 *chain* cost ~50µs
+    per media fetch and dominated the fetch hot loop."""
     h = hashlib.sha1(url.encode()).digest()
     size = 256 + int.from_bytes(h[:2], "big") % 3840
-    out = bytearray()
-    block = h
-    while len(out) < size:
-        block = hashlib.sha1(block).digest()
-        out.extend(block)
-    return bytes(out[:size])
+    import numpy as np
+
+    return np.random.default_rng(int.from_bytes(h[4:12], "big")).bytes(size)
 
 
 def http_response_payload(body: bytes, content_type: str = "text/html") -> bytes:

@@ -101,9 +101,19 @@ def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     kept = [c for c in canon if c is not None]
     sha = [hashlib.sha1(c.encode()).digest() for c in kept]
     hosts = [host_of(c) for c in kept]
+    # hash64 = first 8 digest bytes, big-endian — the cuckoo-filter key
+    # (G4/G5).  Computed HERE (parallel map_batches workers), so the
+    # serialized frontier shards never touch a hash function.
+    if sha:
+        h64 = (np.frombuffer(b"".join(sha), dtype=np.uint8)
+               .reshape(-1, 20)[:, :8].copy().view(">u8")
+               .astype(np.uint64).ravel())
+    else:
+        h64 = np.zeros(0, dtype=np.uint64)
     return batch.add_column(0, "url", pa.array(kept, type=pa.string())) \
         .append_column("url_sha1", pa.array(sha, type=pa.binary(20))) \
-        .append_column("host", pa.array(hosts, type=pa.string()))
+        .append_column("host", pa.array(hosts, type=pa.string())) \
+        .append_column("hash64", pa.array(h64, type=pa.uint64()))
 
 
 def extract_links(batch: pa.Table, spans_col: str = "spans",

@@ -100,19 +100,38 @@ class CuckooFilter:
 
     def contains_or_add(self, keys: np.ndarray) -> np.ndarray:
         """For each key (in order): True if already present (or FP hit),
-        else insert and return False.  Sequential by design — the
-        caller's order defines dedup semantics."""
+        else insert and return False.  The caller's order defines dedup
+        semantics.
+
+        Vectorized, but bit-identical to the per-key sequential loop:
+        membership = fingerprint present in the key's bucket pair
+        {i1, i2}, and the XOR pairing (i2 = i1 ^ H(fp)) means two keys
+        with the same fingerprint have bucket pairs that either
+        coincide or are disjoint — so (min(i1,i2), fp) is a canonical
+        identity, eviction (which only moves a fp within its own pair)
+        never changes membership, and intra-batch duplicates are
+        exactly the non-first occurrences of a canonical identity.
+        Inserts run in batch order → identical table bytes + kick
+        stream as the sequential formulation."""
         keys = np.asarray(keys, dtype=np.uint64)
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
         fps = self._fingerprint(keys)
         i1s = self._index1(keys)
         i2s = self._alt_index(i1s, fps)
-        seen = np.zeros(len(keys), dtype=bool)
-        for j in range(len(keys)):
-            i1, i2, fp = int(i1s[j]), int(i2s[j]), int(fps[j])
-            if self._contains(i1, i2, fp):
-                seen[j] = True
-            else:
-                self._insert(i1, i2, fp)
+        t = self.table
+        present = ((t[i1s] == fps[:, None]).any(axis=1)
+                   | (t[i2s] == fps[:, None]).any(axis=1))
+        lo = np.minimum(i1s, i2s).astype(np.uint64)
+        comb = (lo << np.uint64(16)) | fps.astype(np.uint64)
+        uniq, inv = np.unique(comb, return_inverse=True)
+        first = np.full(len(uniq), n, dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(n))
+        is_first = np.arange(n) == first[inv]
+        seen = present | ~is_first
+        for j in np.flatnonzero(~seen):
+            self._insert(int(i1s[j]), int(i2s[j]), int(fps[j]))
         return seen
 
     def __contains__(self, key: int) -> bool:

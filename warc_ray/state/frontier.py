@@ -26,15 +26,22 @@ from checkpoint (its state is NOT re-derivable from lineage — SURVEY.md
 
 from __future__ import annotations
 
-import heapq
 import os
 import pickle
+from collections import deque
 from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .cuckoo import CuckooFilter
+
+# The frontier offer schema: every offer table carries exactly these
+# columns (hash64 = first 8 bytes of sha1(canonical url), computed by
+# canonicalize_batch in the parallel workers).
+OFFER_COLS = ["url", "host", "priority", "src_doc", "src_offset",
+              "depth", "hash64"]
 
 
 @dataclass(frozen=True)
@@ -88,37 +95,71 @@ class FrontierCore:
 
     # -- offer / seal ---------------------------------------------------
 
-    def offer(self, rows: list[tuple]) -> int:
-        """rows: (url, url_hash64, host, priority, src_doc, src_offset, depth)."""
-        self.buffer.extend(rows)
-        return len(rows)
+    def offer(self, table: pa.Table) -> int:
+        """Buffer one offer table (columns per OFFER_COLS); processed
+        in deterministic sorted order at ``seal_round``."""
+        if table.num_rows:
+            self.buffer.append(table.select(OFFER_COLS))
+        return table.num_rows
 
     def seal_round(self) -> None:
-        """Deterministically ingest this round's offers (sorted)."""
+        """Deterministically ingest this round's offers (sorted).
+
+        Arrow-native: multi-key sort + vectorized cuckoo batch; Python
+        touches only the rows that survive dedup/depth (the ones that
+        actually enter a queue).  URLs/hosts are ASCII, so Arrow utf8
+        ordering == Python str ordering (determinism vs the oracle)."""
         if not self.buffer:
             return
-        buf = sorted(self.buffer, key=lambda r: (r[6], r[4], r[5], r[0]))
+        buf = pa.concat_tables(self.buffer)
         self.buffer = []
-        self.counters["offered"] += len(buf)
-        keys = np.array([r[1] for r in buf], dtype=np.uint64)
+        n = buf.num_rows
+        self.counters["offered"] += n
+        idx = pc.sort_indices(buf, sort_keys=[("depth", "ascending"),
+                                              ("src_doc", "ascending"),
+                                              ("src_offset", "ascending"),
+                                              ("url", "ascending")])
+        buf = buf.take(idx)
+        keys = buf["hash64"].to_numpy(zero_copy_only=False)
         seen = self.filter.contains_or_add(keys)
-        for j, (url, _h, host, prio, _sd, _so, depth) in enumerate(buf):
-            if seen[j]:
-                self.counters["dup"] += 1
-                continue
-            if depth > self.config.max_depth:
-                self.counters["too_deep"] += 1
-                continue
-            rules = self.robots.get(host)
+        depth_np = buf["depth"].to_numpy(zero_copy_only=False)
+        n_dup = int(seen.sum())
+        self.counters["dup"] += n_dup
+        fresh = ~seen
+        deep = fresh & (depth_np > self.config.max_depth)
+        self.counters["too_deep"] += int(deep.sum())
+        cand_mask = fresh & ~deep
+        if not cand_mask.any():
+            return
+        cand = buf.filter(pa.array(cand_mask))
+        urls = cand["url"].to_pylist()
+        hosts = cand["host"].to_pylist()
+        prios = cand["priority"].to_pylist()
+        depths = cand["depth"].to_pylist()
+        robots = self.robots
+        queues = self.queues
+        seq = self.seq
+        queued = 0
+        denied = 0
+        for url, host, prio, depth in zip(urls, hosts, prios, depths):
+            rules = robots.get(host)
             if rules:
                 p = path_of(url)
                 if any(p.startswith(pre) for pre in rules[0]):
-                    self.counters["robots_denied"] += 1
+                    denied += 1
                     continue
-            q = self.queues.setdefault(host, [])
-            heapq.heappush(q, (-prio, self.seq, url, depth))
-            self.seq += 1
-            self.counters["queued"] += 1
+            q = queues.get(host)
+            if q is None:
+                q = queues[host] = {}
+            d = q.get(prio)
+            if d is None:
+                d = q[prio] = deque()
+            d.append((seq, url, depth))
+            seq += 1
+            queued += 1
+        self.seq = seq
+        self.counters["robots_denied"] += denied
+        self.counters["queued"] += queued
 
     # -- emission -------------------------------------------------------
 
@@ -127,7 +168,7 @@ class FrontierCore:
         cfg = self.config
         out_url, out_host, out_prio, out_depth, out_seq = [], [], [], [], []
         for host in sorted(h for h, q in self.queues.items() if q):
-            q = self.queues[host]
+            q = self.queues[host]  # {priority: deque[(seq, url, depth)]}
             if self.next_allowed.get(host, 0) > t:
                 continue
             last = self.last_refill.get(host, t)
@@ -137,19 +178,30 @@ class FrontierCore:
             budget = cfg.per_round_host_budget
             dly = self.robots.get(host, ((), 0))[1]
             k = 0
-            while q and tok >= 1.0 and budget > 0:
-                negprio, _seq, url, depth = heapq.heappop(q)
-                out_url.append(url)
-                out_host.append(host)
-                out_prio.append(-negprio)
-                out_depth.append(depth)
-                out_seq.append(k)
-                k += 1
-                tok -= 1.0
-                budget -= 1
-                if dly:
-                    self.next_allowed[host] = t + dly
-                    break  # crawl-delay: one fetch per delay window
+            stop = False
+            # highest priority first; FIFO (seq order) within a priority
+            for prio in sorted(q, reverse=True):
+                d = q[prio]
+                while d and not stop:
+                    if tok < 1.0 or budget <= 0:
+                        stop = True
+                        break
+                    _seq, url, depth = d.popleft()
+                    out_url.append(url)
+                    out_host.append(host)
+                    out_prio.append(prio)
+                    out_depth.append(depth)
+                    out_seq.append(k)
+                    k += 1
+                    tok -= 1.0
+                    budget -= 1
+                    if dly:
+                        self.next_allowed[host] = t + dly
+                        stop = True  # crawl-delay: one fetch per window
+                if not d:
+                    del q[prio]
+                if stop:
+                    break
             self.tokens[host] = tok
             if not q:
                 del self.queues[host]
@@ -217,20 +269,21 @@ def robots_to_shard_dict(robots_table: pa.Table) -> dict:
     return out
 
 
-def make_offer_rows(table: pa.Table) -> list[tuple]:
-    """URL-table rows → offer tuples (computes the 64-bit filter key)."""
-    from ..stages.urls import url_hash64
-
-    urls = table["url"].to_pylist()
-    hosts = table["host"].to_pylist()
-    prios = table["priority"].to_pylist()
-    srcs = table["src_doc"].to_pylist() if "src_doc" in table.column_names else [""] * len(urls)
-    offs = table["src_offset"].to_pylist() if "src_offset" in table.column_names else [0] * len(urls)
-    depths = table["depth"].to_pylist() if "depth" in table.column_names else [0] * len(urls)
-    return [
-        (u, url_hash64(u), h, p, s, o, d)
-        for u, h, p, s, o, d in zip(urls, hosts, prios, srcs, offs, depths)
-    ]
+def split_by_host_shard(table: pa.Table, num_shards: int) -> list:
+    """Split an offer table by host-hash shard ownership; returns a list
+    of ``num_shards`` tables (None where empty).  sha1 is computed once
+    per *unique* host, not per row."""
+    if table.num_rows == 0:
+        return [None] * num_shards
+    hosts = table["host"]
+    uniq = pc.unique(hosts).to_pylist()
+    mapping = {h: shard_of(h, num_shards) for h in uniq}
+    sid = np.array([mapping[h] for h in hosts.to_pylist()], dtype=np.int32)
+    out = []
+    for s in range(num_shards):
+        mask = sid == s
+        out.append(table.filter(pa.array(mask)) if mask.any() else None)
+    return out
 
 
 def make_frontier_shard_cls():
@@ -240,7 +293,9 @@ def make_frontier_shard_cls():
     # max_restarts=0 on purpose: an auto-restarted shard would re-run
     # __init__ with EMPTY state (silent frontier loss).  Recovery is the
     # explicit checkpoint+resume path (G16) — fail fast instead.
-    @ray.remote(max_restarts=0)
+    # num_cpus=0.25: a shard does queue/filter bookkeeping only (µs per
+    # URL) — full CPUs would starve the fetch workers on small nodes.
+    @ray.remote(max_restarts=0, num_cpus=0.25)
     class FrontierShard:
         def __init__(self, shard_id: int, config: FrontierConfig,
                      robots_ref=None, restore_path: str | None = None):
@@ -255,7 +310,7 @@ def make_frontier_shard_cls():
                 self.core.load(restore_path)
 
         def offer(self, table: pa.Table) -> int:
-            return self.core.offer(make_offer_rows(table))
+            return self.core.offer(table)
 
         def seal_round(self) -> dict:
             self.core.seal_round()
