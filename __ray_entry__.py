@@ -90,19 +90,26 @@ def _ensure_crawl(sf_dir: str) -> str:
     from warc_ray.pipelines.crawl import run_crawl
     from warc_ray.state.frontier import FrontierConfig
 
+    import json
+    from dataclasses import asdict
+
     cdir = _corpus_for(sf_dir)
     prof = corpus_mod.profile_for_sf_dir(sf_dir)
     out = os.path.join(_CRAWL_OUT, f"crawl-{prof.name}")
     done = os.path.join(out, "DONE")
-    if not os.path.exists(done):
+    # stamp = corpus params + generator + output-layout version, so a
+    # cached crawl is invalidated whenever any of them change
+    stamp = json.dumps(dict(asdict(prof), gen=corpus_mod.GEN_VERSION,
+                            layout=2))
+    if not (os.path.exists(done) and open(done).read() == stamp):
         shutil.rmtree(out, ignore_errors=True)
         run_crawl(cdir, out,
-                  config=FrontierConfig(num_shards=max(4, prof.n_buckets // 2),
+                  config=FrontierConfig(num_shards=min(8, max(4, prof.n_buckets // 2)),
                                         max_rounds=30,
                                         filter_capacity=1 << 18),
                   write_warc=False)
         with open(done, "w") as f:
-            f.write("ok")
+            f.write(stamp)
     return out
 
 

@@ -198,3 +198,25 @@ class TestDigest:
         import hashlib
         assert rec.checksum == "sha1:" + hashlib.sha1(b"Helloworld").hexdigest()
         assert sha1_digest(b"") == "sha1:" + hashlib.sha1(b"").hexdigest()
+
+
+def test_from_response_duck_typed():
+    # reference warc/warc.py:215-242: payload = status line + headers +
+    # blank line + body; WARC-Type=response, Target-URI from request.
+    from warc_ray.core.warcrec import WARCRecord
+
+    class Resp:
+        status_code = 200
+        reason = "OK"
+        headers = {"Content-Type": "text/html", "Server": "x"}
+        content = b"<html>hi</html>"
+        url = "http://example.org/p"
+
+    rec = WARCRecord.from_response(Resp())
+    assert rec.type == "response"
+    assert rec.url == "http://example.org/p"
+    body = rec.payload_bytes()
+    assert body.startswith(b"HTTP/1.1 200 OK\r\n")
+    assert b"Content-Type: text/html\r\n" in body
+    assert body.endswith(b"\r\n<html>hi</html>")
+    assert rec["Content-Length"] == str(len(body))

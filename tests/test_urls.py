@@ -109,3 +109,45 @@ def test_extract_links():
     assert out["src_offset"].to_pylist() == [6, 9, 0]
     assert out["depth"].to_pylist() == [1, 1, 2]
     assert out["priority"].to_pylist() == [5, 1, 1]  # links > media
+
+
+def test_canonical_fast_path():
+    # Every URL the fast-path regex accepts must be a fixed point of the
+    # slow canonicalizer (hypothesis fuzz + targeted cases).
+    import re
+
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from warc_ray.stages.urls import _CANON_FAST_RE, canonicalize_url
+
+    fast_re = re.compile(_CANON_FAST_RE)
+
+    cases = [
+        "http://host-3.example/doc/17",
+        "http://a.b/x//y",
+        "http://h.example/",
+        "http://h.example/a:b@c",
+        # must NOT be fast (need slow-path normalization)
+        "http://H.example/doc/1",
+        "http://h.example:80/doc/1",
+        "http://h.example/./doc/1",
+        "http://h.example/doc/1#frag",
+        "http://h.example/%64oc/1",
+        "http://h.example",
+        "http://h.example./x",
+    ]
+    for u in cases:
+        if fast_re.match(u):
+            assert canonicalize_url(u) == u, u
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(
+        alphabet="abcXYZ019-._~%?#:/@ ", min_size=0, max_size=30).map(
+            lambda s: "http://h0.example" + s))
+    def fuzz(u):
+        if fast_re.match(u):
+            assert canonicalize_url(u) == u, u
+
+    fuzz()

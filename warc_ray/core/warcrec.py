@@ -230,6 +230,43 @@ class WARCRecord:
     def __repr__(self) -> str:
         return "<WARCRecord: type=%r record_id=%s>" % (self.type, self.header.get("WARC-Record-ID"))
 
+    @staticmethod
+    def from_response(response) -> "WARCRecord":
+        """HTTP response object → ``response`` WARC record (reference
+        warc/warc.py:215-242, op #25).
+
+        Duck-typed rather than requests-only (no network in this
+        engine): accepts either a ``requests.Response``-shaped object
+        (``.raw._original_response`` with ``status``/``reason``/
+        ``msg``/``read()``) or anything exposing ``status_code``,
+        ``reason``, ``headers`` (mapping) and ``content`` bytes.
+        Payload layout is the reference's: status line, header block,
+        blank line, body.
+        """
+        raw = getattr(response, "raw", None)
+        orig = getattr(raw, "_original_response", None)
+        if orig is not None:
+            status_line = "HTTP/1.1 %d %s" % (orig.status, orig.reason)
+            head = str(orig.msg)
+            body = orig.read()
+            import io as _io
+
+            raw._fp = _io.BytesIO(body)  # keep response readable after
+        else:
+            status_line = "HTTP/1.1 %d %s" % (response.status_code,
+                                              response.reason)
+            head = "".join("%s: %s\r\n" % kv for kv in response.headers.items())
+            body = response.content
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        payload = status_line.encode("ascii") + b"\r\n" + \
+            head.encode("latin-1") + b"\r\n" + body
+        req = getattr(response, "request", None)
+        uri = getattr(req, "url", None) or getattr(response, "url", "")
+        return WARCRecord(payload=payload,
+                          headers={"WARC-Type": "response",
+                                   "WARC-Target-URI": uri})
+
 
 def read_header(fileobj) -> WARCHeader | None:
     """Parse one header block from a binary stream; None at EOF.

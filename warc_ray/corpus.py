@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import asdict, dataclass
 
 import numpy as np
@@ -62,7 +63,7 @@ PROFILES = {
     # The round-coordination floor is fixed (~80ms/round); scaling
     # efficiency is only meaningful when per-round work dwarfs it,
     # which is exactly the production regime (rounds of millions).
-    "bench": Profile("bench", 200_000, 2_000, 100_000, 32),
+    "bench": Profile("bench", 1_200_000, 2_000, 600_000, 128),
 }
 
 # testdata scale-factor directory basename -> corpus profile
@@ -273,6 +274,10 @@ def ensure_corpus(profile: Profile | str, root: str = CORPUS_ROOT) -> str:
         with open(manifest) as f:
             if json.load(f) == params:
                 return d
+        # params changed → stale bucket files must go (the per-bucket
+        # exists-check below only resumes an INTERRUPTED generation of
+        # the SAME params)
+        shutil.rmtree(os.path.join(d, "docs"), ignore_errors=True)
     os.makedirs(os.path.join(d, "docs"), exist_ok=True)
     for b in range(profile.n_buckets):
         path = os.path.join(d, "docs", f"bucket-{b:04d}.parquet")

@@ -57,6 +57,19 @@ from ..state.frontier import (
 LOG_COLS = ["url", "host", "doc_id", "status", "round", "fetch_seq", "depth"]
 
 
+def _single_threaded_arrow() -> None:
+    """Cap this process's Arrow kernel/IO pools at 1 thread.
+
+    Every actor process otherwise spins up an Arrow pool sized to the
+    MACHINE's core count — 13 actors x 32 threads oversubscribed an
+    8-CPU cluster ~50x and tripled wall time.  Parallelism here comes
+    from the actor pools, not intra-kernel threads."""
+    import pyarrow as _pa
+
+    _pa.set_cpu_count(1)
+    _pa.set_io_thread_count(1)
+
+
 def route_and_offer(table: pa.Table, shards, num_shards: int) -> int:
     """Split a canonical-URL table by host-hash shard and push offers.
 
@@ -102,14 +115,17 @@ class WarcWriter:
     stalled the loop).  The crawl driver holds the returned refs and
     flushes them before each checkpoint (durability) and at the end."""
 
-    def write_round(self, fetched: pa.Table, round_dir: str, part_id: int,
+    def __init__(self):
+        _single_threaded_arrow()
+
+    def write_round(self, fetched: pa.Table, round_dir: str, part_id: str,
                     date_str: str) -> int:
         records = serialize_records(fetch_to_warc_records(fetched))
         sink = WriteWarcShard(os.path.join(round_dir, "warc"), date=date_str)
         cdx = sink(records)
         cdx_dir = os.path.join(round_dir, "cdx")
         os.makedirs(cdx_dir, exist_ok=True)
-        pq.write_table(cdx, os.path.join(cdx_dir, f"part-{part_id:03d}.parquet"))
+        pq.write_table(cdx, os.path.join(cdx_dir, f"part-{part_id}.parquet"))
         return cdx.num_rows
 
 
@@ -125,6 +141,7 @@ class CrawlWorker:
 
     def __init__(self, worker_id: int, corpus_dir: str, n_buckets: int,
                  shards, num_shards: int, out_dir: str, writers=None):
+        _single_threaded_arrow()
         self.worker_id = worker_id
         self.fetch = FetchGroup(corpus_dir, n_buckets)
         self.shards = shards
@@ -153,11 +170,17 @@ class CrawlWorker:
         round_dir = os.path.join(self.out_dir, f"round={t:05d}")
         self._log_buf.append(fetched.select(LOG_COLS))
 
-        warc_ref = None
+        warc_refs = []
         if write_warc and self.writers:
-            w = self.writers[(t * 131 + self.worker_id) % len(self.writers)]
-            warc_ref = w.write_round.remote(
-                fetched, round_dir, self.worker_id, logical_date(t))
+            # chunked so a fat round spreads over the WHOLE writer pool,
+            # not one writer per fetch worker
+            nwr = len(self.writers)
+            for c, lo in enumerate(range(0, fetched.num_rows, 2048)):
+                chunk = fetched.slice(lo, 2048)
+                w = self.writers[(t * 131 + self.worker_id * 7 + c) % nwr]
+                warc_refs.append(w.write_round.remote(
+                    chunk, round_dir, "%03d-%02d" % (self.worker_id, c),
+                    logical_date(t)))
 
         links = canonicalize_batch(
             extract_links(fetched, doc_col="doc_id", depth_col="depth"))
@@ -170,7 +193,7 @@ class CrawlWorker:
             if sub is not None
         ]
         return {"fetched": fetched.num_rows, "offer_refs": offer_refs,
-                "warc_ref": warc_ref}
+                "warc_refs": warc_refs}
 
 
 def _split_by_worker(emit: pa.Table, n_buckets: int, n_workers: int):
@@ -234,13 +257,18 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     cpus = int(ray.cluster_resources().get("CPU", 8))
     budget = max(1, cpus - (cfg.num_shards + 3) // 4 - 1)
     if fetch_concurrency is None:
-        # fetch:warc CPU ratio is ~1:1.4 → give fetch ~2/5 of the pool
-        # when WARC writing is on; writers take the rest.
-        fetch_concurrency = max(1, min(profile.n_buckets, 32,
-                                       budget * 2 // 5 if write_warc else budget))
+        # WARC assembly+gzip is ~2.5x the fetch-side CPU → fetch gets
+        # ~2/7 of the pool when WARC writing is on, writers the rest.
+        # (A combined fetch+gzip pool with max_concurrency=2 was tried
+        # and LOST ~40% at small cluster sizes to head-of-line
+        # blocking; split pools also mirror how a real cluster would
+        # separate IO-politeness-bound fetchers from CPU-bound
+        # compressors.)
+        fetch_concurrency = max(1 if budget < 8 else 2,
+                                min(profile.n_buckets, 32,
+                                    budget * 2 // 7 if write_warc else budget))
     n_workers = fetch_concurrency
-    n_writers = max(1, min(budget - n_workers, 2 * n_workers + 4)) \
-        if write_warc else 0
+    n_writers = max(1, budget - n_workers) if write_warc else 0
     writers = [WarcWriter.remote() for _ in range(n_writers)]
     workers = [
         CrawlWorker.remote(w, corpus_dir, profile.n_buckets,
@@ -282,8 +310,7 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         counts = ray.get(refs)
         _t2 = _time.perf_counter()
         total_fetched += sum(c["fetched"] for c in counts)
-        pending_warc.extend(c["warc_ref"] for c in counts
-                            if c["warc_ref"] is not None)
+        pending_warc.extend(r for c in counts for r in c["warc_refs"])
         # barrier: every offer must have LANDED in its shard before seal
         ray.get([r for c in counts for r in c["offer_refs"]])
         ray.get([s.seal_round.remote() for s in shards])

@@ -121,5 +121,5 @@ def media_features(sf_dir: str):
     cdir = corpus_mod.ensure_corpus(prof)
     media = media_table_from_corpus(cdir, prof.n_buckets)
     feats = media.map_batches(DecodeMediaFeatures, batch_format="pyarrow",
-                              concurrency=2, batch_size=256)
+                              concurrency=(1, 8), batch_size=1024)
     return feats.drop_columns(["feature"]).sort("media_id")

@@ -76,25 +76,36 @@ class DecodeMediaFeatures:
         return v / n if n else v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["media_id"].to_pylist()
         types = batch["media_type"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        rows = []
-        for mid, mtype, payload in zip(ids, types, payloads):
+        n = len(payloads)
+        n_bytes = np.empty(n, dtype=np.int64)
+        widths = np.empty(n, dtype=np.int32)
+        heights = np.empty(n, dtype=np.int32)
+        n_frames = np.empty(n, dtype=np.int32)
+        shas = []
+        feats = np.empty((n, self.feature_dim), dtype=np.float32)
+        for i, (mtype, payload) in enumerate(zip(types, payloads)):
             payload = payload or b""
-            w, h = _fake_decode(payload)
-            n_frames = 1 if mtype == "image" else 1 + len(payload) // 1024
-            rows.append({
-                "media_id": mid,
-                "media_type": mtype,
-                "n_bytes": len(payload),
-                "header_sha1": hashlib.sha1(payload[:20]).hexdigest(),
-                "width": w,
-                "height": h,
-                "n_frames": n_frames,
-                "feature": self._feature(payload).tolist(),
-            })
-        return pa.Table.from_pylist(rows, schema=FEATURE_SCHEMA)
+            d = hashlib.sha1(payload[:20])
+            h = d.digest()
+            shas.append(d.hexdigest())
+            n_bytes[i] = len(payload)
+            widths[i] = 64 + h[0] % 192     # _fake_decode, digest reused
+            heights[i] = 64 + h[1] % 192
+            n_frames[i] = 1 if mtype == "image" else 1 + len(payload) // 1024
+            feats[i] = self._feature(payload)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "media_type": batch["media_type"],
+            "n_bytes": pa.array(n_bytes),
+            "header_sha1": pa.array(shas, type=pa.string()),
+            "width": pa.array(widths),
+            "height": pa.array(heights),
+            "n_frames": pa.array(n_frames),
+            "feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float32()), self.feature_dim),
+        }, schema=FEATURE_SCHEMA)
 
 
 class FrameSampler:
@@ -135,31 +146,35 @@ def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | N
     from ..stages.fetch import media_body
     from ..stages.urls import extract_links
 
-    def to_media(batch: pa.Table) -> pa.Table:
-        links = extract_links(batch, doc_col="doc_id")
-        import pyarrow.compute as pc
+    import pyarrow.compute as pc
 
+    def to_media_urls(batch: pa.Table) -> pa.Table:
+        # distinct-per-batch URL rows only — payload synthesis happens
+        # AFTER the global dedup so blobs never enter the shuffle
+        links = extract_links(batch, doc_col="doc_id")
         media = links.filter(pc.match_substring(links["url"], "/media/"))
-        urls = media["url"].to_pylist()
-        rows = []
-        seen = set()
+        return pa.table({"url": pc.unique(media["url"].combine_chunks())})
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        ids, types, payloads = [], [], []
         for u in urls:
-            if u in seen:
-                continue
-            seen.add(u)
             _kind, idx = corpus_mod.parse_synthetic_url(u)
-            rows.append({
-                "media_id": f"media-{idx}",
-                "url": u,
-                "media_type": "video" if idx % 3 == 0 else "image",
-                "payload": media_body(u),
-            })
-        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+            ids.append(f"media-{idx}")
+            types.append("video" if idx % 3 == 0 else "image")
+            payloads.append(media_body(u))
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.string()),
+            "url": batch["url"],
+            "media_type": pa.array(types, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+        }, schema=MEDIA_SCHEMA)
 
     ds = rd.read_parquet(corpus_mod.docs_path(corpus_dir))
     if limit_docs:
         ds = ds.limit(limit_docs)
-    media = ds.map_batches(to_media, batch_format="pyarrow")
-    # distinct media_id (same blob may be referenced by many docs)
-    return media.groupby("media_id").map_groups(
+    urls = ds.map_batches(to_media_urls, batch_format="pyarrow")
+    # global distinct on the (small) URL rows, then synthesize payloads
+    distinct = urls.groupby("url").map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow")
+    return distinct.map_batches(synthesize, batch_format="pyarrow")

@@ -91,11 +91,30 @@ def url_hash64(url: str) -> int:
     return int.from_bytes(url_sha1(url)[:8], "big")
 
 
+# Already-canonical fast path: lowercase http scheme+host (no port, no
+# trailing dot), non-empty path containing no '%', '?', '#', or '.'
+# → canonicalize_url(u) == u by construction.  Covers ~all in-crawl
+# links (they come from canonical media_ref columns); seed variants,
+# dotted paths and anything unusual take the per-string slow path.
+# Property-tested: tests/test_urls.py::test_canonical_fast_path.
+_CANON_FAST_RE = (
+    r"^http://"
+    r"[a-z0-9-]+(\.[a-z0-9-]+)+"
+    r"(/[A-Za-z0-9\-_~!$&'()*+,;=:@]*)+$"
+)
+
+
 def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Add ``url`` (canonical), ``url_sha1`` and ``host`` columns;
     drops rows whose URL doesn't canonicalize."""
-    urls = batch[url_col].to_pylist()
-    canon = [canonicalize_url(u) for u in urls]
+    url_arr = batch[url_col]
+    if isinstance(url_arr, pa.ChunkedArray):
+        url_arr = url_arr.combine_chunks()
+    fast = pc.match_substring_regex(
+        url_arr, _CANON_FAST_RE).to_numpy(zero_copy_only=False)
+    urls = url_arr.to_pylist()
+    canon = [u if f else canonicalize_url(u)
+             for u, f in zip(urls, fast)]
     keep = np.array([c is not None for c in canon], dtype=bool)
     batch = batch.drop_columns([url_col]).filter(pa.array(keep))
     kept = [c for c in canon if c is not None]

@@ -276,9 +276,13 @@ def split_by_host_shard(table: pa.Table, num_shards: int) -> list:
     if table.num_rows == 0:
         return [None] * num_shards
     hosts = table["host"]
-    uniq = pc.unique(hosts).to_pylist()
-    mapping = {h: shard_of(h, num_shards) for h in uniq}
-    sid = np.array([mapping[h] for h in hosts.to_pylist()], dtype=np.int32)
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    uniq = pc.unique(hosts)
+    mapping = np.array([shard_of(h, num_shards) for h in uniq.to_pylist()],
+                       dtype=np.int32)
+    idx = pc.index_in(hosts, value_set=uniq).to_numpy(zero_copy_only=False)
+    sid = mapping[idx]
     out = []
     for s in range(num_shards):
         mask = sid == s
@@ -299,6 +303,10 @@ def make_frontier_shard_cls():
     class FrontierShard:
         def __init__(self, shard_id: int, config: FrontierConfig,
                      robots_ref=None, restore_path: str | None = None):
+            # cap Arrow's per-process thread pool (see crawl.py
+            # _single_threaded_arrow — shards sort/filter with Arrow)
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
             # ray.put refs passed as task args arrive auto-resolved
             robots = robots_ref if isinstance(robots_ref, dict) else (
                 ray.get(robots_ref) if robots_ref is not None else {})
