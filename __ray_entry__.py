@@ -137,6 +137,47 @@ def _crawl_metrics_q(sf_dir: str):
     return crawl_metrics(read_fetch_log(_ensure_crawl(sf_dir)))
 
 
+def _host_link_stats_q(sf_dir: str):
+    """Per-host inbound-link aggregation with hot-key salting (G11) —
+    host-0 owns ~20% of the corpus, the exact skew the salting splits."""
+    import ray.data as rd
+
+    from warc_ray.stages.hoststats import host_link_stats
+    from warc_ray.stages.urls import extract_links
+
+    cdir = _corpus_for(sf_dir)
+    links = rd.read_parquet(corpus_mod.docs_path(cdir)).map_batches(
+        lambda b: extract_links(b), batch_format="pyarrow")
+    return host_link_stats(links, target_per_group=2_000).sort("host")
+
+
+def _verify_spans_q(sf_dir: str):
+    """Span-invariant verifier (G13): archive the corpus, read the WARC
+    back, per-row compare recovered (kind, text, media_ref, order)
+    against the corpus — returns the per-doc verdict aggregate."""
+    import shutil
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from warc_ray.pipelines.archive import archive_corpus
+    from warc_ray.pipelines.verify import verify_archive_spans
+
+    cdir = _corpus_for(sf_dir)
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    out = os.path.join(_CRAWL_OUT, f"verify-{prof.name}")
+    shutil.rmtree(out, ignore_errors=True)
+    archive_corpus(corpus_mod.docs_path(cdir), out).materialize()
+    verdicts = verify_archive_spans(out, corpus_mod.docs_path(cdir))
+    agg = verdicts.map_batches(
+        lambda b: pa.table({"ok": pa.array(
+            [int(x) for x in b["ok"].to_pylist()], type=pa.int64())}),
+        batch_format="pyarrow",
+    ).aggregate(Count(alias_name="n_docs"), Sum("ok", alias_name="n_ok"))
+    return pa.table({"n_docs": [int(agg["n_docs"])],
+                     "n_ok": [int(agg["n_ok"])]})
+
+
 def _warc_roundtrip_q(sf_dir: str):
     """Archive the corpus to .warc.gz shards, read back with the
     distributed reader, return per-type record counts + digest checks."""
@@ -205,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reports (G17) + metrics (G15) over the crawl fetch log
         "q54_hottest_hosts": _hottest_hosts_q,
         "q55_crawl_metrics": _crawl_metrics_q,
+        # skew-salted wide aggregation (G11) + span invariant (G13)
+        "q56_host_link_stats": _host_link_stats_q,
+        "q57_verify_spans": _verify_spans_q,
     }
 
 
@@ -326,5 +370,11 @@ def oracle_sql() -> dict[str, str]:
         "q51_seen_dedup": (
             "SELECT url, MIN(src_doc) AS first_doc, COUNT(*) AS n_refs"
             " FROM (%s) GROUP BY url ORDER BY url" % links_src
+        ),
+        "q56_host_link_stats": (
+            "SELECT regexp_extract(url, '^https?://([^/:]+)', 1) AS host,"
+            " COUNT(*) AS n_links, MIN(src_doc) AS min_src,"
+            " MAX(src_doc) AS max_src"
+            " FROM (%s) GROUP BY 1 ORDER BY host" % links_src
         ),
     }

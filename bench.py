@@ -51,7 +51,7 @@ def _init_ray(num_cpus: int) -> None:
                  include_dashboard=False, logging_level="ERROR")
 
 
-def bench_crawl(sf_dir: str, *, write_warc: bool = True) -> dict:
+def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
     """Headline: full frontier crawl of the corpus profile for sf_dir."""
     from warc_ray import corpus as corpus_mod
     from warc_ray.pipelines.crawl import run_crawl
@@ -66,8 +66,13 @@ def bench_crawl(sf_dir: str, *, write_warc: bool = True) -> dict:
     # measures the rate policy, not the engine) with a production-ish
     # budget.  Parity tests pin the strict 2/host/round config against
     # the oracle.
+    # shard count scales with the cluster (results are invariant to
+    # it — tests/test_crawl_parity.py::test_shard_count_invariance);
+    # seal work parallelizes across shards, so a fixed count would be
+    # a serial floor at the larger size.
+    n_shards = max(4, num_cpus // 2)
     cfg = FrontierConfig(rate=64.0, burst=128, per_round_host_budget=64,
-                         num_shards=8,
+                         num_shards=n_shards,
                          max_rounds=12, max_depth=16,
                          filter_capacity=1 << 20)
     # warmup: a 2-round crawl spins up Ray's worker-process pool and
@@ -132,7 +137,7 @@ def bench_queries(sf_dir: str) -> dict:
 
 def run_full(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     _init_ray(num_cpus)
-    crawl = bench_crawl(sf_dir)
+    crawl = bench_crawl(sf_dir, num_cpus)
     qtimes = bench_queries(sf_dir) if queries else {}
     return {
         "metric": "crawl wall-sec (frontier+fetch+WARC) on synthetic corpus",

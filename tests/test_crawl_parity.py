@@ -112,3 +112,31 @@ def test_resume_from_checkpoint(ray_session, t1_dir, oracle_result, tmp_path_fac
     o = oracle_result["log"].to_pandas().sort_values(KEY).reset_index(drop=True)
     assert d.equals(o)
     assert res2["filter_bytes"] == oracle_result["filter_bytes"]
+
+
+def test_shard_count_invariance(ray_session, t1_dir, tmp_path_factory):
+    """Crawl results are invariant to num_shards (hosts are partitioned
+    by hash, but each host's queue/politeness state is self-contained)
+    — which is what lets the bench scale shard count with cluster
+    size."""
+    import pandas as pd
+
+    from warc_ray.pipelines.crawl import read_fetch_log, run_crawl
+
+    logs = []
+    totals = []
+    for ns in (3, 5):
+        out = str(tmp_path_factory.mktemp(f"shards{ns}"))
+        cfg = FrontierConfig(num_shards=ns, max_rounds=40,
+                             filter_capacity=1 << 12)
+        res = run_crawl(t1_dir, out, config=cfg, write_warc=False)
+        df = read_fetch_log(out).to_pandas().sort_values(KEY).reset_index(drop=True)
+        logs.append(df)
+        agg = {}
+        for s in res["shard_stats"]:
+            for k, v in s.items():
+                if k != "shard_id":
+                    agg[k] = agg.get(k, 0) + v
+        totals.append(agg)
+    pd.testing.assert_frame_equal(logs[0], logs[1])
+    assert totals[0] == totals[1]

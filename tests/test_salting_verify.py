@@ -1,0 +1,101 @@
+"""G11 (hot-host salted aggregation) and G13 (span-invariant verifier)."""
+
+import pyarrow as pa
+import pytest
+
+from warc_ray import corpus
+
+
+@pytest.fixture(scope="module")
+def t1_dir(tmp_path_factory):
+    return corpus.ensure_corpus("t1", root=str(tmp_path_factory.mktemp("c")))
+
+
+def test_salted_host_stats_match_unsalted(ray_session, t1_dir):
+    import ray.data as rd
+
+    from warc_ray.stages.hoststats import estimate_host_counts, host_link_stats
+    from warc_ray.stages.urls import extract_links
+
+    links = rd.read_parquet(corpus.docs_path(t1_dir)).map_batches(
+        lambda b: extract_links(b), batch_format="pyarrow")
+    # force salting: tiny threshold → every host above 20 links is hot
+    got = host_link_stats(links, target_per_group=20).sort("host").to_pandas()
+    counts = estimate_host_counts(links)
+    assert any(n > 20 for n in counts.values())  # skew actually present
+
+    # ground truth: plain pandas aggregate of the same links
+    df = links.to_pandas()
+    df["host"] = df.url.str.extract(r"^https?://([^/:]+)")
+    exp = (df.groupby("host")
+           .agg(n_links=("url", "size"), min_src=("src_doc", "min"),
+                max_src=("src_doc", "max"))
+           .reset_index().sort_values("host").reset_index(drop=True))
+    got = got.reset_index(drop=True)
+    assert got.host.tolist() == exp.host.tolist()
+    assert got.n_links.tolist() == exp.n_links.tolist()
+    assert got.min_src.tolist() == exp.min_src.tolist()
+    assert got.max_src.tolist() == exp.max_src.tolist()
+
+
+def test_body_to_spans_inverse():
+    from warc_ray.pipelines.verify import body_to_spans
+    from warc_ray.stages.assemble import render_body
+
+    spans = [
+        {"kind": "text", "text": "w1 w2", "media_ref": "", "offset": 0},
+        {"kind": "link", "text": "w3", "media_ref": "http://h/doc/1", "offset": 6},
+        {"kind": "image", "text": "", "media_ref": "http://h/media/2", "offset": 9},
+        {"kind": "video", "text": "", "media_ref": "http://h/media/3", "offset": 12},
+    ]
+    got = body_to_spans(render_body(spans))
+    assert got == [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+
+
+def test_verify_archive_spans(ray_session, t1_dir, tmp_path_factory):
+    from warc_ray.pipelines.archive import archive_corpus
+    from warc_ray.pipelines.verify import verify_archive_spans
+
+    out = str(tmp_path_factory.mktemp("warc"))
+    archive_corpus(corpus.docs_path(t1_dir), out).materialize()
+    v = verify_archive_spans(out, corpus.docs_path(t1_dir)).to_pandas()
+    assert len(v) == corpus.PROFILES["t1"].n_docs
+    assert v.ok.all()
+    assert (v.n_sides == 2).all()
+
+
+def test_verifier_catches_corruption(ray_session, t1_dir, tmp_path_factory):
+    # flip one byte in one record's body → exactly that doc must fail
+    import glob
+    import gzip as _g
+
+    from warc_ray.pipelines.archive import archive_corpus
+    from warc_ray.pipelines.verify import verify_archive_spans
+
+    out = str(tmp_path_factory.mktemp("warc"))
+    archive_corpus(corpus.docs_path(t1_dir), out).materialize()
+    # corrupt: rewrite the first shard with one body byte changed
+    shard = sorted(glob.glob(out + "/*.warc.gz"))[0]
+    import warc_ray.core as wc
+
+    recs = list(wc.open_archive(shard))
+    bad_doc = None
+    tmp = shard[:-8] + ".tmp.warc.gz"
+    with wc.open_archive(tmp, "wb") as f:
+        for r in recs:
+            payload = r.payload.read() if hasattr(r.payload, "read") else r.payload
+            if bad_doc is None and r.type == "response" and b"\r\n\r\n" in payload:
+                head, body = payload.split(b"\r\n\r\n", 1)
+                if body:
+                    body = (b"X" if body[:1] != b"X" else b"Y") + body[1:]
+                    payload = head + b"\r\n\r\n" + body
+                    bad_doc = r.url.removeprefix("urn:doc:")
+            f.write_record(wc.WARCRecord(
+                payload=payload, headers=dict(r.header), defaults=False))
+    import os
+
+    os.replace(tmp, shard)
+    assert bad_doc is not None
+    v = verify_archive_spans(out, corpus.docs_path(t1_dir)).to_pandas()
+    bad = v[~v.ok]
+    assert bad.doc_id.tolist() == [bad_doc]

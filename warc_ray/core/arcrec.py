@@ -321,5 +321,12 @@ class ARCFile:
             yield record
             record = self.read()
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def close(self):
         self.fileobj.close()

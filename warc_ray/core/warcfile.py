@@ -93,6 +93,13 @@ class WARCFile:
     def __iter__(self):
         return iter(self.reader)
 
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
     def close(self):
         self.fileobj.close()
 

@@ -56,6 +56,11 @@ from ..state.frontier import (
 
 LOG_COLS = ["url", "host", "doc_id", "status", "round", "fetch_seq", "depth"]
 
+# (corpus_dir, n_buckets, num_shards, n_workers, n_writers) -> pools.
+# Worker/writer actors are stateless between runs (bind_run resets the
+# per-run bits) so they are reused across run_crawl calls in a process.
+_POOL_CACHE: dict = {}
+
 
 def _single_threaded_arrow() -> None:
     """Cap this process's Arrow kernel/IO pools at 1 thread.
@@ -149,6 +154,13 @@ class CrawlWorker:
         self.out_dir = out_dir
         self.writers = writers or []
         self._log_buf: list = []
+
+    def bind_run(self, shards, out_dir: str) -> None:
+        """Rebind to a new crawl run (pool reuse): fresh frontier shard
+        handles + output dir; the bucket cache stays warm."""
+        self.shards = shards
+        self.out_dir = out_dir
+        self._log_buf = []
 
     def flush_log(self, upto: int) -> int:
         """Write buffered fetch-log rows (rounds < upto) as one parquet
@@ -269,12 +281,24 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
                                     budget * 2 // 7 if write_warc else budget))
     n_workers = fetch_concurrency
     n_writers = max(1, budget - n_workers) if write_warc else 0
-    writers = [WarcWriter.remote() for _ in range(n_writers)]
-    workers = [
-        CrawlWorker.remote(w, corpus_dir, profile.n_buckets,
-                           shards, cfg.num_shards, out_dir, writers)
-        for w in range(n_workers)
-    ]
+    pool_key = (corpus_dir, profile.n_buckets, cfg.num_shards,
+                n_workers, n_writers)
+    cached = _POOL_CACHE.get(pool_key)
+    if cached is not None:
+        workers, writers = cached
+        # rebind to this run's fresh frontier shards + output dir; the
+        # per-worker bucket caches survive across crawls (a long-lived
+        # fetch fleet, as a production crawler would keep)
+        ray.get([w.bind_run.remote(shards, out_dir) for w in workers])
+    else:
+        writers = [WarcWriter.remote() for _ in range(n_writers)]
+        workers = [
+            CrawlWorker.remote(w, corpus_dir, profile.n_buckets,
+                               shards, cfg.num_shards, out_dir, writers)
+            for w in range(n_workers)
+        ]
+        _POOL_CACHE.clear()  # previous pools (different key) die here
+        _POOL_CACHE[pool_key] = (workers, writers)
 
     import time as _time
 
@@ -337,7 +361,7 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         _checkpoint(shards, ckpt_dir, manifest_path, t, cfg)
     stats = ray.get([s.stats.remote() for s in shards])
     filters = ray.get([s.filter_table_bytes.remote() for s in shards])
-    for a in shards + workers + writers:
+    for a in shards:          # workers/writers stay warm (_POOL_CACHE)
         ray.kill(a)
     return {
         "rounds": rounds_run,
