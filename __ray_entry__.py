@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_minhash_pairs": tr.minhash_pairs,
         "q22_simhash": tr.simhash,
         "q23_embedding_neardup": tr.embedding_neardup,
+        "q24_curation": tr.curation,
         # similarity search
         "q30_knn_topk": tr.knn_topk,
         "q31_knn_topk_ivf": tr.knn_topk_ivf,
@@ -346,6 +347,17 @@ def oracle_sql() -> dict[str, str]:
         "q20_exact_dedup": """
             SELECT MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY keep_doc""",
+        "q24_curation": r"""
+            WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
+            SELECT d.doc_id,
+                   CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(d.text, '[A-Za-z]')) AS BIGINT) * 1000000
+                     // GREATEST(CAST(length(d.text) AS BIGINT), 1) AS alpha_ppm
+            FROM documents d JOIN keep USING (doc_id)
+            WHERE CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS BIGINT) >= 10
+              AND CAST(len(regexp_extract_all(d.text, '[A-Za-z]')) AS BIGINT) * 1000000
+                  // GREATEST(CAST(length(d.text) AS BIGINT), 1) >= 500000
+            ORDER BY d.doc_id""",
         "q23_embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a CROSS JOIN embeddings b

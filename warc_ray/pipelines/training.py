@@ -123,3 +123,33 @@ def media_features(sf_dir: str):
     feats = media.map_batches(DecodeMediaFeatures, batch_format="pyarrow",
                               concurrency=(1, 8), batch_size=1024)
     return feats.drop_columns(["feature"]).sort("media_id")
+
+
+def curation(sf_dir: str):
+    """End-to-end training-data curation: exact dedup (hash-partition,
+    keep min doc_id per distinct text) → quality gate (n_tokens>=10 AND
+    alpha_ppm>=500000) → per-doc stats of the surviving set.
+
+    The dedup is a groupby on the content hash with the doc rows riding
+    along (no separate join pass); the quality stats are the same Arrow
+    kernels as q11 — so every number is integer-exact vs the SQL oracle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir).map_batches(dd.add_text_hash, batch_format="pyarrow")
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        i = pc.index(group["doc_id"], pc.min(group["doc_id"]))
+        return group.take(pa.array([i.as_py()]))
+
+    survivors = ds.groupby("text_hash").map_groups(
+        keep_min, batch_format="pyarrow")
+
+    def stats_and_gate(batch: pa.Table) -> pa.Table:
+        q = ts.quality_scores(batch)
+        q = q.filter(q["is_quality"])
+        return q.select(["doc_id", "n_tokens", "alpha_ppm"])
+
+    return survivors.map_batches(stats_and_gate, batch_format="pyarrow") \
+        .sort("doc_id")
