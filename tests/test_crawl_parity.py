@@ -140,3 +140,24 @@ def test_shard_count_invariance(ray_session, t1_dir, tmp_path_factory):
         totals.append(agg)
     pd.testing.assert_frame_equal(logs[0], logs[1])
     assert totals[0] == totals[1]
+
+
+def test_lineage_and_metrics(crawl_result):
+    """G16 lineage + G15 metrics: every checkpoint appends a row with
+    the committed shard-state digests and per-shard counters."""
+    import json
+    import os
+
+    out, res = crawl_result
+    path = os.path.join(out, "LINEAGE.jsonl")
+    rows = [json.loads(line) for line in open(path)]
+    assert rows, "no lineage rows written"
+    last = rows[-1]
+    assert last["next_round"] == res["last_round"]
+    assert set(last["shard_state_sha1"]) == {
+        f"shard-{i:03d}.pkl" for i in range(CFG.num_shards)}
+    # the committed metrics must add up to the crawl's totals
+    assert sum(s["emitted"] for s in last["metrics"]) == res["total_fetched"]
+    # monotone rounds across checkpoints
+    assert [r["next_round"] for r in rows] == sorted(
+        r["next_round"] for r in rows)

@@ -376,11 +376,31 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
 
 def _checkpoint(shards, ckpt_dir: str, manifest_path: str, next_round: int,
                 cfg: FrontierConfig) -> None:
+    import hashlib
+
     os.makedirs(ckpt_dir, exist_ok=True)
-    ray.get([
+    paths = ray.get([
         s.checkpoint.remote(os.path.join(ckpt_dir, f"shard-{i:03d}.pkl"))
         for i, s in enumerate(shards)
     ])
+    stats = ray.get([s.stats.remote() for s in shards])
+    out_dir = os.path.dirname(manifest_path)
+
+    # G16 lineage: one append-only row per checkpoint — which rounds it
+    # covers, the digests of the shard state files it commits, and the
+    # per-shard counters at that point (G15 metrics dump).  A restarted
+    # run can audit exactly which state/outputs each epoch produced.
+    digests = {}
+    for p in paths:
+        with open(p, "rb") as f:
+            digests[os.path.basename(p)] = hashlib.sha1(f.read()).hexdigest()
+    with open(os.path.join(out_dir, "LINEAGE.jsonl"), "a") as f:
+        f.write(json.dumps({
+            "next_round": next_round,
+            "shard_state_sha1": digests,
+            "metrics": stats,
+        }) + "\n")
+
     tmp = manifest_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"next_round": next_round, "config": asdict(cfg)}, f)

@@ -187,3 +187,39 @@ def user_event_stats(sf_dir: str):
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
     return out.sort("user_id")
+
+
+def windowed_events(sf_dir: str, window: str = "hour"):
+    """Tumbling-window aggregate over the events stream: per (window
+    start, event_type) counts and integer-exact value sums.
+
+    Two-phase: per-batch partial aggregation inside map_batches (the
+    combiner — shrinks the shuffle to distinct (window, type) rows per
+    batch), then a small global groupby.  Columns named identically in
+    the SQL oracle (DATE_TRUNC equivalent)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch["ts"], unit=window)
+        vmilli = pc.cast(pc.floor(pc.multiply(batch["value"], 1000.0)),
+                         pa.int64())
+        t = pa.table({"window_start": win,
+                      "event_type": batch["event_type"],
+                      "v": vmilli})
+        g = t.group_by(["window_start", "event_type"]).aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "max")])
+        return g.rename_columns(["window_start", "event_type",
+                                 "n_events", "sum_value_milli",
+                                 "max_value_milli"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]).aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_milli", alias_name="sum_value_milli"),
+            Max("max_value_milli", alias_name="max_value_milli"))
