@@ -213,6 +213,62 @@ def _warc_roundtrip_q(sf_dir: str):
     return out_ds.sort("rec_type")
 
 
+def _arc_roundtrip_q(sf_dir: str):
+    """ARC slice: fetched docs → .arc.gz shards (filedesc headers) →
+    distributed read-back; returns per-shard record counts + byte sums."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from warc_ray.sinks import write_arc_shards
+    from warc_ray.sources import read_arc
+    from warc_ray.stages.fetch import FetchGroup, add_bucket_column
+    from warc_ray.stages.urls import urls_from_seeds
+
+    cdir = _corpus_for(sf_dir)
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    out = os.path.join(_CRAWL_OUT, f"arc-{prof.name}")
+    shutil.rmtree(out, ignore_errors=True)
+
+    seeds = urls_from_seeds(corpus_mod.read_seeds(cdir))
+    ds = rd.from_arrow(seeds.append_column(
+        "round", pa.array([0] * seeds.num_rows, type=pa.int32())).append_column(
+        "fetch_seq", pa.array(range(seeds.num_rows), type=pa.int64())))
+    fetched = ds.map_batches(lambda b: add_bucket_column(b, prof.n_buckets),
+                             batch_format="pyarrow") \
+        .map_batches(FetchGroup(cdir, prof.n_buckets), batch_format="pyarrow")
+
+    def to_arc_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "url": b["url"],
+            "ip_address": pa.array(["127.0.0.1"] * n),
+            "date": pa.array(["20260101000000"] * n),
+            "content_type": b["content_type"],
+            "body": b["body"],
+        })
+
+    idx = write_arc_shards(fetched.map_batches(to_arc_rows,
+                                               batch_format="pyarrow"),
+                           out, batch_size=512)
+    idx.materialize()
+    back = read_arc(out)
+
+    def lengths(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "version": b["arc_version"],
+            "n_bytes": pc.cast(pc.binary_length(b["payload"]), pa.int64()),
+        })
+
+    return back.map_batches(lengths, batch_format="pyarrow") \
+        .groupby("version").aggregate(Count(alias_name="n_records"),
+                                      Sum("n_bytes", alias_name="payload_bytes"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from warc_ray.pipelines import relational as rel
     from warc_ray.pipelines import training as tr
@@ -253,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # skew-salted wide aggregation (G11) + span invariant (G13)
         "q56_host_link_stats": _host_link_stats_q,
         "q57_verify_spans": _verify_spans_q,
+        # ARC write/read slice (reference ops #13-19)
+        "q58_arc_roundtrip": _arc_roundtrip_q,
     }
 
 
