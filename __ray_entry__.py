@@ -153,23 +153,38 @@ def _host_link_stats_q(sf_dir: str):
     return host_link_stats(links, target_per_group=2_000).sort("host")
 
 
+def _ensure_archive(sf_dir: str) -> str:
+    """Archive the corpus to .warc.gz shards once; q53/q57 share it."""
+    import json
+    import shutil
+    from dataclasses import asdict
+
+    from warc_ray.pipelines.archive import archive_corpus
+
+    cdir = _corpus_for(sf_dir)
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    out = os.path.join(_CRAWL_OUT, f"warc-{prof.name}")
+    done = out + ".DONE"   # outside the dir — the WARC reader scans ALL files
+    stamp = json.dumps(dict(asdict(prof), gen=corpus_mod.GEN_VERSION))
+    if not (os.path.exists(done) and open(done).read() == stamp):
+        shutil.rmtree(out, ignore_errors=True)
+        archive_corpus(corpus_mod.docs_path(cdir), out).materialize()
+        with open(done, "w") as f:
+            f.write(stamp)
+    return out
+
+
 def _verify_spans_q(sf_dir: str):
     """Span-invariant verifier (G13): archive the corpus, read the WARC
     back, per-row compare recovered (kind, text, media_ref, order)
     against the corpus — returns the per-doc verdict aggregate."""
-    import shutil
-
     import pyarrow as pa
     from ray.data.aggregate import Count, Sum
 
-    from warc_ray.pipelines.archive import archive_corpus
     from warc_ray.pipelines.verify import verify_archive_spans
 
     cdir = _corpus_for(sf_dir)
-    prof = corpus_mod.profile_for_sf_dir(sf_dir)
-    out = os.path.join(_CRAWL_OUT, f"verify-{prof.name}")
-    shutil.rmtree(out, ignore_errors=True)
-    archive_corpus(corpus_mod.docs_path(cdir), out).materialize()
+    out = _ensure_archive(sf_dir)
     verdicts = verify_archive_spans(out, corpus_mod.docs_path(cdir))
     agg = verdicts.map_batches(
         lambda b: pa.table({"ok": pa.array(
@@ -183,20 +198,12 @@ def _verify_spans_q(sf_dir: str):
 def _warc_roundtrip_q(sf_dir: str):
     """Archive the corpus to .warc.gz shards, read back with the
     distributed reader, return per-type record counts + digest checks."""
-    import shutil
-
     import pyarrow as pa
 
     from warc_ray.core.warcrec import sha1_digest
-    from warc_ray.pipelines.archive import archive_corpus
     from warc_ray.sources import read_warc
 
-    cdir = _corpus_for(sf_dir)
-    prof = corpus_mod.profile_for_sf_dir(sf_dir)
-    out = os.path.join(_CRAWL_OUT, f"warc-{prof.name}")
-    shutil.rmtree(out, ignore_errors=True)
-    archive_corpus(corpus_mod.docs_path(cdir), out).materialize()
-    ds = read_warc(out)
+    ds = read_warc(_ensure_archive(sf_dir))
 
     def check(b: pa.Table) -> pa.Table:
         ok = [int(sha1_digest(bytes(p)) == d)
