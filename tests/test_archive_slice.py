@@ -189,3 +189,35 @@ def test_arc_shard_sink_roundtrip(ray_session, tmp_path):
     for i in range(50):
         assert bytes(got[f"http://h{i}.example/p/{i}"]) == b"body-%d" % i
     assert idx.shard.nunique() == 4  # ceil(50/16) shards
+
+
+def test_serialize_fast_path_parity():
+    # templated serialize_records must be byte-identical to the
+    # WARCHeader-based reference formulation, including extras
+    import pyarrow as pa
+
+    from warc_ray import corpus
+    from warc_ray.stages.assemble import (
+        fetch_to_warc_records,
+        serialize_records,
+        serialize_records_reference,
+    )
+    from warc_ray.stages.fetch import FetchGroup, add_bucket_column
+
+    cdir = corpus.ensure_corpus("t1", root="/tmp/wr_parity_corpus")
+    p = corpus.PROFILES["t1"]
+    urls = [corpus.doc_url(i, p.n_hosts) for i in range(0, 100, 3)]
+    n = len(urls)
+    g = pa.table({
+        "url": pa.array(urls), "host": pa.array(["h"] * n),
+        "priority": pa.array([1] * n, type=pa.int32()),
+        "depth": pa.array([0] * n, type=pa.int32()),
+        "round": pa.array([i % 4 for i in range(n)], type=pa.int32()),
+        "fetch_seq": pa.array(list(range(n)), type=pa.int64()),
+    })
+    fetched = FetchGroup(cdir, p.n_buckets)(add_bucket_column(g, p.n_buckets))
+    records = fetch_to_warc_records(fetched)
+    fast = serialize_records(records)["record_bytes"].to_pylist()
+    slow = serialize_records_reference(records)["record_bytes"].to_pylist()
+    assert fast == slow
+    assert len(fast) == 2 * n  # request + response per fetch
