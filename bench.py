@@ -57,7 +57,9 @@ def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
     from warc_ray.pipelines.crawl import run_crawl
     from warc_ray.state.frontier import FrontierConfig
 
-    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    prof_name = os.environ.get("GRAFT_PROFILE")
+    prof = (corpus_mod.PROFILES[prof_name] if prof_name
+            else corpus_mod.profile_for_sf_dir(sf_dir))
     cdir = corpus_mod.ensure_corpus(prof)
     out = f"/tmp/warc_ray_bench/crawl-{prof.name}"
     shutil.rmtree(out, ignore_errors=True)
@@ -71,16 +73,24 @@ def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
     # seal work parallelizes across shards, so a fixed count would be
     # a serial floor at the larger size.
     n_shards = max(4, num_cpus // 2)
-    cfg = FrontierConfig(rate=64.0, burst=128, per_round_host_budget=64,
+    budget = 128 if prof.name == "benchxl" else 64
+    # per-shard seen-set capacity sized to the URL universe (docs+media
+    # up to ~4x n_docs) with headroom below the ~0.95 cuckoo load limit
+    cap = 1
+    while cap * n_shards < 6 * prof.n_docs:
+        cap <<= 1
+    cfg = FrontierConfig(rate=float(budget), burst=2 * budget,
+                         per_round_host_budget=budget,
                          num_shards=n_shards,
                          max_rounds=12, max_depth=16,
-                         filter_capacity=1 << 20)
+                         filter_capacity=cap)
     # warmup: a 2-round crawl spins up Ray's worker-process pool and
     # faults in the corpus page cache, so the measurement below times
     # the engine, not process spawn + cold imports
-    warm_cfg = FrontierConfig(rate=64.0, burst=128, per_round_host_budget=64,
+    warm_cfg = FrontierConfig(rate=float(budget), burst=2 * budget,
+                              per_round_host_budget=budget,
                               num_shards=cfg.num_shards, max_rounds=2,
-                              max_depth=16, filter_capacity=1 << 20)
+                              max_depth=16, filter_capacity=cap)
     run_crawl(cdir, out + "-warmup", config=warm_cfg, write_warc=write_warc)
     shutil.rmtree(out + "-warmup", ignore_errors=True)
 
@@ -166,9 +176,9 @@ def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
     results = {}
     for n in (n_high, n_low, n_high, n_low):
         shutil.rmtree("/tmp/warc_ray_bench", ignore_errors=True)
-        _settle(30)
+        _settle(int(os.environ.get("GRAFT_SCALING_COOLDOWN", "30")))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_RUNS="1")
+                   GRAFT_BENCH_RUNS="1", GRAFT_PROFILE="benchxl")
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--job", "crawl-only"],
             env=env, capture_output=True, text=True, timeout=3600,

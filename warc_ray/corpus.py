@@ -64,6 +64,12 @@ PROFILES = {
     # efficiency is only meaningful when per-round work dwarfs it,
     # which is exactly the production regime (rounds of millions).
     "bench": Profile("bench", 1_200_000, 2_000, 600_000, 128),
+    # benchxl: the scaling-criterion corpus — efficiency between two
+    # cluster sizes is only meaningful when per-URL work dwarfs the
+    # per-JOB constants (spawn, seed, final flush), i.e. the regime the
+    # 10^10-URL rule describes; bench-sized runs at 32 CPUs finish in
+    # ~15s and the constants are a third of that.
+    "benchxl": Profile("benchxl", 2_400_000, 2_000, 1_200_000, 128),
 }
 
 # testdata scale-factor directory basename -> corpus profile
