@@ -204,8 +204,15 @@ class ARCFile:
             compress = True
         if compress:
             import gzip as _gzip
-            fileobj = _gzip.GzipFile(fileobj=fileobj,
-                                     mode="rb" if "r" in (mode or "rb") else "wb")
+            # mode is None when a bare fileobj is passed — fall back to
+            # the fileobj's own mode so ARCFile(fileobj=buf, mode="wb",
+            # compress=True) (or a file opened for writing) wraps for
+            # WRITING, not unconditionally "rb"
+            eff_mode = mode or getattr(fileobj, "mode", None) or "rb"
+            eff_mode = eff_mode if isinstance(eff_mode, str) else "rb"
+            fileobj = _gzip.GzipFile(
+                fileobj=fileobj,
+                mode="rb" if "r" in eff_mode else "wb")
         self.fileobj = fileobj
         if version is not None and int(version) not in (1, 2):
             raise TypeError("ARC version has to be 1 or 2")

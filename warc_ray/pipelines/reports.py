@@ -68,14 +68,14 @@ def crawl_metrics(log_ds: rd.Dataset) -> pa.Table:
             Min("min_seq", alias_name="min_seq"),
             Max("max_seq", alias_name="max_seq"))
     # distinct hosts per round: per-batch distinct shrinks the shuffle,
-    # the grouped map_groups head(1) makes it globally distinct.
+    # then two vectorized aggregates (distinct → count) — no per-group
+    # Python (each (round, host) group would be a tiny Python call).
     n_hosts = log_ds.map_batches(
         lambda b: pa.table({"round": b["round"], "host": b["host"]})
         .group_by(["round", "host"]).aggregate([]),
         batch_format="pyarrow",
-    ).groupby(["round", "host"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow",
-    ).groupby("round").aggregate(Count(alias_name="n_hosts"))
+    ).groupby(["round", "host"]).aggregate(Count(alias_name="_c")) \
+        .groupby("round").aggregate(Count(alias_name="n_hosts"))
     a = pa.Table.from_pandas(agg.to_pandas())
     h = pa.Table.from_pandas(n_hosts.to_pandas())
     return a.join(h, keys="round").sort_by("round")

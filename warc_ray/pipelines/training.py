@@ -20,12 +20,27 @@ from ..stages import similarity as sim
 from ..stages import textstats as ts
 
 
-def _docs(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+def _docs(sf_dir: str, columns: list[str] | None = None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=columns)
 
 
 def _emb(sf_dir: str):
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _head_rows(path: str, n: int, columns: list[str] | None = None) -> pa.Table:
+    """First ``n`` rows of a parquet file WITHOUT reading the whole
+    table (streamed record batches) — for query vectors and centroid
+    seeding samples."""
+    pf = pq.ParquetFile(path)
+    got, batches = 0, []
+    for b in pf.iter_batches(batch_size=n, columns=columns):
+        batches.append(b)
+        got += b.num_rows
+        if got >= n:
+            break
+    return pa.Table.from_batches(batches).slice(0, n)
 
 
 # -- text analysis ----------------------------------------------------------
@@ -65,9 +80,9 @@ def exact_dedup(sf_dir: str):
 
 
 def minhash_pairs(sf_dir: str, threshold_ppm: int = 500_000):
-    """MinHash-LSH near-dup candidate pairs, exact-Jaccard verified."""
-    docs_pq = os.path.join(sf_dir, "documents.parquet")
-    return dd.minhash_dedup_pairs(_docs(sf_dir), docs_pq,
+    """MinHash-LSH near-dup candidate pairs, exact-Jaccard verified via
+    the hash-partitioned pairs⋈docs join (no whole-table actor load)."""
+    return dd.minhash_dedup_pairs(_docs(sf_dir, columns=["doc_id", "text"]),
                                   threshold_ppm=threshold_ppm) \
         .sort(["doc_a", "doc_b"])
 
@@ -78,35 +93,41 @@ def simhash(sf_dir: str):
 
 
 def embedding_neardup(sf_dir: str, threshold: float = 0.4):
-    """Cosine-threshold pairs (a<b), integer ids only."""
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = np.array(t["vec_id"].to_pylist())
-    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    ds = _emb(sf_dir).map_batches(
-        sim.NearDupPairs, fn_constructor_args=(ids, mat, threshold),
-        batch_format="pyarrow", concurrency=2)
-    return ds.sort(["vec_a", "vec_b"])
+    """Cosine-threshold pairs (a<b), integer ids only — EXACT, via the
+    triangle block join (no driver read, no full-matrix broadcast)."""
+    return sim.neardup_pairs_blocked(_emb(sf_dir), threshold) \
+        .sort(["vec_a", "vec_b"])
 
 
 # -- similarity search ------------------------------------------------------
 
 def knn_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
-    """Brute-force cosine top-k for the first ``n_queries`` vectors."""
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = t["vec_id"].to_pylist()[:n_queries]
-    qm = np.array(t["embedding"].to_pylist()[:n_queries], dtype=np.float64)
+    """Brute-force cosine top-k for the first ``n_queries`` vectors
+    (query vectors from a streamed head read, not a full-table load)."""
+    t = _head_rows(os.path.join(sf_dir, "embeddings.parquet"), n_queries)
+    ids = t["vec_id"].to_pylist()
+    qm = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     return sim.knn_topk(_emb(sf_dir), ids, qm, k=k)
+
+
+KMEANS_SAMPLE_ROWS = 4096
 
 
 def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
                  n_clusters: int = 16, nprobe: int = 4):
-    """IVF-bucketed ANN variant (approximate — the scale path)."""
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = t["vec_id"].to_pylist()[:n_queries]
-    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    cent = sim.kmeans_lite(mat, n_clusters)
-    return sim.ivf_topk(_emb(sf_dir), ids, mat[:n_queries], cent, k=k,
-                        nprobe=nprobe)
+    """IVF-bucketed ANN variant (approximate — the scale path).
+
+    Centroids are seeded from a bounded driver-side SAMPLE
+    (first KMEANS_SAMPLE_ROWS rows), never the full matrix; recall vs
+    the exact q30 path is pinned by tests/test_dedup.py."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = _head_rows(path, KMEANS_SAMPLE_ROWS)
+    smat = np.array(sample["embedding"].to_pylist(), dtype=np.float64)
+    cent = sim.kmeans_lite(smat, n_clusters)
+    q = sample.slice(0, n_queries)
+    ids = q["vec_id"].to_pylist()
+    qm = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+    return sim.ivf_topk(_emb(sf_dir), ids, qm, cent, k=k, nprobe=nprobe)
 
 
 # -- multimodal -------------------------------------------------------------
@@ -134,17 +155,16 @@ def curation(sf_dir: str):
     along (no separate join pass); the quality stats are the same Arrow
     kernels as q11 — so every number is integer-exact vs the SQL oracle.
     """
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        dd.add_text_hash, batch_format="pyarrow")
 
-    ds = _docs(sf_dir).map_batches(dd.add_text_hash, batch_format="pyarrow")
-
-    def keep_min(group: pa.Table) -> pa.Table:
-        i = pc.index(group["doc_id"], pc.min(group["doc_id"]))
-        return group.take(pa.array([i.as_py()]))
-
-    survivors = ds.groupby("text_hash").map_groups(
-        keep_min, batch_format="pyarrow")
+    # keep-min per distinct text as a VECTORIZED aggregate (not a
+    # per-group Python take): doc_id = Min over the group; text rides
+    # along via Min too, which is exact because every row in a
+    # text_hash group has the identical text.
+    survivors = ds.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("text", alias_name="text"))
 
     def stats_and_gate(batch: pa.Table) -> pa.Table:
         q = ts.quality_scores(batch)

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -50,6 +52,15 @@ def _canon_seq(spans: list[tuple[str, str, str]]) -> str:
     return "\x1e".join("\x1f".join(s) for s in spans)
 
 
+def _seq_hashes(seqs: list[str]) -> pa.Array:
+    """Vectorized deterministic 64-bit hash of each canonical sequence
+    (pandas' C siphash with its fixed default key — stable across
+    processes, unlike PYTHONHASHSEED-dependent hash())."""
+    h = pd.util.hash_pandas_object(
+        pd.Series(seqs, dtype=object), index=False).to_numpy()
+    return pa.array(h.view(np.int64), type=pa.int64())
+
+
 def _corpus_side(batch: pa.Table) -> pa.Table:
     seqs = [
         _canon_seq([(s["kind"], s["text"], s["media_ref"]) for s in spans])
@@ -57,8 +68,8 @@ def _corpus_side(batch: pa.Table) -> pa.Table:
     ]
     return pa.table({
         "doc_id": batch["doc_id"],
-        "side": pa.array(["ref"] * batch.num_rows),
-        "seq": pa.array(seqs, type=pa.string()),
+        "side_flag": pa.array(np.full(batch.num_rows, 1, dtype=np.int64)),
+        "seq_hash": _seq_hashes(seqs),
     })
 
 
@@ -75,29 +86,47 @@ def _warc_side(batch: pa.Table) -> pa.Table:
     n = len(doc_ids)
     return pa.table({
         "doc_id": pa.array(doc_ids, type=pa.string()),
-        "side": pa.array(["out"] * n),
-        "seq": pa.array(seqs, type=pa.string()),
+        "side_flag": pa.array(np.full(n, 2, dtype=np.int64)),
+        "seq_hash": _seq_hashes(seqs),
     })
 
 
-def _compare_group(group: pa.Table) -> pa.Table:
-    sides = dict(zip(group["side"].to_pylist(), group["seq"].to_pylist()))
-    ok = len(sides) == 2 and sides.get("ref") == sides.get("out")
+def _finish(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    # ok ⇔ exactly one row per side (n==2, flag-sum==3) and both hashes
+    # equal.  Count+Sum make this a strict multiset check: a duplicate
+    # archived response (even a correct one) or a missing side fails.
+    n = batch["n_sides"]
+    ok = pc.and_(
+        pc.and_(pc.equal(n, 2), pc.equal(batch["side_sum"], 3)),
+        pc.equal(batch["h_min"], batch["h_max"]))
     return pa.table({
-        "doc_id": group["doc_id"].slice(0, 1),
-        "ok": pa.array([ok]),
-        "n_sides": pa.array([group.num_rows], type=pa.int32()),
+        "doc_id": batch["doc_id"],
+        "ok": ok,
+        "n_sides": pc.cast(n, pa.int32()),
     })
 
 
 def verify_archive_spans(warc_dir: str, corpus_docs_path: str) -> rd.Dataset:
     """(doc_id, ok, n_sides) per document: archived span sequence ==
-    corpus span sequence.  Shuffle key = doc_id (G13)."""
+    corpus span sequence.  Shuffle key = doc_id (G13).
+
+    Both sides reduce each doc to one 64-bit sequence hash, so the
+    comparator is a single vectorized aggregate (Count/Sum/Min/Max) —
+    no per-group Python.  False pass probability per doc ≈ 2^-64."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
     from ..sources import read_warc
 
     ref = rd.read_parquet(corpus_docs_path).map_batches(
         _corpus_side, batch_format="pyarrow")
     out = read_warc(warc_dir).map_batches(_warc_side, batch_format="pyarrow")
     both = ref.union(out)
-    return both.groupby("doc_id").map_groups(
-        _compare_group, batch_format="pyarrow")
+    agg = both.groupby("doc_id").aggregate(
+        Count(alias_name="n_sides"),
+        Sum("side_flag", alias_name="side_sum"),
+        Min("seq_hash", alias_name="h_min"),
+        Max("seq_hash", alias_name="h_max"),
+    )
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -252,7 +252,9 @@ def serialize_records(batch: pa.Table) -> pa.Table:
         for k, v in extras or []:
             parts.append("%s: %s\r\n" % (canonical_header_name(k), v))
         parts.append("\r\n")
-        out_bytes.append("".join(parts).encode("ascii")
+        # ascii-replace, not strict: matches WARCHeader.to_bytes (the
+        # parity oracle) for foreign records with non-ASCII header values
+        out_bytes.append("".join(parts).encode("ascii", "replace")
                          + (payload or b"") + b"\r\n\r\n")
     return pa.table({
         "record_id": batch["record_id"],

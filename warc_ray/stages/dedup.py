@@ -67,13 +67,43 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
         dtype=np.uint64)
 
 
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def _mod_mersenne(v: np.ndarray) -> np.ndarray:
+    """v mod (2^61 - 1) for any uint64 v, vectorized (one fold + one
+    conditional subtract suffices: (v & p) + (v >> 61) <= p + 7)."""
+    v = (v & _P) + (v >> np.uint64(61))
+    return np.where(v >= _P, v - _P, v)
+
+
 def minhash_signature(hashes: np.ndarray) -> np.ndarray:
-    """64-perm minhash signature of a hash set (empty set → all-max)."""
+    """64-perm minhash signature of a hash set (empty set → all-max).
+
+    h_i(x) = (a_i * x + b_i) mod p, p = 2^61 - 1, computed EXACTLY in
+    uint64 by splitting both operands into 32-bit halves and folding
+    the partial products with 2^61 ≡ 1 (mod p) — so this is the true
+    universal hash family and the banded-LSH recall formula
+    1-(1-s^r)^b holds (see tests/test_dedup.py for the parity check
+    against Python-int arithmetic)."""
     if len(hashes) == 0:
         return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        # (a*x+b) mod p per permutation; broadcast (n_hashes, 64)
-        hx = (hashes[:, None] * _A[None, :] + _B[None, :]) % _P
+    x = hashes[:, None]                       # (n, 1) broadcast vs (64,)
+    x_hi, x_lo = x >> np.uint64(32), x & _M32
+    a_hi, a_lo = _A >> np.uint64(32), _A & _M32   # a < 2^61 → a_hi < 2^29
+    # a*x = a_hi*x_hi*2^64 + (a_hi*x_lo + a_lo*x_hi)*2^32 + a_lo*x_lo;
+    # every partial product < 2^64 (no overflow), 2^64 ≡ 8 (mod p).
+    hi = _mod_mersenne(a_hi * x_hi)
+    hi = _mod_mersenne(hi << np.uint64(3))    # *8; hi < 2^61 → <<3 < 2^64
+    mid = _mod_mersenne(
+        _mod_mersenne(a_hi * x_lo) + _mod_mersenne(a_lo * x_hi))
+    # mid * 2^32 mod p via the same fold: mid = m_t*2^29 + m_b →
+    # mid*2^32 = m_t*2^61 + m_b*2^32 ≡ m_t + m_b*2^32.
+    mid = _mod_mersenne(
+        ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+        + (mid >> np.uint64(29)))
+    lo = _mod_mersenne(a_lo * x_lo)
+    hx = _mod_mersenne(hi + mid + lo + _B)    # 4 terms < p → < 2^63
     return hx.min(axis=0)
 
 
@@ -124,14 +154,24 @@ def minhash_bands(batch: pa.Table, *, bands: int = 32, rows: int = 2,
     })
 
 
-def band_group_pairs(group: pa.Table) -> pa.Table:
-    """Within one (band,key) bucket: all candidate pairs (a<b)."""
-    ids = sorted(group["doc_id"].to_pylist())
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+def band_group_pairs(group: pa.Table, max_bucket: int = 1024) -> pa.Table:
+    """Within one (band,key) bucket: candidate pairs (a<b).
+
+    Fan-out cap: a degenerate bucket (e.g. every empty document shares
+    the all-max signature) would emit O(n²) pairs; above ``max_bucket``
+    ids we emit only the sorted-consecutive chain (n-1 pairs), which
+    preserves duplicate-cluster CONNECTIVITY (transitive closure) while
+    bounding output linearly.  Normal buckets are unaffected."""
+    ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
+    n = len(ids)
+    if n < 2:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
+    if n > max_bucket:
+        a, b = ids[:-1], ids[1:]
+    else:
+        iu, ju = np.triu_indices(n, k=1)
+        a, b = ids[iu], ids[ju]
     return pa.table({"doc_a": pa.array(a, type=pa.int64()),
                      "doc_b": pa.array(b, type=pa.int64())})
 
@@ -173,49 +213,132 @@ class VerifyJaccard:
                          "jaccard_ppm": pa.array(out_ppm, type=pa.int64())})
 
 
-def minhash_dedup_pairs(docs_ds, docs_parquet: str, *,
+def _verify_joined(batch: pa.Table, threshold_ppm: int) -> pa.Table:
+    """Row-wise exact 3-gram Jaccard over joined (doc_a, doc_b, text_a,
+    text_b) rows; shingle sets are memoized per doc within the batch."""
+    cache: dict[int, set] = {}
+
+    def sh(doc_id, text):
+        s = cache.get(doc_id)
+        if s is None:
+            s = shingles(text)
+            cache[doc_id] = s
+        return s
+
+    out_a, out_b, out_ppm = [], [], []
+    for a, b, ta, tb in zip(batch["doc_a"].to_pylist(),
+                            batch["doc_b"].to_pylist(),
+                            batch["text_a"].to_pylist(),
+                            batch["text_b"].to_pylist()):
+        sa, sb = sh(a, ta), sh(b, tb)
+        inter, union = len(sa & sb), len(sa | sb)
+        if union and inter * 1_000_000 >= threshold_ppm * union:
+            out_a.append(a)
+            out_b.append(b)
+            out_ppm.append(inter * 1_000_000 // union)
+    return pa.table({"doc_a": pa.array(out_a, type=pa.int64()),
+                     "doc_b": pa.array(out_b, type=pa.int64()),
+                     "jaccard_ppm": pa.array(out_ppm, type=pa.int64())})
+
+
+def minhash_dedup_pairs(docs_ds, docs_parquet: str | None = None, *,
                         threshold_ppm: int = 700_000,
-                        bands: int = 32, rows: int = 2):
+                        bands: int = 32, rows: int = 2,
+                        verify: str = "join", num_partitions: int = 8):
     """Full MinHash-LSH pipeline → verified near-dup pairs Dataset.
 
     shingle→minhash→band (map_batches) → bucket groupby (shuffle on
-    band key) → pairwise candidates → distinct → exact verify.
-    With b=32,r=2: recall at Jaccard s is 1-(1-s^2)^32 (>0.9999 at s=0.7).
+    band key) → pairwise candidates → vectorized distinct → exact
+    verify.  With b=32,r=2: recall at Jaccard s is 1-(1-s^2)^32
+    (>0.9999 at s=0.7; empirical bound pinned in tests/test_dedup.py).
+
+    ``verify="join"`` (default, the 100-TB shape) hash-partitions the
+    candidate pairs against the doc table twice (doc_a then doc_b) so
+    NO actor ever holds the whole corpus; ``verify="broadcast"`` keeps
+    the small-scale path (doc table loaded once per actor) and needs
+    ``docs_parquet``.
     """
+    from ray.data.aggregate import Count
+
     bands_ds = docs_ds.map_batches(
         lambda b: minhash_bands(b, bands=bands, rows=rows),
         batch_format="pyarrow")
     pairs = bands_ds.groupby(["band", "key"]).map_groups(
         band_group_pairs, batch_format="pyarrow")
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
-    return uniq.map_batches(
-        VerifyJaccard, fn_constructor_args=(docs_parquet, threshold_ppm),
-        batch_format="pyarrow", concurrency=2)
+    uniq = pairs.groupby(["doc_a", "doc_b"]) \
+        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    if verify == "broadcast":
+        return uniq.map_batches(
+            VerifyJaccard, fn_constructor_args=(docs_parquet, threshold_ppm),
+            batch_format="pyarrow", concurrency=2)
+    docs = docs_ds.select_columns(["doc_id", "text"])
+    # join drops the right-side key column; only `text` rides along
+    j1 = uniq.join(docs, "inner", num_partitions,
+                   on=("doc_a",), right_on=("doc_id",)) \
+        .rename_columns({"text": "text_a"})
+    j2 = j1.join(docs, "inner", num_partitions,
+                 on=("doc_b",), right_on=("doc_id",)) \
+        .rename_columns({"text": "text_b"})
+    return j2.map_batches(
+        lambda b: _verify_joined(b, threshold_ppm), batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1 << 20
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """blake2b-64 per DISTINCT token, memoized per worker process (the
+    corpus vocabulary is tiny relative to token volume, so the digest
+    cost amortizes to ~zero after the first batch)."""
+    if len(_TOKEN_HASH_CACHE) > _TOKEN_HASH_CACHE_MAX:
+        _TOKEN_HASH_CACHE.clear()
+    out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    for i, w in enumerate(tokens):
+        h = cache.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            cache[w] = h
+        out[i] = h
+    return out
+
+
 def simhash64(batch: pa.Table, id_col: str = "doc_id",
               text_col: str = "text") -> pa.Table:
-    """64-bit simhash over the token multiset (vectorized bit voting)."""
+    """64-bit simhash over the token multiset.
+
+    Hashing is done once per distinct token per batch (vocab dict +
+    per-worker memo) instead of once per token occurrence; bit voting
+    is a vectorized gather-sum over the batch vocabulary's bit matrix.
+    Output is bit-identical to the per-token reference formulation
+    (pinned by tests/test_dedup.py::test_simhash_reference_parity)."""
     ids = batch[id_col]
-    out = []
     bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-    for text in batch[text_col].to_pylist():
-        toks = _WORD_RE.findall(text.lower())
+    texts = batch[text_col].to_pylist()
+    tok_lists = [_WORD_RE.findall(t.lower()) for t in texts]
+    vocab: dict[str, int] = {}
+    for toks in tok_lists:
+        for w in toks:
+            if w not in vocab:
+                vocab[w] = len(vocab)
+    vh = _token_hashes(list(vocab))                       # (V,)
+    bits = ((vh[:, None] & bitw[None, :]) != 0).astype(np.int64)  # (V, 64)
+    out = []
+    for toks in tok_lists:
         if not toks:
             out.append("0" * 16)
             continue
-        hs = np.array([int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-                       for w in toks], dtype=np.uint64)
-        bits = ((hs[:, None] & bitw[None, :]) != 0)
-        votes = bits.sum(axis=0) * 2 - len(hs)
-        val = np.uint64(0)
-        for j in np.flatnonzero(votes > 0):
-            val |= bitw[j]
+        idx = np.fromiter((vocab[w] for w in toks),
+                          dtype=np.int64, count=len(toks))
+        votes = bits[idx].sum(axis=0) * 2 - len(toks)
+        pos = votes > 0
+        val = np.bitwise_or.reduce(bitw[pos]) if pos.any() else np.uint64(0)
         out.append(format(int(val), "016x"))
     return pa.table({"doc_id": ids, "simhash": pa.array(out, type=pa.string())})
 

@@ -38,10 +38,11 @@ def estimate_host_counts(ds: rd.Dataset, url_col: str = "url") -> dict[str, int]
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("host").aggregate(Sum("n", alias_name="n"))
-    out = {}
-    for row in agg.iter_rows():
-        out[row["host"]] = int(row["n"])
-    return out
+    # one Arrow pull of the (host-cardinality-sized) aggregate — not a
+    # row-at-a-time driver loop
+    t = pa.Table.from_pandas(agg.to_pandas())
+    return dict(zip(t["host"].to_pylist(),
+                    (int(n) for n in t["n"].to_pylist())))
 
 
 def salt_factors(counts: dict[str, int], target_per_group: int = 50_000,

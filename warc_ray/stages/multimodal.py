@@ -174,7 +174,11 @@ def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | N
     if limit_docs:
         ds = ds.limit(limit_docs)
     urls = ds.map_batches(to_media_urls, batch_format="pyarrow")
-    # global distinct on the (small) URL rows, then synthesize payloads
-    distinct = urls.groupby("url").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # global distinct on the (small) URL rows via a vectorized Count
+    # aggregate (NOT map_groups — one Python call per URL), then
+    # synthesize payloads; synthesize rebuilds the table so the count
+    # column never leaves this stage.
+    from ray.data.aggregate import Count
+
+    distinct = urls.groupby("url").aggregate(Count(alias_name="_c"))
     return distinct.map_batches(synthesize, batch_format="pyarrow")

@@ -119,6 +119,62 @@ class NearDupPairs:
                          "vec_b": pa.array(b_out, type=pa.int64())})
 
 
+def neardup_pairs_blocked(embeddings_ds, threshold: float,
+                          n_blocks: int = 8):
+    """EXACT cosine-threshold pairs with NO full-matrix broadcast:
+    triangle block join.
+
+    Each vector is assigned a block ``vec_id % n_blocks`` and replicated
+    to the n_blocks (i,j) block-pair groups it participates in; each
+    group holds two blocks (≈ 2N/B rows) and computes its cross/within
+    sims with one matmul.  Data movement is O(N·B) — the inherent cost
+    of exact all-pairs; B is chosen so a group (2N/B vectors) fits one
+    worker, so this scales by growing B with N while per-task memory
+    stays constant.  LSH/IVF (above) are the sub-quadratic approximate
+    paths; this is the exact one.  Output: (vec_a, vec_b), a < b, each
+    qualifying pair exactly once.
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        blk = (ids % n_blocks).astype(np.int64)
+        base = pa.table({
+            "block": pa.array(blk, type=pa.int64()),
+            "vec_id": batch["vec_id"],
+            "embedding": batch["embedding"],
+        })
+        parts = []
+        for j in range(n_blocks):
+            key = np.where(blk <= j, blk * n_blocks + j, j * n_blocks + blk)
+            parts.append(base.add_column(
+                0, "pair_key", pa.array(key, type=pa.int64())))
+        return pa.concat_tables(parts)
+
+    def compute(group: pa.Table) -> pa.Table:
+        key = group["pair_key"][0].as_py()
+        i, j = divmod(key, n_blocks)
+        blocks = group["block"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        m = normalize_rows(_matrix(group))
+        if i == j:
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= threshold
+            left, right = ids[iu[hit]], ids[ju[hit]]
+        else:
+            mi, mj = m[blocks == i], m[blocks == j]
+            idi, idj = ids[blocks == i], ids[blocks == j]
+            ii, jj = np.nonzero(mi @ mj.T >= threshold)
+            left, right = idi[ii], idj[jj]
+        return pa.table({
+            "vec_a": pa.array(np.minimum(left, right), type=pa.int64()),
+            "vec_b": pa.array(np.maximum(left, right), type=pa.int64()),
+        })
+
+    exploded = embeddings_ds.map_batches(explode, batch_format="pyarrow")
+    return exploded.groupby("pair_key").map_groups(
+        compute, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # IVF (scale path)
 # ---------------------------------------------------------------------------

@@ -63,13 +63,15 @@ def canonicalize_url(url: str) -> str | None:
     """Canonical form, or None for non-http(s)/malformed URLs."""
     try:
         parts = urlsplit(url.strip())
+        # .port raises ValueError for non-numeric / out-of-range ports
+        # ('http://h:99999/'), so it must be read inside the guard too
+        scheme = parts.scheme.lower()
+        if scheme not in ("http", "https") or not parts.hostname:
+            return None
+        host = parts.hostname.lower().rstrip(".")
+        port = parts.port
     except ValueError:
         return None
-    scheme = parts.scheme.lower()
-    if scheme not in ("http", "https") or not parts.hostname:
-        return None
-    host = parts.hostname.lower().rstrip(".")
-    port = parts.port
     netloc = host if (port is None or str(port) == DEFAULT_PORTS[scheme]) else f"{host}:{port}"
     path = _normalize_pct(_remove_dot_segments(parts.path or "/"))
     query = _normalize_pct(parts.query)
