@@ -259,7 +259,7 @@ def _arc_roundtrip_q(sf_dir: str):
 
     idx = write_arc_shards(fetched.map_batches(to_arc_rows,
                                                batch_format="pyarrow"),
-                           out, batch_size=512)
+                           out)
     idx.materialize()
     back = read_arc(out)
 

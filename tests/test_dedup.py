@@ -1,0 +1,242 @@
+"""Correctness oracles for the dedup family (q20-q23) and ANN recall.
+
+The MinHash/SimHash operators have no SQL oracle (the driver records
+rows-only), so THESE tests are their correctness gate:
+
+  * Mersenne-61 hash parity vs Python-int arithmetic (the universal
+    hash the LSH recall formula relies on);
+  * LSH recall vs brute-force exact Jaccard on a controlled corpus;
+  * hash-partitioned verify join == broadcast verify;
+  * simhash vectorized path == per-token reference formulation, plus
+    the Hamming-locality property;
+  * band bucket fan-out cap (chain keeps connectivity, bounds output);
+  * IVF recall@k vs the exact brute-force q30 path;
+  * blocked exact near-dup == full-broadcast near-dup.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from warc_ray.stages import dedup as dd
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Mersenne-61 universal hash
+# ---------------------------------------------------------------------------
+
+def test_mersenne_hash_parity():
+    """minhash h_i(x) == (a_i*x + b_i) mod (2^61-1) in exact Python-int
+    arithmetic, for adversarial and random uint64 inputs."""
+    p = (1 << 61) - 1
+    rng = np.random.default_rng(7)
+    xs = np.concatenate([
+        np.array([0, 1, 2, p - 1, p, p + 1, (1 << 64) - 1, 1 << 63, 1 << 32],
+                 dtype=np.uint64),
+        rng.integers(0, 1 << 63, size=200, dtype=np.uint64) * np.uint64(2)
+        + rng.integers(0, 2, size=200, dtype=np.uint64),
+    ])
+    for x in xs:
+        got = dd.minhash_signature(np.array([x], dtype=np.uint64))
+        exp = np.array([(int(a) * int(x) + int(b)) % p
+                        for a, b in zip(dd._A, dd._B)], dtype=np.uint64)
+        assert (got == exp).all(), hex(int(x))
+
+
+# ---------------------------------------------------------------------------
+# LSH recall / precision vs brute force
+# ---------------------------------------------------------------------------
+
+def _synth_docs(n_base: int = 40, n_dups: int = 30, seed: int = 13):
+    """Word docs with controlled near-duplicates: each dup copies a base
+    doc and substitutes a few words -> high 3-gram Jaccard pairs."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(400)]
+    ids, texts = [], []
+    for i in range(n_base):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), size=60)]
+        ids.append(i)
+        texts.append(" ".join(words))
+    for d in range(n_dups):
+        src = int(rng.integers(0, n_base))
+        words = texts[src].split()
+        for _ in range(int(rng.integers(0, 4))):  # 0-3 substitutions
+            words[int(rng.integers(0, len(words)))] = \
+                vocab[int(rng.integers(0, len(vocab)))]
+        ids.append(n_base + d)
+        texts.append(" ".join(words))
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+def _lsh_candidates(t: pa.Table) -> set[tuple[int, int]]:
+    bands = dd.minhash_bands(t)
+    import pandas as pd
+
+    df = bands.to_pandas()
+    out = set()
+    for _, grp in df.groupby(["band", "key"]):
+        ids = sorted(grp.doc_id.tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out.add((ids[i], ids[j]))
+    return out
+
+
+def test_minhash_lsh_recall_and_precision():
+    t = _synth_docs()
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    # brute-force exact Jaccard ground truth
+    truth = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter, union = dd.jaccard(texts[i], texts[j])
+            if union:
+                truth[(ids[i], ids[j])] = inter / union
+    high = {p for p, s in truth.items() if s >= 0.6}
+    assert len(high) >= 20  # the corpus actually contains near-dups
+    cand = _lsh_candidates(t)
+    # analytic recall at s=0.6 with b=32,r=2 is 1-(1-0.36)^32 > 0.999993;
+    # with ~30 true pairs P(any miss) < 1e-3 -> assert total recall
+    missed = high - cand
+    assert not missed, f"LSH missed {len(missed)} of {len(high)} pairs"
+    # precision side: the exact verifier keeps only pairs >= threshold
+    verified = dd._verify_joined(
+        pa.table({
+            "doc_a": pa.array([a for a, _ in sorted(cand)], type=pa.int64()),
+            "doc_b": pa.array([b for _, b in sorted(cand)], type=pa.int64()),
+            "text_a": pa.array([texts[a] for a, _ in sorted(cand)]),
+            "text_b": pa.array([texts[b] for _, b in sorted(cand)]),
+        }), threshold_ppm=600_000)
+    got = set(zip(verified["doc_a"].to_pylist(), verified["doc_b"].to_pylist()))
+    exp = {p for p, s in truth.items() if s >= 0.6 and p in cand}
+    assert got == exp
+    for ppm, (a, b) in zip(verified["jaccard_ppm"].to_pylist(), sorted(got)):
+        inter, union = dd.jaccard(texts[a], texts[b])
+        assert ppm == inter * 1_000_000 // union
+
+
+def test_verify_join_matches_broadcast(ray_session):
+    """The hash-partitioned pairs⋈docs join and the broadcast verifier
+    produce identical verified pairs on the real documents table."""
+    import ray.data as rd
+
+    docs_pq = os.path.join(SF_DIR, "documents.parquet")
+    ds = rd.read_parquet(docs_pq, columns=["doc_id", "text"])
+    a = dd.minhash_dedup_pairs(ds, threshold_ppm=500_000, verify="join") \
+        .sort(["doc_a", "doc_b"]).to_pandas()
+    ds2 = rd.read_parquet(docs_pq, columns=["doc_id", "text"])
+    b = dd.minhash_dedup_pairs(ds2, docs_pq, threshold_ppm=500_000,
+                               verify="broadcast") \
+        .sort(["doc_a", "doc_b"]).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert len(a) > 0  # the table actually contains near-dups
+
+
+# ---------------------------------------------------------------------------
+# band bucket cap
+# ---------------------------------------------------------------------------
+
+def test_band_group_pairs_cap():
+    ids = pa.table({"doc_id": pa.array(list(range(10)), type=pa.int64())})
+    full = dd.band_group_pairs(ids)
+    assert full.num_rows == 45  # all pairs below the cap
+    capped = dd.band_group_pairs(ids, max_bucket=5)
+    assert capped.num_rows == 9  # chain: n-1 pairs
+    a = capped["doc_a"].to_pylist()
+    b = capped["doc_b"].to_pylist()
+    assert a == list(range(9)) and b == list(range(1, 10))  # connected
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def _simhash_reference(text: str) -> str:
+    """Per-token reference formulation (hash every occurrence)."""
+    import hashlib
+
+    toks = dd._WORD_RE.findall(text.lower())
+    if not toks:
+        return "0" * 16
+    bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    hs = np.array([int.from_bytes(
+        hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        for w in toks], dtype=np.uint64)
+    votes = ((hs[:, None] & bitw[None, :]) != 0).sum(axis=0) * 2 - len(hs)
+    val = np.uint64(0)
+    for j in np.flatnonzero(votes > 0):
+        val |= bitw[j]
+    return format(int(val), "016x")
+
+
+def test_simhash_reference_parity():
+    t = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                      columns=["doc_id", "text"]).slice(0, 60)
+    extra = pa.table({
+        "doc_id": pa.array(["e1", "e2", "e3"]),
+        "text": pa.array(["", "one one one two", "Mixed CASE mixed case!"]),
+    })
+    for table in (t, extra):
+        got = dd.simhash64(table)["simhash"].to_pylist()
+        exp = [_simhash_reference(x) for x in table["text"].to_pylist()]
+        assert got == exp
+
+
+def test_simhash_hamming_locality():
+    base = " ".join(f"tok{i}" for i in range(200))
+    perturbed = base.replace("tok5 ", "tokX ").replace("tok100 ", "tokY ")
+    rng = np.random.default_rng(3)
+    unrelated = " ".join(f"z{int(v)}" for v in rng.integers(0, 10_000, 200))
+    h = {s: dd.simhash64(pa.table({
+        "doc_id": ["d"], "text": [s]}))["simhash"][0].as_py()
+        for s in (base, perturbed, unrelated)}
+    near = dd.simhash_hamming(h[base], h[perturbed])
+    far = dd.simhash_hamming(h[base], h[unrelated])
+    assert near <= 10 < far
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVF recall vs exact; blocked exact == broadcast exact
+# ---------------------------------------------------------------------------
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    from warc_ray.pipelines import training as tr
+
+    exact = tr.knn_topk(SF_DIR, n_queries=5, k=10).to_pandas()
+    ivf = tr.knn_topk_ivf(SF_DIR, n_queries=5, k=10).to_pandas()
+    assert set(ivf.query_id) == set(exact.query_id)
+    recalls = []
+    for qid in sorted(set(exact.query_id)):
+        e = set(exact[exact.query_id == qid].vec_id)
+        i = set(ivf[ivf.query_id == qid].vec_id)
+        recalls.append(len(e & i) / len(e))
+    # nprobe=4 of 16 clusters; empirical floor with margin for the
+    # deterministic seed — guards against centroid/probe regressions
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_blocked_neardup_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from warc_ray.stages import similarity as sim
+
+    emb_pq = os.path.join(SF_DIR, "embeddings.parquet")
+    got = sim.neardup_pairs_blocked(
+        rd.read_parquet(emb_pq), threshold=0.4, n_blocks=4) \
+        .sort(["vec_a", "vec_b"]).to_pandas()
+    t = pq.read_table(emb_pq)
+    ids = np.array(t["vec_id"].to_pylist())
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ref = rd.read_parquet(emb_pq).map_batches(
+        sim.NearDupPairs, fn_constructor_args=(ids, mat, 0.4),
+        batch_format="pyarrow", concurrency=2) \
+        .sort(["vec_a", "vec_b"]).to_pandas()
+    assert got.values.tolist() == ref.values.tolist()
+    assert len(got) > 0

@@ -6,6 +6,19 @@ warc/arc.py:297-305): each output shard leads with the mandatory
 the v2 length-before-interpolation quirk the reference tests pin),
 then one v2 record per input row, ``\\n``-separated.
 
+Hot path: a TEMPLATED serializer (same trick as the WARC sink,
+stages/assemble.py serialize_records) — the v2 header line is one
+string format per record, with a running integer offset instead of
+``buf.tell()`` bookkeeping; byte-parity with the ARCFile object path
+is pinned by tests/test_conformance_arc.py::test_arc_sink_fast_path_parity.
+
+Compression writes ONE GZIP MEMBER PER RECORD (filedesc included), the
+same record-splittable layout the WARC sink uses (reference
+warc/warc.py:269-272 — the reference's ARC path never gzips, so this
+extends the engine's own splittability convention to ``.arc.gz``).
+Logical (uncompressed) offsets in the headers are unchanged, and the
+decompressed concatenation is byte-identical to the uncompressed file.
+
 Same scale/resumability design as the WARC sink: one shard per input
 block, content-addressed names → idempotent rewrite, and an index row
 per record emitted as the stage output.
@@ -13,7 +26,6 @@ per record emitted as the stage output.
 
 from __future__ import annotations
 
-import gzip
 import hashlib
 import io
 import os
@@ -22,12 +34,76 @@ import uuid
 import pyarrow as pa
 
 from ..core.arcrec import ARCFile, ARCHeader, ARCRecord
+from ..core.gzipm import compress_member
 
 ARC_INDEX_SCHEMA = pa.schema([
     ("url", pa.string()),
     ("shard", pa.string()),
     ("n_bytes", pa.int64()),
 ])
+
+
+def filedesc_bytes(shard_name: str, *, org: str, ip_address: str,
+                   date: str) -> bytes:
+    """The shard's leading filedesc record (+ separator), produced by
+    the conformance-tested ARCFile header writer."""
+    buf = io.BytesIO()
+    buf.name = shard_name
+    f = ARCFile(fileobj=buf, version=2,
+                file_headers={"org": org, "ip_address": ip_address,
+                              "date": date})
+    # header_written=True first: _write_header()'s internal write()
+    # would otherwise re-enter _write_header and emit filedesc twice
+    f.header_written = True
+    f._write_header()
+    return buf.getvalue()
+
+
+def serialize_arc_records(batch: pa.Table, shard_name: str, start_offset: int,
+                          *, version: int = 2) -> list[bytes]:
+    """v2 record bytes per row (header line + payload + \\n + separator
+    \\n), offsets running from ``start_offset`` — byte-identical to
+    ARCRecord.write_to + the ARCFile separator (arcrec.py write())."""
+    assert version == 2, "fast path serializes v2 (the sink default)"
+    out = []
+    offset = start_offset
+    for url, ip, date, ctype, body in zip(
+            batch["url"].to_pylist(),
+            batch["ip_address"].to_pylist(),
+            batch["date"].to_pylist(),
+            batch["content_type"].to_pylist(),
+            batch["body"].to_pylist()):
+        body = bytes(body or b"")
+        rec = ("%s %s %s %s 200 - - %d %s %d\n"
+               % (url, ip, date, ctype, offset, shard_name,
+                  len(body))).encode("latin-1") + body + b"\n\n"
+        out.append(rec)
+        offset += len(rec)
+    return out
+
+
+def serialize_arc_records_reference(batch: pa.Table, shard_name: str,
+                                    start_offset: int) -> list[bytes]:
+    """The ARCHeader/ARCRecord object path (parity oracle for the
+    templated serializer above)."""
+    out = []
+    offset = start_offset
+    for url, ip, date, ctype, body in zip(
+            batch["url"].to_pylist(),
+            batch["ip_address"].to_pylist(),
+            batch["date"].to_pylist(),
+            batch["content_type"].to_pylist(),
+            batch["body"].to_pylist()):
+        body = bytes(body or b"")
+        rec = ARCRecord(header=ARCHeader(
+            url=url, ip_address=ip, date=date, content_type=ctype,
+            result_code="200", checksum="-", location="-",
+            offset=str(offset), filename=shard_name,
+            length=str(len(body))), payload=body, version=2)
+        b = rec.to_bytes(2) + b"\n"  # write() appends the separator
+        out.append(b)
+        offset += len(b)
+    return out
 
 
 class WriteArcShard:
@@ -57,31 +133,16 @@ class WriteArcShard:
         shard_name = f"part-{name_h}{ext}"
         shard_path = os.path.join(self.out_dir, shard_name)
 
-        buf = io.BytesIO()
-        buf.name = shard_name  # ARCFile reads .name for filedesc://
-        f = ARCFile(fileobj=buf, version=2,
-                    file_headers={"org": self.org, "ip_address": self.ip,
-                                  "date": self.date})
-        sizes = []
-        for url, ip, date, ctype, body in zip(
-                urls,
-                batch["ip_address"].to_pylist(),
-                batch["date"].to_pylist(),
-                batch["content_type"].to_pylist(),
-                batch["body"].to_pylist()):
-            body = bytes(body or b"")
-            rec = ARCRecord(header=ARCHeader(
-                url=url, ip_address=ip, date=date, content_type=ctype,
-                result_code="200", checksum="-", location="-",
-                offset=str(buf.tell()), filename=shard_name,
-                length=str(len(body))), payload=body, version=2)
-            before = buf.tell()
-            f.write(rec)
-            sizes.append(buf.tell() - before)
-
-        data = buf.getvalue()
+        head = filedesc_bytes(shard_name, org=self.org, ip_address=self.ip,
+                              date=self.date)
+        recs = serialize_arc_records(batch, shard_name, len(head))
+        sizes = [len(r) for r in recs]
         if self.compress:
-            data = gzip.compress(data, compresslevel=9)
+            # one gzip member per record → record-aligned split points
+            data = b"".join(
+                [compress_member(head)] + [compress_member(r) for r in recs])
+        else:
+            data = b"".join([head] + recs)
         tmp = shard_path + ".tmp-%s" % uuid.uuid4().hex[:8]
         with open(tmp, "wb") as out:
             out.write(data)
@@ -94,7 +155,7 @@ class WriteArcShard:
         }, schema=ARC_INDEX_SCHEMA)
 
 
-def write_arc_shards(ds, out_dir: str, *, batch_size: int = 2048,
+def write_arc_shards(ds, out_dir: str, *, batch_size: int = 4096,
                      clean: bool = True, **sink_kwargs):
     """Write a Dataset of (url, ip_address, date, content_type, body)
     rows as ARC v2 shards; returns the index Dataset (lazy)."""

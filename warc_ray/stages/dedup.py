@@ -270,7 +270,7 @@ def minhash_dedup_pairs(docs_ds, docs_parquet: str | None = None, *,
     if verify == "broadcast":
         return uniq.map_batches(
             VerifyJaccard, fn_constructor_args=(docs_parquet, threshold_ppm),
-            batch_format="pyarrow", concurrency=2)
+            batch_format="pyarrow", concurrency=(1, 2))
     docs = docs_ds.select_columns(["doc_id", "text"])
     # join drops the right-side key column; only `text` rides along
     j1 = uniq.join(docs, "inner", num_partitions,

@@ -73,7 +73,7 @@ def knn_topk(embeddings_ds, query_ids: list[int], query_matrix: np.ndarray,
     """
     cand = embeddings_ds.map_batches(
         BruteForceTopK, fn_constructor_args=(query_ids, query_matrix, k + 1),
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=(1, 2),
     )
     df = cand.to_pandas()  # small: (k+1) * n_batches * n_queries
     out_q, out_v, out_r = [], [], []
@@ -222,7 +222,7 @@ def ivf_topk(embeddings_ds, query_ids: list[int], query_matrix: np.ndarray,
     probe = sorted(set(cq.flatten().tolist()))
     assigned = embeddings_ds.map_batches(
         IvfAssign, fn_constructor_args=(centroids,), batch_format="pyarrow",
-        concurrency=2)
+        concurrency=(1, 2))
     import pyarrow.compute as pc
 
     cand = assigned.map_batches(
