@@ -165,7 +165,8 @@ def _ensure_archive(sf_dir: str) -> str:
     prof = corpus_mod.profile_for_sf_dir(sf_dir)
     out = os.path.join(_CRAWL_OUT, f"warc-{prof.name}")
     done = out + ".DONE"   # outside the dir — the WARC reader scans ALL files
-    stamp = json.dumps(dict(asdict(prof), gen=corpus_mod.GEN_VERSION))
+    stamp = json.dumps(dict(asdict(prof), gen=corpus_mod.GEN_VERSION,
+                        fmt=2))  # fmt: archive record layout version
     if not (os.path.exists(done) and open(done).read() == stamp):
         shutil.rmtree(out, ignore_errors=True)
         archive_corpus(corpus_mod.docs_path(cdir), out).materialize()

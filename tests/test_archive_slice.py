@@ -95,7 +95,9 @@ def test_span_roundtrip_via_body(archive_out):
     docs = corpus.read_bucket(cdir, 0)
     doc_id = docs["doc_id"][0].as_py()
     spans = docs["spans"][0].as_py()
-    ds = read_warc(out).filter(lambda r: r["target_uri"] == f"urn:doc:{doc_id}")
+    ds = read_warc(out).filter(
+        lambda r: r["target_uri"] == f"urn:doc:{doc_id}"
+        and r["rec_type"] == "response")
     rows = ds.take_all()
     assert len(rows) == 1
     body = bytes(rows[0]["payload"]).split(b"\r\n\r\n", 1)[1]
@@ -220,4 +222,11 @@ def test_serialize_fast_path_parity():
     fast = serialize_records(records)["record_bytes"].to_pylist()
     slow = serialize_records_reference(records)["record_bytes"].to_pylist()
     assert fast == slow
-    assert len(fast) == 2 * n  # request + response per fetch
+    assert len(fast) == 3 * n  # request + response + metadata per fetch
+    types = records["rec_type"].to_pylist()
+    assert types.count("request") == types.count("response") == \
+        types.count("metadata") == n
+    # metadata payloads are warc-fields and deterministic
+    meta = [p for t, p in zip(types, records["payload"].to_pylist())
+            if t == "metadata"]
+    assert all(bytes(m).startswith(b"hopsFromSeed: ") for m in meta)

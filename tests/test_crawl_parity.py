@@ -84,7 +84,7 @@ def test_warc_output_per_round(crawl_result):
     assert len(rounds) == res["rounds"]
     shards = glob.glob(os.path.join(out, "round=*", "warc", "*.warc.gz"))
     assert shards
-    # every fetch produced a request+response pair
+    # every fetch produced a request+response+metadata triple
     from warc_ray.core import WARCFile
 
     n_records = 0
@@ -92,7 +92,7 @@ def test_warc_output_per_round(crawl_result):
         for rec in WARCFile(s):
             n_records += 1
     n_info = len(shards)
-    assert n_records == n_info + 2 * res["total_fetched"]
+    assert n_records == n_info + 3 * res["total_fetched"]
 
 
 def test_resume_from_checkpoint(ray_session, t1_dir, oracle_result, tmp_path_factory):

@@ -93,3 +93,80 @@ def iter_members(fileobj: BinaryIO, chunk_size: int = 1 << 20) -> Iterator[tuple
 
 def count_members(data: bytes) -> int:
     return len(split_members(data))
+
+
+def _member_validates(buf: bytes, j: int, prefix: bytes | None,
+                      probe: int = 1 << 12) -> bool:
+    """Does a real gzip member start at ``buf[j:]``?  The magic bytes
+    alone false-positive inside compressed payloads, so actually
+    decompress a probe window and (when given) check the decompressed
+    stream starts with ``prefix`` (e.g. b"WARC/")."""
+    d = zlib.decompressobj(wbits=31)
+    try:
+        out = d.decompress(buf[j:j + probe], 64)
+    except zlib.error:
+        return False
+    if prefix:
+        n = min(len(out), len(prefix))
+        if n == 0 or out[:n] != prefix[:n]:
+            return False
+    return True
+
+
+_DEFLATE_MAGIC = b"\x1f\x8b\x08"
+
+
+def members_in_range(fileobj: BinaryIO, start: int, end: int, *,
+                     prefix: bytes | None = None,
+                     pad: int = 1 << 16,
+                     chunk_size: int = 1 << 20) -> Iterator[tuple[int, int, bytes]]:
+    """Members whose START offset lies in [start, end): the byte-range
+    read task over a member-per-record archive (the splittability the
+    format is designed for — reference warc/warc.py:269-272).
+
+    ``fileobj`` must be seekable.  When ``start > 0`` the scanner finds
+    the first offset >= start where the magic validates by actual
+    decompression (+ optional ``prefix`` check) — each range task
+    resynchronizes independently, and every member is owned by exactly
+    the task whose range contains its first byte (a member spanning the
+    range end is completed here via extra reads; the next task starts
+    scanning at its own start and lands on the following member).
+    Memory: (end-start) + pad compressed bytes + one decompressed
+    member."""
+    fileobj.seek(start)
+    buf = fileobj.read((end - start) + pad)
+    limit = end - start
+    if start == 0:
+        pos = 0
+    else:
+        j = 0
+        pos = -1
+        while True:
+            j = buf.find(_DEFLATE_MAGIC, j)
+            if j < 0 or j >= limit:
+                return
+            if _member_validates(buf, j, prefix):
+                pos = j
+                break
+            j += 1
+    feed = 1 << 16
+    while pos < limit:
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        fpos = pos
+        while True:
+            if fpos < len(buf):
+                chunk = buf[fpos:fpos + feed]
+            else:
+                chunk = fileobj.read(chunk_size)
+                if not chunk:
+                    raise IOError("Truncated gzip member at offset %d"
+                                  % (start + pos))
+            out.append(d.decompress(chunk))
+            fpos += len(chunk) - len(d.unused_data)
+            if d.eof:
+                break
+        yield start + pos, fpos - pos, b"".join(out)
+        pos = fpos
+        if pos >= len(buf):
+            break

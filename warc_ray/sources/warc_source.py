@@ -89,9 +89,110 @@ class WarcDatasource(FileBasedDatasource):
             yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
 
 
-def read_warc(paths, *, batch_rows: int = 512, **kwargs) -> "rd.Dataset":
+DEFAULT_SPLIT_SIZE = 64 << 20
+
+
+def _expand_paths(paths) -> list[tuple[str, int]]:
+    import os
+
+    if isinstance(paths, str):
+        paths = [paths]
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                if name.endswith((".warc", ".warc.gz")):
+                    fp = os.path.join(p, name)
+                    out.append((fp, os.path.getsize(fp)))
+        else:
+            out.append((p, os.path.getsize(p)))
+    return out
+
+
+def _plan_ranges(files: list[tuple[str, int]], split_size: int) -> list[dict]:
+    """One descriptor per byte range; only ``.gz`` files split (member
+    boundaries are the record-aligned split points; a bare ``.warc``
+    has no in-band resync marker, so it stays one task)."""
+    tasks = []
+    for path, size in files:
+        if path.endswith(".gz") and size > split_size:
+            for s in range(0, size, split_size):
+                tasks.append({"path": path, "start": s,
+                              "end": min(s + split_size, size)})
+        else:
+            tasks.append({"path": path, "start": 0, "end": size})
+    return tasks
+
+
+class _ReadWarcRanges:
+    """map_batches callable over range descriptors → record rows.
+
+    Each descriptor is an independent task: seek, resynchronize on the
+    next validated gzip member (prefix b"WARC/"), stream members whose
+    start offset falls inside the range (gzipm.members_in_range)."""
+
+    def __init__(self, batch_rows: int = 512):
+        self._batch_rows = batch_rows
+
+    def __call__(self, batch: pa.Table):
+        rows: list[dict] = []
+        for path, start, end in zip(batch["path"].to_pylist(),
+                                    batch["start"].to_pylist(),
+                                    batch["end"].to_pylist()):
+            if path.endswith(".gz"):
+                with open(path, "rb") as f:
+                    for off, size, data in gzipm.members_in_range(
+                            f, start, end, prefix=b"WARC/"):
+                        rec = parse_record_bytes(data)
+                        rows.append(_record_to_row(rec, path, off, size))
+                        if len(rows) >= self._batch_rows:
+                            yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
+                            rows = []
+            else:
+                with open(path, "rb") as f:
+                    buf = io.BytesIO(f.read())
+                reader = WARCReader(buf)
+                pos = buf.tell()
+                while True:
+                    rec = reader.read_record()
+                    if rec is None:
+                        break
+                    payload = rec.payload.read()
+                    rec.payload = payload
+                    reader.finish_reading_current_record()
+                    end_pos = buf.tell()
+                    rows.append(_record_to_row(rec, path, pos, end_pos - pos))
+                    pos = end_pos
+                    if len(rows) >= self._batch_rows:
+                        yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
+                        rows = []
+        # always yield (possibly empty) so the stage schema stays stable
+        yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
+
+
+def read_warc(paths, *, batch_rows: int = 512,
+              split_size: int = DEFAULT_SPLIT_SIZE, **kwargs) -> "rd.Dataset":
     """Read WARC archives into a Dataset of record rows.
 
-    ``paths`` may be a file, a directory of shards, or a list.
-    """
+    ``paths`` may be a file, a directory of shards, or a list.  A
+    ``.warc.gz`` larger than ``split_size`` is read by MULTIPLE
+    byte-range tasks that resynchronize on gzip-member boundaries (the
+    record-per-member write invariant makes every member a split
+    point), so one 100 GB Common-Crawl-style shard parallelizes across
+    the cluster instead of pinning one reader task.  Files below the
+    threshold keep the one-task-per-file datasource path."""
+    try:
+        files = _expand_paths(paths)
+    except OSError:
+        files = []
+    if files and any(p.endswith(".gz") and sz > split_size for p, sz in files):
+        ranges = _plan_ranges(files, split_size)
+        desc = rd.from_arrow(pa.table({
+            "path": [r["path"] for r in ranges],
+            "start": pa.array([r["start"] for r in ranges], type=pa.int64()),
+            "end": pa.array([r["end"] for r in ranges], type=pa.int64()),
+        }))
+        # one descriptor per task: ranges are the parallelism unit
+        return desc.map_batches(_ReadWarcRanges(batch_rows),
+                                batch_format="pyarrow", batch_size=1)
     return rd.read_datasource(WarcDatasource(paths, batch_rows=batch_rows), **kwargs)

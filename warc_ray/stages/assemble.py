@@ -129,11 +129,15 @@ def make_record_row(rec_type: str, uri: str, payload: bytes, date: str,
     }
 
 
-def docs_to_response_records(batch: pa.Table, date: str = "2026-01-01T00:00:00Z") -> pa.Table:
-    """Interleaved docs → one ``response`` record per doc.
+def docs_to_response_records(batch: pa.Table,
+                             date: str = "2026-01-01T00:00:00Z",
+                             emit_metadata: bool = True) -> pa.Table:
+    """Interleaved docs → ``response`` (+ ``metadata``) records per doc.
 
     The minimum end-to-end slice (SURVEY.md §7 step 3): doc body is the
     deterministic span rendering wrapped in an HTTP response payload.
+    The companion ``metadata`` record (application/warc-fields —
+    reference warc/warc.py:52-55) carries the span-provenance fields.
     """
     rows = []
     doc_ids = batch["doc_id"].to_pylist()
@@ -142,23 +146,40 @@ def docs_to_response_records(batch: pa.Table, date: str = "2026-01-01T00:00:00Z"
         uri = "urn:doc:%s" % doc_id
         payload = http_response_payload(render_body(spans))
         rows.append(make_record_row("response", uri, payload, date))
+        if emit_metadata:
+            n_media = sum(1 for s in spans if s["media_ref"])
+            meta = ("nSpans: %d\r\nnMediaRefs: %d\r\n"
+                    % (len(spans), n_media)).encode("ascii")
+            rows.append(make_record_row("metadata", uri, meta, date))
     return pa.Table.from_pylist(rows, schema=WARC_RECORD_SCHEMA)
 
 
-def fetch_to_warc_records(batch: pa.Table) -> pa.Table:
-    """Fetch-log rows → ``request`` + ``response`` record pairs (G12).
+def fetch_to_warc_records(batch: pa.Table,
+                          emit_metadata: bool = True) -> pa.Table:
+    """Fetch-log rows → ``request`` + ``response`` (+ ``metadata``)
+    records per fetch (G12).
 
     The crawl-loop assembly stage; ``warcinfo`` records are emitted per
     output shard by the sink, matching the reference's one-warcinfo-
-    per-file convention.
+    per-file convention.  The ``metadata`` record (reference
+    warc/warc.py:52-55 enumerates the type; application/warc-fields
+    payload) carries the crawl provenance fields (hopsFromSeed,
+    fetchSeq, status, round) the log itself holds — deterministic, so
+    roundtrips are byte-stable.
     """
     c: dict[str, list] = {f.name: [] for f in WARC_RECORD_SCHEMA}
     req_ct = CONTENT_TYPES["request"]
     resp_ct = CONTENT_TYPES["response"]
-    for url, host, status, rnd, ctype, body in zip(
+    meta_ct = CONTENT_TYPES["metadata"]
+    depths = (batch["depth"].to_pylist() if "depth" in batch.column_names
+              else [0] * batch.num_rows)
+    seqs = (batch["fetch_seq"].to_pylist() if "fetch_seq" in batch.column_names
+            else [0] * batch.num_rows)
+    for url, host, status, rnd, ctype, body, depth, seq in zip(
             batch["url"].to_pylist(), batch["host"].to_pylist(),
             batch["status"].to_pylist(), batch["round"].to_pylist(),
-            batch["content_type"].to_pylist(), batch["body"].to_pylist()):
+            batch["content_type"].to_pylist(), batch["body"].to_pylist(),
+            depths, seqs):
         date = logical_date(rnd)
         salt = "r%d" % rnd
         req_id = record_id_for(url, "request", salt)
@@ -188,6 +209,21 @@ def fetch_to_warc_records(batch: pa.Table) -> pa.Table:
         c["payload_digest"].append(sha1_digest(payload))
         c["extra_headers"].append([("warc-concurrent-to", req_id)])
         c["payload"].append(payload)
+
+        if emit_metadata:
+            meta_payload = ("hopsFromSeed: %d\r\nfetchSeq: %d\r\n"
+                            "fetchStatus: %d\r\nfetchRound: %d\r\n"
+                            % (depth, seq, status, rnd)).encode("ascii")
+            c["record_id"].append(record_id_for(url, "metadata", salt))
+            c["rec_type"].append("metadata")
+            c["target_uri"].append(url)
+            c["date"].append(date)
+            c["ip_address"].append("")
+            c["content_type"].append(meta_ct)
+            c["content_length"].append(len(meta_payload))
+            c["payload_digest"].append(sha1_digest(meta_payload))
+            c["extra_headers"].append([("warc-concurrent-to", req_id)])
+            c["payload"].append(meta_payload)
     return pa.table(
         {f.name: pa.array(c[f.name], type=f.type) for f in WARC_RECORD_SCHEMA},
         schema=WARC_RECORD_SCHEMA)
