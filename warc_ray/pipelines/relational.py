@@ -167,26 +167,99 @@ def filter_orders(sf_dir: str, min_price: float = 100_000.0):
 # Q: per-user event sessions (groupby.map_groups window pattern)
 # ---------------------------------------------------------------------------
 
+def _ordered_bits_i64(x: "np.ndarray") -> "np.ndarray":
+    """int64 → uint64 preserving order (flip the sign bit)."""
+    return x.view(np.uint64) ^ np.uint64(1 << 63)
+
+
+def _ordered_bits_f64(v: "np.ndarray") -> "np.ndarray":
+    """float64 → uint64 with the IEEE total order (lexicographic bytes
+    compare == numeric compare, negatives included)."""
+    bits = v.view(np.uint64)
+    neg = (bits >> np.uint64(63)).astype(bool)
+    out = bits ^ np.uint64(1 << 63)
+    out[neg] = ~bits[neg]
+    return out
+
+
 def user_event_stats(sf_dir: str):
-    """Per-user ordered-window stats via groupby(user).map_groups:
-    event count, distinct types, and the value delta between the user's
-    first and last event in time order (integer milli units)."""
+    """Per-user ordered-window stats — event count, distinct types, and
+    the value delta between the user's first and last event in
+    (ts, value) order (integer milli units).
+
+    Scale shape: NO per-group Python.  The extreme rows are found with
+    an order-preserving composite key — 16 bytes of big-endian
+    (ts-bits, value-bits) — so Min/Max aggregates ARE argmin/argmax and
+    the extreme row's value decodes straight out of the winning key.
+    Per-batch partials shrink the shuffle to one row per (batch, user);
+    distinct types use the distinct→count double aggregate."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max, Min, Sum
+
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["user_id", "ts", "event_type", "value"])
 
-    def per_user(g) -> "pa.Table":
-        g = g.sort_values(["ts", "value"])  # deterministic within ts ties
-        first = int(np.floor(g.value.iloc[0] * 1000.0))
-        last = int(np.floor(g.value.iloc[-1] * 1000.0))
-        return __import__("pandas").DataFrame({
-            "user_id": [g.user_id.iloc[0]],
-            "n_events": [len(g)],
-            "n_types": [g.event_type.nunique()],
-            "delta_milli": [last - first],
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(ts)
+        arr = np.empty((n, 2), dtype=">u8")
+        arr[:, 0] = _ordered_bits_i64(ts)
+        arr[:, 1] = _ordered_bits_f64(val)
+        # fixed-size binary straight from the buffer (pa.array over a
+        # numpy S16 array would truncate at embedded NUL bytes), then
+        # cast to variable binary for the min/max kernels
+        keys = pa.Array.from_buffers(
+            pa.binary(16), n, [None, pa.py_buffer(arr.tobytes())])
+        t = pa.table({
+            "user_id": b["user_id"],
+            "key": keys.cast(pa.binary()),
+        })
+        g = t.group_by("user_id").aggregate(
+            [("key", "min"), ("key", "max"), ("key", "count")])
+        return g.rename_columns(["user_id", "key_min", "key_max", "n_events"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(
+            Min("key_min", alias_name="key_min"),
+            Max("key_max", alias_name="key_max"),
+            Sum("n_events", alias_name="n_events"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        def decode_value(col) -> np.ndarray:
+            # numpy S16 strips trailing NULs (order-preserving: NUL is
+            # the least byte, so stripped keys compare identically) —
+            # pad back to the fixed 16 before decoding
+            raw = b"".join(k.ljust(16, b"\x00") for k in col.to_pylist())
+            bits = np.frombuffer(raw, dtype=">u8").reshape(-1, 2)[:, 1] \
+                .astype(np.uint64)
+            neg = ~(bits >> np.uint64(63)).astype(bool)
+            out = bits ^ np.uint64(1 << 63)
+            out[neg] = ~bits[neg]
+            return out.view(np.float64)
+
+        first = np.floor(decode_value(b["key_min"]) * 1000.0).astype(np.int64)
+        last = np.floor(decode_value(b["key_max"]) * 1000.0).astype(np.int64)
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_events": b["n_events"],
+            "delta_milli": pa.array(last - first),
         })
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return out.sort("user_id")
+    stats = agg.map_batches(finish, batch_format="pyarrow")
+
+    # distinct event types per user: distinct → count (both vectorized)
+    types = ds.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            "event_type": b["event_type"]})
+        .group_by(["user_id", "event_type"]).aggregate([]),
+        batch_format="pyarrow") \
+        .groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_c")) \
+        .groupby("user_id").aggregate(Count(alias_name="n_types"))
+
+    out = stats.join(types, "inner", 4, on=("user_id",))
+    return out.select_columns(
+        ["user_id", "n_events", "n_types", "delta_milli"]).sort("user_id")
 
 
 def windowed_events(sf_dir: str, window: str = "hour"):
