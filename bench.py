@@ -117,6 +117,7 @@ def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
             n_warc_records += pq.ParquetFile(p).metadata.num_rows
     return {
         "sec": dt,
+        "phase_sec": res.get("phase_sec", {}),
         "rounds": res["rounds"],
         "urls_fetched": res["total_fetched"],
         "warc_records": n_warc_records,
@@ -161,6 +162,7 @@ def run_full(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
         "warc_records": crawl["warc_records"],
         "urls_per_sec": round(crawl["urls_per_sec"], 1),
         "warc_records_per_sec": round(crawl["warc_records_per_sec"], 1),
+        "phase_sec": crawl.get("phase_sec", {}),
     }
 
 

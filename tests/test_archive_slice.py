@@ -230,3 +230,37 @@ def test_serialize_fast_path_parity():
     meta = [p for t, p in zip(types, records["payload"].to_pylist())
             if t == "metadata"]
     assert all(bytes(m).startswith(b"hopsFromSeed: ") for m in meta)
+
+
+def test_fused_writer_parity(tmp_path):
+    """fused_fetch_records (the writer hot path: one pass, fast uuid5)
+    must be byte-identical to serialize_records(fetch_to_warc_records)."""
+    import pyarrow as pa
+
+    from warc_ray import corpus
+    from warc_ray.stages.assemble import (
+        fetch_to_warc_records,
+        fused_fetch_records,
+        serialize_records,
+    )
+    from warc_ray.stages.fetch import FetchGroup, add_bucket_column
+
+    cdir = corpus.ensure_corpus("t1", root=str(tmp_path))
+    p = corpus.PROFILES["t1"]
+    urls = ([corpus.doc_url(i, p.n_hosts) for i in range(0, 90, 3)]
+            + [corpus.media_url(7, p.n_hosts),              # media fetch
+               corpus.doc_url(p.n_docs + 5, p.n_hosts)])    # 404 miss
+    n = len(urls)
+    g = pa.table({
+        "url": pa.array(urls), "host": pa.array(["h"] * n),
+        "priority": pa.array([1] * n, type=pa.int32()),
+        "depth": pa.array([i % 6 for i in range(n)], type=pa.int32()),
+        "round": pa.array([i % 4 for i in range(n)], type=pa.int32()),
+        "fetch_seq": pa.array(list(range(n)), type=pa.int64()),
+    })
+    fetched = FetchGroup(cdir, p.n_buckets)(add_bucket_column(g, p.n_buckets))
+    ref = serialize_records(fetch_to_warc_records(fetched))
+    fus = fused_fetch_records(fetched)
+    assert ref.column_names == fus.column_names
+    for c in ref.column_names:
+        assert ref[c].to_pylist() == fus[c].to_pylist(), c

@@ -44,7 +44,12 @@ import ray.data as rd
 
 from .. import corpus as corpus_mod
 from ..sinks.warc_sink import WriteWarcShard
-from ..stages.assemble import fetch_to_warc_records, logical_date, serialize_records
+from ..stages.assemble import (
+    fetch_to_warc_records,
+    fused_fetch_records,
+    logical_date,
+    serialize_records,
+)
 from ..stages.fetch import FetchGroup, add_bucket_column
 from ..stages.urls import canonicalize_batch, extract_links
 from ..state.frontier import (
@@ -125,13 +130,32 @@ class WarcWriter:
 
     def write_round(self, fetched: pa.Table, round_dir: str, part_id: str,
                     date_str: str) -> int:
-        records = serialize_records(fetch_to_warc_records(fetched))
+        import time as _t
+
+        _b0 = _t.perf_counter()
+        records = fused_fetch_records(fetched)
         sink = WriteWarcShard(os.path.join(round_dir, "warc"), date=date_str)
         cdx = sink(records)
         cdx_dir = os.path.join(round_dir, "cdx")
         os.makedirs(cdx_dir, exist_ok=True)
         pq.write_table(cdx, os.path.join(cdx_dir, f"part-{part_id}.parquet"))
+        self._busy = getattr(self, "_busy", 0.0) + (_t.perf_counter() - _b0)
         return cdx.num_rows
+
+    def busy_seconds(self) -> float:
+        """Cumulative write_round work time (utilization diagnostics)."""
+        b = getattr(self, "_busy", 0.0)
+        self._busy = 0.0
+        return b
+
+    def seed_slice(self, seeds: pa.Table, lo: int, hi: int,
+                   shards, num_shards: int) -> int:
+        """Canonicalize+route one seed row-range (parallel seeding —
+        writers are idle before round 0, so they seed too)."""
+        from ..stages.urls import urls_from_seeds
+
+        part = urls_from_seeds(seeds.slice(lo, hi - lo), offset0=lo)
+        return route_and_offer(part, shards, num_shards)
 
 
 @ray.remote
@@ -144,6 +168,11 @@ class CrawlWorker:
     overwrite their own files (idempotent, resumable).
     """
 
+    # worker-side re-offer suppression set cap: above this the set is
+    # cleared (suppression is best-effort traffic shaping — a cleared
+    # set only costs duplicate offers the shard dedups anyway)
+    OFFERED_SET_CAP = 16_000_000
+
     def __init__(self, worker_id: int, corpus_dir: str, n_buckets: int,
                  shards, num_shards: int, out_dir: str, writers=None):
         _single_threaded_arrow()
@@ -154,6 +183,7 @@ class CrawlWorker:
         self.out_dir = out_dir
         self.writers = writers or []
         self._log_buf: list = []
+        self._offered: set[int] = set()
 
     def bind_run(self, shards, out_dir: str) -> None:
         """Rebind to a new crawl run (pool reuse): fresh frontier shard
@@ -161,6 +191,7 @@ class CrawlWorker:
         self.shards = shards
         self.out_dir = out_dir
         self._log_buf = []
+        self._offered = set()
 
     def flush_log(self, upto: int) -> int:
         """Write buffered fetch-log rows (rounds < upto) as one parquet
@@ -176,6 +207,13 @@ class CrawlWorker:
         pq.write_table(tbl, os.path.join(
             log_dir, f"part-{self.worker_id:03d}-r{upto:05d}.parquet"))
         return tbl.num_rows
+
+    def seed_slice(self, seeds: pa.Table, lo: int, hi: int,
+                   shards, num_shards: int) -> int:
+        from ..stages.urls import urls_from_seeds
+
+        part = urls_from_seeds(seeds.slice(lo, hi - lo), offset0=lo)
+        return route_and_offer(part, shards, num_shards)
 
     def process_round(self, t: int, urls: pa.Table, write_warc: bool) -> dict:
         fetched = self.fetch(urls)
@@ -196,14 +234,37 @@ class CrawlWorker:
 
         links = canonicalize_batch(
             extract_links(fetched, doc_col="doc_id", depth_col="depth"))
-        # fire-and-forget: the DRIVER awaits these acks before sealing
-        # the round (the barrier), so this worker is free immediately
-        offer_refs = [
-            self.shards[s].offer.remote(sub)
-            for s, sub in enumerate(split_by_host_shard(links,
-                                                        self.num_shards))
-            if sub is not None
-        ]
+        # Re-offer suppression: a URL this worker already offered is a
+        # guaranteed duplicate at its shard (the cuckoo filter holds
+        # every offered key), so repeats ship as per-shard COUNTS
+        # instead of rows — ~7x less offer traffic / seal sort volume
+        # on link-dense corpora, with counters exactly preserved
+        # (FrontierCore.count_suppressed).
+        import numpy as np
+
+        from ..state.frontier import shard_ids_of
+
+        offer_refs = []
+        if links.num_rows:
+            if len(self._offered) > self.OFFERED_SET_CAP:
+                self._offered = set()
+            offered = self._offered
+            h = links["hash64"].to_numpy(zero_copy_only=False)
+            fresh = np.fromiter((int(x) not in offered for x in h),
+                                dtype=bool, count=len(h))
+            offered.update(int(x) for x in h[fresh])
+            sid = shard_ids_of(links, self.num_shards)
+            sup = np.bincount(sid[~fresh], minlength=self.num_shards)
+            # fire-and-forget: the DRIVER awaits these acks before
+            # sealing the round, so this worker is free immediately
+            for s in range(self.num_shards):
+                mask = fresh & (sid == s)
+                if mask.any():
+                    offer_refs.append(self.shards[s].offer.remote(
+                        links.filter(pa.array(mask))))
+                if sup[s]:
+                    offer_refs.append(
+                        self.shards[s].count_suppressed.remote(int(sup[s])))
         return {"fetched": fetched.num_rows, "offer_refs": offer_refs,
                 "warc_refs": warc_refs}
 
@@ -235,6 +296,11 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     ckpt_dir = os.path.join(out_dir, "checkpoint")
     manifest_path = os.path.join(out_dir, "CRAWL_MANIFEST.json")
 
+    import time as _time
+
+    _phase = {}
+    _pt = _time.perf_counter()
+
     Shard = make_frontier_shard_cls()
     robots_ref = ray.put(robots_to_shard_dict(corpus_mod.read_robots(corpus_dir)))
 
@@ -259,12 +325,8 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         ]
     else:
         shards = [Shard.remote(s, cfg, robots_ref) for s in range(cfg.num_shards)]
-        # round -1: seed the frontier
-        from ..stages.urls import urls_from_seeds
-
-        seeds = urls_from_seeds(corpus_mod.read_seeds(corpus_dir))
-        route_and_offer(seeds, shards, cfg.num_shards)
-        ray.get([s.seal_round.remote() for s in shards])
+        _phase["spawn_shards"] = _time.perf_counter() - _pt
+    _pt = _time.perf_counter()
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
     budget = max(1, cpus - (cfg.num_shards + 3) // 4 - 1)
@@ -300,7 +362,32 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         _POOL_CACHE.clear()  # previous pools (different key) die here
         _POOL_CACHE[pool_key] = (workers, writers)
 
-    import time as _time
+    _phase["spawn_pools"] = _time.perf_counter() - _pt
+    _pt = _time.perf_counter()
+    if writers:  # drain stale busy counters (pool reuse across runs)
+        ray.get([w.busy_seconds.remote() for w in writers])
+
+    if start_round == 0 and not (resume and os.path.exists(manifest_path)):
+        # round -1: seed the frontier IN PARALLEL across the whole
+        # actor fleet (writers are idle before round 0) — seed
+        # canonicalization+sha1 was ~11 s of serial driver time at
+        # bench scale, a fixed cost that capped scaling efficiency.
+        # src_offset bases keep the ingestion order byte-identical to
+        # the serial path (seal sorts offers deterministically).
+        seeds_tbl = corpus_mod.read_seeds(corpus_dir)
+        seed_pool = list(workers) + list(writers)
+        n_seeds = seeds_tbl.num_rows
+        k = max(1, min(len(seed_pool), n_seeds // 20_000 or 1))
+        seeds_ref = ray.put(seeds_tbl)
+        bounds = [n_seeds * i // k for i in range(k + 1)]
+        ray.get([
+            seed_pool[i % len(seed_pool)].seed_slice.remote(
+                seeds_ref, bounds[i], bounds[i + 1], shards, cfg.num_shards)
+            for i in range(k) if bounds[i + 1] > bounds[i]
+        ])
+        ray.get([s.seal_round.remote() for s in shards])
+        _phase["seed"] = _time.perf_counter() - _pt
+        _pt = _time.perf_counter()
 
     round_log = os.environ.get("WARC_RAY_ROUND_LOG")
     t = start_round
@@ -354,11 +441,17 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
             ray.get([w.flush_log.remote(t) for w in workers])
             _checkpoint(shards, ckpt_dir, manifest_path, t, cfg)
 
+    _phase["rounds"] = _time.perf_counter() - _pt
+    _pt = _time.perf_counter()
     total_warc_records += sum(ray.get(pending_warc))
     pending_warc = []
     ray.get([w.flush_log.remote(t) for w in workers])
     if checkpoint_every:
         _checkpoint(shards, ckpt_dir, manifest_path, t, cfg)
+    _phase["final_flush"] = _time.perf_counter() - _pt
+    if writers:
+        _phase["writer_busy"] = sum(
+            ray.get([w.busy_seconds.remote() for w in writers]))
     stats = ray.get([s.stats.remote() for s in shards])
     filters = ray.get([s.filter_table_bytes.remote() for s in shards])
     for a in shards:          # workers/writers stay warm (_POOL_CACHE)
@@ -371,6 +464,7 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         "shard_stats": stats,
         "filter_bytes": filters,
         "out_dir": out_dir,
+        "phase_sec": {k: round(v, 3) for k, v in _phase.items()},
     }
 
 

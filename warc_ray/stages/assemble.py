@@ -301,6 +301,112 @@ def serialize_records(batch: pa.Table) -> pa.Table:
     })
 
 
+_NS_BYTES = NAMESPACE.bytes
+
+
+def _record_id_fast(uri: str, rec_type: str, salt: str) -> str:
+    """uuid5 without the uuid.UUID object machinery (3 ids per URL on
+    the writer hot path) — bit-identical to record_id_for, pinned by
+    tests/test_archive_slice.py::test_fused_writer_parity."""
+    h = bytearray(hashlib.sha1(
+        _NS_BYTES + ("%s|%s|%s" % (uri, rec_type, salt)).encode()).digest()[:16])
+    h[6] = (h[6] & 0x0F) | 0x50
+    h[8] = (h[8] & 0x3F) | 0x80
+    x = h.hex()
+    return "<urn:uuid:%s-%s-%s-%s-%s>" % (x[:8], x[8:12], x[12:16],
+                                          x[16:20], x[20:])
+
+
+def fused_fetch_records(batch: pa.Table,
+                        emit_metadata: bool = True) -> pa.Table:
+    """Fetch-log rows → serialized request+response(+metadata) record
+    bytes in ONE pass — the writer hot path.
+
+    Byte-identical to serialize_records(fetch_to_warc_records(batch))
+    (pinned by test_fused_writer_parity) but skips the intermediate
+    WARC_RECORD_SCHEMA table: no per-record Arrow row materialization,
+    payload copies, or extra_headers list churn."""
+    sha1 = hashlib.sha1
+    ids, types, uris, digs, blobs = [], [], [], [], []
+    depths = (batch["depth"].to_pylist() if "depth" in batch.column_names
+              else [0] * batch.num_rows)
+    seqs = (batch["fetch_seq"].to_pylist() if "fetch_seq" in batch.column_names
+            else [0] * batch.num_rows)
+    for url, host, status, rnd, ctype, body, depth, seq in zip(
+            batch["url"].to_pylist(), batch["host"].to_pylist(),
+            batch["status"].to_pylist(), batch["round"].to_pylist(),
+            batch["content_type"].to_pylist(), batch["body"].to_pylist(),
+            depths, seqs):
+        date = logical_date(rnd)
+        salt = "r%d" % rnd
+        rest = url.split("://", 1)[1]
+        path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+
+        req_id = _record_id_fast(url, "request", salt)
+        req_payload = ("GET %s HTTP/1.1\r\nHost: %s\r\n"
+                       "User-Agent: warc-ray/0.1\r\n\r\n"
+                       % (path, host)).encode("ascii")
+        dig = "sha1:" + sha1(req_payload).hexdigest()
+        ids.append(req_id)
+        types.append("request")
+        uris.append(url)
+        digs.append(dig)
+        blobs.append((
+            "WARC/1.0\r\nWARC-Type: request\r\nWARC-Record-ID: %s\r\n"
+            "WARC-Date: %s\r\nWARC-Target-URI: %s\r\n"
+            "Content-Type: application/http; msgtype=request\r\n"
+            "Content-Length: %d\r\nWARC-Payload-Digest: %s\r\n\r\n"
+            % (req_id, date, url, len(req_payload), dig)).encode("ascii")
+            + req_payload + b"\r\n\r\n")
+
+        body = body or b""
+        status_line = ("HTTP/1.1 200 OK" if status == 200
+                       else "HTTP/1.1 %d X" % status)
+        payload = (("%s\r\nContent-Type: %s\r\nContent-Length: %d\r\n\r\n"
+                    % (status_line, ctype, len(body))).encode("ascii")
+                   + body)
+        dig = "sha1:" + sha1(payload).hexdigest()
+        rid = _record_id_fast(url, "response", salt)
+        ids.append(rid)
+        types.append("response")
+        uris.append(url)
+        digs.append(dig)
+        blobs.append((
+            "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: %s\r\n"
+            "WARC-Date: %s\r\nWARC-Target-URI: %s\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "Content-Length: %d\r\nWARC-Payload-Digest: %s\r\n"
+            "WARC-Concurrent-To: %s\r\n\r\n"
+            % (rid, date, url, len(payload), dig, req_id)).encode("ascii")
+            + payload + b"\r\n\r\n")
+
+        if emit_metadata:
+            meta_payload = ("hopsFromSeed: %d\r\nfetchSeq: %d\r\n"
+                            "fetchStatus: %d\r\nfetchRound: %d\r\n"
+                            % (depth, seq, status, rnd)).encode("ascii")
+            dig = "sha1:" + sha1(meta_payload).hexdigest()
+            rid = _record_id_fast(url, "metadata", salt)
+            ids.append(rid)
+            types.append("metadata")
+            uris.append(url)
+            digs.append(dig)
+            blobs.append((
+                "WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: %s\r\n"
+                "WARC-Date: %s\r\nWARC-Target-URI: %s\r\n"
+                "Content-Type: application/warc-fields\r\n"
+                "Content-Length: %d\r\nWARC-Payload-Digest: %s\r\n"
+                "WARC-Concurrent-To: %s\r\n\r\n"
+                % (rid, date, url, len(meta_payload), dig, req_id)
+            ).encode("ascii") + meta_payload + b"\r\n\r\n")
+    return pa.table({
+        "record_id": pa.array(ids, type=pa.string()),
+        "rec_type": pa.array(types, type=pa.string()),
+        "target_uri": pa.array(uris, type=pa.string()),
+        "payload_digest": pa.array(digs, type=pa.string()),
+        "record_bytes": pa.array(blobs, type=pa.large_binary()),
+    })
+
+
 def parse_record_rows(records: list) -> pa.Table:
     """core WARCRecord objects → WARC_RECORD_SCHEMA rows (read path)."""
     from ..core.warcrec import KNOWN_HEADERS

@@ -102,6 +102,18 @@ class FrontierCore:
             self.buffer.append(table.select(OFFER_COLS))
         return table.num_rows
 
+    def count_suppressed(self, n: int) -> int:
+        """Account worker-side-suppressed re-offers.
+
+        A worker that already offered a URL may suppress the repeat and
+        ship only this count: any previously-offered URL is guaranteed
+        in the cuckoo filter (every offer passes contains_or_add at
+        seal), so the repeat would have been counted offered+dup here —
+        the counters stay EXACTLY equal to the no-suppression run."""
+        self.counters["offered"] += n
+        self.counters["dup"] += n
+        return n
+
     def seal_round(self) -> None:
         """Deterministically ingest this round's offers (sorted).
 
@@ -269,12 +281,8 @@ def robots_to_shard_dict(robots_table: pa.Table) -> dict:
     return out
 
 
-def split_by_host_shard(table: pa.Table, num_shards: int) -> list:
-    """Split an offer table by host-hash shard ownership; returns a list
-    of ``num_shards`` tables (None where empty).  sha1 is computed once
-    per *unique* host, not per row."""
-    if table.num_rows == 0:
-        return [None] * num_shards
+def shard_ids_of(table: pa.Table, num_shards: int) -> np.ndarray:
+    """Per-row owning shard id (sha1 computed once per *unique* host)."""
     hosts = table["host"]
     if isinstance(hosts, pa.ChunkedArray):
         hosts = hosts.combine_chunks()
@@ -282,7 +290,15 @@ def split_by_host_shard(table: pa.Table, num_shards: int) -> list:
     mapping = np.array([shard_of(h, num_shards) for h in uniq.to_pylist()],
                        dtype=np.int32)
     idx = pc.index_in(hosts, value_set=uniq).to_numpy(zero_copy_only=False)
-    sid = mapping[idx]
+    return mapping[idx]
+
+
+def split_by_host_shard(table: pa.Table, num_shards: int) -> list:
+    """Split an offer table by host-hash shard ownership; returns a list
+    of ``num_shards`` tables (None where empty)."""
+    if table.num_rows == 0:
+        return [None] * num_shards
+    sid = shard_ids_of(table, num_shards)
     out = []
     for s in range(num_shards):
         mask = sid == s
@@ -319,6 +335,9 @@ def make_frontier_shard_cls():
 
         def offer(self, table: pa.Table) -> int:
             return self.core.offer(table)
+
+        def count_suppressed(self, n: int) -> int:
+            return self.core.count_suppressed(n)
 
         def seal_round(self) -> dict:
             self.core.seal_round()
