@@ -73,7 +73,10 @@ def _seen_dedup_q(sf_dir: str):
     ds = rd.read_parquet(corpus_mod.docs_path(cdir))
 
     def partial(b: pa.Table) -> pa.Table:
-        links = canonicalize_batch(extract_links(b))
+        # with_hashes=False: this pipeline groups on the canonical URL
+        # string; sha1/hash64 would be computed for 14M links and
+        # immediately dropped
+        links = canonicalize_batch(extract_links(b), with_hashes=False)
         t = pa.table({"url": links["url"], "src_doc": links["src_doc"]})
         part = t.group_by("url").aggregate([("src_doc", "min"), ("src_doc", "count")])
         return part.rename_columns(["url", "first_doc", "n_refs"])

@@ -166,19 +166,39 @@ def run_full(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     }
 
 
+def _wait_quiet(thresh: float = 4.0, max_wait: int = 900) -> float:
+    """Block until the host's 1-min load average drops below ``thresh``
+    (or ``max_wait`` expires); returns the load seen.
+
+    The sandbox is one shared multi-tenant machine and neighbor load
+    swings the SAME binary 2-3x (documented in BASELINE.md): a scaling
+    measurement taken while a neighbor holds 20 cores measures the
+    neighbor, not the engine.  Waiting for a quiet window is
+    measurement hygiene, not tuning — both arms get the same policy."""
+    t0 = time.time()
+    while True:
+        load = float(open("/proc/loadavg").read().split()[0])
+        if load < thresh or time.time() - t0 > max_wait:
+            return load
+        time.sleep(20)
+
+
 def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
     """Same job, fresh ray.init processes at two parallelism levels.
 
-    Arms ALTERNATE (high, low, high, low) and each arm keeps its best
-    run: the sandbox host throttles under sustained load and recovers
-    over ~minutes, so consecutive same-order arms would systematically
-    bias whichever runs second.  Outputs are deleted and dirty pages
+    Arms ALTERNATE (high, low, ...) and each arm keeps its best run:
+    the sandbox host throttles under sustained load and recovers over
+    ~minutes, so consecutive same-order arms would systematically bias
+    whichever runs second.  Each arm additionally waits for a quiet
+    host window (_wait_quiet).  Outputs are deleted and dirty pages
     synced between runs (GBs of WARC shards per run).
     """
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     results = {}
-    for n in (n_high, n_low, n_high, n_low):
+    for n in (n_high, n_low) * reps:
         shutil.rmtree("/tmp/warc_ray_bench", ignore_errors=True)
         _settle(int(os.environ.get("GRAFT_SCALING_COOLDOWN", "30")))
+        _wait_quiet()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
                    GRAFT_BENCH_RUNS="1", GRAFT_PROFILE="benchxl")
         p = subprocess.run(

@@ -215,6 +215,17 @@ class CrawlWorker:
         part = urls_from_seeds(seeds.slice(lo, hi - lo), offset0=lo)
         return route_and_offer(part, shards, num_shards)
 
+    def process_round_refs(self, t: int, slice_refs: list,
+                           write_warc: bool) -> dict:
+        """process_round over shard-side-split slices: the driver hands
+        this worker the ObjectRefs of ITS slices only — emitted rows
+        flow shard → worker through the object store, never the
+        driver."""
+        tables = [tb for tb in ray.get(list(slice_refs)) if tb.num_rows]
+        if not tables:
+            return {"fetched": 0, "offer_refs": [], "warc_refs": []}
+        return self.process_round(t, pa.concat_tables(tables), write_warc)
+
     def process_round(self, t: int, urls: pa.Table, write_warc: bool) -> dict:
         fetched = self.fetch(urls)
         round_dir = os.path.join(self.out_dir, f"round={t:05d}")
@@ -397,26 +408,36 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     pending_warc: list = []
     while t < cfg.max_rounds:
         _t0 = _time.perf_counter()
-        tables = [tb for tb in ray.get([s.pop_round.remote(t) for s in shards])
-                  if tb.num_rows]
-        if not tables:
+        # shard-side pop+split: the driver sees only per-worker row
+        # COUNTS; emitted rows travel shard → worker via ObjectRefs
+        # (the driver-side concat+re-split was a serial per-round cost
+        # that grew with cluster emission rate)
+        split_refs = [
+            s.pop_round_split.options(num_returns=n_workers + 1).remote(
+                t, profile.n_buckets, n_workers)
+            for s in shards
+        ]
+        counts_per_shard = ray.get([r[0] for r in split_refs])
+        per_worker = [sum(c[w] for c in counts_per_shard)
+                      for w in range(n_workers)]
+        if sum(per_worker) == 0:
             if not any(ray.get([s.has_pending.remote() for s in shards])):
                 break
             nexts = [x for x in ray.get([s.earliest_allowed.remote(t) for s in shards])
                      if x is not None]
             t = max(t + 1, min(nexts)) if nexts else t + 1
             continue
-        emit = pa.concat_tables(tables)
         round_dir = os.path.join(out_dir, f"round={t:05d}")
         if os.path.isdir(round_dir):          # rerun of an unfinished round
             shutil.rmtree(round_dir)
 
         _t1 = _time.perf_counter()
         refs = [
-            workers[w].process_round.remote(t, sl, write_warc)
-            for w, sl in enumerate(_split_by_worker(emit, profile.n_buckets,
-                                                    n_workers))
-            if sl is not None
+            workers[w].process_round_refs.remote(
+                t, [split_refs[si][w + 1] for si in range(len(shards))],
+                write_warc)
+            for w in range(n_workers)
+            if per_worker[w]
         ]
         counts = ray.get(refs)
         _t2 = _time.perf_counter()
@@ -428,7 +449,7 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         if round_log:
             with open(round_log, "a") as f:
                 f.write("%d %d %.3f %.3f %.3f\n" % (
-                    t, emit.num_rows, _t1 - _t0, _t2 - _t1,
+                    t, sum(per_worker), _t1 - _t0, _t2 - _t1,
                     _time.perf_counter() - _t2))
 
         rounds_run += 1

@@ -106,22 +106,42 @@ _CANON_FAST_RE = (
 )
 
 
-def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
-    """Add ``url`` (canonical), ``url_sha1`` and ``host`` columns;
-    drops rows whose URL doesn't canonicalize."""
+def canonicalize_batch(batch: pa.Table, url_col: str = "url",
+                       with_hashes: bool = True) -> pa.Table:
+    """Add ``url`` (canonical) and — when ``with_hashes`` —
+    ``url_sha1``, ``host`` and ``hash64`` columns; drops rows whose URL
+    doesn't canonicalize.
+
+    ``with_hashes=False`` is for pure URL-dedup/report pipelines that
+    group on the canonical string itself: sha1 over millions of links
+    is the dominant cost of this stage and those pipelines throw the
+    digest away."""
     url_arr = batch[url_col]
     if isinstance(url_arr, pa.ChunkedArray):
         url_arr = url_arr.combine_chunks()
     fast = pc.match_substring_regex(
         url_arr, _CANON_FAST_RE).to_numpy(zero_copy_only=False)
-    urls = url_arr.to_pylist()
-    canon = [u if f else canonicalize_url(u)
-             for u, f in zip(urls, fast)]
-    keep = np.array([c is not None for c in canon], dtype=bool)
-    batch = batch.drop_columns([url_col]).filter(pa.array(keep))
-    kept = [c for c in canon if c is not None]
+    if fast.all():
+        canon_arr = url_arr
+        batch = batch.drop_columns([url_col])
+        kept = None  # materialized lazily only if hashes are needed
+    else:
+        urls = url_arr.to_pylist()
+        canon = [u if f else canonicalize_url(u)
+                 for u, f in zip(urls, fast)]
+        keep = np.array([c is not None for c in canon], dtype=bool)
+        batch = batch.drop_columns([url_col]).filter(pa.array(keep))
+        kept = [c for c in canon if c is not None]
+        canon_arr = pa.array(kept, type=pa.string())
+    out = batch.add_column(0, "url", canon_arr)
+    if not with_hashes:
+        return out
+    if kept is None:
+        kept = canon_arr.to_pylist()
     sha = [hashlib.sha1(c.encode()).digest() for c in kept]
-    hosts = [host_of(c) for c in kept]
+    # host: vectorized regex (equals host_of on canonical URLs)
+    m = pc.extract_regex(canon_arr, r"^https?://(?P<host>[^/:]+)")
+    hosts = pc.cast(pc.struct_field(m, "host"), pa.string())
     # hash64 = first 8 digest bytes, big-endian — the cuckoo-filter key
     # (G4/G5).  Computed HERE (parallel map_batches workers), so the
     # serialized frontier shards never touch a hash function.
@@ -131,9 +151,8 @@ def canonicalize_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
                .astype(np.uint64).ravel())
     else:
         h64 = np.zeros(0, dtype=np.uint64)
-    return batch.add_column(0, "url", pa.array(kept, type=pa.string())) \
-        .append_column("url_sha1", pa.array(sha, type=pa.binary(20))) \
-        .append_column("host", pa.array(hosts, type=pa.string())) \
+    return out.append_column("url_sha1", pa.array(sha, type=pa.binary(20))) \
+        .append_column("host", hosts) \
         .append_column("hash64", pa.array(h64, type=pa.uint64()))
 
 

@@ -346,6 +346,23 @@ def make_frontier_shard_cls():
         def pop_round(self, t: int) -> pa.Table:
             return self.core.pop_round(t)
 
+        def pop_round_split(self, t: int, n_buckets: int, n_workers: int):
+            """pop_round + bucket%n_workers split, SHARD-side: returns
+            (counts, slice_0, ..., slice_{n-1}) so the driver routes
+            ObjectRefs to fetch workers without ever touching rows
+            (the driver-side concat+split was a serial per-round cost
+            that grew with cluster emission rate)."""
+            emit = self.core.pop_round(t)
+            if emit.num_rows == 0:
+                empty = emit.slice(0, 0)
+                return tuple([[0] * n_workers] + [empty] * n_workers)
+            from ..stages.fetch import add_bucket_column
+
+            emit = add_bucket_column(emit, n_buckets)
+            wid = emit["bucket"].to_numpy(zero_copy_only=False) % n_workers
+            out = [emit.filter(pa.array(wid == w)) for w in range(n_workers)]
+            return tuple([[t.num_rows for t in out]] + out)
+
         def has_pending(self) -> bool:
             return self.core.has_pending()
 
