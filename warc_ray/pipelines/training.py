@@ -146,6 +146,36 @@ def media_features(sf_dir: str):
     return feats.drop_columns(["feature"]).sort("media_id")
 
 
+def frame_samples(sf_dir: str):
+    """Video frame sampling (multimodal stage 2): media blobs →
+    ≤4 deterministic frames per video via the FrameSampler actor pool;
+    returns per-video frame counts + byte sums (integer-only)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .. import corpus as corpus_mod
+    from ..stages.multimodal import FrameSampler, media_table_from_corpus
+
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    cdir = corpus_mod.ensure_corpus(prof)
+    media = media_table_from_corpus(cdir, prof.n_buckets)
+    frames = media.map_batches(FrameSampler, batch_format="pyarrow",
+                               concurrency=(1, 4), batch_size=1024)
+
+    def lengths(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": b["media_id"],
+            "frame_bytes": pc.cast(pc.binary_length(
+                pc.cast(b["frame"], pa.binary())), pa.int64()),
+        })
+
+    return frames.map_batches(lengths, batch_format="pyarrow") \
+        .groupby("media_id") \
+        .aggregate(Count(alias_name="n_frames"),
+                   Sum("frame_bytes", alias_name="frame_bytes")) \
+        .sort("media_id")
+
+
 def curation(sf_dir: str):
     """End-to-end training-data curation: exact dedup (hash-partition,
     keep min doc_id per distinct text) → quality gate (n_tokens>=10 AND
