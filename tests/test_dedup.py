@@ -281,3 +281,33 @@ def test_frame_samples_query(ray_session):
     # deterministic: repeat run produces identical results
     t2 = frame_samples(SF_DIR).to_pandas()
     assert t.values.tolist() == t2.values.tolist()
+
+
+def test_decode_media_features_deterministic():
+    from warc_ray.stages.multimodal import (DecodeMediaFeatures,
+                                            FEATURE_SCHEMA, _fake_decode)
+
+    payloads = [b"\x89PNG" + bytes(range(100)), b"", b"x" * 2048]
+    batch = pa.table({
+        "media_id": ["m1", "m2", "m3"],
+        "url": ["u1", "u2", "u3"],
+        "media_type": ["image", "image", "video"],
+        "payload": pa.array(payloads, type=pa.large_binary()),
+    })
+    out = DecodeMediaFeatures()(batch)
+    assert out.schema == FEATURE_SCHEMA
+    d = out.to_pydict()
+    assert d["n_bytes"] == [len(p) for p in payloads]
+    # stage dims == the documented stub decoder's dims
+    for i, p in enumerate(payloads):
+        w, h = _fake_decode(p)
+        assert (d["width"][i], d["height"][i]) == (w, h)
+    assert d["n_frames"] == [1, 1, 1 + 2048 // 1024]
+    # features are L2-normalized 16-dim vectors (zero vector for empty)
+    for i, feat in enumerate(d["feature"]):
+        assert len(feat) == 16
+        n = float(np.linalg.norm(feat))
+        assert abs(n - (0.0 if not payloads[i] else 1.0)) < 1e-5
+    # deterministic across instances (actor restarts)
+    again = DecodeMediaFeatures()(batch)
+    assert again.equals(out)
