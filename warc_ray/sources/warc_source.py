@@ -31,14 +31,17 @@ READ_SCHEMA = pa.schema(
 )
 
 
-def _record_to_row(rec, path: str, offset: int, length: int) -> dict:
+def _records_to_table(recs: list, path: str, offsets: list[int],
+                      lengths: list[int]) -> pa.Table:
+    """One Arrow table per BATCH of parsed records (building a 1-row
+    table per record was a third of read-path cost)."""
     from ..stages.assemble import parse_record_rows  # local import (cycle)
 
-    row = parse_record_rows([rec]).to_pylist()[0]
-    row["shard"] = path
-    row["offset"] = offset
-    row["length"] = length
-    return row
+    t = parse_record_rows(recs)
+    n = t.num_rows
+    return t.append_column("shard", pa.array([path] * n, type=pa.string())) \
+        .append_column("offset", pa.array(offsets, type=pa.int64())) \
+        .append_column("length", pa.array(lengths, type=pa.int64()))
 
 
 class WarcDatasource(FileBasedDatasource):
@@ -59,14 +62,15 @@ class WarcDatasource(FileBasedDatasource):
         )
 
     def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
-        rows: list[dict] = []
+        recs, offs, lens = [], [], []
         if path.endswith(".gz"):
             for offset, size, data in gzipm.iter_members(f):
-                rec = parse_record_bytes(data)
-                rows.append(_record_to_row(rec, path, offset, size))
-                if len(rows) >= self._batch_rows:
-                    yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
-                    rows = []
+                recs.append(parse_record_bytes(data))
+                offs.append(offset)
+                lens.append(size)
+                if len(recs) >= self._batch_rows:
+                    yield _records_to_table(recs, path, offs, lens)
+                    recs, offs, lens = [], [], []
         else:
             # Uncompressed: offsets are raw byte offsets.
             buf = io.BytesIO(f.read())
@@ -80,13 +84,15 @@ class WarcDatasource(FileBasedDatasource):
                 rec.payload = payload
                 reader.finish_reading_current_record()
                 end = buf.tell()
-                rows.append(_record_to_row(rec, path, start, end - start))
+                recs.append(rec)
+                offs.append(start)
+                lens.append(end - start)
                 start = end
-                if len(rows) >= self._batch_rows:
-                    yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
-                    rows = []
-        if rows:
-            yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
+                if len(recs) >= self._batch_rows:
+                    yield _records_to_table(recs, path, offs, lens)
+                    recs, offs, lens = [], [], []
+        if recs:
+            yield _records_to_table(recs, path, offs, lens)
 
 
 DEFAULT_SPLIT_SIZE = 64 << 20
@@ -135,19 +141,22 @@ class _ReadWarcRanges:
         self._batch_rows = batch_rows
 
     def __call__(self, batch: pa.Table):
-        rows: list[dict] = []
+        recs, offs, lens = [], [], []
+        cur_path = None
         for path, start, end in zip(batch["path"].to_pylist(),
                                     batch["start"].to_pylist(),
                                     batch["end"].to_pylist()):
+            cur_path = path
             if path.endswith(".gz"):
                 with open(path, "rb") as f:
                     for off, size, data in gzipm.members_in_range(
                             f, start, end, prefix=b"WARC/"):
-                        rec = parse_record_bytes(data)
-                        rows.append(_record_to_row(rec, path, off, size))
-                        if len(rows) >= self._batch_rows:
-                            yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
-                            rows = []
+                        recs.append(parse_record_bytes(data))
+                        offs.append(off)
+                        lens.append(size)
+                        if len(recs) >= self._batch_rows:
+                            yield _records_to_table(recs, path, offs, lens)
+                            recs, offs, lens = [], [], []
             else:
                 with open(path, "rb") as f:
                     buf = io.BytesIO(f.read())
@@ -161,13 +170,19 @@ class _ReadWarcRanges:
                     rec.payload = payload
                     reader.finish_reading_current_record()
                     end_pos = buf.tell()
-                    rows.append(_record_to_row(rec, path, pos, end_pos - pos))
+                    recs.append(rec)
+                    offs.append(pos)
+                    lens.append(end_pos - pos)
                     pos = end_pos
-                    if len(rows) >= self._batch_rows:
-                        yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
-                        rows = []
+                    if len(recs) >= self._batch_rows:
+                        yield _records_to_table(recs, path, offs, lens)
+                        recs, offs, lens = [], [], []
+            # flush per descriptor: rows must carry THEIR file's path
+            if recs:
+                yield _records_to_table(recs, cur_path, offs, lens)
+                recs, offs, lens = [], [], []
         # always yield (possibly empty) so the stage schema stays stable
-        yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
+        yield pa.Table.from_pylist([], schema=READ_SCHEMA)
 
 
 def read_warc(paths, *, batch_rows: int = 512,
