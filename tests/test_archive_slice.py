@@ -264,3 +264,26 @@ def test_fused_writer_parity(tmp_path):
     assert ref.column_names == fus.column_names
     for c in ref.column_names:
         assert ref[c].to_pylist() == fus[c].to_pylist(), c
+
+
+def test_fused_doc_records_parity(tmp_path):
+    """fused_doc_records (archive hot path) == the two-step
+    docs_to_response_records -> serialize_records, byte for byte."""
+    from warc_ray import corpus
+    from warc_ray.stages.assemble import (
+        docs_to_response_records,
+        fused_doc_records,
+        serialize_records,
+    )
+
+    cdir = corpus.ensure_corpus("t1", root=str(tmp_path))
+    t = corpus.read_bucket(cdir, 0)
+    ref = serialize_records(docs_to_response_records(t))
+    fus = fused_doc_records(t)
+    assert ref.column_names == fus.column_names
+    for c in ref.column_names:
+        assert ref[c].to_pylist() == fus[c].to_pylist(), c
+    # sliced input (non-zero list offsets) must decode identically
+    s = t.slice(3, 40)
+    assert fused_doc_records(s)["record_bytes"].to_pylist() == \
+        serialize_records(docs_to_response_records(s))["record_bytes"].to_pylist()

@@ -12,18 +12,22 @@ from __future__ import annotations
 import ray.data as rd
 
 from ..sinks.warc_sink import write_warc_shards
-from ..stages.assemble import docs_to_response_records, serialize_records
+from ..stages.assemble import fused_doc_records
 
 
 def archive_docs(docs_ds: "rd.Dataset", out_dir: str, *,
                  date: str = "2026-01-01T00:00:00Z",
                  records_per_shard: int = 2048) -> "rd.Dataset":
-    """Returns the (lazy) CDX index Dataset; consuming it drives the write."""
-    records = docs_ds.map_batches(
-        lambda b: docs_to_response_records(b, date=date),
+    """Returns the (lazy) CDX index Dataset; consuming it drives the write.
+
+    Assembly uses the fused docs→record-bytes pass (vectorized span
+    rendering + templated headers); byte-parity with the two-step
+    docs_to_response_records → serialize_records path is pinned by
+    tests/test_archive_slice.py::test_fused_doc_records_parity."""
+    serialized = docs_ds.map_batches(
+        lambda b: fused_doc_records(b, date=date),
         batch_format="pyarrow",
     )
-    serialized = records.map_batches(serialize_records, batch_format="pyarrow")
     return write_warc_shards(serialized, out_dir, date=date,
                              batch_size=records_per_shard)
 

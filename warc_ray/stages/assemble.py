@@ -407,6 +407,72 @@ def fused_fetch_records(batch: pa.Table,
     })
 
 
+def fused_doc_records(batch: pa.Table, date: str = "2026-01-01T00:00:00Z",
+                      emit_metadata: bool = True) -> pa.Table:
+    """Docs → serialized response(+metadata) record bytes in one pass:
+    bodies via the VECTORIZED span renderer (render_payloads), headers
+    templated.  Byte-identical to
+    serialize_records(docs_to_response_records(batch)) — pinned by
+    tests/test_archive_slice.py::test_fused_doc_records_parity."""
+    import pyarrow.compute as pc
+
+    sha1 = hashlib.sha1
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    payloads = render_payloads(spans)
+    doc_ids = batch["doc_id"].to_pylist()
+    n_spans = pc.list_value_length(spans).to_pylist()
+    # media-ref counts per doc: prefix sums over the flattened refs
+    flat_ref = spans.flatten().field("media_ref")
+    has_ref = pc.cast(pc.not_equal(flat_ref, ""), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    offs = spans.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]  # sliced arrays: offsets need not start at 0
+    cs = np.concatenate([[0], np.cumsum(has_ref)])
+    n_media = (cs[offs[1:]] - cs[offs[:-1]]).tolist()
+    ids, types, uris, digs, blobs = [], [], [], [], []
+    for i, doc_id in enumerate(doc_ids):
+        uri = "urn:doc:%s" % doc_id
+        payload = payloads[i].as_py()
+        dig = "sha1:" + sha1(payload).hexdigest()
+        rid = _record_id_fast(uri, "response", "")
+        ids.append(rid)
+        types.append("response")
+        uris.append(uri)
+        digs.append(dig)
+        blobs.append((
+            "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: %s\r\n"
+            "WARC-Date: %s\r\nWARC-Target-URI: %s\r\n"
+            "Content-Type: application/http; msgtype=response\r\n"
+            "Content-Length: %d\r\nWARC-Payload-Digest: %s\r\n\r\n"
+            % (rid, date, uri, len(payload), dig)).encode("ascii")
+            + payload + b"\r\n\r\n")
+        if emit_metadata:
+            meta = ("nSpans: %d\r\nnMediaRefs: %d\r\n"
+                    % (n_spans[i], n_media[i] or 0)).encode("ascii")
+            dig = "sha1:" + sha1(meta).hexdigest()
+            rid = _record_id_fast(uri, "metadata", "")
+            ids.append(rid)
+            types.append("metadata")
+            uris.append(uri)
+            digs.append(dig)
+            blobs.append((
+                "WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: %s\r\n"
+                "WARC-Date: %s\r\nWARC-Target-URI: %s\r\n"
+                "Content-Type: application/warc-fields\r\n"
+                "Content-Length: %d\r\nWARC-Payload-Digest: %s\r\n\r\n"
+                % (rid, date, uri, len(meta), dig)).encode("ascii")
+                + meta + b"\r\n\r\n")
+    return pa.table({
+        "record_id": pa.array(ids, type=pa.string()),
+        "rec_type": pa.array(types, type=pa.string()),
+        "target_uri": pa.array(uris, type=pa.string()),
+        "payload_digest": pa.array(digs, type=pa.string()),
+        "record_bytes": pa.array(blobs, type=pa.large_binary()),
+    })
+
+
 def parse_record_rows(records: list) -> pa.Table:
     """core WARCRecord objects → WARC_RECORD_SCHEMA rows (read path)."""
     from ..core.warcrec import KNOWN_HEADERS
