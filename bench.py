@@ -91,7 +91,10 @@ def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
                               per_round_host_budget=budget,
                               num_shards=cfg.num_shards, max_rounds=2,
                               max_depth=16, filter_capacity=cap)
-    run_crawl(cdir, out + "-warmup", config=warm_cfg, write_warc=write_warc)
+    fw = os.environ.get("GRAFT_FETCH_WORKERS")
+    fw = int(fw) if fw else None
+    run_crawl(cdir, out + "-warmup", config=warm_cfg, write_warc=write_warc,
+              fetch_concurrency=fw)
     shutil.rmtree(out + "-warmup", ignore_errors=True)
 
     # two measured runs, keep the fastest (the sandbox shares a noisy
@@ -104,7 +107,8 @@ def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
         _settle()
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
-        res = run_crawl(cdir, out, config=cfg, write_warc=write_warc)
+        res = run_crawl(cdir, out, config=cfg, write_warc=write_warc,
+                        fetch_concurrency=fw)
         dt = min(dt, time.perf_counter() - t0)
 
     n_warc_records = 0

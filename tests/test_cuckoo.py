@@ -114,3 +114,40 @@ def test_vectorized_matches_sequential_reference():
     assert fast.table.tobytes() == slow.table.tobytes()
     assert fast.count == slow.count
     assert fast._kick_state == slow._kick_state
+
+
+def test_bulk_insert_byte_parity_high_load():
+    """The wave-vectorized bulk insert must reproduce the sequential
+    per-key path byte-for-byte INCLUDING kick-heavy high-load regimes
+    (a prior wave formulation diverged only above ~0.8 load)."""
+    import numpy as np
+
+    from warc_ray.state.cuckoo import CuckooFilter
+
+    rng = np.random.default_rng(1)
+    for cap_pow, load in ((12, 0.93), (10, 0.85), (14, 0.90)):
+        f1 = CuckooFilter(1 << cap_pow, seed=3)
+        f2 = CuckooFilter(1 << cap_pow, seed=3)
+        keys = rng.integers(0, 1 << 63, int((1 << cap_pow) * load),
+                            dtype=np.uint64)
+        r1 = f1.contains_or_add(keys)
+        # sequential reference: same canonical-identity dedup, per-key
+        fps = f2._fingerprint(keys)
+        i1 = f2._index1(keys)
+        i2 = f2._alt_index(i1, fps)
+        lo = np.minimum(i1, i2).astype(np.uint64)
+        comb = (lo << np.uint64(16)) | fps.astype(np.uint64)
+        first_seen: set = set()
+        seen_ref = []
+        for k in range(len(keys)):
+            present = f2._contains(int(i1[k]), int(i2[k]), int(fps[k]))
+            c = int(comb[k])
+            s = present or (c in first_seen)
+            first_seen.add(c)
+            seen_ref.append(s)
+            if not s:
+                f2._insert(int(i1[k]), int(i2[k]), int(fps[k]))
+        assert (r1 == np.array(seen_ref)).all()
+        assert (f1.table == f2.table).all()
+        assert f1._kick_state == f2._kick_state
+        assert f1.count == f2.count

@@ -144,21 +144,43 @@ class FrontierCore:
         if not cand_mask.any():
             return
         cand = buf.filter(pa.array(cand_mask))
+        # Bulk insert, grouped by (host, priority): a stable sort on the
+        # already-globally-sorted candidates preserves FIFO order WITHIN
+        # each (host, priority) queue — the only ordering pop_round
+        # depends on — while letting robots checks and deque appends run
+        # once per run instead of once per row (the per-row Python loop
+        # was ~6.5us/fresh URL and the dominant seal cost).
         urls = cand["url"].to_pylist()
         hosts = cand["host"].to_pylist()
-        prios = cand["priority"].to_pylist()
+        prios = cand["priority"].to_numpy(zero_copy_only=False)
         depths = cand["depth"].to_pylist()
+        host_codes = pc.dictionary_encode(cand["host"]).combine_chunks()
+        codes = (host_codes.indices.to_numpy(zero_copy_only=False)
+                 if cand.num_rows else np.zeros(0, dtype=np.int32))
+        composite = codes.astype(np.int64) * (1 << 31) - prios.astype(np.int64)
+        order = np.argsort(composite, kind="stable")
         robots = self.robots
         queues = self.queues
         seq = self.seq
         queued = 0
         denied = 0
-        for url, host, prio, depth in zip(urls, hosts, prios, depths):
+        sorted_comp = composite[order]
+        bounds = np.flatnonzero(np.diff(sorted_comp)) + 1
+        starts = np.concatenate([[0], bounds]) if len(order) else []
+        ends = np.concatenate([bounds, [len(order)]]) if len(order) else []
+        for s, e in zip(starts, ends):
+            run = order[s:e]
+            host = hosts[run[0]]
+            prio = int(prios[run[0]])
             rules = robots.get(host)
             if rules:
-                p = path_of(url)
-                if any(p.startswith(pre) for pre in rules[0]):
-                    denied += 1
+                pres = rules[0]
+                keep = [r for r in run
+                        if not any(path_of(urls[r]).startswith(pre)
+                                   for pre in pres)]
+                denied += len(run) - len(keep)
+                run = keep
+                if not run:
                     continue
             q = queues.get(host)
             if q is None:
@@ -166,9 +188,10 @@ class FrontierCore:
             d = q.get(prio)
             if d is None:
                 d = q[prio] = deque()
-            d.append((seq, url, depth))
-            seq += 1
-            queued += 1
+            d.extend((seq + k, urls[r], depths[r])
+                     for k, r in enumerate(run))
+            seq += len(run)
+            queued += len(run)
         self.seq = seq
         self.counters["robots_denied"] += denied
         self.counters["queued"] += queued
