@@ -138,64 +138,15 @@ class CuckooFilter:
         np.minimum.at(first, inv, np.arange(n))
         is_first = np.arange(n) == first[inv]
         seen = present | ~is_first
-        fresh = np.flatnonzero(~seen)
-        if len(fresh):
-            self._bulk_insert(i1s[fresh], i2s[fresh], fps[fresh])
+        # per-key inserts in batch order (exact table-byte parity with
+        # the sequential reference); _insert itself is O(1) via the
+        # fill counters.  (A wave-vectorized bulk insert was tried and
+        # reverted: exact ordering forces the wave to cut at the first
+        # would-overflow key, which degenerates quadratically once the
+        # filter has full buckets.)
+        for j in np.flatnonzero(~seen):
+            self._insert(int(i1s[j]), int(i2s[j]), int(fps[j]))
         return seen
-
-    def _bulk_insert(self, i1s: np.ndarray, i2s: np.ndarray,
-                     fps: np.ndarray) -> None:
-        """Insert keys IN ORDER with wave vectorization, byte-identical
-        to the sequential per-key loop.
-
-        Each wave places, for every target bucket, the EARLIEST pending
-        key that maps to it (so within a bucket, slots fill in original
-        key order, and a key reads its buckets' fill only after every
-        earlier key for those buckets has landed — exactly the
-        sequential state).  A key whose bucket pair is full is handled
-        by the sequential kick path at its exact position in the order,
-        so the kick xorshift stream and table bytes match the per-key
-        formulation (pinned by test_vectorized_matches_sequential_reference)."""
-        t = self.table
-        fill = self.fill
-        pending = np.arange(len(i1s))
-        while pending.size:
-            if pending.size < 256:
-                # tail: per-key loop is cheaper than vector setup
-                for j in pending:
-                    self._insert(int(i1s[j]), int(i2s[j]), int(fps[j]))
-                return
-            i1p = i1s[pending]
-            use1 = fill[i1p] < 4
-            tgt = np.where(use1, i1p, i2s[pending])
-            # within-bucket rank (0 for the first pending key targeting
-            # a bucket, 1 for the next, ...): key k lands at slot
-            # fill[tgt]+rank, which IS its sequential slot as long as
-            # no key before it overflows.  The wave is the longest
-            # prefix where fill[tgt]+rank < 4 for every key — the first
-            # overflow key would re-route (use1 flips) or kick, so it
-            # (and everything after) waits for the wave's effects.
-            order = np.argsort(tgt, kind="stable")
-            st = tgt[order]
-            new_run = np.concatenate([[True], st[1:] != st[:-1]])
-            run_start = np.flatnonzero(new_run)
-            run_id = np.cumsum(new_run) - 1
-            rank_sorted = np.arange(len(st)) - run_start[run_id]
-            rank = np.empty(len(st), dtype=np.int64)
-            rank[order] = rank_sorted
-            over = (fill[tgt].astype(np.int64) + rank) >= 4
-            cut = int(np.argmax(over)) if over.any() else pending.size
-            if cut == 0:
-                j = pending[0]
-                self._insert(int(i1s[j]), int(i2s[j]), int(fps[j]))
-                pending = pending[1:]
-                continue
-            wt = tgt[:cut]
-            slots = fill[wt].astype(np.int64) + rank[:cut]
-            t[wt, slots] = fps[pending[:cut]]
-            np.add.at(fill, wt, 1)
-            self.count += cut
-            pending = pending[cut:]
 
     def __contains__(self, key: int) -> bool:
         k = np.uint64(key)
