@@ -476,6 +476,10 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     if checkpoint_every:
         _checkpoint(shards, ckpt_dir, manifest_path, t, cfg)
     _phase["final_flush"] = _time.perf_counter() - _pt
+    shard_busy = ray.get([s.busy_seconds.remote() for s in shards])
+    _phase["seal_busy_max"] = max(b["seal"] for b in shard_busy)
+    _phase["seal_busy_sum"] = sum(b["seal"] for b in shard_busy)
+    _phase["pop_busy_max"] = max(b["pop"] for b in shard_busy)
     if writers:
         _phase["writer_busy"] = sum(
             ray.get([w.busy_seconds.remote() for w in writers]))

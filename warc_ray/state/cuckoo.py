@@ -41,8 +41,10 @@ class CuckooFilter:
         # slots fill left-to-right and are never vacated (no deletes;
         # kicks swap occupied slots), so fill[i] IS the first empty
         # slot index — O(1) insert instead of a per-key flatnonzero
-        # scan (that scan was the dominant frontier seal cost)
-        self.fill = np.zeros(nb, dtype=np.uint8)
+        # scan (that scan was the dominant frontier seal cost).  A
+        # bytearray, not numpy: per-element access from the insert loop
+        # is ~3x cheaper than numpy scalar indexing.
+        self.fill = bytearray(nb)
         self.count = 0
         self.seed = seed
         self._kick_state = np.uint64(seed * 2654435761 + 0x9E3779B9)
@@ -139,13 +141,31 @@ class CuckooFilter:
         is_first = np.arange(n) == first[inv]
         seen = present | ~is_first
         # per-key inserts in batch order (exact table-byte parity with
-        # the sequential reference); _insert itself is O(1) via the
-        # fill counters.  (A wave-vectorized bulk insert was tried and
-        # reverted: exact ordering forces the wave to cut at the first
-        # would-overflow key, which degenerates quadratically once the
-        # filter has full buckets.)
-        for j in np.flatnonzero(~seen):
-            self._insert(int(i1s[j]), int(i2s[j]), int(fps[j]))
+        # the sequential reference); the common no-kick path is inlined
+        # over C-converted Python ints — ~3x cheaper than calling
+        # _insert with numpy scalars.  (A wave-vectorized bulk insert
+        # was tried and reverted: exact ordering forces the wave to cut
+        # at the first would-overflow key, which degenerates
+        # quadratically once the filter has full buckets.)
+        fresh = np.flatnonzero(~seen)
+        if len(fresh):
+            t = self.table
+            fill = self.fill
+            for i1, i2, fp in zip(i1s[fresh].tolist(), i2s[fresh].tolist(),
+                                  fps[fresh].tolist()):
+                f = fill[i1]
+                if f < 4:
+                    t[i1, f] = fp
+                    fill[i1] = f + 1
+                    self.count += 1
+                    continue
+                f = fill[i2]
+                if f < 4:
+                    t[i2, f] = fp
+                    fill[i2] = f + 1
+                    self.count += 1
+                    continue
+                self._insert(i1, i2, fp)  # rare: kick path
         return seen
 
     def __contains__(self, key: int) -> bool:
@@ -167,7 +187,8 @@ class CuckooFilter:
     def from_state(cls, s: dict) -> "CuckooFilter":
         f = cls(s["table"].shape[0] * 4, seed=s["seed"])
         f.table = s["table"].copy()
-        f.fill = (f.table != 0).sum(axis=1).astype(np.uint8)
+        f.fill = bytearray(
+            (f.table != 0).sum(axis=1).astype(np.uint8).tobytes())
         f.count = s["count"]
         f._kick_state = np.uint64(s["kick_state"])
         return f

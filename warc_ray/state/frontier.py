@@ -92,6 +92,9 @@ class FrontierCore:
             "offered": 0, "dup": 0, "robots_denied": 0, "too_deep": 0,
             "queued": 0, "emitted": 0,
         }
+        # in-actor work time (diagnostics only — NOT in counters, which
+        # are compared 1:1 against the single-process oracle's)
+        self.busy = {"seal": 0.0, "pop": 0.0}
 
     # -- offer / seal ---------------------------------------------------
 
@@ -123,6 +126,9 @@ class FrontierCore:
         ordering == Python str ordering (determinism vs the oracle)."""
         if not self.buffer:
             return
+        import time as _time
+
+        _b0 = _time.perf_counter()
         buf = pa.concat_tables(self.buffer)
         self.buffer = []
         n = buf.num_rows
@@ -195,11 +201,15 @@ class FrontierCore:
         self.seq = seq
         self.counters["robots_denied"] += denied
         self.counters["queued"] += queued
+        self.busy["seal"] += _time.perf_counter() - _b0
 
     # -- emission -------------------------------------------------------
 
     def pop_round(self, t: int) -> pa.Table:
         """Emit every eligible URL at logical time ``t`` (G9)."""
+        import time as _time
+
+        _b0 = _time.perf_counter()
         cfg = self.config
         out_url, out_host, out_prio, out_depth, out_seq = [], [], [], [], []
         for host in sorted(h for h, q in self.queues.items() if q):
@@ -241,6 +251,7 @@ class FrontierCore:
             if not q:
                 del self.queues[host]
         self.counters["emitted"] += len(out_url)
+        self.busy["pop"] += _time.perf_counter() - _b0
         return pa.table({
             "url": pa.array(out_url, type=pa.string()),
             "host": pa.array(out_host, type=pa.string()),
@@ -361,6 +372,9 @@ def make_frontier_shard_cls():
 
         def count_suppressed(self, n: int) -> int:
             return self.core.count_suppressed(n)
+
+        def busy_seconds(self) -> dict:
+            return dict(self.core.busy)
 
         def seal_round(self) -> dict:
             self.core.seal_round()
