@@ -408,6 +408,7 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
 
     round_log = os.environ.get("WARC_RAY_ROUND_LOG")
     t = start_round
+    next_split = None  # (round, split_refs) from a combined seal+pop
     rounds_run = 0
     total_fetched = 0
     total_warc_records = 0
@@ -417,12 +418,17 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         # shard-side pop+split: the driver sees only per-worker row
         # COUNTS; emitted rows travel shard → worker via ObjectRefs
         # (the driver-side concat+re-split was a serial per-round cost
-        # that grew with cluster emission rate)
-        split_refs = [
-            s.pop_round_split.options(num_returns=n_workers + 1).remote(
-                t, profile.n_buckets, n_workers)
-            for s in shards
-        ]
+        # that grew with cluster emission rate).  Usually the previous
+        # iteration already fired the combined seal+pop for this round.
+        if next_split is not None and next_split[0] == t:
+            split_refs = next_split[1]
+        else:
+            split_refs = [
+                s.pop_round_split.options(num_returns=n_workers + 1).remote(
+                    t, profile.n_buckets, n_workers)
+                for s in shards
+            ]
+        next_split = None
         counts_per_shard = ray.get([r[0] for r in split_refs])
         per_worker = [sum(c[w] for c in counts_per_shard)
                       for w in range(n_workers)]
@@ -451,7 +457,20 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         pending_warc.extend(r for c in counts for r in c["warc_refs"])
         # barrier: every offer must have LANDED in its shard before seal
         ray.get([r for c in counts for r in c["offer_refs"]])
-        ray.get([s.seal_round.remote() for s in shards])
+        if t + 1 < cfg.max_rounds and not checkpoint_every:
+            # combined seal + next-round pop in one actor call: the
+            # driver never awaits seal separately (the next iteration's
+            # counts read IS the barrier), saving an RPC round per
+            # crawl round.  Checkpointing runs need the explicit seal
+            # barrier below (shard snapshots must be post-seal).
+            next_split = (t + 1, [
+                s.seal_then_pop_split.options(
+                    num_returns=n_workers + 1).remote(
+                    t + 1, profile.n_buckets, n_workers)
+                for s in shards
+            ])
+        else:
+            ray.get([s.seal_round.remote() for s in shards])
         if round_log:
             with open(round_log, "a") as f:
                 f.write("%d %d %.3f %.3f %.3f\n" % (

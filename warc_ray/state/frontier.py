@@ -383,6 +383,18 @@ def make_frontier_shard_cls():
         def pop_round(self, t: int) -> pa.Table:
             return self.core.pop_round(t)
 
+        def seal_then_pop_split(self, t: int, n_buckets: int,
+                                n_workers: int):
+            """seal_round + pop_round_split(t) in ONE actor call: the
+            driver fires this after the offer-ack barrier and awaits
+            only the next round's counts — one fewer RPC round trip
+            per crawl round, and the hot shard's seal overlaps the
+            other shards' pops.  Token-bucket math is composition-
+            safe (min(B, tok+rΔ) telescopes), so an eager pop at an
+            empty round is behavior-identical to the skip path."""
+            self.core.seal_round()
+            return self.pop_round_split(t, n_buckets, n_workers)
+
         def pop_round_split(self, t: int, n_buckets: int, n_workers: int):
             """pop_round + bucket%n_workers split, SHARD-side: returns
             (counts, slice_0, ..., slice_{n-1}) so the driver routes
