@@ -61,7 +61,16 @@ def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
     prof = (corpus_mod.PROFILES[prof_name] if prof_name
             else corpus_mod.profile_for_sf_dir(sf_dir))
     cdir = corpus_mod.ensure_corpus(prof)
-    out = f"/tmp/warc_ray_bench/crawl-{prof.name}"
+    # Output root on tmpfs by default: this sandbox's disk sustains
+    # ~36 MB/s (fsync-bound virtio) while a crawl run writes ~4 GB of
+    # WARC shards — on disk the 32-CPU arm measures the single disk's
+    # writeback queue, not the engine.  Node-local disk is a per-NODE
+    # resource on the real target (a 4N-node cluster has 4N of them),
+    # so the scaling stand-in must not serialize both arms through one
+    # fixed device.  Both arms get the same treatment; set
+    # GRAFT_BENCH_OUT to benchmark a real filesystem instead.
+    out_root = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/warc_ray_bench")
+    out = f"{out_root}/crawl-{prof.name}"
     shutil.rmtree(out, ignore_errors=True)
     # Throughput config: a bounded horizon (12 rounds covers ~95% of
     # the reachable frontier; the politeness-bound trickle after that
@@ -73,7 +82,7 @@ def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
     # seal work parallelizes across shards, so a fixed count would be
     # a serial floor at the larger size.
     n_shards = max(4, num_cpus // 2)
-    budget = 128 if prof.name == "benchxl" else 64
+    budget = 128 if prof.name.startswith("benchxl") else 64
     # per-shard seen-set capacity sized to the URL universe (docs+media
     # up to ~4x n_docs) with headroom below the ~0.95 cuckoo load limit
     cap = 1
@@ -117,7 +126,7 @@ def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
 
         import pyarrow.parquet as pq
 
-        for p in glob.glob(os.path.join(out, "round=*", "cdx", "*.parquet")):
+        for p in glob.glob(os.path.join(out, "cdx", "*.parquet")):
             n_warc_records += pq.ParquetFile(p).metadata.num_rows
     return {
         "sec": dt,
@@ -201,10 +210,12 @@ def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
     results = {}
     for n in (n_high, n_low) * reps:
         shutil.rmtree("/tmp/warc_ray_bench", ignore_errors=True)
+        shutil.rmtree("/dev/shm/warc_ray_bench", ignore_errors=True)
         _settle(int(os.environ.get("GRAFT_SCALING_COOLDOWN", "30")))
         _wait_quiet()
+        prof = os.environ.get("GRAFT_SCALING_PROFILE", "benchxl2")
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_RUNS="1", GRAFT_PROFILE="benchxl")
+                   GRAFT_BENCH_RUNS="1", GRAFT_PROFILE=prof)
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--job", "crawl-only"],
             env=env, capture_output=True, text=True, timeout=3600,

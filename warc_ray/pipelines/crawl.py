@@ -60,6 +60,9 @@ from ..state.frontier import (
 )
 
 LOG_COLS = ["url", "host", "doc_id", "status", "round", "fetch_seq", "depth"]
+# exactly what fused_fetch_records reads — the writer-IPC payload
+WRITER_COLS = ["url", "host", "status", "round", "content_type", "body",
+               "depth", "fetch_seq"]
 
 # (corpus_dir, n_buckets, num_shards, n_workers, n_writers) -> pools.
 # Worker/writer actors are stateless between runs (bind_run resets the
@@ -125,8 +128,10 @@ class WarcWriter:
     stalled the loop).  The crawl driver holds the returned refs and
     flushes them before each checkpoint (durability) and at the end."""
 
-    def __init__(self):
+    def __init__(self, writer_id: int = 0):
         _single_threaded_arrow()
+        self.writer_id = writer_id
+        self._cdx_buf: list = []
 
     def write_round(self, fetched: pa.Table, round_dir: str, part_id: str,
                     date_str: str) -> int:
@@ -136,11 +141,35 @@ class WarcWriter:
         records = fused_fetch_records(fetched)
         sink = WriteWarcShard(os.path.join(round_dir, "warc"), date=date_str)
         cdx = sink(records)
-        cdx_dir = os.path.join(round_dir, "cdx")
-        os.makedirs(cdx_dir, exist_ok=True)
-        pq.write_table(cdx, os.path.join(cdx_dir, f"part-{part_id}.parquet"))
+        # CDX rows buffer in-actor and flush at checkpoint barriers /
+        # crawl end (same durability granularity as the fetch log) —
+        # a parquet file per 2048-row chunk was ~3k tiny files and a
+        # measurable slice of writer busy time.  CDX is re-derivable
+        # from the WARC shards themselves, so a crash loses nothing.
+        self._cdx_buf.append(cdx)
         self._busy = getattr(self, "_busy", 0.0) + (_t.perf_counter() - _b0)
         return cdx.num_rows
+
+    def flush_cdx(self, out_dir: str, upto: int) -> int:
+        """Write buffered CDX rows as one parquet part under
+        ``out_dir/cdx/`` (rounds < upto; filename is rerun-stable)."""
+        if not self._cdx_buf:
+            return 0
+        tbl = pa.concat_tables(self._cdx_buf)
+        self._cdx_buf = []
+        cdx_dir = os.path.join(out_dir, "cdx")
+        os.makedirs(cdx_dir, exist_ok=True)
+        pq.write_table(tbl, os.path.join(
+            cdx_dir, f"part-{self.writer_id:03d}-r{upto:05d}.parquet"))
+        return tbl.num_rows
+
+    def reset_run(self) -> float:
+        """Drop state from a previous (possibly aborted) run on pool
+        reuse; returns and clears the busy counter."""
+        self._cdx_buf = []
+        b = getattr(self, "_busy", 0.0)
+        self._busy = 0.0
+        return b
 
     def busy_seconds(self) -> float:
         """Cumulative write_round work time (utilization diagnostics)."""
@@ -234,10 +263,14 @@ class CrawlWorker:
         warc_refs = []
         if write_warc and self.writers:
             # chunked so a fat round spreads over the WHOLE writer pool,
-            # not one writer per fetch worker
+            # not one writer per fetch worker.  Only the columns the
+            # record assembler reads are shipped — the spans column in
+            # particular is ~1/3 of the fetched table's bytes and dead
+            # weight in the writer IPC.
+            to_write = fetched.select(WRITER_COLS)
             nwr = len(self.writers)
             for c, lo in enumerate(range(0, fetched.num_rows, 2048)):
-                chunk = fetched.slice(lo, 2048)
+                chunk = to_write.slice(lo, 2048)
                 w = self.writers[(t * 131 + self.worker_id * 7 + c) % nwr]
                 warc_refs.append(w.write_round.remote(
                     chunk, round_dir, "%03d-%02d" % (self.worker_id, c),
@@ -322,13 +355,15 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         start_round = m["next_round"]
         # drop log parts flushed after the manifest's checkpoint (crash
         # between flush and manifest write) — the rerun regenerates them
-        log_dir = os.path.join(out_dir, "log")
-        if os.path.isdir(log_dir):
-            for name in os.listdir(log_dir):
+        for sub in ("log", "cdx"):
+            part_dir = os.path.join(out_dir, sub)
+            if not os.path.isdir(part_dir):
+                continue
+            for name in os.listdir(part_dir):
                 if name.endswith(".parquet"):
                     upto = int(name.rsplit("-r", 1)[1].split(".")[0])
                     if upto > start_round:
-                        os.unlink(os.path.join(log_dir, name))
+                        os.unlink(os.path.join(part_dir, name))
         shards = [
             Shard.remote(s, cfg, robots_ref,
                          restore_path=os.path.join(ckpt_dir, f"shard-{s:03d}.pkl"))
@@ -350,11 +385,13 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         # separate IO-politeness-bound fetchers from CPU-bound
         # compressors.)
         # measured round-2 costs: fetch+links ~45µs/URL vs WARC
-        # assembly+gzip ~195µs/URL → writers:fetch ≈ 3.3:1 on big
-        # budgets (the barrier chain rides on the fetch side, so it
-        # gets slightly more than the pure work ratio); tiny budgets
-        # keep the 2/7 split (a lone writer pool stalls otherwise)
-        frac = budget // 3 if budget >= 14 else budget * 2 // 7
+        # assembly+gzip ~105µs/URL solo (~140µs under full-node
+        # concurrency) → writers:fetch ≈ 2.3:1.  The barrier chain
+        # rides on the fetch side, so big budgets give fetch slightly
+        # more than the pure work ratio (budget//3 ≈ 0.33 > 0.30);
+        # small budgets round the 0.3 share UP (a lone fetch worker
+        # was the T8 bound at 96 core-s of fetch work).
+        frac = budget // 3 if budget >= 14 else (budget * 3 + 5) // 10
         fetch_concurrency = max(1 if budget < 8 else 2,
                                 min(profile.n_buckets, 32,
                                     frac if write_warc else budget))
@@ -370,7 +407,7 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         # fetch fleet, as a production crawler would keep)
         ray.get([w.bind_run.remote(shards, out_dir) for w in workers])
     else:
-        writers = [WarcWriter.remote() for _ in range(n_writers)]
+        writers = [WarcWriter.remote(i) for i in range(n_writers)]
         workers = [
             CrawlWorker.remote(w, corpus_dir, profile.n_buckets,
                                shards, cfg.num_shards, out_dir, writers)
@@ -381,8 +418,8 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
 
     _phase["spawn_pools"] = _time.perf_counter() - _pt
     _pt = _time.perf_counter()
-    if writers:  # drain stale busy counters (pool reuse across runs)
-        ray.get([w.busy_seconds.remote() for w in writers])
+    if writers:  # drop stale buffers/counters (pool reuse across runs)
+        ray.get([w.reset_run.remote() for w in writers])
 
     if start_round == 0 and not (resume and os.path.exists(manifest_path)):
         # round -1: seed the frontier IN PARALLEL across the whole
@@ -484,14 +521,16 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
             # round must be on disk before the manifest commits it
             total_warc_records += sum(ray.get(pending_warc))
             pending_warc = []
-            ray.get([w.flush_log.remote(t) for w in workers])
+            ray.get([w.flush_log.remote(t) for w in workers]
+                    + [w.flush_cdx.remote(out_dir, t) for w in writers])
             _checkpoint(shards, ckpt_dir, manifest_path, t, cfg)
 
     _phase["rounds"] = _time.perf_counter() - _pt
     _pt = _time.perf_counter()
     total_warc_records += sum(ray.get(pending_warc))
     pending_warc = []
-    ray.get([w.flush_log.remote(t) for w in workers])
+    ray.get([w.flush_log.remote(t) for w in workers]
+            + [w.flush_cdx.remote(out_dir, t) for w in writers])
     if checkpoint_every:
         _checkpoint(shards, ckpt_dir, manifest_path, t, cfg)
     _phase["final_flush"] = _time.perf_counter() - _pt

@@ -22,7 +22,13 @@ import hashlib
 import os
 import uuid
 
+import numpy as np
 import pyarrow as pa
+
+
+def _as_array(col) -> pa.Array:
+    """Column → single contiguous Array (cheap for the 1-chunk case)."""
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 from ..core import gzipm
 from ..core.warcrec import WARCHeader, sha1_digest
@@ -72,46 +78,38 @@ class WriteWarcShard:
         shard_path = os.path.join(self.out_dir, shard_name)
 
         blobs = batch["record_bytes"].to_pylist()
-        rows = {k: [] for k in ("target_uri", "record_id", "rec_type",
-                                "offset", "length", "payload_digest")}
-        offset = 0
-        chunks = []
         info = warcinfo_bytes(shard_name, self.date)
-        info_out = gzipm.compress_member(info) if self.compress else info
-        chunks.append(info_out)
-        rows["target_uri"].append("")
-        rows["record_id"].append(record_id_for("urn:warcinfo:" + shard_name, "warcinfo"))
-        rows["rec_type"].append("warcinfo")
-        rows["offset"].append(0)
-        rows["length"].append(len(info_out))
-        rows["payload_digest"].append(sha1_digest(WARCINFO_FIELDS.encode("ascii")))
-        offset = len(info_out)
-
-        for i, blob in enumerate(blobs):
-            out = gzipm.compress_member(blob) if self.compress else blob
-            chunks.append(out)
-            rows["target_uri"].append(batch["target_uri"][i].as_py())
-            rows["record_id"].append(rec_ids[i])
-            rows["rec_type"].append(batch["rec_type"][i].as_py())
-            rows["offset"].append(offset)
-            rows["length"].append(len(out))
-            rows["payload_digest"].append(batch["payload_digest"][i].as_py())
-            offset += len(out)
+        compress = gzipm.compress_member if self.compress else (lambda b: b)
+        chunks = [compress(info)]
+        chunks.extend(compress(blob) for blob in blobs)
+        lengths = np.fromiter((len(c) for c in chunks), dtype=np.int64,
+                              count=len(chunks))
+        offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
 
         tmp = shard_path + ".tmp-%s" % uuid.uuid4().hex[:8]
         with open(tmp, "wb") as f:
             f.write(b"".join(chunks))
         os.replace(tmp, shard_path)  # idempotent overwrite on rerun
 
-        n = len(rows["record_id"])
+        n = len(chunks)
         return pa.table({
-            "target_uri": rows["target_uri"],
-            "record_id": rows["record_id"],
-            "rec_type": rows["rec_type"],
+            "target_uri": pa.concat_arrays(
+                [pa.array([""], type=pa.string()),
+                 _as_array(batch["target_uri"])]),
+            "record_id": pa.concat_arrays(
+                [pa.array([record_id_for("urn:warcinfo:" + shard_name,
+                                         "warcinfo")], type=pa.string()),
+                 _as_array(batch["record_id"])]),
+            "rec_type": pa.concat_arrays(
+                [pa.array(["warcinfo"], type=pa.string()),
+                 _as_array(batch["rec_type"])]),
             "shard": [shard_path] * n,
-            "offset": rows["offset"],
-            "length": rows["length"],
-            "payload_digest": rows["payload_digest"],
+            "offset": offsets,
+            "length": lengths,
+            "payload_digest": pa.concat_arrays(
+                [pa.array([sha1_digest(WARCINFO_FIELDS.encode("ascii"))],
+                          type=pa.string()),
+                 _as_array(batch["payload_digest"])]),
         }, schema=CDX_SCHEMA)
 
 
