@@ -132,13 +132,26 @@ class WarcWriter:
         _single_threaded_arrow()
         self.writer_id = writer_id
         self._cdx_buf: list = []
+        # WARC output is a throughput sink OFF the round critical path;
+        # fetch workers and frontier shards are latency-critical (every
+        # round barrier waits on them).  Deprioritize the compressor
+        # pool so a writer backlog soaks up idle cores instead of
+        # preempting the round chain (on a multi-node cluster the
+        # equivalent is scheduling writers on separate nodes or cgroup
+        # weights; in local mode nice is the knob).
+        try:
+            os.nice(5)
+        except OSError:
+            pass
 
     def write_round(self, fetched: pa.Table, round_dir: str, part_id: str,
                     date_str: str) -> int:
         import time as _t
 
         _b0 = _t.perf_counter()
+        _c0 = _t.process_time()
         records = fused_fetch_records(fetched)
+        self._busy_asm = getattr(self, "_busy_asm", 0.0) + (_t.perf_counter() - _b0)
         sink = WriteWarcShard(os.path.join(round_dir, "warc"), date=date_str)
         cdx = sink(records)
         # CDX rows buffer in-actor and flush at checkpoint barriers /
@@ -148,6 +161,9 @@ class WarcWriter:
         # from the WARC shards themselves, so a crash loses nothing.
         self._cdx_buf.append(cdx)
         self._busy = getattr(self, "_busy", 0.0) + (_t.perf_counter() - _b0)
+        # wall vs CPU split: busy-wall >> busy-cpu means the writer was
+        # preempted mid-call (oversubscribed node), not doing more work
+        self._busy_cpu = getattr(self, "_busy_cpu", 0.0) + (_t.process_time() - _c0)
         return cdx.num_rows
 
     def flush_cdx(self, out_dir: str, upto: int) -> int:
@@ -168,13 +184,14 @@ class WarcWriter:
         reuse; returns and clears the busy counter."""
         self._cdx_buf = []
         b = getattr(self, "_busy", 0.0)
-        self._busy = 0.0
+        self._busy = self._busy_cpu = self._busy_asm = 0.0
         return b
 
-    def busy_seconds(self) -> float:
-        """Cumulative write_round work time (utilization diagnostics)."""
-        b = getattr(self, "_busy", 0.0)
-        self._busy = 0.0
+    def busy_seconds(self) -> tuple:
+        """Cumulative write_round (wall, cpu, assembly-wall) work time."""
+        b = (getattr(self, "_busy", 0.0), getattr(self, "_busy_cpu", 0.0),
+             getattr(self, "_busy_asm", 0.0))
+        self._busy = self._busy_cpu = self._busy_asm = 0.0
         return b
 
     def seed_slice(self, seeds: pa.Table, lo: int, hi: int,
@@ -252,11 +269,15 @@ class CrawlWorker:
         driver."""
         tables = [tb for tb in ray.get(list(slice_refs)) if tb.num_rows]
         if not tables:
-            return {"fetched": 0, "offer_refs": [], "warc_refs": []}
+            return {"fetched": 0, "offer_refs": [], "warc_refs": [],
+                    "tm": (0.0, 0.0, 0.0, 0.0)}
         return self.process_round(t, pa.concat_tables(tables), write_warc)
 
     def process_round(self, t: int, urls: pa.Table, write_warc: bool) -> dict:
+        import time as _t
+        _p0 = _t.perf_counter()
         fetched = self.fetch(urls)
+        _p1 = _t.perf_counter()
         round_dir = os.path.join(self.out_dir, f"round={t:05d}")
         self._log_buf.append(fetched.select(LOG_COLS))
 
@@ -276,8 +297,10 @@ class CrawlWorker:
                     chunk, round_dir, "%03d-%02d" % (self.worker_id, c),
                     logical_date(t)))
 
+        _p2 = _t.perf_counter()
         links = canonicalize_batch(
             extract_links(fetched, doc_col="doc_id", depth_col="depth"))
+        _p3 = _t.perf_counter()
         # Re-offer suppression: a URL this worker already offered is a
         # guaranteed duplicate at its shard (the cuckoo filter holds
         # every offered key), so repeats ship as per-shard COUNTS
@@ -310,7 +333,9 @@ class CrawlWorker:
                     offer_refs.append(
                         self.shards[s].count_suppressed.remote(int(sup[s])))
         return {"fetched": fetched.num_rows, "offer_refs": offer_refs,
-                "warc_refs": warc_refs}
+                "warc_refs": warc_refs,
+                "tm": (_p1 - _p0, _p2 - _p1, _p3 - _p2,
+                       _t.perf_counter() - _p3)}
 
 
 def _split_by_worker(emit: pa.Table, n_buckets: int, n_workers: int):
@@ -509,10 +534,11 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         else:
             ray.get([s.seal_round.remote() for s in shards])
         if round_log:
+            tmx = [max(c["tm"][i] for c in counts) for i in range(4)]
             with open(round_log, "a") as f:
-                f.write("%d %d %.3f %.3f %.3f\n" % (
+                f.write("%d %d %.3f %.3f %.3f  f%.2f w%.2f l%.2f o%.2f\n" % (
                     t, sum(per_worker), _t1 - _t0, _t2 - _t1,
-                    _time.perf_counter() - _t2))
+                    _time.perf_counter() - _t2, *tmx))
 
         rounds_run += 1
         t += 1
@@ -539,8 +565,10 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     _phase["seal_busy_sum"] = sum(b["seal"] for b in shard_busy)
     _phase["pop_busy_max"] = max(b["pop"] for b in shard_busy)
     if writers:
-        _phase["writer_busy"] = sum(
-            ray.get([w.busy_seconds.remote() for w in writers]))
+        wb = ray.get([w.busy_seconds.remote() for w in writers])
+        _phase["writer_busy"] = sum(b[0] for b in wb)
+        _phase["writer_busy_cpu"] = sum(b[1] for b in wb)
+        _phase["writer_busy_asm"] = sum(b[2] for b in wb)
     stats = ray.get([s.stats.remote() for s in shards])
     filters = ray.get([s.filter_table_bytes.remote() for s in shards])
     for a in shards:          # workers/writers stay warm (_POOL_CACHE)

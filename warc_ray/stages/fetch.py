@@ -26,7 +26,8 @@ import pyarrow as pa
 
 from .. import corpus as corpus_mod
 from ..schema import FETCH_SCHEMA, SPAN_STRUCT
-from .assemble import http_response_payload, media_body, render_body
+from .assemble import (http_response_payload, media_bodies, media_body,
+                       render_body)
 
 _EMPTY_SPANS: list = []
 _BUCKET_CACHE: OrderedDict = OrderedDict()
@@ -154,7 +155,7 @@ class FetchGroup:
         seg: list[tuple] = []        # (bucket, [bucket rows]) segments
         media_pos: list[int] = []
         media_ids: list[str] = []
-        media_blobs: list[bytes] = []
+        media_urls: list[str] = []
         miss_pos: list[int] = []
         cur_bucket = -1
         cur_rows: list[int] = []
@@ -178,7 +179,7 @@ class FetchGroup:
             elif kind == "media":
                 media_pos.append(p)
                 media_ids.append("media-%d" % idx)
-                media_blobs.append(media_body(u))
+                media_urls.append(u)
             else:
                 miss_pos.append(p)
         if cur_rows:
@@ -194,7 +195,8 @@ class FetchGroup:
             span_chunks.append(spans.take(take))
             body_chunks.append(payload.take(take))
         if n_med:
-            body_chunks.append(pa.array(media_blobs, type=pa.large_binary()))
+            body_chunks.append(pa.array(media_bodies(media_urls),
+                                        type=pa.large_binary()))
             span_chunks.append(pa.array([[]] * n_med, type=empty_spans_t))
         if n_miss:
             body_chunks.append(pa.array([b""] * n_miss, type=pa.large_binary()))

@@ -143,7 +143,7 @@ def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | N
     import ray.data as rd
 
     from .. import corpus as corpus_mod
-    from ..stages.fetch import media_body
+    from ..stages.fetch import media_bodies
     from ..stages.urls import extract_links
 
     import pyarrow.compute as pc
@@ -157,12 +157,12 @@ def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | N
 
     def synthesize(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        ids, types, payloads = [], [], []
+        ids, types = [], []
         for u in urls:
             _kind, idx = corpus_mod.parse_synthetic_url(u)
             ids.append(f"media-{idx}")
             types.append("video" if idx % 3 == 0 else "image")
-            payloads.append(media_body(u))
+        payloads = media_bodies(urls)
         return pa.table({
             "media_id": pa.array(ids, type=pa.string()),
             "url": batch["url"],
