@@ -77,10 +77,18 @@ def _single_threaded_arrow() -> None:
     MACHINE's core count — 13 actors x 32 threads oversubscribed an
     8-CPU cluster ~50x and tripled wall time.  Parallelism here comes
     from the actor pools, not intra-kernel threads."""
+    import gc
     import pyarrow as _pa
 
     _pa.set_cpu_count(1)
     _pa.set_io_thread_count(1)
+    # Stretch GC cadence ~20x: crawl actors hold large long-lived
+    # containers (bucket index maps, buffered log tables), and CPython's
+    # default cadence runs a full gen-2 scan over all of them every
+    # ~70k container allocations — a fixed multi-100ms tax per round at
+    # full batch rate.  Almost all garbage here is refcount-freed, so
+    # collections are purely cycle insurance.
+    gc.set_threshold(50_000, 25, 25)
 
 
 def route_and_offer(table: pa.Table, shards, num_shards: int) -> int:
@@ -132,17 +140,13 @@ class WarcWriter:
         _single_threaded_arrow()
         self.writer_id = writer_id
         self._cdx_buf: list = []
-        # WARC output is a throughput sink OFF the round critical path;
-        # fetch workers and frontier shards are latency-critical (every
-        # round barrier waits on them).  Deprioritize the compressor
-        # pool so a writer backlog soaks up idle cores instead of
-        # preempting the round chain (on a multi-node cluster the
-        # equivalent is scheduling writers on separate nodes or cgroup
-        # weights; in local mode nice is the knob).
-        try:
-            os.nice(5)
-        except OSError:
-            pass
+        # NOTE: do NOT os.nice() this actor — Ray reuses worker
+        # PROCESSES across actor lifetimes, so a nice()'d writer
+        # process later rejoins the idle pool and can host a fetch
+        # worker or frontier shard at degraded priority (observed:
+        # every ray::IDLE process niced after one bench run).  Writer
+        # backlog control is structural instead: writers are a separate
+        # bounded pool and WARC flush rides checkpoint barriers.
 
     def write_round(self, fetched: pa.Table, round_dir: str, part_id: str,
                     date_str: str) -> int:
@@ -229,7 +233,9 @@ class CrawlWorker:
         self.out_dir = out_dir
         self.writers = writers or []
         self._log_buf: list = []
-        self._offered: set[int] = set()
+        from ..state.u64set import U64Set
+
+        self._offered = U64Set()
 
     def bind_run(self, shards, out_dir: str) -> None:
         """Rebind to a new crawl run (pool reuse): fresh frontier shard
@@ -237,7 +243,7 @@ class CrawlWorker:
         self.shards = shards
         self.out_dir = out_dir
         self._log_buf = []
-        self._offered = set()
+        self._offered.clear()
 
     def flush_log(self, upto: int) -> int:
         """Write buffered fetch-log rows (rounds < upto) as one parquet
@@ -314,12 +320,12 @@ class CrawlWorker:
         offer_refs = []
         if links.num_rows:
             if len(self._offered) > self.OFFERED_SET_CAP:
-                self._offered = set()
-            offered = self._offered
+                self._offered.clear()
             h = links["hash64"].to_numpy(zero_copy_only=False)
-            fresh = np.fromiter((int(x) not in offered for x in h),
-                                dtype=bool, count=len(h))
-            offered.update(int(x) for x in h[fresh])
+            # GC-free vectorized set: a Python set[int] of millions of
+            # offered keys made every gen-2 GC pass scan it — observed
+            # as seconds of fixed stall per late crawl round
+            fresh = ~self._offered.contains_add(h)
             sid = shard_ids_of(links, self.num_shards)
             sup = np.bincount(sid[~fresh], minlength=self.num_shards)
             # fire-and-forget: the DRIVER awaits these acks before
@@ -536,9 +542,11 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         if round_log:
             tmx = [max(c["tm"][i] for c in counts) for i in range(4)]
             with open(round_log, "a") as f:
-                f.write("%d %d %.3f %.3f %.3f  f%.2f w%.2f l%.2f o%.2f\n" % (
-                    t, sum(per_worker), _t1 - _t0, _t2 - _t1,
-                    _time.perf_counter() - _t2, *tmx))
+                f.write("%d %d %.3f %.3f %.3f  f%.2f w%.2f l%.2f o%.2f  "
+                        "rows[%d..%d]\n" % (
+                            t, sum(per_worker), _t1 - _t0, _t2 - _t1,
+                            _time.perf_counter() - _t2, *tmx,
+                            min(per_worker), max(per_worker)))
 
         rounds_run += 1
         t += 1
@@ -564,6 +572,9 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     _phase["seal_busy_max"] = max(b["seal"] for b in shard_busy)
     _phase["seal_busy_sum"] = sum(b["seal"] for b in shard_busy)
     _phase["pop_busy_max"] = max(b["pop"] for b in shard_busy)
+    hot = max(shard_busy, key=lambda b: b["seal"])
+    for k in ("seal_sort", "seal_filter", "seal_queue"):
+        _phase["hot_" + k] = hot.get(k, 0.0)
     if writers:
         wb = ray.get([w.busy_seconds.remote() for w in writers])
         _phase["writer_busy"] = sum(b[0] for b in wb)

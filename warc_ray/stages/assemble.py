@@ -96,10 +96,21 @@ def media_bodies(urls: list[str]) -> list[bytes]:
     """Deterministic pseudo-binary blobs for /media/ URLs, batched.
 
     Per URL: seed = sha1(url)[4:12], size = 256 + sha1[:2] % 3840, and
-    the payload is the splitmix64 stream of (seed + word-index) — one
-    vectorized uint64 pass over the whole batch (the previous per-URL
-    PCG64 construction cost ~31 µs/URL and dominated media-heavy crawl
-    rounds; media rounds are 80-95% of late-round traffic)."""
+    the payload is the splitmix64 stream of (seed + word-index) — a
+    vectorized uint64 pass (the previous per-URL PCG64 construction
+    cost ~31 µs/URL and dominated media-heavy crawl rounds; media
+    rounds are 80-95% of late-round traffic).  Work is CHUNKED so peak
+    ephemeral allocation stays ~10 MB: many fetch actors synthesizing
+    media concurrently with unbounded batch-sized arrays (~1 GB of
+    allocator traffic per call) stalled each other on memory
+    bandwidth/page faults at full-node concurrency."""
+    out: list[bytes] = []
+    for lo in range(0, len(urls), 4096):
+        out.extend(_media_bodies_chunk(urls[lo:lo + 4096]))
+    return out
+
+
+def _media_bodies_chunk(urls: list[str]) -> list[bytes]:
     if not urls:
         return []
     n = len(urls)

@@ -94,7 +94,8 @@ class FrontierCore:
         }
         # in-actor work time (diagnostics only — NOT in counters, which
         # are compared 1:1 against the single-process oracle's)
-        self.busy = {"seal": 0.0, "pop": 0.0}
+        self.busy = {"seal": 0.0, "pop": 0.0,
+                     "seal_sort": 0.0, "seal_filter": 0.0, "seal_queue": 0.0}
 
     # -- offer / seal ---------------------------------------------------
 
@@ -138,6 +139,8 @@ class FrontierCore:
                                               ("src_offset", "ascending"),
                                               ("url", "ascending")])
         buf = buf.take(idx)
+        self.busy["seal_sort"] += _time.perf_counter() - _b0
+        _b1 = _time.perf_counter()
         keys = buf["hash64"].to_numpy(zero_copy_only=False)
         seen = self.filter.contains_or_add(keys)
         depth_np = buf["depth"].to_numpy(zero_copy_only=False)
@@ -148,8 +151,12 @@ class FrontierCore:
         self.counters["too_deep"] += int(deep.sum())
         cand_mask = fresh & ~deep
         if not cand_mask.any():
+            self.busy["seal_filter"] += _time.perf_counter() - _b1
+            self.busy["seal"] += _time.perf_counter() - _b0
             return
         cand = buf.filter(pa.array(cand_mask))
+        self.busy["seal_filter"] += _time.perf_counter() - _b1
+        _b2 = _time.perf_counter()
         # Bulk insert, grouped by (host, priority): a stable sort on the
         # already-globally-sorted candidates preserves FIFO order WITHIN
         # each (host, priority) queue — the only ordering pop_round
@@ -201,6 +208,7 @@ class FrontierCore:
         self.seq = seq
         self.counters["robots_denied"] += denied
         self.counters["queued"] += queued
+        self.busy["seal_queue"] += _time.perf_counter() - _b2
         self.busy["seal"] += _time.perf_counter() - _b0
 
     # -- emission -------------------------------------------------------
@@ -357,6 +365,13 @@ def make_frontier_shard_cls():
             # _single_threaded_arrow — shards sort/filter with Arrow)
             pa.set_cpu_count(1)
             pa.set_io_thread_count(1)
+            # stretch GC cadence: the priority queues hold millions of
+            # long-lived (seq, url, depth) tuples, and a default-cadence
+            # gen-2 pass rescans all of them — a fixed multi-100ms tax
+            # on the seal critical path (see crawl._single_threaded_arrow)
+            import gc
+
+            gc.set_threshold(50_000, 25, 25)
             # ray.put refs passed as task args arrive auto-resolved
             robots = robots_ref if isinstance(robots_ref, dict) else (
                 ray.get(robots_ref) if robots_ref is not None else {})
