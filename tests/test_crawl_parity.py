@@ -161,3 +161,23 @@ def test_lineage_and_metrics(crawl_result):
     # monotone rounds across checkpoints
     assert [r["next_round"] for r in rows] == sorted(
         r["next_round"] for r in rows)
+
+
+def test_fresh_run_clears_stale_parts(ray_session, tmp_path):
+    """A fresh (non-resume) run into a reused out_dir must not leave
+    stale log/cdx parts from a previous run with a DIFFERENT pool
+    layout (part filenames are keyed by worker id)."""
+    import shutil
+
+    from warc_ray import corpus as corpus_mod
+    from warc_ray.pipelines.crawl import read_fetch_log, run_crawl
+    from warc_ray.state.frontier import FrontierConfig
+
+    cdir = corpus_mod.ensure_corpus("t1")
+    out = str(tmp_path / "reused-out")
+    cfg = FrontierConfig(num_shards=2, max_rounds=6, filter_capacity=1 << 14)
+    run_crawl(cdir, out, config=cfg, write_warc=False, fetch_concurrency=2)
+    n2 = read_fetch_log(out).count()
+    run_crawl(cdir, out, config=cfg, write_warc=False, fetch_concurrency=1)
+    n1 = read_fetch_log(out).count()
+    assert n1 == n2

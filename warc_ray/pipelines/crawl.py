@@ -370,6 +370,22 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "checkpoint")
     manifest_path = os.path.join(out_dir, "CRAWL_MANIFEST.json")
+    if not (resume and os.path.exists(manifest_path)):
+        # fresh run into a reused out_dir: drop ALL prior outputs.
+        # Flushed log/cdx part names are keyed (worker_id, round) — a
+        # rerun with a different pool size overwrites only ITS OWN
+        # part names and read_fetch_log would union in stale parts
+        # from the previous layout.
+        for sub in ("log", "cdx", "checkpoint"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        for name in os.listdir(out_dir):
+            if name.startswith("round="):
+                shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+        for fname in ("CRAWL_MANIFEST.json", "LINEAGE.jsonl"):
+            try:
+                os.unlink(os.path.join(out_dir, fname))
+            except FileNotFoundError:
+                pass
 
     import time as _time
 
@@ -408,24 +424,20 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     cpus = int(ray.cluster_resources().get("CPU", 8))
     budget = max(1, cpus - (cfg.num_shards + 3) // 4 - 1)
     if fetch_concurrency is None:
-        # WARC assembly+gzip is ~2.5x the fetch-side CPU → fetch gets
-        # ~2/7 of the pool when WARC writing is on, writers the rest.
         # (A combined fetch+gzip pool with max_concurrency=2 was tried
         # and LOST ~40% at small cluster sizes to head-of-line
         # blocking; split pools also mirror how a real cluster would
         # separate IO-politeness-bound fetchers from CPU-bound
         # compressors.)
-        # measured round-2 costs: fetch+links ~45µs/URL vs WARC
-        # assembly+gzip ~105µs/URL solo (~140µs under full-node
-        # concurrency) → writers:fetch ≈ 2.3:1.  The barrier chain
-        # rides on the fetch side, so big budgets give fetch slightly
-        # more than the pure work ratio (budget//3 ≈ 0.33 > 0.30);
-        # small budgets round the 0.3 share UP (a lone fetch worker
-        # was the T8 bound at 96 core-s of fetch work).
-        frac = budget // 3 if budget >= 14 else (budget * 3 + 5) // 10
-        fetch_concurrency = max(1 if budget < 8 else 2,
-                                min(profile.n_buckets, 32,
-                                    frac if write_warc else budget))
+        # measured round-2 costs (benchxl2, after the GC/vectorization
+        # fixes): fetch+links ≈ 20µs/URL of pool CPU vs WARC
+        # assembly+gzip ≈ 165µs/URL → writer:fetch work ≈ 7:1.  Fetch
+        # still gets ~1/5 of the pool (above its work share) because
+        # the round-barrier chain rides on fetch latency — the writer
+        # pool drains asynchronously across barriers and only its
+        # TOTAL must fit inside the crawl's wall time.
+        frac = max(1, round(budget * 0.22)) if write_warc else budget
+        fetch_concurrency = max(1, min(profile.n_buckets, 32, frac))
     n_workers = fetch_concurrency
     n_writers = max(1, budget - n_workers) if write_warc else 0
     pool_key = (corpus_dir, profile.n_buckets, cfg.num_shards,

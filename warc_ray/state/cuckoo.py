@@ -149,23 +149,27 @@ class CuckooFilter:
         # quadratically once the filter has full buckets.)
         fresh = np.flatnonzero(~seen)
         if len(fresh):
-            t = self.table
+            # writable flat uint16 memoryview over the same buffer:
+            # scalar stores are ~2x cheaper than numpy 2-D indexing
+            flat = self.table.reshape(-1).data
             fill = self.fill
+            cnt = 0
             for i1, i2, fp in zip(i1s[fresh].tolist(), i2s[fresh].tolist(),
                                   fps[fresh].tolist()):
                 f = fill[i1]
                 if f < 4:
-                    t[i1, f] = fp
+                    flat[4 * i1 + f] = fp
                     fill[i1] = f + 1
-                    self.count += 1
+                    cnt += 1
                     continue
                 f = fill[i2]
                 if f < 4:
-                    t[i2, f] = fp
+                    flat[4 * i2 + f] = fp
                     fill[i2] = f + 1
-                    self.count += 1
+                    cnt += 1
                     continue
                 self._insert(i1, i2, fp)  # rare: kick path
+            self.count += cnt
         return seen
 
     def __contains__(self, key: int) -> bool:

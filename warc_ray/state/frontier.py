@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from collections import deque
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -138,7 +137,10 @@ class FrontierCore:
                                               ("src_doc", "ascending"),
                                               ("src_offset", "ascending"),
                                               ("url", "ascending")])
-        buf = buf.take(idx)
+        # src_doc/src_offset exist only to define the sort — don't
+        # gather them (src_doc is a string column, ~25% of the take)
+        buf = buf.select(["url", "host", "priority", "depth",
+                          "hash64"]).take(idx)
         self.busy["seal_sort"] += _time.perf_counter() - _b0
         _b1 = _time.perf_counter()
         keys = buf["hash64"].to_numpy(zero_copy_only=False)
@@ -160,18 +162,24 @@ class FrontierCore:
         # Bulk insert, grouped by (host, priority): a stable sort on the
         # already-globally-sorted candidates preserves FIFO order WITHIN
         # each (host, priority) queue — the only ordering pop_round
-        # depends on — while letting robots checks and deque appends run
-        # once per run instead of once per row (the per-row Python loop
-        # was ~6.5us/fresh URL and the dominant seal cost).
-        urls = cand["url"].to_pylist()
-        hosts = cand["host"].to_pylist()
+        # depends on.  Queues hold ZERO-COPY Arrow slices of the
+        # grouped candidate table, one chunk per (run, round): no
+        # per-row Python tuples (the ~6.5µs/URL deque fill was the
+        # dominant seal cost, and the millions of live queue tuples
+        # made every gen-2 GC pass seconds long on the hot shard).
         prios = cand["priority"].to_numpy(zero_copy_only=False)
-        depths = cand["depth"].to_pylist()
         host_codes = pc.dictionary_encode(cand["host"]).combine_chunks()
         codes = (host_codes.indices.to_numpy(zero_copy_only=False)
                  if cand.num_rows else np.zeros(0, dtype=np.int32))
         composite = codes.astype(np.int64) * (1 << 31) - prios.astype(np.int64)
         order = np.argsort(composite, kind="stable")
+        g = cand.select(["url", "depth"]).take(
+            pa.array(order, type=pa.int64()))
+        g_urls = g["url"].combine_chunks()
+        g_depths = g["depth"].combine_chunks()
+        host_dict = host_codes.dictionary
+        codes_sorted = codes[order]
+        prios_sorted = prios[order]
         robots = self.robots
         queues = self.queues
         seq = self.seq
@@ -182,29 +190,34 @@ class FrontierCore:
         starts = np.concatenate([[0], bounds]) if len(order) else []
         ends = np.concatenate([bounds, [len(order)]]) if len(order) else []
         for s, e in zip(starts, ends):
-            run = order[s:e]
-            host = hosts[run[0]]
-            prio = int(prios[run[0]])
+            s, e = int(s), int(e)
+            host = host_dict[int(codes_sorted[s])].as_py()
+            prio = int(prios_sorted[s])
+            u_sl = g_urls.slice(s, e - s)
+            d_sl = g_depths.slice(s, e - s)
             rules = robots.get(host)
             if rules:
                 pres = rules[0]
-                keep = [r for r in run
-                        if not any(path_of(urls[r]).startswith(pre)
+                ul = u_sl.to_pylist()
+                keep = [i for i, u in enumerate(ul)
+                        if not any(path_of(u).startswith(pre)
                                    for pre in pres)]
-                denied += len(run) - len(keep)
-                run = keep
-                if not run:
+                denied += (e - s) - len(keep)
+                if not keep:
                     continue
+                if len(keep) != e - s:
+                    ki = pa.array(keep, type=pa.int32())
+                    u_sl = u_sl.take(ki)
+                    d_sl = d_sl.take(ki)
             q = queues.get(host)
             if q is None:
                 q = queues[host] = {}
             d = q.get(prio)
             if d is None:
-                d = q[prio] = deque()
-            d.extend((seq + k, urls[r], depths[r])
-                     for k, r in enumerate(run))
-            seq += len(run)
-            queued += len(run)
+                d = q[prio] = []
+            d.append([0, u_sl, d_sl])  # [cursor, urls, depths]
+            seq += len(u_sl)
+            queued += len(u_sl)
         self.seq = seq
         self.counters["robots_denied"] += denied
         self.counters["queued"] += queued
@@ -214,59 +227,88 @@ class FrontierCore:
     # -- emission -------------------------------------------------------
 
     def pop_round(self, t: int) -> pa.Table:
-        """Emit every eligible URL at logical time ``t`` (G9)."""
+        """Emit every eligible URL at logical time ``t`` (G9).
+
+        Chunk-slicing formulation over the Arrow-backed queues —
+        behavior-identical to the per-item reference loop (token bucket
+        decrements 1.0/URL, so the pop count per host is exactly
+        ``min(floor(tokens), per_round_host_budget, queued[, 1 if
+        crawl-delay])`` and the emission order is hosts sorted, then
+        priority desc, then FIFO)."""
         import time as _time
 
         _b0 = _time.perf_counter()
         cfg = self.config
-        out_url, out_host, out_prio, out_depth, out_seq = [], [], [], [], []
+        parts: list[tuple] = []     # (prio, url_slice, depth_slice)
+        host_rows: list[tuple] = []  # (host, n_emitted)
         for host in sorted(h for h, q in self.queues.items() if q):
-            q = self.queues[host]  # {priority: deque[(seq, url, depth)]}
+            q = self.queues[host]  # {priority: [[cursor, urls, depths]..]}
             if self.next_allowed.get(host, 0) > t:
                 continue
             last = self.last_refill.get(host, t)
             tok = min(float(cfg.burst),
                       self.tokens.get(host, float(cfg.burst)) + cfg.rate * (t - last))
             self.last_refill[host] = t
-            budget = cfg.per_round_host_budget
             dly = self.robots.get(host, ((), 0))[1]
+            cap = min(int(tok), cfg.per_round_host_budget)
+            if dly:
+                cap = min(cap, 1)  # crawl-delay: one fetch per window
             k = 0
-            stop = False
-            # highest priority first; FIFO (seq order) within a priority
-            for prio in sorted(q, reverse=True):
-                d = q[prio]
-                while d and not stop:
-                    if tok < 1.0 or budget <= 0:
-                        stop = True
+            if cap > 0:
+                # highest priority first; FIFO (chunk order) within one
+                for prio in sorted(q, reverse=True):
+                    chunks = q[prio]
+                    while chunks and k < cap:
+                        entry = chunks[0]
+                        pos, u_sl, d_sl = entry
+                        avail = len(u_sl) - pos
+                        n = min(avail, cap - k)
+                        parts.append((prio, u_sl.slice(pos, n),
+                                      d_sl.slice(pos, n)))
+                        k += n
+                        if n == avail:
+                            chunks.pop(0)
+                        else:
+                            entry[0] = pos + n
+                    if not chunks:
+                        del q[prio]
+                    if k >= cap:
                         break
-                    _seq, url, depth = d.popleft()
-                    out_url.append(url)
-                    out_host.append(host)
-                    out_prio.append(prio)
-                    out_depth.append(depth)
-                    out_seq.append(k)
-                    k += 1
-                    tok -= 1.0
-                    budget -= 1
-                    if dly:
-                        self.next_allowed[host] = t + dly
-                        stop = True  # crawl-delay: one fetch per window
-                if not d:
-                    del q[prio]
-                if stop:
-                    break
-            self.tokens[host] = tok
+                if dly and k:
+                    self.next_allowed[host] = t + dly
+            self.tokens[host] = tok - k
             if not q:
                 del self.queues[host]
-        self.counters["emitted"] += len(out_url)
+            if k:
+                host_rows.append((host, k))
+        n_out = sum(k for _, k in host_rows)
+        self.counters["emitted"] += n_out
+        if n_out:
+            url_arr = pa.concat_arrays([p[1] for p in parts])
+            depth_arr = pa.concat_arrays(
+                [p[2].cast(pa.int32()) if p[2].type != pa.int32() else p[2]
+                 for p in parts])
+            host_col = np.repeat(
+                np.array([h for h, _ in host_rows], dtype=object),
+                [k for _, k in host_rows]).tolist()
+            prio_arr = np.concatenate(
+                [np.full(len(p[1]), p[0], dtype=np.int32) for p in parts])
+            seq_arr = np.concatenate(
+                [np.arange(k, dtype=np.int64) for _, k in host_rows])
+        else:
+            url_arr = pa.array([], type=pa.string())
+            depth_arr = pa.array([], type=pa.int32())
+            host_col = []
+            prio_arr = np.zeros(0, dtype=np.int32)
+            seq_arr = np.zeros(0, dtype=np.int64)
         self.busy["pop"] += _time.perf_counter() - _b0
         return pa.table({
-            "url": pa.array(out_url, type=pa.string()),
-            "host": pa.array(out_host, type=pa.string()),
-            "priority": pa.array(out_prio, type=pa.int32()),
-            "depth": pa.array(out_depth, type=pa.int32()),
-            "round": pa.array([t] * len(out_url), type=pa.int32()),
-            "fetch_seq": pa.array(out_seq, type=pa.int64()),
+            "url": url_arr,
+            "host": pa.array(host_col, type=pa.string()),
+            "priority": pa.array(prio_arr),
+            "depth": depth_arr,
+            "round": pa.array([t] * n_out, type=pa.int32()),
+            "fetch_seq": pa.array(seq_arr),
         })
 
     def has_pending(self) -> bool:
@@ -281,10 +323,25 @@ class FrontierCore:
     # -- checkpoint (G16) ----------------------------------------------
 
     def state(self) -> dict:
+        # queues serialize as plain (urls, depths) lists per (host,
+        # prio) — compact (pickling Arrow slices can drag whole parent
+        # buffers) and FIFO-preserving; load() rebuilds one Arrow chunk
+        # per queue.
+        qs = {}
+        for host, q in self.queues.items():
+            qp = {}
+            for prio, chunks in q.items():
+                us: list[str] = []
+                ds: list[int] = []
+                for pos, u_sl, d_sl in chunks:
+                    us.extend(u_sl.slice(pos).to_pylist())
+                    ds.extend(d_sl.slice(pos).to_pylist())
+                qp[prio] = (us, ds)
+            qs[host] = qp
         return {
             "shard_id": self.shard_id,
             "filter": self.filter.state(),
-            "queues": self.queues,
+            "queues": qs,
             "tokens": self.tokens,
             "last_refill": self.last_refill,
             "next_allowed": self.next_allowed,
@@ -302,7 +359,11 @@ class FrontierCore:
         with open(path, "rb") as f:
             s = pickle.load(f)
         self.filter = CuckooFilter.from_state(s["filter"])
-        self.queues = s["queues"]
+        self.queues = {
+            host: {prio: [[0, pa.array(us, type=pa.string()),
+                           pa.array(ds, type=pa.int32())]]
+                   for prio, (us, ds) in qp.items() if us}
+            for host, qp in s["queues"].items()}
         self.tokens = s["tokens"]
         self.last_refill = s["last_refill"]
         self.next_allowed = s["next_allowed"]
