@@ -79,6 +79,12 @@ PROFILES = {
     # jobs).  More hosts (4k) keeps per-host politeness budgets — and
     # hence round count — the same while doubling round width.
     "benchxl2": Profile("benchxl2", 4_800_000, 4_000, 2_400_000, 256),
+    # benchxl3: 2x benchxl2 — per-JOB constants (seed seal, 12 round
+    # barriers, final flush tail) fall to ~5% of wall at 32 CPUs, and
+    # the 32-arm's noise exposure is amortized over ~2x the work.  The
+    # official scaling row uses the largest profile that keeps a full
+    # harness run under ~an hour on this host.
+    "benchxl3": Profile("benchxl3", 9_600_000, 8_000, 4_800_000, 512),
 }
 
 # testdata scale-factor directory basename -> corpus profile

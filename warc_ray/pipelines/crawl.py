@@ -89,6 +89,13 @@ def _single_threaded_arrow() -> None:
     # full batch rate.  Almost all garbage here is refcount-freed, so
     # collections are purely cycle insurance.
     gc.set_threshold(50_000, 25, 25)
+    # heal scheduling policy: this process may previously have hosted a
+    # SCHED_BATCH WarcWriter (Ray reuses worker processes); fetch and
+    # frontier actors are latency-critical
+    try:
+        os.sched_setscheduler(0, os.SCHED_OTHER, os.sched_param(0))
+    except (AttributeError, OSError):
+        pass
 
 
 def route_and_offer(table: pa.Table, shards, num_shards: int) -> int:
@@ -140,13 +147,19 @@ class WarcWriter:
         _single_threaded_arrow()
         self.writer_id = writer_id
         self._cdx_buf: list = []
-        # NOTE: do NOT os.nice() this actor — Ray reuses worker
-        # PROCESSES across actor lifetimes, so a nice()'d writer
-        # process later rejoins the idle pool and can host a fetch
-        # worker or frontier shard at degraded priority (observed:
-        # every ray::IDLE process niced after one bench run).  Writer
-        # backlog control is structural instead: writers are a separate
-        # bounded pool and WARC flush rides checkpoint barriers.
+        # Deprioritize the compressor pool with SCHED_BATCH, NOT
+        # os.nice(): Ray reuses worker PROCESSES across actor
+        # lifetimes, and nice can never be lowered back without
+        # CAP_SYS_NICE — one bench run left every ray::IDLE process
+        # niced and later fetch workers ran degraded.  SCHED_BATCH is
+        # unprivileged in BOTH directions (latency-critical actors
+        # reset to SCHED_OTHER in their own init), and gives fetch /
+        # frontier wakeups preemption preference over the long-running
+        # gzip slices.
+        try:
+            os.sched_setscheduler(0, os.SCHED_BATCH, os.sched_param(0))
+        except (AttributeError, OSError):
+            pass
 
     def write_round(self, fetched: pa.Table, round_dir: str, part_id: str,
                     date_str: str) -> int:

@@ -433,6 +433,12 @@ def make_frontier_shard_cls():
             import gc
 
             gc.set_threshold(50_000, 25, 25)
+            # heal policy from a prior SCHED_BATCH writer incarnation
+            # of this reused worker process (see crawl.WarcWriter)
+            try:
+                os.sched_setscheduler(0, os.SCHED_OTHER, os.sched_param(0))
+            except (AttributeError, OSError):
+                pass
             # ray.put refs passed as task args arrive auto-resolved
             robots = robots_ref if isinstance(robots_ref, dict) else (
                 ray.get(robots_ref) if robots_ref is not None else {})
