@@ -261,9 +261,14 @@ def test_fused_writer_parity(tmp_path):
     fetched = FetchGroup(cdir, p.n_buckets)(add_bucket_column(g, p.n_buckets))
     ref = serialize_records(fetch_to_warc_records(fetched))
     fus = fused_fetch_records(fetched)
-    assert ref.column_names == fus.column_names
+    # fused carries one extra sink-hint column; the serialized record
+    # columns must be byte-identical
+    assert fus.column_names[:len(ref.column_names)] == ref.column_names
     for c in ref.column_names:
         assert ref[c].to_pylist() == fus[c].to_pylist(), c
+    hints = fus["entropy_hint"].to_pylist()
+    types = fus["rec_type"].to_pylist()
+    assert all(t == "response" for t, h in zip(types, hints) if h)
 
 
 def test_fused_doc_records_parity(tmp_path):

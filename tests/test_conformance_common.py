@@ -66,3 +66,23 @@ def test_open_archive_arc_gz_direct():
         "20110804181142       39\nSSH-2.0-OpenSSH_5.3p1 Debian-3ubuntu3\r\n\n"
     )
     assert record == expected
+
+
+def test_stored_member_roundtrip():
+    """compress_member_stored: valid one-member gzip, exact roundtrip,
+    readable by the standard member splitter."""
+    import numpy as np
+
+    from warc_ray.core import gzipm
+
+    rng = np.random.default_rng(3)
+    for size in (0, 1, 500, 4096, 70_000):  # >64k spans >1 stored block
+        data = rng.bytes(size)
+        blob = gzipm.compress_member_stored(data)
+        assert blob.startswith(gzipm.GZIP_MAGIC)
+        members = gzipm.split_members(blob)
+        assert len(members) == 1
+        assert members[0][2] == data
+        import gzip as _gz
+
+        assert _gz.decompress(blob) == data

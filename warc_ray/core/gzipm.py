@@ -48,6 +48,24 @@ def compress_member(data: bytes, mtime: int = 0) -> bytes:
             + (len(data) & 0xFFFFFFFF).to_bytes(4, "little"))
 
 
+def compress_member_stored(data: bytes) -> bytes:
+    """One gzip member using STORED (level-0) deflate blocks.
+
+    For high-entropy payloads (JPEG/video/encrypted blobs) a level-9
+    match search costs ~12x the CPU of the stored framing and saves
+    nothing — archival engines at scale skip compression effort for
+    already-compressed media (zstd ships the same incompressible-block
+    detection).  Output is a valid, deterministic, one-member-per-
+    record gzip stream readable by the standard reader; the crawl WARC
+    sink picks this per record from the assembler's content-type hint,
+    while the core library write path stays unconditionally level 9
+    (reference parity, warc/gzip2.py:17,54)."""
+    c = zlib.compressobj(0, zlib.DEFLATED, -15, 6)
+    return (_MEMBER_HEADER + c.compress(data) + c.flush()
+            + zlib.crc32(data).to_bytes(4, "little")
+            + (len(data) & 0xFFFFFFFF).to_bytes(4, "little"))
+
+
 def split_members(data: bytes) -> list[tuple[int, int, bytes]]:
     """Split an in-memory multi-member gzip blob.
 

@@ -81,7 +81,16 @@ class WriteWarcShard:
         info = warcinfo_bytes(shard_name, self.date)
         compress = gzipm.compress_member if self.compress else (lambda b: b)
         chunks = [compress(info)]
-        chunks.extend(compress(blob) for blob in blobs)
+        if self.compress and "entropy_hint" in batch.column_names:
+            # content-type-driven effort: high-entropy media payloads
+            # get STORED members (level-9 match search over them is
+            # ~12x the CPU for zero ratio gain); text keeps level 9
+            stored = gzipm.compress_member_stored
+            hints = batch["entropy_hint"].to_pylist()
+            chunks.extend(stored(b) if h else compress(b)
+                          for b, h in zip(blobs, hints))
+        else:
+            chunks.extend(compress(blob) for blob in blobs)
         lengths = np.fromiter((len(c) for c in chunks), dtype=np.int64,
                               count=len(chunks))
         offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])

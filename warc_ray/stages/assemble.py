@@ -373,6 +373,8 @@ def fused_fetch_records(batch: pa.Table,
     payload copies, or extra_headers list churn."""
     sha1 = hashlib.sha1
     ids, types, uris, digs, blobs = [], [], [], [], []
+    hints: list[bool] = []   # True = high-entropy payload (media) —
+    #                          the sink skips deflate match search
     depths = (batch["depth"].to_pylist() if "depth" in batch.column_names
               else [0] * batch.num_rows)
     seqs = (batch["fetch_seq"].to_pylist() if "fetch_seq" in batch.column_names
@@ -396,6 +398,7 @@ def fused_fetch_records(batch: pa.Table,
         types.append("request")
         uris.append(url)
         digs.append(dig)
+        hints.append(False)
         blobs.append((
             "WARC/1.0\r\nWARC-Type: request\r\nWARC-Record-ID: %s\r\n"
             "WARC-Date: %s\r\nWARC-Target-URI: %s\r\n"
@@ -416,6 +419,7 @@ def fused_fetch_records(batch: pa.Table,
         types.append("response")
         uris.append(url)
         digs.append(dig)
+        hints.append(ctype == "application/octet-stream")
         blobs.append((
             "WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: %s\r\n"
             "WARC-Date: %s\r\nWARC-Target-URI: %s\r\n"
@@ -435,6 +439,7 @@ def fused_fetch_records(batch: pa.Table,
             types.append("metadata")
             uris.append(url)
             digs.append(dig)
+            hints.append(False)
             blobs.append((
                 "WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Record-ID: %s\r\n"
                 "WARC-Date: %s\r\nWARC-Target-URI: %s\r\n"
@@ -449,6 +454,7 @@ def fused_fetch_records(batch: pa.Table,
         "target_uri": pa.array(uris, type=pa.string()),
         "payload_digest": pa.array(digs, type=pa.string()),
         "record_bytes": pa.array(blobs, type=pa.large_binary()),
+        "entropy_hint": pa.array(hints, type=pa.bool_()),
     })
 
 
