@@ -34,7 +34,7 @@ import uuid
 import pyarrow as pa
 
 from ..core.arcrec import ARCFile, ARCHeader, ARCRecord
-from ..core.gzipm import compress_member
+from ..core.gzipm import compress_member, compress_member_stored
 
 ARC_INDEX_SCHEMA = pa.schema([
     ("url", pa.string()),
@@ -138,9 +138,16 @@ class WriteArcShard:
         recs = serialize_arc_records(batch, shard_name, len(head))
         sizes = [len(r) for r in recs]
         if self.compress:
-            # one gzip member per record → record-aligned split points
+            # one gzip member per record → record-aligned split points;
+            # high-entropy media payloads get STORED members (level-9
+            # match search over them is ~12x CPU for zero ratio gain —
+            # same content-type-driven effort as the WARC sink)
+            ctypes = batch["content_type"].to_pylist()
             data = b"".join(
-                [compress_member(head)] + [compress_member(r) for r in recs])
+                [compress_member(head)]
+                + [compress_member_stored(r)
+                   if ct == "application/octet-stream" else compress_member(r)
+                   for r, ct in zip(recs, ctypes)])
         else:
             data = b"".join([head] + recs)
         tmp = shard_path + ".tmp-%s" % uuid.uuid4().hex[:8]
