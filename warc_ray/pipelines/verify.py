@@ -3,11 +3,13 @@
 BASELINE.json input_hint: "per-row invariant vs the reference:
 span-sequence equality (kind, text, media_ref, order)".  The archived
 WARC response body is the rendered span interleaving
-(stages/assemble.py render_body); this module parses it back and
-compares the recovered sequence against the corpus row — as a
-distributed hash-shuffle join on ``doc_id`` (union both sides, group
-by key, compare inside the group), never materializing either side on
-the driver.
+(stages/assemble.py render_body).  Rendering is injective over the
+corpus span alphabet (``body_to_spans`` below is its exact inverse,
+property-tested), so the verifier compares 64-bit hashes of the
+rendered bytes — corpus side re-rendered with the vectorized Arrow
+kernels, archive side hashed directly — as a distributed hash-shuffle
+join on ``doc_id`` (union both sides, group by key, one vectorized
+aggregate), never materializing either side on the driver.
 """
 
 from __future__ import annotations
@@ -48,10 +50,6 @@ def body_to_spans(body: bytes) -> list[tuple[str, str, str]]:
     return out
 
 
-def _canon_seq(spans: list[tuple[str, str, str]]) -> str:
-    return "\x1e".join("\x1f".join(s) for s in spans)
-
-
 def _seq_hashes(seqs: list[str]) -> pa.Array:
     """Vectorized deterministic 64-bit hash of each canonical sequence
     (pandas' C siphash with its fixed default key — stable across
@@ -62,27 +60,49 @@ def _seq_hashes(seqs: list[str]) -> pa.Array:
 
 
 def _corpus_side(batch: pa.Table) -> pa.Table:
-    seqs = [
-        _canon_seq([(s["kind"], s["text"], s["media_ref"]) for s in spans])
-        for spans in batch["spans"].to_pylist()
-    ]
+    """Corpus rows → (doc_id, hash of the RENDERED span sequence).
+
+    Rendering is injective over the corpus span alphabet (span text
+    never contains newlines; ``body_to_spans`` above is the exact
+    inverse, property-tested in tests/test_salting_verify.py), so
+    rendered-body equality IS (kind, text, media_ref, order) equality
+    — and the rendering is fully vectorized (Arrow list kernels),
+    where the previous per-span tuple canonicalization was a Python
+    loop over ~10 spans x every corpus row."""
+    import pyarrow.compute as pc
+
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    kind = flat.field("kind")
+    text = flat.field("text")
+    ref = flat.field("media_ref")
+    a = pc.binary_join_element_wise('<a href="', ref, '">', text, "</a>", "")
+    img = pc.binary_join_element_wise('<img src="', ref, '">', "")
+    vid = pc.binary_join_element_wise('<video src="', ref, '">', "")
+    piece = pc.if_else(pc.equal(kind, "text"), text,
+                       pc.if_else(pc.equal(kind, "link"), a,
+                                  pc.if_else(pc.equal(kind, "image"), img, vid)))
+    rebuilt = pa.ListArray.from_arrays(spans.offsets, piece)
+    bodies = pc.binary_join(rebuilt, "\n")
     return pa.table({
         "doc_id": batch["doc_id"],
         "side_flag": pa.array(np.full(batch.num_rows, 1, dtype=np.int64)),
-        "seq_hash": _seq_hashes(seqs),
+        "seq_hash": _seq_hashes(bodies.to_pylist()),
     })
 
 
 def _warc_side(batch: pa.Table) -> pa.Table:
-    doc_ids, seqs = [], []
-    for uri, rec_type, payload in zip(batch["target_uri"].to_pylist(),
-                                      batch["rec_type"].to_pylist(),
-                                      batch["payload"].to_pylist()):
-        if rec_type != "response" or not uri.startswith("urn:doc:"):
-            continue
-        body = bytes(payload).split(b"\r\n\r\n", 1)[1]
-        doc_ids.append(uri.removeprefix("urn:doc:"))
-        seqs.append(_canon_seq(body_to_spans(body)))
+    import pyarrow.compute as pc
+
+    keep = pc.and_(pc.equal(batch["rec_type"], "response"),
+                   pc.starts_with(batch["target_uri"], "urn:doc:"))
+    sub = batch.filter(keep)
+    doc_ids = [u[8:] for u in sub["target_uri"].to_pylist()]
+    # strip the HTTP header block; the remainder is the rendered body
+    seqs = [bytes(p).split(b"\r\n\r\n", 1)[1].decode("utf-8")
+            for p in sub["payload"].to_pylist()]
     n = len(doc_ids)
     return pa.table({
         "doc_id": pa.array(doc_ids, type=pa.string()),
