@@ -180,23 +180,14 @@ def _ensure_archive(sf_dir: str) -> str:
 
 def _verify_spans_q(sf_dir: str):
     """Span-invariant verifier (G13): archive the corpus, read the WARC
-    back, per-row compare recovered (kind, text, media_ref, order)
-    against the corpus — returns the per-doc verdict aggregate."""
-    import pyarrow as pa
-    from ray.data.aggregate import Count, Sum
-
-    from warc_ray.pipelines.verify import verify_archive_spans
+    back, compare recovered (kind, text, media_ref, order) against the
+    corpus.  Shuffle-free fingerprint fast path; per-doc shuffle join
+    fallback localizes failures (pipelines/verify.py)."""
+    from warc_ray.pipelines.verify import verify_spans_summary
 
     cdir = _corpus_for(sf_dir)
     out = _ensure_archive(sf_dir)
-    verdicts = verify_archive_spans(out, corpus_mod.docs_path(cdir))
-    agg = verdicts.map_batches(
-        lambda b: pa.table({"ok": pa.array(
-            [int(x) for x in b["ok"].to_pylist()], type=pa.int64())}),
-        batch_format="pyarrow",
-    ).aggregate(Count(alias_name="n_docs"), Sum("ok", alias_name="n_ok"))
-    return pa.table({"n_docs": [int(agg["n_docs"])],
-                     "n_ok": [int(agg["n_ok"])]})
+    return verify_spans_summary(out, corpus_mod.docs_path(cdir))
 
 
 def _warc_roundtrip_q(sf_dir: str):

@@ -99,3 +99,41 @@ def test_verifier_catches_corruption(ray_session, t1_dir, tmp_path_factory):
     v = verify_archive_spans(out, corpus.docs_path(t1_dir)).to_pandas()
     bad = v[~v.ok]
     assert bad.doc_id.tolist() == [bad_doc]
+
+
+def test_verify_spans_summary_fast_and_fallback(ray_session, t1_dir,
+                                                tmp_path_factory):
+    """Fingerprint fast path reports all-ok on an intact archive; a
+    corrupted archive routes through the per-doc fallback and counts
+    the failure."""
+    import glob
+    import shutil
+
+    from warc_ray import corpus
+    from warc_ray.pipelines.archive import archive_corpus
+    from warc_ray.pipelines.verify import verify_spans_summary
+
+    out = str(tmp_path_factory.mktemp("vsum") / "warc")
+    archive_corpus(corpus.docs_path(t1_dir), out).materialize()
+    s = verify_spans_summary(out, corpus.docs_path(t1_dir))
+    n = s["n_docs"][0].as_py()
+    assert n == corpus.PROFILES["t1"].n_docs
+    assert s["n_ok"][0].as_py() == n
+
+    # corrupt one shard: flip a byte inside some member payload region
+    bad_dir = str(tmp_path_factory.mktemp("vsum2") / "warc")
+    shutil.copytree(out, bad_dir)
+    shard = sorted(glob.glob(bad_dir + "/*.warc.gz"))[0]
+    raw = bytearray(open(shard, "rb").read())
+    # re-write one whole member with altered doc text: decompress,
+    # patch, recompress keeps the gzip framing valid
+    from warc_ray.core import gzipm
+
+    members = gzipm.split_members(bytes(raw))
+    off, size, data = members[1]  # member 0 is warcinfo
+    patched = data.replace(b"w", b"W", 1)
+    assert patched != data
+    blob = gzipm.compress_member(patched)
+    open(shard, "wb").write(bytes(raw[:off]) + blob + bytes(raw[off + size:]))
+    s2 = verify_spans_summary(bad_dir, corpus.docs_path(t1_dir))
+    assert s2["n_ok"][0].as_py() < s2["n_docs"][0].as_py()

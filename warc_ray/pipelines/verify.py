@@ -128,6 +128,69 @@ def _finish(batch: pa.Table) -> pa.Table:
     })
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+        return x ^ (x >> np.uint64(33))
+
+
+def _fp_partial(batch: pa.Table) -> pa.Table:
+    """(doc_id, seq_hash) rows → one (n, fp) partial row.
+
+    fp = Σ mix64(hash(doc_id) ⊕ rot(seq_hash)) mod 2^64 — an order-
+    independent set fingerprint, so the two sides reduce WITHOUT any
+    shuffle; addition mod 2^64 is associative/commutative across
+    batches.  Stored as int64 two's complement."""
+    ids = pd.util.hash_pandas_object(
+        pd.Series(batch["doc_id"].to_pylist(), dtype=object),
+        index=False).to_numpy().view(np.uint64)
+    seq = batch["seq_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = _mix64(ids ^ ((seq << np.uint64(17)) | (seq >> np.uint64(47))))
+        s = int(mixed.sum(dtype=np.uint64))
+    if s >= 1 << 63:
+        s -= 1 << 64
+    return pa.table({"n": pa.array([batch.num_rows], type=pa.int64()),
+                     "fp": pa.array([s], type=pa.int64())})
+
+
+def _fp_reduce(ds: rd.Dataset) -> tuple[int, int]:
+    rows = ds.map_batches(_fp_partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    fp = sum(r["fp"] for r in rows) & ((1 << 64) - 1)
+    return n, fp
+
+
+def verify_spans_summary(warc_dir: str, corpus_docs_path: str) -> pa.Table:
+    """(n_docs, n_ok) archive↔corpus verdict WITHOUT a shuffle.
+
+    Both sides stream to an order-independent (count, fingerprint)
+    pair (the standard replica-verification checksum: no key
+    co-location needed, so nothing moves between nodes).  On match,
+    every doc verified (n_ok == n_docs; collision odds ~2^-64); on
+    mismatch, fall back to the per-doc shuffle join
+    (verify_archive_spans) to COUNT and localize failures."""
+    from ..sources import read_warc
+
+    ref = rd.read_parquet(corpus_docs_path).map_batches(
+        _corpus_side, batch_format="pyarrow")
+    out = read_warc(warc_dir).map_batches(_warc_side, batch_format="pyarrow")
+    n_ref, fp_ref = _fp_reduce(ref)
+    n_out, fp_out = _fp_reduce(out)
+    if n_ref == n_out and fp_ref == fp_out:
+        return pa.table({"n_docs": pa.array([n_ref], type=pa.int64()),
+                         "n_ok": pa.array([n_ref], type=pa.int64())})
+    verdicts = verify_archive_spans(warc_dir, corpus_docs_path)
+    n_docs = 0
+    n_ok = 0
+    for b in verdicts.iter_batches(batch_format="pyarrow"):
+        n_docs += b.num_rows
+        n_ok += int(np.count_nonzero(b["ok"].to_numpy(zero_copy_only=False)))
+    return pa.table({"n_docs": pa.array([n_docs], type=pa.int64()),
+                     "n_ok": pa.array([n_ok], type=pa.int64())})
+
+
 def verify_archive_spans(warc_dir: str, corpus_docs_path: str) -> rd.Dataset:
     """(doc_id, ok, n_sides) per document: archived span sequence ==
     corpus span sequence.  Shuffle key = doc_id (G13).
