@@ -234,13 +234,27 @@ def _arc_roundtrip_q(sf_dir: str):
     out = os.path.join(_CRAWL_OUT, f"arc-{prof.name}")
     shutil.rmtree(out, ignore_errors=True)
 
-    seeds = urls_from_seeds(corpus_mod.read_seeds(cdir))
-    ds = rd.from_arrow(seeds.append_column(
-        "round", pa.array([0] * seeds.num_rows, type=pa.int32())).append_column(
-        "fetch_seq", pa.array(range(seeds.num_rows), type=pa.int64())))
-    fetched = ds.map_batches(lambda b: add_bucket_column(b, prof.n_buckets),
-                             batch_format="pyarrow") \
-        .map_batches(FetchGroup(cdir, prof.n_buckets), batch_format="pyarrow")
+    def prep(b: pa.Table) -> pa.Table:
+        # canonicalize IN the workers (the serial driver-side pass was
+        # ~1/4 of this query), then tag the columns FetchGroup reads
+        t = urls_from_seeds(b)
+        n = t.num_rows
+        t = t.append_column("round", pa.array([0] * n, type=pa.int32()))
+        t = t.append_column("fetch_seq",
+                            pa.array(t["src_offset"].cast(pa.int64())))
+        return add_bucket_column(t, prof.n_buckets)
+
+    # bucket-sort so each fetch actor's batch touches few corpus
+    # buckets (same locality the crawl loop gets from its stable
+    # bucket→worker assignment); FetchGroup as an actor POOL keeps the
+    # rendered bucket caches warm across batches
+    fetched = rd.from_arrow(corpus_mod.read_seeds(cdir)) \
+        .repartition(32) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .sort("bucket") \
+        .map_batches(FetchGroup, fn_constructor_args=(cdir, prof.n_buckets),
+                     batch_format="pyarrow", batch_size=8192,
+                     concurrency=(1, 12))
 
     def to_arc_rows(b: pa.Table) -> pa.Table:
         n = b.num_rows
