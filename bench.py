@@ -206,25 +206,38 @@ def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
     host window (_wait_quiet).  Outputs are deleted and dirty pages
     synced between runs (GBs of WARC shards per run).
     """
-    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
     results = {}
     for n in (n_high, n_low) * reps:
-        shutil.rmtree("/tmp/warc_ray_bench", ignore_errors=True)
-        shutil.rmtree("/dev/shm/warc_ray_bench", ignore_errors=True)
-        _settle(int(os.environ.get("GRAFT_SCALING_COOLDOWN", "30")))
-        _wait_quiet()
-        prof = os.environ.get("GRAFT_SCALING_PROFILE", "benchxl2")
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_RUNS="1", GRAFT_PROFILE=prof)
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--job", "crawl-only"],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        if p.returncode != 0:
-            raise RuntimeError(f"scaling run num_cpus={n} failed:\n{p.stderr[-2000:]}")
-        r = json.loads(p.stdout.strip().splitlines()[-1])
-        if n not in results or r["value"] < results[n]["value"]:
-            results[n] = r
+        # pollution-aware retries (same policy both arms): the host is
+        # shared, and a neighbor burst DURING a run corrupts it — the
+        # small arm is nearly immune (its spare cores absorb
+        # neighbors) while the full-machine arm collides head-on, so
+        # without this the efficiency ratio measures neighbor luck.
+        # A run is flagged polluted when the 1-min load right after it
+        # exceeds the arm's own core count by > 6.
+        for _attempt in range(3):
+            shutil.rmtree("/tmp/warc_ray_bench", ignore_errors=True)
+            shutil.rmtree("/dev/shm/warc_ray_bench", ignore_errors=True)
+            _settle(int(os.environ.get("GRAFT_SCALING_COOLDOWN", "30")))
+            _wait_quiet()
+            prof = os.environ.get("GRAFT_SCALING_PROFILE", "benchxl2")
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                       GRAFT_BENCH_RUNS="1", GRAFT_PROFILE=prof)
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--job", "crawl-only"],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            load_after = float(open("/proc/loadavg").read().split()[0])
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"scaling run num_cpus={n} failed:\n{p.stderr[-2000:]}")
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            if n not in results or r["value"] < results[n]["value"]:
+                results[n] = r
+            if load_after <= n + 6:
+                break  # clean run recorded; polluted runs get retried
     t_low, t_high = results[n_low]["value"], results[n_high]["value"]
     eff = (t_low * n_low) / (t_high * n_high)
     return {
