@@ -142,8 +142,11 @@ def media_features(sf_dir: str):
     cdir = corpus_mod.ensure_corpus(prof)
     media = media_table_from_corpus(cdir, prof.n_buckets)
     feats = media.map_batches(DecodeMediaFeatures, batch_format="pyarrow",
-                              concurrency=(1, 8), batch_size=1024)
-    return feats.drop_columns(["feature"]).sort("media_id")
+                              concurrency=(1, 16), batch_size=2048)
+    # deterministic order via the int media index (same rows as a
+    # media_id sort, ~10x cheaper keys), dropped on the way out
+    return feats.drop_columns(["feature"]).sort("midx") \
+        .drop_columns(["midx"])
 
 
 def frame_samples(sf_dir: str):
@@ -160,20 +163,29 @@ def frame_samples(sf_dir: str):
     cdir = corpus_mod.ensure_corpus(prof)
     media = media_table_from_corpus(cdir, prof.n_buckets)
     frames = media.map_batches(FrameSampler, batch_format="pyarrow",
-                               concurrency=(1, 4), batch_size=1024)
+                               concurrency=(1, 8), batch_size=2048)
 
     def lengths(b: pa.Table) -> pa.Table:
+        # int group key only — no strings enter the shuffle
         return pa.table({
-            "media_id": b["media_id"],
+            "midx": b["midx"],
             "frame_bytes": pc.cast(pc.binary_length(
                 pc.cast(b["frame"], pa.binary())), pa.int64()),
         })
 
+    def with_media_id(b: pa.Table) -> pa.Table:
+        mid = pc.binary_join_element_wise(
+            "media-", pc.cast(b["midx"], pa.string()), "")
+        return pa.table({"media_id": mid, "n_frames": b["n_frames"],
+                         "frame_bytes": b["frame_bytes"],
+                         "midx": b["midx"]})
+
     return frames.map_batches(lengths, batch_format="pyarrow") \
-        .groupby("media_id") \
+        .groupby("midx") \
         .aggregate(Count(alias_name="n_frames"),
                    Sum("frame_bytes", alias_name="frame_bytes")) \
-        .sort("media_id")
+        .map_batches(with_media_id, batch_format="pyarrow") \
+        .sort("midx").drop_columns(["midx"])
 
 
 def curation(sf_dir: str):

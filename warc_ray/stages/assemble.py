@@ -86,10 +86,20 @@ def render_body(spans: list[dict]) -> bytes:
 
 
 def _splitmix64(z: "np.ndarray") -> "np.ndarray":
-    """Vectorized splitmix64 finalizer over a uint64 array."""
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    """Vectorized splitmix64 finalizer over a uint64 array.
+
+    Mutates ``z`` in place (callers pass a temporary) — the out=
+    forms halve allocator traffic on multi-MB streams, which is the
+    hot path of media-heavy crawl rounds."""
+    t = z >> np.uint64(30)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, np.uint64(0xBF58476D1CE4E5B9), out=z)
+    np.right_shift(z, np.uint64(27), out=t)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, np.uint64(0x94D049BB133111EB), out=z)
+    np.right_shift(z, np.uint64(31), out=t)
+    np.bitwise_xor(z, t, out=z)
+    return z
 
 
 def media_bodies(urls: list[str]) -> list[bytes]:
@@ -122,14 +132,18 @@ def _media_bodies_chunk(urls: list[str]) -> list[bytes]:
         seeds[i] = int.from_bytes(h[4:12], "big")
     words = (sizes + 7) >> 3
     total = int(words.sum())
-    seed_rep = np.repeat(seeds, words)
-    # per-blob word counter 0..words_i-1
     starts = np.concatenate(([0], np.cumsum(words)[:-1]))
-    j = np.arange(total, dtype=np.uint64) - np.repeat(
-        starts.astype(np.uint64), words)
+    # stream_i[j] = splitmix(seed_i + (j+1)*G) with j local to blob i;
+    # folding the per-blob restart into ONE repeated adjustment term
+    # (seed_i - start_i*G) lets the counter be a single global arange:
+    # one np.repeat instead of two, and every op runs in place.
+    G = np.uint64(0x9E3779B97F4A7C15)
     with np.errstate(over="ignore"):
-        stream = _splitmix64(
-            seed_rep + (j + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15))
+        adj = seeds - starts.astype(np.uint64) * G
+        z = np.arange(1, total + 1, dtype=np.uint64)
+        np.multiply(z, G, out=z)
+        np.add(z, np.repeat(adj, words), out=z)
+        stream = _splitmix64(z)
     buf = stream.tobytes()
     offs = starts * 8
     return [buf[o:o + s] for o, s in zip(offs.tolist(), sizes.tolist())]

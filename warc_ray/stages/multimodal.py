@@ -20,6 +20,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.string()),
@@ -47,6 +48,37 @@ except ImportError:
     HAVE_PIL = False
 
 
+def _binary_views(col) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy numpy views over a (large_)binary column: the combined
+    array, per-row start/end offsets, and the values buffer.  Assumes
+    non-null payloads (the corpus fetcher never emits nulls)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.type != pa.large_binary():
+        arr = arr.cast(pa.large_binary())
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, dtype=np.uint8))
+    return arr, offs[:-1], offs[1:], data
+
+
+def _gather_rows(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                 lengths: np.ndarray) -> np.ndarray:
+    """All rows' bytes concatenated in row order.  Zero-copy slice when
+    the rows are already contiguous (the common case after
+    combine_chunks); a single fancy-index gather otherwise."""
+    if len(starts) == 0:
+        return data[:0]
+    if np.array_equal(starts[1:], ends[:-1]):
+        return data[starts[0]:ends[-1]]
+    total = int(lengths.sum())
+    idx = (np.repeat(starts, lengths)
+           + np.arange(total, dtype=np.int64)
+           - np.repeat(np.cumsum(lengths) - lengths, lengths))
+    return data[idx]
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """STUB decoder: derives deterministic (width, height) from the
     payload header.  Replace with a real codec when available —
@@ -66,6 +98,10 @@ class DecodeMediaFeatures:
     def __init__(self, feature_dim: int = 16):
         self.feature_dim = feature_dim
         self.use_real_codec = HAVE_PIL  # False in this container
+        # actor-persistent scratch (grown on demand, reused across
+        # batches): fresh page faults on the target hosts cost ~30µs a
+        # page, so per-batch multi-MB temporaries would dominate wall
+        self._key = np.empty(0, dtype=np.int64)
 
     def _feature(self, payload: bytes) -> np.ndarray:
         # histogram of byte values folded to feature_dim buckets, L2-normed
@@ -76,26 +112,55 @@ class DecodeMediaFeatures:
         return v / n if n else v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        types = batch["media_type"].to_pylist()
-        payloads = batch["payload"].to_pylist()
-        n = len(payloads)
-        n_bytes = np.empty(n, dtype=np.int64)
+        """Vectorized over the Arrow buffers: one numpy pass computes
+        every per-row histogram (no per-payload ``to_pylist`` copies);
+        Python touches only the 20-byte header hash per row.  Output is
+        bit-identical to the documented per-row formulation (pinned by
+        ``test_decode_media_features_deterministic``)."""
+        payload_col, starts, ends, data = _binary_views(batch["payload"])
+        n = len(payload_col)
+        lengths = ends - starts
+        n_bytes = lengths.astype(np.int64)
+        fd = self.feature_dim
+        # all rows' byte histograms in one bincount over row*fd + byte%fd.
+        # The composite key is built IN PLACE in a reused scratch buffer
+        # (cumsum-of-markers instead of np.repeat) — no fresh multi-MB
+        # allocation per batch.
+        flat = _gather_rows(data, starts, ends, lengths)
+        m = flat.size
+        if self._key.size < m:
+            self._key = np.empty(m, dtype=np.int64)
+        key = self._key[:m]
+        key.fill(0)
+        rel_starts = np.cumsum(lengths)[:-1]  # row boundaries within flat
+        rel_starts = rel_starts[rel_starts < m]  # trailing empty rows
+        np.add.at(key, rel_starts, 1)         # += handles empty rows
+        np.cumsum(key, out=key)               # key[b] = row id of byte b
+        np.multiply(key, fd, out=key)
+        np.add(key, flat % fd, out=key, casting="unsafe")
+        hist = np.bincount(key, minlength=n * fd) \
+            .reshape(n, fd).astype(np.float32)
+        norms = np.sqrt((hist * hist).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        feats = hist / norms
+        # header sha1 (first 20 bytes) — the one remaining per-row step;
+        # 20-byte digests are ~1µs each
         widths = np.empty(n, dtype=np.int32)
         heights = np.empty(n, dtype=np.int32)
-        n_frames = np.empty(n, dtype=np.int32)
         shas = []
-        feats = np.empty((n, self.feature_dim), dtype=np.float32)
-        for i, (mtype, payload) in enumerate(zip(types, payloads)):
-            payload = payload or b""
-            d = hashlib.sha1(payload[:20])
+        mv = data  # numpy view; hashlib accepts ndarray slices
+        sha1 = hashlib.sha1
+        for i in range(n):
+            s = starts[i]
+            d = sha1(mv[s:min(ends[i], s + 20)])
             h = d.digest()
             shas.append(d.hexdigest())
-            n_bytes[i] = len(payload)
             widths[i] = 64 + h[0] % 192     # _fake_decode, digest reused
             heights[i] = 64 + h[1] % 192
-            n_frames[i] = 1 if mtype == "image" else 1 + len(payload) // 1024
-            feats[i] = self._feature(payload)
-        return pa.table({
+        is_image = pc.equal(batch["media_type"], "image") \
+            .combine_chunks().to_numpy(zero_copy_only=False)
+        n_frames = np.where(is_image, 1, 1 + n_bytes // 1024).astype(np.int32)
+        cols = {
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
             "n_bytes": pa.array(n_bytes),
@@ -105,7 +170,12 @@ class DecodeMediaFeatures:
             "n_frames": pa.array(n_frames),
             "feature": pa.FixedSizeListArray.from_arrays(
                 pa.array(feats.ravel(), type=pa.float32()), self.feature_dim),
-        }, schema=FEATURE_SCHEMA)
+        }
+        schema = FEATURE_SCHEMA
+        if "midx" in batch.column_names:   # internal sort/group key rides along
+            cols["midx"] = batch["midx"]
+            schema = FEATURE_SCHEMA.append(pa.field("midx", pa.int64()))
+        return pa.table(cols, schema=schema)
 
 
 class FrameSampler:
@@ -117,24 +187,47 @@ class FrameSampler:
         self.frame_bytes = frame_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_id, out_idx, out_frame = [], [], []
-        for mid, mtype, payload in zip(batch["media_id"].to_pylist(),
-                                       batch["media_type"].to_pylist(),
-                                       batch["payload"].to_pylist()):
-            if mtype != "video" or not payload:
-                continue
-            n = min(self.max_frames, max(1, len(payload) // self.frame_bytes))
-            step = max(1, len(payload) // n)
-            for i in range(n):
-                off = i * step
-                out_id.append(mid)
-                out_idx.append(i)
-                out_frame.append(bytes(payload[off:off + self.frame_bytes]))
-        return pa.table({
-            "media_id": pa.array(out_id, type=pa.string()),
-            "frame_idx": pa.array(out_idx, type=pa.int32()),
-            "frame": pa.array(out_frame, type=pa.large_binary()),
-        })
+        """Vectorized frame slicing: one numpy pass computes every
+        frame's (offset, length); the frame bytes are assembled with a
+        single gather into a large_binary array (no per-frame Python
+        bytes objects).  Semantics pinned by
+        ``test_frame_sampler_deterministic_slices``."""
+        fb = self.frame_bytes
+        videos = batch.filter(pc.and_(
+            pc.equal(batch["media_type"], "video"),
+            pc.greater(pc.binary_length(batch["payload"]), 0)))
+        _, starts, ends, data = _binary_views(videos["payload"])
+        lengths = ends - starts
+        nv = len(starts)
+        nfr = np.minimum(self.max_frames,
+                         np.maximum(1, lengths // fb)).astype(np.int64)
+        step = np.maximum(1, lengths // nfr)
+        total = int(nfr.sum())
+        vid_row = np.repeat(np.arange(nv, dtype=np.int64), nfr)
+        j = (np.arange(total, dtype=np.int64)
+             - np.repeat(np.cumsum(nfr) - nfr, nfr))
+        off = starts[vid_row] + j * step[vid_row]
+        flen = np.minimum(fb, ends[vid_row] - off)
+        # gather every frame's bytes in one fancy-index pass
+        nbytes = int(flen.sum())
+        idx = (np.repeat(off, flen)
+               + np.arange(nbytes, dtype=np.int64)
+               - np.repeat(np.cumsum(flen) - flen, flen))
+        values = np.ascontiguousarray(data[idx])
+        offsets = np.concatenate(([0], np.cumsum(flen)))
+        frames = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), total,
+            [None, pa.py_buffer(offsets.astype(np.int64).tobytes()),
+             pa.py_buffer(values.tobytes())])
+        take_idx = pa.array(vid_row, type=pa.int64())
+        cols = {
+            "media_id": videos["media_id"].combine_chunks().take(take_idx),
+            "frame_idx": pa.array(j.astype(np.int32), type=pa.int32()),
+            "frame": frames,
+        }
+        if "midx" in batch.column_names:   # internal group key rides along
+            cols["midx"] = videos["midx"].combine_chunks().take(take_idx)
+        return pa.table(cols)
 
 
 def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | None = None):
@@ -150,35 +243,51 @@ def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | N
 
     def to_media_urls(batch: pa.Table) -> pa.Table:
         # distinct-per-batch URL rows only — payload synthesis happens
-        # AFTER the global dedup so blobs never enter the shuffle
+        # AFTER the global dedup so blobs never enter the shuffle.  The
+        # media index doubles as a collision-free int64 dedup key: the
+        # global distinct then shuffles/sorts int64s, not URL strings
+        # (the string-keyed aggregate alone was ~13s of q40's wall).
         links = extract_links(batch, doc_col="doc_id")
         media = links.filter(pc.match_substring(links["url"], "/media/"))
-        return pa.table({"url": pc.unique(media["url"].combine_chunks())})
+        u = pc.unique(media["url"].combine_chunks())
+        midx = pc.cast(pc.extract_regex(
+            u, r"/media/(?P<midx>[0-9]+)$").field("midx"), pa.int64())
+        return pa.table({"midx": midx, "url": u})
 
     def synthesize(batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        ids, types = [], []
-        for u in urls:
-            _kind, idx = corpus_mod.parse_synthetic_url(u)
-            ids.append(f"media-{idx}")
-            types.append("video" if idx % 3 == 0 else "image")
-        payloads = media_bodies(urls)
+        midx = batch["midx"].combine_chunks()
+        ids = pc.binary_join_element_wise(
+            "media-", pc.cast(midx, pa.string()), "")
+        is_video = midx.to_numpy() % 3 == 0
+        types = pa.array(np.where(is_video, "video", "image"))
+        payloads = media_bodies(batch["url"].to_pylist())
         return pa.table({
-            "media_id": pa.array(ids, type=pa.string()),
+            "media_id": ids,
             "url": batch["url"],
-            "media_type": pa.array(types, type=pa.string()),
+            "media_type": types,
             "payload": pa.array(payloads, type=pa.large_binary()),
-        }, schema=MEDIA_SCHEMA)
+            "midx": midx,
+        }, schema=MEDIA_SCHEMA.append(pa.field("midx", pa.int64())))
 
-    ds = rd.read_parquet(corpus_mod.docs_path(corpus_dir))
+    # read a few dozen big blocks (not one per row-group): every
+    # downstream shuffle's partition count — and Ray's per-block fixed
+    # costs — scale with block count, and the url rows are tiny
+    ds = rd.read_parquet(corpus_mod.docs_path(corpus_dir),
+                         override_num_blocks=64)
     if limit_docs:
         ds = ds.limit(limit_docs)
-    urls = ds.map_batches(to_media_urls, batch_format="pyarrow")
-    # global distinct on the (small) URL rows via a vectorized Count
-    # aggregate (NOT map_groups — one Python call per URL), then
-    # synthesize payloads; synthesize rebuilds the table so the count
-    # column never leaves this stage.
-    from ray.data.aggregate import Count
+    urls = ds.map_batches(to_media_urls, batch_format="pyarrow",
+                          batch_size=None)  # whole block = best pre-dedup
+    # global distinct on the (small) int-keyed URL rows via a
+    # vectorized aggregate (NOT map_groups — one Python call per URL);
+    # url rides along via Min, exact because the URL is a pure function
+    # of the media index.  Ray's sort-shuffle cost scales with
+    # mappers×reducers (= input blocks²): with one block per row-group,
+    # 256 doc blocks squared is ~65k shuffle partitions for ~50MB of
+    # keys — the shuffle fabric, not the data, was 40% of q40's wall.
+    # 64 blocks (set at the read) keeps it at 4k.  On a multi-node
+    # cluster size this to ~2-4 blocks per node.
+    from ray.data.aggregate import Min
 
-    distinct = urls.groupby("url").aggregate(Count(alias_name="_c"))
+    distinct = urls.groupby("midx").aggregate(Min("url", alias_name="url"))
     return distinct.map_batches(synthesize, batch_format="pyarrow")
