@@ -63,14 +63,16 @@ def _extract_links_q(sf_dir: str):
 
 def _seen_dedup_q(sf_dir: str):
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
 
     import pyarrow as pa
 
+    from warc_ray.stages.exchange import combine_buckets, with_part
     from warc_ray.stages.urls import canonicalize_batch, extract_links
 
     cdir = _corpus_for(sf_dir)
-    ds = rd.read_parquet(corpus_mod.docs_path(cdir))
+    # few big blocks: every downstream exchange's fixed cost scales
+    # with block count, and the partial rows are small
+    ds = rd.read_parquet(corpus_mod.docs_path(cdir), override_num_blocks=64)
 
     def partial(b: pa.Table) -> pa.Table:
         # with_hashes=False: this pipeline groups on the canonical URL
@@ -79,12 +81,17 @@ def _seen_dedup_q(sf_dir: str):
         links = canonicalize_batch(extract_links(b), with_hashes=False)
         t = pa.table({"url": links["url"], "src_doc": links["src_doc"]})
         part = t.group_by("url").aggregate([("src_doc", "min"), ("src_doc", "count")])
-        return part.rename_columns(["url", "first_doc", "n_refs"])
+        return with_part(part.rename_columns(["url", "first_doc", "n_refs"]),
+                         "url", 32)
 
-    # order-insensitive driver check → no final sort (see q50)
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("url").aggregate(Min("first_doc", alias_name="first_doc"),
-                                  Sum("n_refs", alias_name="n_refs"))
+    # order-insensitive driver check → no final sort (see q50).
+    # Bucket exchange instead of groupby("url").aggregate(...): the
+    # built-in per-key reduce took ~30s for 1.8M distinct URLs where
+    # the 32-bucket vectorized combine takes ~5s (same results).
+    return combine_buckets(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "url", [("first_doc", "min"), ("n_refs", "sum")],
+        names=["url", "first_doc", "n_refs"])
 
 
 def _ensure_crawl(sf_dir: str) -> str:
@@ -151,8 +158,9 @@ def _host_link_stats_q(sf_dir: str):
     from warc_ray.stages.urls import extract_links
 
     cdir = _corpus_for(sf_dir)
-    links = rd.read_parquet(corpus_mod.docs_path(cdir)).map_batches(
-        lambda b: extract_links(b), batch_format="pyarrow")
+    links = rd.read_parquet(corpus_mod.docs_path(cdir),
+                            override_num_blocks=64).map_batches(
+        lambda b: extract_links(b), batch_format="pyarrow", batch_size=None)
     return host_link_stats(links, target_per_group=2_000).sort("host")
 
 

@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
 
 HOST_RE = r"^https?://(?P<host>[^/:]+)"
 
@@ -30,14 +29,18 @@ def add_host_column(batch: pa.Table, url_col: str = "url") -> pa.Table:
 
 
 def estimate_host_counts(ds: rd.Dataset, url_col: str = "url") -> dict[str, int]:
-    """COUNT pre-pass: per-batch partials → tiny driver-side dict."""
+    """COUNT pre-pass: per-batch partials → bucket combine → tiny
+    driver-side dict (host-cardinality-sized, not link-sized)."""
+    from .exchange import combine_buckets, with_part
+
     def partial(b: pa.Table) -> pa.Table:
         t = add_host_column(b, url_col)
         g = t.group_by("host").aggregate([("host", "count")])
-        return g.rename_columns(["host", "n"])
+        return with_part(g.rename_columns(["host", "n"]), "host", 8)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("host").aggregate(Sum("n", alias_name="n"))
+    agg = combine_buckets(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "host", [("n", "sum")], names=["host", "n"])
     # one Arrow pull of the (host-cardinality-sized) aggregate — not a
     # row-at-a-time driver loop
     t = pa.Table.from_pandas(agg.to_pandas())
@@ -66,23 +69,27 @@ class AddSaltedHost:
         self.url_col = url_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import zlib
-
         batch = add_host_column(batch, self.url_col)
-        hosts = batch["host"].to_pylist()
+        host = batch["host"].combine_chunks()
         if not self.salts:
-            salted = hosts
-        else:
-            # deterministic spread (crc32 of the url — row position is
-            # not stable across runs, value hashes are)
-            urls = batch[self.url_col].to_pylist()
-            salted = [
-                "%s#%d" % (h, zlib.crc32(u.encode()) % self.salts[h])
-                if h in self.salts else h
-                for h, u in zip(hosts, urls)
-            ]
-        return batch.append_column("host_salted",
-                                   pa.array(salted, type=pa.string()))
+            return batch.append_column("host_salted", host)
+        # deterministic spread (value hash of the url — row position is
+        # not stable across runs, value hashes are), fully vectorized:
+        # k per row via index_in against the (small) hot-host list,
+        # salt digit via hash64 % k, suffix joined only where hot.
+        from .exchange import hash64_strings
+
+        hot = list(self.salts)
+        idx = pc.fill_null(pc.index_in(host, value_set=pa.array(hot)), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.array([self.salts[h] for h in hot] + [1], dtype=np.uint64)[idx]
+        d = hash64_strings(batch[self.url_col]) % k
+        salted = pc.if_else(
+            pa.array(idx >= 0),
+            pc.binary_join_element_wise(
+                host, pa.array(d.astype(np.str_)), "#"),
+            host)
+        return batch.append_column("host_salted", salted)
 
 
 def host_link_stats(ds: rd.Dataset, url_col: str = "url",
@@ -96,31 +103,38 @@ def host_link_stats(ds: rd.Dataset, url_col: str = "url",
     salts = salt_factors(counts, target_per_group)
     salts_ref = ray.put(salts)
 
+    from .exchange import combine_buckets, with_part
+
     def partial(b: pa.Table) -> pa.Table:
         t = AddSaltedHost(salts_ref, url_col)(b)
         g = t.group_by("host_salted").aggregate(
             [("host_salted", "count"), ("src_doc", "min"), ("src_doc", "max")])
-        return g.rename_columns(["host_salted", "n_links", "min_src", "max_src"])
+        return with_part(
+            g.rename_columns(["host_salted", "n_links", "min_src", "max_src"]),
+            "host_salted", 16)
 
-    # stage 1: reduce on the SALTED key (skew split across k groups)
-    stage1 = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("host_salted").aggregate(
-            Sum("n_links", alias_name="n_links"),
-            Min("min_src", alias_name="min_src"),
-            Max("max_src", alias_name="max_src"))
+    # stage 1: reduce on the SALTED key (skew split across k groups;
+    # bucket exchange — the per-batch partials already collapsed rows
+    # to host-cardinality, the combine is one Arrow group_by per bucket)
+    stage1 = combine_buckets(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "host_salted",
+        [("n_links", "sum"), ("min_src", "min"), ("max_src", "max")],
+        names=["host_salted", "n_links", "min_src", "max_src"])
 
-    # stage 2: strip the salt, merge the k partials per hot host
+    # stage 2: strip the salt (vectorized), merge the k partials per
+    # hot host
     def strip(b: pa.Table) -> pa.Table:
-        hosts = [h.split("#", 1)[0] for h in b["host_salted"].to_pylist()]
-        return pa.table({
-            "host": pa.array(hosts, type=pa.string()),
+        hosts = pc.replace_substring_regex(b["host_salted"], r"#\d+$", "")
+        return with_part(pa.table({
+            "host": pc.cast(hosts, pa.string()),
             "n_links": b["n_links"],
             "min_src": b["min_src"],
             "max_src": b["max_src"],
-        })
+        }), "host", 8)
 
-    return stage1.map_batches(strip, batch_format="pyarrow") \
-        .groupby("host").aggregate(
-            Sum("n_links", alias_name="n_links"),
-            Min("min_src", alias_name="min_src"),
-            Max("max_src", alias_name="max_src"))
+    return combine_buckets(
+        stage1.map_batches(strip, batch_format="pyarrow"),
+        "host",
+        [("n_links", "sum"), ("min_src", "min"), ("max_src", "max")],
+        names=["host", "n_links", "min_src", "max_src"])
