@@ -311,3 +311,29 @@ def test_decode_media_features_deterministic():
     # deterministic across instances (actor restarts)
     again = DecodeMediaFeatures()(batch)
     assert again.equals(out)
+
+
+def test_decode_media_features_empty_and_trailing_rows():
+    """Edge cases of the buffer-vectorized decode: empty payloads in
+    the middle and at the END of the batch (trailing row boundaries
+    fall outside the values buffer)."""
+    from warc_ray.stages.multimodal import DecodeMediaFeatures, _fake_decode
+
+    payloads = [b"", b"abc" * 100, b"", b""]
+    batch = pa.table({
+        "media_id": ["m0", "m1", "m2", "m3"],
+        "url": ["u0", "u1", "u2", "u3"],
+        "media_type": ["image", "video", "image", "video"],
+        "payload": pa.array(payloads, type=pa.large_binary()),
+    })
+    out = DecodeMediaFeatures()(batch).to_pydict()
+    assert out["n_bytes"] == [0, 300, 0, 0]
+    for i, p in enumerate(payloads):
+        assert (out["width"][i], out["height"][i]) == _fake_decode(p)
+    # empty rows get the zero feature vector; non-empty are L2-normed
+    assert all(v == 0.0 for v in out["feature"][0])
+    assert abs(sum(v * v for v in out["feature"][1]) - 1.0) < 1e-5
+    # sliced batches (non-zero Arrow offset) decode identically
+    sliced = DecodeMediaFeatures()(batch.slice(1, 3)).to_pydict()
+    assert sliced["n_bytes"] == [300, 0, 0]
+    assert sliced["width"] == out["width"][1:]

@@ -1,0 +1,70 @@
+"""Bucket exchange (stages/exchange.py): equivalence with the built-in
+per-key aggregate, hash determinism, and skew balance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from warc_ray.stages.exchange import (combine_buckets, hash64_strings,
+                                      with_part)
+
+
+def _rand_table(n=5000, nkeys=700, seed=7):
+    rng = np.random.default_rng(seed)
+    keys = [f"key-{i}" for i in rng.integers(0, nkeys, n)]
+    return pa.table({
+        "k": pa.array(keys, type=pa.string()),
+        "v": pa.array(rng.integers(0, 1000, n), type=pa.int64()),
+        "s": pa.array([f"s{i}" for i in rng.integers(0, 50, n)],
+                      type=pa.string()),
+    })
+
+
+def test_hash64_deterministic_and_spread():
+    t = _rand_table()
+    h1 = hash64_strings(t["k"])
+    h2 = hash64_strings(t["k"])
+    assert np.array_equal(h1, h2)
+    # same value -> same hash, different value -> (almost surely) different
+    arr = pa.array(["a", "b", "a"])
+    ha = hash64_strings(arr)
+    assert ha[0] == ha[2] and ha[0] != ha[1]
+    # buckets balance: no bucket gets more than ~3x its fair share
+    part = with_part(t, "k", 16)["part"].to_numpy()
+    counts = np.bincount(part, minlength=16)
+    assert counts.max() < 3 * len(t) / 16
+
+
+def test_combine_buckets_matches_builtin_aggregate(ray_session):
+    import ray.data as rd
+
+    t = _rand_table()
+    # ground truth: single-table Arrow aggregate
+    want = t.group_by("k").aggregate(
+        [("v", "sum"), ("v", "min"), ("s", "max")]) \
+        .rename_columns(["k", "v_sum", "v_min", "s_max"]) \
+        .sort_by("k")
+
+    # distributed: per-batch partials + bucket combine over many blocks
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("k").aggregate(
+            [("v", "sum"), ("v", "min"), ("s", "max")])
+        return with_part(
+            g.rename_columns(["k", "v_sum", "v_min", "s_max"]), "k", 8)
+
+    ds = rd.from_arrow(t).repartition(13) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+    got = combine_buckets(
+        ds, "k", [("v_sum", "sum"), ("v_min", "min"), ("s_max", "max")],
+        names=["k", "v_sum", "v_min", "s_max"])
+    got_pd = got.to_pandas().sort_values("k").reset_index(drop=True)
+    want_pd = want.to_pandas().reset_index(drop=True)
+    assert got_pd.equals(want_pd)
+
+
+def test_with_part_rejects_nothing_and_is_int32():
+    t = _rand_table(n=10)
+    out = with_part(t, "k", 4)
+    assert out.num_rows == t.num_rows
+    assert out["part"].type == pa.int32()
+    assert set(out["part"].to_pylist()) <= set(range(4))
