@@ -128,30 +128,81 @@ def partial_dedup_agg(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(z: "np.ndarray") -> "np.ndarray":
+    """splitmix64 finalizer (vectorized)."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def minhash_bands(batch: pa.Table, *, bands: int = 32, rows: int = 2,
                   id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
     """Explode each doc to ``bands`` rows: (band, key, doc_id).
 
-    band key = blake2b of the band's ``rows`` signature slots; candidate
-    pairs are docs sharing any (band, key).  bands*rows must equal 64.
+    band key = splitmix64 fold of the band's ``rows`` signature slots —
+    numeric and vectorized across the whole batch (replaces a
+    per-(doc, band) blake2b call, which was one Python hash per band
+    row).  Bucketing semantics are identical: two docs share a key iff
+    their band slots are equal, up to a ~2^-64 fold collision.
+    bands*rows must equal 64.
     """
     assert bands * rows == N_PERM
-    ids = batch[id_col].to_pylist()
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
     texts = batch[text_col].to_pylist()
-    out_band, out_key, out_id = [], [], []
-    for did, text in zip(ids, texts):
-        sig = minhash_signature(shingle_hashes(text))
-        for b in range(bands):
-            chunk = sig[b * rows:(b + 1) * rows]
-            key = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            out_band.append(b)
-            out_key.append(key)
-            out_id.append(did)
+    n = len(texts)
+    sigs = np.empty((n, N_PERM), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        sigs[i] = minhash_signature(shingle_hashes(text))
+    with np.errstate(over="ignore"):
+        chunk = sigs.reshape(n, bands, rows)
+        key = _mix64(chunk[:, :, 0] + _GOLDEN)
+        for r in range(1, rows):
+            key = _mix64(key ^ (chunk[:, :, r] * _GOLDEN + np.uint64(r)))
     return pa.table({
-        "band": pa.array(out_band, type=pa.int32()),
-        "key": pa.array(out_key, type=pa.string()),
-        "doc_id": pa.array(out_id, type=pa.int64()),
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "key": pa.array(key.ravel().view(np.int64)),
+        "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
     })
+
+
+def bucket_pairs(part: pa.Table, max_bucket: int = 1024) -> pa.Table:
+    """Candidate pairs for EVERY (band, key) bucket inside one hash
+    partition, in one vectorized pass: lexsort, run detection, and
+    per-run expansion only where a run has >= 2 docs.  Replaces one
+    ``map_groups`` Python call per bucket (n_docs x bands tiny groups)
+    with one call per partition.  Per-run semantics are exactly
+    ``band_group_pairs``: all pairs below ``max_bucket``, the
+    connectivity chain above it."""
+    empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                      "doc_b": pa.array([], type=pa.int64())})
+    if part.num_rows == 0:
+        return empty
+    band = part["band"].to_numpy(zero_copy_only=False)
+    key = part["key"].to_numpy(zero_copy_only=False)
+    ids = part["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, key, band))
+    b_s, k_s, id_s = band[order], key[order], ids[order]
+    brk = np.flatnonzero((b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])) + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [len(id_s)]))
+    out_a, out_b = [], []
+    for qi in np.flatnonzero(ends - starts >= 2):
+        s, e = int(starts[qi]), int(ends[qi])
+        run = id_s[s:e]
+        if e - s > max_bucket:
+            out_a.append(run[:-1])
+            out_b.append(run[1:])
+        else:
+            iu, ju = np.triu_indices(e - s, k=1)
+            out_a.append(run[iu])
+            out_b.append(run[ju])
+    if not out_a:
+        return empty
+    return pa.table({"doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                     "doc_b": pa.array(np.concatenate(out_b), type=pa.int64())})
 
 
 def band_group_pairs(group: pa.Table, max_bucket: int = 1024) -> pa.Table:
@@ -260,11 +311,21 @@ def minhash_dedup_pairs(docs_ds, docs_parquet: str | None = None, *,
     """
     from ray.data.aggregate import Count
 
-    bands_ds = docs_ds.map_batches(
-        lambda b: minhash_bands(b, bands=bands, rows=rows),
+    def bands_with_part(b: pa.Table) -> pa.Table:
+        t = minhash_bands(b, bands=bands, rows=rows)
+        with np.errstate(over="ignore"):
+            h = _mix64(t["key"].to_numpy().view(np.uint64)
+                       ^ ((t["band"].to_numpy().astype(np.uint64) + 1)
+                          * _GOLDEN))
+        part = (h % np.uint64(32)).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    # one vectorized pair expansion per hash PARTITION, not one Python
+    # call per (band,key) bucket — n_docs x bands tiny groups otherwise
+    bands_ds = docs_ds.map_batches(bands_with_part, batch_format="pyarrow")
+    pairs = bands_ds.groupby("part").map_groups(
+        lambda g: bucket_pairs(g.drop_columns(["part"])),
         batch_format="pyarrow")
-    pairs = bands_ds.groupby(["band", "key"]).map_groups(
-        band_group_pairs, batch_format="pyarrow")
     uniq = pairs.groupby(["doc_a", "doc_b"]) \
         .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
     if verify == "broadcast":
