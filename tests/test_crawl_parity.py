@@ -181,3 +181,54 @@ def test_fresh_run_clears_stale_parts(ray_session, tmp_path):
     run_crawl(cdir, out, config=cfg, write_warc=False, fetch_concurrency=1)
     n1 = read_fetch_log(out).count()
     assert n1 == n2
+
+
+def test_sort_offers_fast_path_exact():
+    """The seed-ingest int-argsort fast path must equal the full
+    multi-key sort when depth/src_doc are constant and offsets unique,
+    and FALL BACK (still exact) when offsets tie."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warc_ray.state.frontier import FrontierCore
+
+    rng = np.random.default_rng(3)
+    n = 10_000
+    offs = rng.permutation(n).astype(np.int32)
+    buf = pa.table({
+        "url": pa.array([f"http://h/x/{i}" for i in rng.integers(0, n, n)]),
+        "host": pa.array(["h"] * n),
+        "priority": pa.array(np.full(n, 5, dtype=np.int32)),
+        "depth": pa.array(np.zeros(n, dtype=np.int32)),
+        "hash64": pa.array(rng.integers(0, 2**63, n), type=pa.uint64()),
+        "src_doc": pa.array([""] * n),
+        "src_offset": pa.array(offs),
+    })
+    full = pc.sort_indices(buf, sort_keys=[("depth", "ascending"),
+                                           ("src_doc", "ascending"),
+                                           ("src_offset", "ascending"),
+                                           ("url", "ascending")])
+    fast = FrontierCore._sort_offers(buf, n)
+    assert fast.to_pylist() == full.to_pylist()
+
+    # ties in src_offset -> fallback path, still the full ordering
+    dup = buf.set_column(buf.schema.get_field_index("src_offset"),
+                         "src_offset",
+                         pa.array(np.repeat(np.arange(n // 2), 2)
+                                  .astype(np.int32)))
+    full2 = pc.sort_indices(dup, sort_keys=[("depth", "ascending"),
+                                            ("src_doc", "ascending"),
+                                            ("src_offset", "ascending"),
+                                            ("url", "ascending")])
+    fast2 = FrontierCore._sort_offers(dup, n)
+    assert fast2.to_pylist() == full2.to_pylist()
+
+    # varying depth -> fallback
+    vd = buf.set_column(buf.schema.get_field_index("depth"), "depth",
+                        pa.array((offs % 3).astype(np.int32)))
+    fullv = pc.sort_indices(vd, sort_keys=[("depth", "ascending"),
+                                           ("src_doc", "ascending"),
+                                           ("src_offset", "ascending"),
+                                           ("url", "ascending")])
+    assert FrontierCore._sort_offers(vd, n).to_pylist() == fullv.to_pylist()

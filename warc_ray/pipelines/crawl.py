@@ -495,6 +495,7 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
                 seeds_ref, bounds[i], bounds[i + 1], shards, cfg.num_shards)
             for i in range(k) if bounds[i + 1] > bounds[i]
         ])
+        _phase["seed_slices"] = _time.perf_counter() - _pt
         ray.get([s.seal_round.remote() for s in shards])
         _phase["seed"] = _time.perf_counter() - _pt
         _pt = _time.perf_counter()

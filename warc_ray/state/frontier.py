@@ -117,6 +117,29 @@ class FrontierCore:
         self.counters["dup"] += n
         return n
 
+    @staticmethod
+    def _sort_offers(buf: pa.Table, n: int) -> pa.Array:
+        """Deterministic offer order: (depth, src_doc, src_offset, url).
+
+        Fast path for the SEED ingest (the hot shard seals ~20% of all
+        seeds in one serial call): when depth and src_doc are constant
+        and src_offset values are unique — seeds get globally unique
+        offsets by construction — the multi-key string sort reduces to
+        one int argsort, verified exact (any offset tie falls back)."""
+        if n > 4096:
+            dmm = pc.min_max(buf["depth"])
+            smm = pc.min_max(buf["src_doc"])
+            if (dmm["min"] == dmm["max"]
+                    and smm["min"].as_py() == smm["max"].as_py()):
+                off = buf["src_offset"].to_numpy(zero_copy_only=False)
+                order = np.argsort(off, kind="stable")
+                if (np.diff(off[order]) > 0).all():
+                    return pa.array(order.astype(np.int64))
+        return pc.sort_indices(buf, sort_keys=[("depth", "ascending"),
+                                               ("src_doc", "ascending"),
+                                               ("src_offset", "ascending"),
+                                               ("url", "ascending")])
+
     def seal_round(self) -> None:
         """Deterministically ingest this round's offers (sorted).
 
@@ -133,10 +156,7 @@ class FrontierCore:
         self.buffer = []
         n = buf.num_rows
         self.counters["offered"] += n
-        idx = pc.sort_indices(buf, sort_keys=[("depth", "ascending"),
-                                              ("src_doc", "ascending"),
-                                              ("src_offset", "ascending"),
-                                              ("url", "ascending")])
+        idx = self._sort_offers(buf, n)
         # src_doc/src_offset exist only to define the sort — don't
         # gather them (src_doc is a string column, ~25% of the take)
         buf = buf.select(["url", "host", "priority", "depth",
