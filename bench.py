@@ -207,7 +207,10 @@ def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
     synced between runs (GBs of WARC shards per run).
     """
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    n_low = int(os.environ.get("GRAFT_SCALING_NLOW", n_low))
+    n_high = int(os.environ.get("GRAFT_SCALING_NHIGH", n_high))
     results = {}
+    loads = {}
     for n in (n_high, n_low) * reps:
         # pollution-aware retries (same policy both arms): the host is
         # shared, and a neighbor burst DURING a run corrupts it — the
@@ -220,7 +223,10 @@ def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
             shutil.rmtree("/tmp/warc_ray_bench", ignore_errors=True)
             shutil.rmtree("/dev/shm/warc_ray_bench", ignore_errors=True)
             _settle(int(os.environ.get("GRAFT_SCALING_COOLDOWN", "30")))
-            _wait_quiet()
+            # arm-aware quiet gate: an arm only collides with ambient
+            # load that doesn't fit in the cores it leaves free, so a
+            # small arm may start under load a full-machine arm can't
+            load_before = _wait_quiet(thresh=max(4.0, 30.0 - n))
             prof = os.environ.get("GRAFT_SCALING_PROFILE", "benchxl2")
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
                        GRAFT_BENCH_RUNS="1", GRAFT_PROFILE=prof)
@@ -236,6 +242,7 @@ def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
             r = json.loads(p.stdout.strip().splitlines()[-1])
             if n not in results or r["value"] < results[n]["value"]:
                 results[n] = r
+                loads[n] = (round(load_before, 2), round(load_after, 2))
             if load_after <= n + 6:
                 break  # clean run recorded; polluted runs get retried
     t_low, t_high = results[n_low]["value"], results[n_high]["value"]
@@ -249,6 +256,10 @@ def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
         "sec_low": t_low, "sec_high": t_high,
         "urls_per_sec_low": results[n_low]["urls_per_sec"],
         "urls_per_sec_high": results[n_high]["urls_per_sec"],
+        # (pre, post) 1-min load of each arm's best run: a pre-load
+        # that doesn't fit in the arm's spare cores marks the run
+        # neighbor-polluted (the gate waits, but only up to max_wait)
+        "load_low": loads.get(n_low), "load_high": loads.get(n_high),
         "threshold": 0.8,
         "pass": eff >= 0.8,
     }
