@@ -22,7 +22,14 @@ from typing import Any
 
 from warc_ray import corpus as corpus_mod
 
-_CRAWL_OUT = "/tmp/warc_ray_out"
+# query outputs (WARC/ARC shards, crawl logs) go to tmpfs when present:
+# this host's /tmp disk writes ~11 MB/s with multi-second writeback
+# stalls, vs ~1.5 GB/s to /dev/shm — archive-writing queries were
+# writeback-throttled, not compute-bound
+_CRAWL_OUT = os.environ.get(
+    "GRAFT_QUERY_OUT",
+    "/dev/shm/warc_ray_out" if os.path.isdir("/dev/shm")
+    else "/tmp/warc_ray_out")
 
 
 def _corpus_for(sf_dir: str) -> str:
