@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_simhash": tr.simhash,
         "q23_embedding_neardup": tr.embedding_neardup,
         "q24_curation": tr.curation,
+        "q25_ngram_jaccard": tr.ngram_jaccard,
         # similarity search
         "q30_knn_topk": tr.knn_topk,
         "q31_knn_topk_ivf": tr.knn_topk_ivf,
@@ -457,6 +458,33 @@ def oracle_sql() -> dict[str, str]:
               AND CAST(len(regexp_extract_all(d.text, '[A-Za-z]')) AS BIGINT) * 1000000
                   // GREATEST(CAST(length(d.text) AS BIGINT), 1) >= 500000
             ORDER BY d.doc_id""",
+        "q25_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, UNNEST(
+                CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END) AS s
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (i * 1000000) // (sa.n + sb.n - i) AS jaccard_ppm
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i * 1000000 >= 500000 * (sa.n + sb.n - i)
+            ORDER BY doc_a, doc_b""",
         "q23_embedding_neardup": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a CROSS JOIN embeddings b

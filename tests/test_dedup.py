@@ -139,6 +139,50 @@ def test_verify_join_matches_broadcast(ray_session):
     assert len(a) > 0  # the table actually contains near-dups
 
 
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session):
+    """The inverted-index pipeline equals the all-pairs brute force —
+    including empty docs, <3-token docs, exact dups, and a stop-shingle
+    shared by many docs."""
+    import ray.data as rd
+
+    t = _synth_docs()
+    ids = t["doc_id"].to_pylist() + [900, 901, 902, 903, 904]
+    texts = t["text"].to_pylist() + [
+        "", "one two", "one two", "common tail here", "common tail here x"]
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    thr = 500_000
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter, union = dd.jaccard(texts[i], texts[j])
+            if union and inter * 1_000_000 >= thr * union:
+                a, b = sorted((ids[i], ids[j]))
+                exp[(a, b)] = inter * 1_000_000 // union
+    assert len(exp) >= 20 and (900, 901) not in exp and (901, 902) in exp
+    got_t = dd.ngram_jaccard_pairs(
+        rd.from_arrow(t), threshold_ppm=thr).to_pandas()
+    got = {(a, b): p for a, b, p in zip(got_t.doc_a, got_t.doc_b,
+                                        got_t.jaccard_ppm)}
+    assert got == exp
+
+
+def test_ngram_jaccard_max_df_drops_stop_shingles():
+    """posting_pairs with max_df skips postings longer than the cap."""
+    part = pa.table({
+        "doc_id": pa.array([1, 2, 3, 1, 2], type=pa.int64()),
+        "sh": pa.array([7, 7, 7, 9, 9], type=pa.int64()),
+        "size": pa.array([4, 4, 4, 4, 4], type=pa.int64()),
+    })
+    exact = dd.posting_pairs(part)
+    assert exact.num_rows == 3  # (1,2) c=2, (1,3), (2,3)
+    assert dict(zip(zip(exact["doc_a"].to_pylist(), exact["doc_b"].to_pylist()),
+                    exact["c"].to_pylist())) == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    capped = dd.posting_pairs(part, max_df=2)
+    assert dict(zip(zip(capped["doc_a"].to_pylist(), capped["doc_b"].to_pylist()),
+                    capped["c"].to_pylist())) == {(1, 2): 1}
+
+
 # ---------------------------------------------------------------------------
 # band bucket cap
 # ---------------------------------------------------------------------------

@@ -87,6 +87,14 @@ def minhash_pairs(sf_dir: str, threshold_ppm: int = 500_000):
         .sort(["doc_a", "doc_b"])
 
 
+def ngram_jaccard(sf_dir: str, threshold_ppm: int = 500_000):
+    """EXACT 3-gram Jaccard near-dup pairs (inverted-index path — the
+    100%-recall complement to q21's MinHash sketch)."""
+    return dd.ngram_jaccard_pairs(_docs(sf_dir, columns=["doc_id", "text"]),
+                                  threshold_ppm=threshold_ppm) \
+        .sort(["doc_a", "doc_b"])
+
+
 def simhash(sf_dir: str):
     return _docs(sf_dir).map_batches(dd.simhash64, batch_format="pyarrow") \
         .sort("doc_id")
