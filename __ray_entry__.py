@@ -101,16 +101,30 @@ def _seen_dedup_q(sf_dir: str):
         names=["url", "first_doc", "n_refs"])
 
 
+def _crawl_config(prof):
+    """The ONE config both the distributed query crawl and the
+    single-process oracle simulator run under — crawl-order / seen-set
+    parity (BASELINE.json) is only meaningful at identical configs."""
+    from warc_ray.state.frontier import FrontierConfig
+
+    return FrontierConfig(num_shards=min(8, max(4, prof.n_buckets // 2)),
+                          max_rounds=30, filter_capacity=1 << 18)
+
+
+def _stamp_for(prof) -> str:
+    import json
+    from dataclasses import asdict
+
+    return json.dumps(dict(asdict(prof), gen=corpus_mod.GEN_VERSION,
+                           layout=2))
+
+
 def _ensure_crawl(sf_dir: str) -> str:
     """Run the frontier crawl for sf_dir's corpus once (deterministic);
     later queries over the fetch log reuse the output directory."""
     import shutil
 
     from warc_ray.pipelines.crawl import run_crawl
-    from warc_ray.state.frontier import FrontierConfig
-
-    import json
-    from dataclasses import asdict
 
     cdir = _corpus_for(sf_dir)
     prof = corpus_mod.profile_for_sf_dir(sf_dir)
@@ -118,18 +132,40 @@ def _ensure_crawl(sf_dir: str) -> str:
     done = os.path.join(out, "DONE")
     # stamp = corpus params + generator + output-layout version, so a
     # cached crawl is invalidated whenever any of them change
-    stamp = json.dumps(dict(asdict(prof), gen=corpus_mod.GEN_VERSION,
-                            layout=2))
+    stamp = _stamp_for(prof)
     if not (os.path.exists(done) and open(done).read() == stamp):
         shutil.rmtree(out, ignore_errors=True)
-        run_crawl(cdir, out,
-                  config=FrontierConfig(num_shards=min(8, max(4, prof.n_buckets // 2)),
-                                        max_rounds=30,
-                                        filter_capacity=1 << 18),
-                  write_warc=False)
+        run_crawl(cdir, out, config=_crawl_config(prof), write_warc=False)
         with open(done, "w") as f:
             f.write(stamp)
     return out
+
+
+def _ensure_sim_log(profile_name: str) -> str:
+    """Fetch-log parquet from the SINGLE-PROCESS oracle simulator
+    (pipelines/oracle.py) for ``profile_name``, stamp-cached.
+
+    This is the independent side of the q52/q54/q55 DuckDB oracles: the
+    distributed crawl's fetch log (Ray side) must equal plain SQL over
+    the simulator's log — the north-rule crawl-order parity check,
+    surfaced as a driver value-hash match instead of pytest-only."""
+    from warc_ray.pipelines.oracle import simulate
+
+    import pyarrow.parquet as pq
+
+    prof = corpus_mod.PROFILES[profile_name]
+    cdir = corpus_mod.ensure_corpus(prof)
+    os.makedirs(_CRAWL_OUT, exist_ok=True)
+    path = os.path.join(_CRAWL_OUT, f"simlog-{prof.name}.parquet")
+    done = path + ".DONE"
+    stamp = _stamp_for(prof)
+    if not (os.path.exists(done) and open(done).read() == stamp
+            and os.path.exists(path)):
+        res = simulate(cdir, config=_crawl_config(prof))
+        pq.write_table(res["log"], path)
+        with open(done, "w") as f:
+            f.write(stamp)
+    return path
 
 
 def _crawl_q(sf_dir: str):
@@ -356,6 +392,10 @@ def oracle_sql() -> dict[str, str]:
     # the Ray queries use (deterministic, idempotent)
     t2 = corpus_mod.ensure_corpus("t2")
     docs_glob = f"{t2}/docs/*.parquet"
+    # independent single-process-simulator fetch log for the crawl
+    # oracles (q52/q54/q55): distributed crawl == plain SQL over the
+    # simulator's log is the BASELINE.json crawl-order parity invariant
+    sim_log = _ensure_sim_log("t2")
 
     spans_src = (
         "SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('%s')" % docs_glob
@@ -515,5 +555,33 @@ def oracle_sql() -> dict[str, str]:
             " COUNT(*) AS n_links, MIN(src_doc) AS min_src,"
             " MAX(src_doc) AS max_src"
             " FROM (%s) GROUP BY 1 ORDER BY host" % links_src
+        ),
+        # crawl-order parity (north rule): the distributed crawl's
+        # fetch log / reports must equal SQL over the single-process
+        # simulator's independently produced log (same seeds + config)
+        "q52_crawl_frontier": f"""
+            SELECT url, host, doc_id, status, round, fetch_seq, depth
+            FROM read_parquet('{sim_log}')
+            ORDER BY round, host, fetch_seq, url""",
+        "q54_hottest_hosts": f"""
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetched,
+                   CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                   MIN(round) AS first_round, MAX(round) AS last_round
+            FROM read_parquet('{sim_log}')
+            GROUP BY host ORDER BY n_fetched DESC, host LIMIT 20""",
+        "q55_crawl_metrics": f"""
+            SELECT round, CAST(COUNT(*) AS BIGINT) AS n_fetched,
+                   CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                   MIN(fetch_seq) AS min_seq, MAX(fetch_seq) AS max_seq,
+                   CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+            FROM read_parquet('{sim_log}')
+            GROUP BY round ORDER BY round""",
+        # expected-value oracle: every corpus doc must round-trip the
+        # archive with its span sequence intact (n_ok == n_docs ==
+        # corpus row count); any archive corruption breaks the hash
+        "q57_verify_spans": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            " CAST(COUNT(*) AS BIGINT) AS n_ok"
+            " FROM read_parquet('%s')" % docs_glob
         ),
     }
