@@ -243,8 +243,16 @@ def _verify_spans_q(sf_dir: str):
 
 def _warc_roundtrip_q(sf_dir: str):
     """Archive the corpus to .warc.gz shards, read back with the
-    distributed reader, return per-type record counts + digest checks."""
+    distributed reader, return per-type record counts + digest checks.
+
+    warcinfo records are excluded from the compared output — their
+    count is the (layout-dependent) shard count, not a corpus
+    invariant; warcinfo integrity itself is pinned by the pytest
+    roundtrip tests.  The oracle is expected-value: every corpus doc
+    must come back as exactly one response + one metadata record, all
+    payload digests verified."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from warc_ray.core.warcrec import sha1_digest
     from warc_ray.sources import read_warc
@@ -252,6 +260,7 @@ def _warc_roundtrip_q(sf_dir: str):
     ds = read_warc(_ensure_archive(sf_dir))
 
     def check(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["rec_type"], "warcinfo"))
         ok = [int(sha1_digest(bytes(p)) == d)
               for p, d in zip(b["payload"].to_pylist(),
                               b["payload_digest"].to_pylist())]
@@ -584,4 +593,47 @@ def oracle_sql() -> dict[str, str]:
             " CAST(COUNT(*) AS BIGINT) AS n_ok"
             " FROM read_parquet('%s')" % docs_glob
         ),
+        # expected-value oracle: the WARC roundtrip must return exactly
+        # one response + one metadata record per corpus doc, every
+        # payload digest verified (warcinfo excluded — shard-count
+        # dependent, pytest-pinned)
+        "q53_warc_roundtrip": f"""
+            WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                       FROM read_parquet('{docs_glob}'))
+            SELECT t.rec_type, n.c AS n_records, n.c AS n_digest_ok
+            FROM (VALUES ('metadata'), ('response')) t(rec_type), n
+            ORDER BY t.rec_type""",
+        # expected-value oracle: reconstruct the ARC roundtrip's byte
+        # totals from first principles — seed URL → doc index (inverting
+        # the RFC-3986 variants the seed table plants), doc spans →
+        # rendered-body length (the span→HTML render is length-linear:
+        # text / <a href> / <img> / <video> templates), + the HTTP/1.1
+        # response head.  Any corruption in fetch, ARC write (v2
+        # filedesc quirk included), gzip member framing, or read-back
+        # shifts the byte sum and breaks the hash.
+        "q58_arc_roundtrip": f"""
+            WITH spans AS (
+              SELECT doc_id, UNNEST(spans) AS s
+              FROM read_parquet('{docs_glob}')
+            ),
+            doc_len AS (
+              SELECT CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS i,
+                     SUM(CASE s.kind
+                           WHEN 'text' THEN strlen(s.text)
+                           WHEN 'link' THEN 15 + strlen(s.media_ref) + strlen(s.text)
+                           WHEN 'image' THEN 12 + strlen(s.media_ref)
+                           ELSE 14 + strlen(s.media_ref) END)
+                     + COUNT(*) - 1 AS body_len
+              FROM spans GROUP BY doc_id
+            ),
+            seed_docs AS (
+              SELECT CAST(regexp_extract(replace(url, '%64', 'd'),
+                                         '/doc/(\\d+)', 1) AS BIGINT) AS i
+              FROM read_parquet('{t2}/seeds.parquet')
+            )
+            SELECT CAST(2 AS BIGINT) AS version,
+                   CAST(COUNT(*) AS BIGINT) AS n_records,
+                   CAST(SUM(58 + strlen(CAST(d.body_len AS VARCHAR))
+                            + 4 + d.body_len) AS BIGINT) AS payload_bytes
+            FROM seed_docs sd JOIN doc_len d USING (i)""",
     }
