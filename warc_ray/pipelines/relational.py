@@ -189,15 +189,17 @@ def user_event_stats(sf_dir: str):
 
     Scale shape: NO per-group Python.  The extreme rows are found with
     an order-preserving composite key — 16 bytes of big-endian
-    (ts-bits, value-bits) — so Min/Max aggregates ARE argmin/argmax and
+    (ts-bits, value-bits) — so min/max aggregates ARE argmin/argmax and
     the extreme row's value decodes straight out of the winning key.
-    Per-batch partials shrink the shuffle to one row per (batch, user);
-    distinct types use the distinct→count double aggregate."""
+    One hash-bucket exchange carries everything: per-batch partials
+    group by (user, type), the per-bucket combine finishes min/max/sum
+    AND the distinct-type count in a single vectorized Arrow group_by —
+    no second aggregate, no join."""
     import pyarrow as pa
-    from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["user_id", "ts", "event_type", "value"])
+    npart = 8
 
     def partial(b: pa.Table) -> pa.Table:
         ts = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -213,53 +215,44 @@ def user_event_stats(sf_dir: str):
             pa.binary(16), n, [None, pa.py_buffer(arr.tobytes())])
         t = pa.table({
             "user_id": b["user_id"],
+            "event_type": b["event_type"],
             "key": keys.cast(pa.binary()),
         })
-        g = t.group_by("user_id").aggregate(
+        g = t.group_by(["user_id", "event_type"]).aggregate(
             [("key", "min"), ("key", "max"), ("key", "count")])
-        return g.rename_columns(["user_id", "key_min", "key_max", "n_events"])
+        g = g.rename_columns(["user_id", "event_type",
+                              "key_min", "key_max", "n_events"])
+        part = (g["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return g.append_column("part", pa.array(part))
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(
-            Min("key_min", alias_name="key_min"),
-            Max("key_max", alias_name="key_max"),
-            Sum("n_events", alias_name="n_events"))
+    def decode_value(col) -> np.ndarray:
+        raw = b"".join(k.ljust(16, b"\x00") for k in col.to_pylist())
+        bits = np.frombuffer(raw, dtype=">u8").reshape(-1, 2)[:, 1] \
+            .astype(np.uint64)
+        neg = ~(bits >> np.uint64(63)).astype(bool)
+        out = bits ^ np.uint64(1 << 63)
+        out[neg] = ~bits[neg]
+        return out.view(np.float64)
 
-    def finish(b: pa.Table) -> pa.Table:
-        def decode_value(col) -> np.ndarray:
-            # numpy S16 strips trailing NULs (order-preserving: NUL is
-            # the least byte, so stripped keys compare identically) —
-            # pad back to the fixed 16 before decoding
-            raw = b"".join(k.ljust(16, b"\x00") for k in col.to_pylist())
-            bits = np.frombuffer(raw, dtype=">u8").reshape(-1, 2)[:, 1] \
-                .astype(np.uint64)
-            neg = ~(bits >> np.uint64(63)).astype(bool)
-            out = bits ^ np.uint64(1 << 63)
-            out[neg] = ~bits[neg]
-            return out.view(np.float64)
-
-        first = np.floor(decode_value(b["key_min"]) * 1000.0).astype(np.int64)
-        last = np.floor(decode_value(b["key_max"]) * 1000.0).astype(np.int64)
+    def combine(g: pa.Table) -> pa.Table:
+        out = g.group_by(["user_id"]).aggregate(
+            [("key_min", "min"), ("key_max", "max"),
+             ("n_events", "sum"), ("event_type", "count_distinct")])
+        out = out.rename_columns(["user_id", "key_min", "key_max",
+                                  "n_events", "n_types"])
+        first = np.floor(decode_value(out["key_min"]) * 1000.0).astype(np.int64)
+        last = np.floor(decode_value(out["key_max"]) * 1000.0).astype(np.int64)
         return pa.table({
-            "user_id": b["user_id"],
-            "n_events": b["n_events"],
+            "user_id": out["user_id"],
+            "n_events": out["n_events"],
+            "n_types": out["n_types"],
             "delta_milli": pa.array(last - first),
         })
 
-    stats = agg.map_batches(finish, batch_format="pyarrow")
-
-    # distinct event types per user: distinct → count (both vectorized)
-    types = ds.map_batches(
-        lambda b: pa.table({"user_id": b["user_id"],
-                            "event_type": b["event_type"]})
-        .group_by(["user_id", "event_type"]).aggregate([]),
-        batch_format="pyarrow") \
-        .groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_c")) \
-        .groupby("user_id").aggregate(Count(alias_name="n_types"))
-
-    out = stats.join(types, "inner", 4, on=("user_id",))
-    return out.select_columns(
-        ["user_id", "n_events", "n_types", "delta_milli"]).sort("user_id")
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(combine, batch_format="pyarrow") \
+        .sort("user_id")
 
 
 def windowed_events(sf_dir: str, window: str = "hour"):
