@@ -92,3 +92,73 @@ def test_read_warc_split_matches_unsplit(ray_session, tmp_path):
         [bytes(x) for x in unsplit.payload]
     # the split plan really produced multiple range tasks
     assert os.path.getsize(p) // 4096 >= 4
+
+
+def test_warc_columnar_parse_parity():
+    # _members_to_table's fast path must emit exactly the rows the core
+    # parser does — across extras, empty payloads, payloads containing
+    # \r\n\r\n, and oddly-spaced header values (fallback cases included)
+    import pyarrow as pa
+
+    from warc_ray.core import gzipm
+    from warc_ray.core.warcrec import parse_record_bytes
+    from warc_ray.sources.warc_source import (_members_to_table,
+                                              _records_to_table)
+
+    def member(header_lines, payload):
+        head = b"WARC/1.0\r\n" + b"".join(l + b"\r\n" for l in header_lines)
+        return head + b"\r\n" + payload + b"\r\n\r\n"
+
+    raws = [
+        member([b"WARC-Type: response",
+                b"WARC-Record-ID: <urn:uuid:1>",
+                b"WARC-Target-URI: http://e/x",
+                b"WARC-Date: 2026-01-01T00:00:00Z",
+                b"Content-Length: 5",
+                b"X-Extra-Header: keep me",
+                b"Content-Type: text/plain"], b"hello"),
+        member([b"Content-Length: 9"], b"a\r\n\r\nb c!"),       # CRLFCRLF inside payload
+        member([b"Content-Length: 0", b"WARC-Type: metadata"], b""),
+        member([b"Content-Length:4", b"odd:  spaced value "], b"abcd"),
+        member([b"Content-Length: +3", b"WARC-Type: weird"], b"xyz"),  # int("+3") both paths
+    ]
+    members = []
+    off = 0
+    for r in raws:
+        blob = gzipm.compress_member(r)
+        members.append((off, len(blob), r))
+        off += len(blob)
+
+    fast = _members_to_table(members, "p.warc.gz")
+    core = _records_to_table([parse_record_bytes(r) for r in raws],
+                             "p.warc.gz", [m[0] for m in members],
+                             [m[1] for m in members])
+    assert fast.to_pydict() == core.to_pydict()
+
+
+def test_warc_columnar_parse_real_shard(tmp_path, ray_session):
+    # archive a few docs, read the shard back through both parse paths
+    import glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from warc_ray.core import gzipm
+    from warc_ray.core.warcrec import parse_record_bytes
+    from warc_ray.pipelines.archive import archive_docs
+    from warc_ray.sources.warc_source import (_members_to_table,
+                                              _records_to_table)
+    from warc_ray import corpus
+
+    cdir = corpus.ensure_corpus("t1")
+    docs = rd.read_parquet(corpus.docs_path(cdir)).limit(40)
+    out = str(tmp_path / "w")
+    archive_docs(docs, out).materialize()
+    f = sorted(glob.glob(out + "/*.warc.gz"))[0]
+    data = open(f, "rb").read()
+    members = list(gzipm.iter_member_spans(data))
+    fast = _members_to_table(members, f)
+    core = _records_to_table([parse_record_bytes(d) for _, _, d in members],
+                             f, [m[0] for m in members],
+                             [m[1] for m in members])
+    assert fast.to_pydict() == core.to_pydict()

@@ -44,6 +44,87 @@ def _records_to_table(recs: list, path: str, offsets: list[int],
         .append_column("length", pa.array(lengths, type=pa.int64()))
 
 
+def _fixed_header_keys() -> frozenset:
+    from ..core.warcrec import KNOWN_HEADERS
+
+    return frozenset({v.lower() for v in KNOWN_HEADERS.values()}
+                     | {"warc-payload-digest"})
+
+
+_FIXED = None
+
+
+def _members_to_table(members: list[tuple[int, int, bytes]],
+                      path: str) -> pa.Table:
+    """Gzip members → WARC rows without per-record objects.
+
+    The fast path replicates ``read_header``/``parse_record_bytes``
+    (core/warcrec.py:271-359) for the strict-well-formed case — exact
+    ``WARC/1.0`` version line, ``Name: value`` header lines, ``\\r\\n\\r\\n``
+    trailer right after ``Content-Length`` payload bytes — and hands any
+    other member to the core parser, so errors and liberal framings
+    behave identically (parity pinned by
+    tests/test_split_read.py::test_warc_columnar_parse_parity)."""
+    global _FIXED
+    if _FIXED is None:
+        _FIXED = _fixed_header_keys()
+    from ..core.warcrec import parse_record_bytes as _core_parse
+
+    cols = {k: [] for k in ("record_id", "rec_type", "target_uri", "date",
+                            "ip_address", "content_type", "content_length",
+                            "payload_digest", "extra_headers", "payload")}
+    offs, lens = [], []
+    for off, size, d in members:
+        i = d.find(b"\r\n\r\n")
+        hmap = None
+        if i > 0 and d[:10] == b"WARC/1.0\r\n":
+            # header content spans [10, i); i == 8 is the headerless
+            # record whose version \r\n overlaps the terminator
+            lines = d[10:i].split(b"\r\n") if i > 10 else []
+            m = {}
+            for ln in lines:
+                name, sep, rest = ln.partition(b":")
+                if not sep or not name.replace(b"-", b"").replace(b"_", b"").isalpha():
+                    m = None
+                    break
+                m[name.decode("ascii").lower()] = \
+                    rest.lstrip(b" ").decode("ascii")
+            if m is not None:
+                try:
+                    clen = int(m.get("content-length", 0))
+                except ValueError:
+                    clen = -1
+                pstart = i + 4
+                if (0 <= clen <= len(d) - pstart - 4
+                        and d[pstart + clen:pstart + clen + 4] == b"\r\n\r\n"):
+                    hmap = m
+                    payload = d[pstart:pstart + clen]
+        if hmap is None:
+            rec = _core_parse(d)   # strict core path; exact error parity
+            hmap = dict(rec.header.items())
+            payload = rec.payload_bytes()
+            clen = int(hmap.get("content-length", 0))
+        cols["record_id"].append(hmap.get("warc-record-id", ""))
+        cols["rec_type"].append(hmap.get("warc-type", ""))
+        cols["target_uri"].append(hmap.get("warc-target-uri", ""))
+        cols["date"].append(hmap.get("warc-date", ""))
+        cols["ip_address"].append(hmap.get("warc-ip-address", ""))
+        cols["content_type"].append(hmap.get("content-type", ""))
+        cols["content_length"].append(clen)
+        cols["payload_digest"].append(hmap.get("warc-payload-digest", ""))
+        cols["extra_headers"].append(
+            [(k, v) for k, v in hmap.items() if k not in _FIXED])
+        cols["payload"].append(payload)
+        offs.append(off)
+        lens.append(size)
+    n = len(offs)
+    arrs = [pa.array(cols[f.name], type=f.type) for f in WARC_RECORD_SCHEMA]
+    arrs += [pa.array([path] * n, type=pa.string()),
+             pa.array(offs, type=pa.int64()),
+             pa.array(lens, type=pa.int64())]
+    return pa.Table.from_arrays(arrs, schema=READ_SCHEMA)
+
+
 class WarcDatasource(FileBasedDatasource):
     _FILE_EXTENSIONS = ["warc", "warc.gz"]
 
@@ -64,13 +145,15 @@ class WarcDatasource(FileBasedDatasource):
     def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
         recs, offs, lens = [], [], []
         if path.endswith(".gz"):
-            for offset, size, data in gzipm.iter_members(f):
-                recs.append(parse_record_bytes(data))
-                offs.append(offset)
-                lens.append(size)
-                if len(recs) >= self._batch_rows:
-                    yield _records_to_table(recs, path, offs, lens)
-                    recs, offs, lens = [], [], []
+            members: list[tuple[int, int, bytes]] = []
+            for member in gzipm.iter_members(f):
+                members.append(member)
+                if len(members) >= self._batch_rows:
+                    yield _members_to_table(members, path)
+                    members = []
+            if members:
+                yield _members_to_table(members, path)
+            return
         else:
             # Uncompressed: offsets are raw byte offsets.
             buf = io.BytesIO(f.read())
@@ -148,15 +231,16 @@ class _ReadWarcRanges:
                                     batch["end"].to_pylist()):
             cur_path = path
             if path.endswith(".gz"):
+                members: list[tuple[int, int, bytes]] = []
                 with open(path, "rb") as f:
-                    for off, size, data in gzipm.members_in_range(
+                    for member in gzipm.members_in_range(
                             f, start, end, prefix=b"WARC/"):
-                        recs.append(parse_record_bytes(data))
-                        offs.append(off)
-                        lens.append(size)
-                        if len(recs) >= self._batch_rows:
-                            yield _records_to_table(recs, path, offs, lens)
-                            recs, offs, lens = [], [], []
+                        members.append(member)
+                        if len(members) >= self._batch_rows:
+                            yield _members_to_table(members, path)
+                            members = []
+                if members:
+                    yield _members_to_table(members, path)
             else:
                 with open(path, "rb") as f:
                     buf = io.BytesIO(f.read())
