@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (stubbed codec, real plumbing)
         "q40_media_features": tr.media_features,
         "q41_frame_samples": tr.frame_samples,
+        "q42_media_resize": tr.media_resize,
         # crawl substrate over the interleaved corpus
         "q50_extract_links": _extract_links_q,
         "q51_seen_dedup": _seen_dedup_q,

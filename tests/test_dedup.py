@@ -381,3 +381,56 @@ def test_decode_media_features_empty_and_trailing_rows():
     sliced = DecodeMediaFeatures()(batch.slice(1, 3)).to_pydict()
     assert sliced["n_bytes"] == [300, 0, 0]
     assert sliced["width"] == out["width"][1:]
+
+
+def test_resize_media_stage():
+    import hashlib
+
+    import numpy as np
+
+    from warc_ray.stages.multimodal import ResizeMedia, _fake_decode
+
+    payloads = [b"\x89PNG" + bytes(range(200)) * 40,   # 8KB image
+                b"tiny-img",                            # shorter than target
+                b"v" * 4096]                            # video: filtered out
+    batch = pa.table({
+        "media_id": ["i1", "i2", "v1"],
+        "media_type": ["image", "image", "video"],
+        "payload": pa.array(payloads, type=pa.large_binary()),
+    })
+    out = ResizeMedia(box_w=32, box_h=16)(batch)
+    d = out.to_pydict()
+    assert d["media_id"] == ["i1", "i2"]
+    for k in range(2):
+        sw, sh = _fake_decode(payloads[k])
+        assert (d["src_width"][k], d["src_height"][k]) == (sw, sh)
+        tw, th = d["width"][k], d["height"][k]
+        # fits the box, binding side exact, aspect preserved within floor
+        assert tw <= 32 and th <= 16 and (tw == 32 or th == 16)
+        if th == 16:
+            assert tw == max(1, sw * 16 // sh)
+        # payload sized like a real resize (capped by the source bytes)
+        expect_len = min(tw * th, len(payloads[k]))
+        assert len(d["payload"][k]) == expect_len
+        # strided downsample reference (per-row formulation)
+        src = payloads[k]
+        ref = bytes(src[j * len(src) // expect_len] for j in range(expect_len))
+        assert bytes(d["payload"][k]) == ref
+    # deterministic + sliced-batch safe
+    out2 = ResizeMedia(box_w=32, box_h=16)(batch.slice(0, 2))
+    assert out2.to_pydict()["payload"] == d["payload"][:2]
+    # empty input
+    empty = ResizeMedia()(batch.slice(0, 0))
+    assert empty.num_rows == 0
+
+
+def test_media_resize_query(ray_session):
+    from warc_ray.pipelines.training import media_resize
+
+    t = media_resize(SF_DIR).to_pandas()
+    assert len(t) > 0
+    assert (t.width <= 64).all() and (t.height <= 64).all()
+    assert ((t.width == 64) | (t.height == 64)).all()
+    assert (t.out_bytes > 0).all()
+    t2 = media_resize(SF_DIR).to_pandas()
+    assert t.values.tolist() == t2.values.tolist()

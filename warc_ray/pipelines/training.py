@@ -156,6 +156,35 @@ def media_features(sf_dir: str):
     return feats.drop_columns(["feature", "midx"])
 
 
+def media_resize(sf_dir: str):
+    """Multimodal resize stage (decode → fit-into-box → re-encode, stub
+    codec): per-image source/target dimensions + resized byte counts.
+    Payload bytes are produced (and sized like a real resize) but
+    dropped from the report — the driver check is rows-only."""
+    import pyarrow.compute as pc
+
+    from .. import corpus as corpus_mod
+    from ..stages.multimodal import ResizeMedia, media_table_from_corpus
+
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    cdir = corpus_mod.ensure_corpus(prof)
+    media = media_table_from_corpus(cdir, prof.n_hosts)
+    resized = media.map_batches(ResizeMedia, batch_format="pyarrow",
+                                concurrency=(1, 8), batch_size=2048)
+
+    def summary(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": b["media_id"],
+            "src_width": b["src_width"],
+            "src_height": b["src_height"],
+            "width": b["width"],
+            "height": b["height"],
+            "out_bytes": pc.cast(pc.binary_length(b["payload"]), pa.int64()),
+        })
+
+    return resized.map_batches(summary, batch_format="pyarrow")
+
+
 def frame_samples(sf_dir: str):
     """Video frame sampling (multimodal stage 2): media blobs →
     ≤4 deterministic frames per video via the FrameSampler actor pool;

@@ -178,6 +178,85 @@ class DecodeMediaFeatures:
         return pa.table(cols, schema=schema)
 
 
+RESIZED_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("media_type", pa.string()),
+    ("src_width", pa.int32()),
+    ("src_height", pa.int32()),
+    ("width", pa.int32()),            # target box, aspect preserved
+    ("height", pa.int32()),
+    ("payload", pa.large_binary()),   # "resized" image bytes
+])
+
+
+class ResizeMedia:
+    """Actor-pool stage: resize image payloads into a bounding box.
+
+    Same stub-codec contract as DecodeMediaFeatures: when a real codec
+    (PIL) is importable it would decode/resize/re-encode here; in this
+    container the deterministic fake stands in — source dims come from
+    the header hash (``_fake_decode``), target dims fit ``(box_w,
+    box_h)`` preserving aspect, and the "resized" payload is a strided
+    byte downsample of the source sized ``width × height × bpp`` — so
+    output size scales with the target like a real resize and the whole
+    Ray side (actor pool, schema, zero-copy batch plumbing, byte
+    budgets) is production-shaped."""
+
+    def __init__(self, box_w: int = 64, box_h: int = 64, bpp: int = 1):
+        self.box_w = box_w
+        self.box_h = box_h
+        self.bpp = bpp
+        self.use_real_codec = HAVE_PIL  # False in this container
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        images = batch.filter(pc.and_(
+            pc.equal(batch["media_type"], "image"),
+            pc.greater(pc.binary_length(batch["payload"]), 0)))
+        _, starts, ends, data = _binary_views(images["payload"])
+        n = len(starts)
+        sw = np.empty(n, dtype=np.int64)
+        sh = np.empty(n, dtype=np.int64)
+        sha1 = hashlib.sha1
+        for i in range(n):
+            s = starts[i]
+            h = sha1(data[s:min(ends[i], s + 20)]).digest()
+            sw[i] = 64 + h[0] % 192
+            sh[i] = 64 + h[1] % 192
+        # fit into the box preserving aspect, integer-only: the binding
+        # side takes the box dimension, the other floors (min 1)
+        use_w = self.box_w * sh <= self.box_h * sw
+        tw = np.where(use_w, self.box_w, np.maximum(1, (sw * self.box_h) // sh))
+        th = np.where(use_w, np.maximum(1, (sh * self.box_w) // sw), self.box_h)
+        out_len = np.minimum(tw * th * self.bpp, ends - starts).astype(np.int64)
+        # strided byte downsample: out[i][j] = src[i][j * src_len // out_len]
+        total = int(out_len.sum())
+        row = np.repeat(np.arange(n, dtype=np.int64), out_len)
+        j = (np.arange(total, dtype=np.int64)
+             - np.repeat(np.cumsum(out_len) - out_len, out_len))
+        src_len = (ends - starts).astype(np.int64)
+        idx = starts[row] + (j * src_len[row]) // np.maximum(1, out_len[row])
+        values = np.ascontiguousarray(data[idx])
+        offsets = np.concatenate(([0], np.cumsum(out_len)))
+        payloads = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), n,
+            [None, pa.py_buffer(offsets.astype(np.int64).tobytes()),
+             pa.py_buffer(values.tobytes())])
+        cols = {
+            "media_id": images["media_id"],
+            "media_type": images["media_type"],
+            "src_width": pa.array(sw.astype(np.int32)),
+            "src_height": pa.array(sh.astype(np.int32)),
+            "width": pa.array(tw.astype(np.int32)),
+            "height": pa.array(th.astype(np.int32)),
+            "payload": payloads,
+        }
+        schema = RESIZED_SCHEMA
+        if "midx" in batch.column_names:
+            cols["midx"] = images["midx"]
+            schema = RESIZED_SCHEMA.append(pa.field("midx", pa.int64()))
+        return pa.table(cols, schema=schema)
+
+
 class FrameSampler:
     """Actor-pool stage: sample ≤ max_frames deterministic "frames" per
     video payload (byte-slices standing in for decoded frames)."""
