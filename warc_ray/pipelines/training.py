@@ -150,7 +150,7 @@ def media_features(sf_dir: str):
     cdir = corpus_mod.ensure_corpus(prof)
     media = media_table_from_corpus(cdir, prof.n_hosts)
     feats = media.map_batches(DecodeMediaFeatures, batch_format="pyarrow",
-                              concurrency=(1, 16), batch_size=2048)
+                              concurrency=(2, 28), batch_size=2048)
     # no output sort: the media table's bucket exchange already yields
     # per-bucket-sorted rows and the driver check is order-insensitive
     return feats.drop_columns(["feature", "midx"])
@@ -169,20 +169,12 @@ def media_resize(sf_dir: str):
     prof = corpus_mod.profile_for_sf_dir(sf_dir)
     cdir = corpus_mod.ensure_corpus(prof)
     media = media_table_from_corpus(cdir, prof.n_hosts)
-    resized = media.map_batches(ResizeMedia, batch_format="pyarrow",
-                                concurrency=(1, 8), batch_size=2048)
-
-    def summary(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "media_id": b["media_id"],
-            "src_width": b["src_width"],
-            "src_height": b["src_height"],
-            "width": b["width"],
-            "height": b["height"],
-            "out_bytes": pc.cast(pc.binary_length(b["payload"]), pa.int64()),
-        })
-
-    return resized.map_batches(summary, batch_format="pyarrow")
+    # emit_payload=False: the resize (including the byte gather — the
+    # stand-in for real codec work) runs in-actor, only sizes ship out
+    resized = media.map_batches(
+        ResizeMedia, fn_constructor_kwargs={"emit_payload": False},
+        batch_format="pyarrow", concurrency=(2, 24), batch_size=2048)
+    return resized.drop_columns(["media_type", "midx"])
 
 
 def frame_samples(sf_dir: str):
@@ -198,7 +190,7 @@ def frame_samples(sf_dir: str):
     cdir = corpus_mod.ensure_corpus(prof)
     media = media_table_from_corpus(cdir, prof.n_hosts)
     frames = media.map_batches(FrameSampler, batch_format="pyarrow",
-                               concurrency=(1, 8), batch_size=2048)
+                               concurrency=(2, 24), batch_size=2048)
 
     npart = 64
 

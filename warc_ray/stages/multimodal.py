@@ -202,11 +202,35 @@ class ResizeMedia:
     Ray side (actor pool, schema, zero-copy batch plumbing, byte
     budgets) is production-shaped."""
 
-    def __init__(self, box_w: int = 64, box_h: int = 64, bpp: int = 1):
+    def __init__(self, box_w: int = 64, box_h: int = 64, bpp: int = 1,
+                 emit_payload: bool = True):
         self.box_w = box_w
         self.box_h = box_h
         self.bpp = bpp
+        # emit_payload=False: report shape — resized bytes are produced
+        # but only their sizes leave the actor (saves shipping the blob
+        # column when the consumer is a per-image report)
+        self.emit_payload = emit_payload
         self.use_real_codec = HAVE_PIL  # False in this container
+        # actor-persistent scratch (grown on demand): per-batch multi-MB
+        # numpy temporaries get munmapped on free, so re-faulting them
+        # every batch costs ~30µs/page on the target hosts — the gather
+        # below runs entirely in reused buffers (decode stage rationale)
+        self._i64 = (np.empty(0, dtype=np.int64),
+                     np.empty(0, dtype=np.int64),
+                     np.empty(0, dtype=np.int64))
+        self._ar = np.empty(0, dtype=np.int64)     # cached arange
+        self._u8 = np.empty(0, dtype=np.uint8)
+
+    def _scratch(self, total: int) -> tuple:
+        if self._i64[0].size < total:
+            self._i64 = tuple(np.empty(total, dtype=np.int64)
+                              for _ in range(3))
+            self._u8 = np.empty(total, dtype=np.uint8)
+        if self._ar.size < total:
+            self._ar = np.arange(total, dtype=np.int64)
+        return (self._i64[0][:total], self._i64[1][:total],
+                self._i64[2][:total], self._u8[:total], self._ar[:total])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         images = batch.filter(pc.and_(
@@ -228,15 +252,27 @@ class ResizeMedia:
         tw = np.where(use_w, self.box_w, np.maximum(1, (sw * self.box_h) // sh))
         th = np.where(use_w, np.maximum(1, (sh * self.box_w) // sw), self.box_h)
         out_len = np.minimum(tw * th * self.bpp, ends - starts).astype(np.int64)
-        # strided byte downsample: out[i][j] = src[i][j * src_len // out_len]
-        total = int(out_len.sum())
-        row = np.repeat(np.arange(n, dtype=np.int64), out_len)
-        j = (np.arange(total, dtype=np.int64)
-             - np.repeat(np.cumsum(out_len) - out_len, out_len))
+        # strided byte downsample out[i][j] = src[i][j*src_len//out_len],
+        # computed wholly in the reused scratch (no fresh temporaries)
+        row_off = np.cumsum(out_len)
+        total = int(row_off[-1]) if n else 0
+        b_row, b_j, b_k, b_val, ar = self._scratch(total)
+        b_row.fill(0)
+        rel = row_off[:-1]
+        np.add.at(b_row, rel[rel < total], 1)
+        np.cumsum(b_row, out=b_row)                 # byte -> row id
+        np.take(row_off - out_len, b_row, out=b_j)  # row start offset
+        np.subtract(ar, b_j, out=b_j)               # j within row
         src_len = (ends - starts).astype(np.int64)
-        idx = starts[row] + (j * src_len[row]) // np.maximum(1, out_len[row])
-        values = np.ascontiguousarray(data[idx])
-        offsets = np.concatenate(([0], np.cumsum(out_len)))
+        np.take(src_len, b_row, out=b_k)
+        np.multiply(b_j, b_k, out=b_j)              # j * src_len
+        np.take(out_len, b_row, out=b_k)
+        np.floor_divide(b_j, b_k, out=b_j)
+        np.take(starts, b_row, out=b_k)
+        np.add(b_j, b_k, out=b_j)                   # absolute src index
+        np.take(data, b_j, out=b_val)
+        values = b_val
+        offsets = np.concatenate(([0], row_off))
         payloads = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), n,
             [None, pa.py_buffer(offsets.astype(np.int64).tobytes()),
@@ -251,9 +287,15 @@ class ResizeMedia:
             "payload": payloads,
         }
         schema = RESIZED_SCHEMA
+        if not self.emit_payload:
+            del cols["payload"]
+            cols["out_bytes"] = pa.array(out_len, type=pa.int64())
+            schema = pa.schema([f for f in RESIZED_SCHEMA
+                                if f.name != "payload"]
+                               + [pa.field("out_bytes", pa.int64())])
         if "midx" in batch.column_names:
             cols["midx"] = images["midx"]
-            schema = RESIZED_SCHEMA.append(pa.field("midx", pa.int64()))
+            schema = schema.append(pa.field("midx", pa.int64()))
         return pa.table(cols, schema=schema)
 
 
