@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q05_filter_orders": rel.filter_orders,
         "q06_user_event_stats": rel.user_event_stats,
         "q07_windowed_events": rel.windowed_events,
+        "q08_sessionize": rel.sessionize,
         # text analysis
         "q10_token_counts": tr.token_counts,
         "q11_quality_scores": tr.quality_scores,
@@ -478,6 +479,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
                    CAST(MAX(CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS max_value_milli
             FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q08_sessionize": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM e
+            )
+            SELECT user_id, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
         "q10_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens

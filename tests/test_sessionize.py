@@ -1,0 +1,47 @@
+"""Sessionize combine kernel edge cases (the q08 streaming window)."""
+
+import pyarrow as pa
+
+
+MIN = 60_000_000  # one minute in us
+
+
+def test_sessionize_edges(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from warc_ray.pipelines.relational import sessionize
+
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: 3 events, gap exactly 30min (NOT a break), then 30min+1us (break)
+        (1, base),
+        (1, base + 30 * MIN),
+        (1, base + 60 * MIN + 1),
+        # user 2: single event
+        (2, base),
+        # user 3: duplicate timestamps then a break
+        (3, base), (3, base), (3, base + 31 * MIN),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array(["x"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array([""] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = sessionize(str(tmp_path)).to_pandas()
+    got = [(r.user_id, r.session_id, r.n_events) for r in out.itertuples()]
+    assert got == [
+        (1, 1, 2),   # 30min gap keeps the session
+        (1, 2, 1),   # 30min+1us breaks
+        (2, 1, 1),
+        (3, 1, 2),   # duplicate ts same session
+        (3, 2, 1),
+    ]
+    # start/end per session
+    s11 = out[(out.user_id == 1) & (out.session_id == 1)].iloc[0]
+    assert s11.start_ts == pd.Timestamp(base, unit="us")
+    assert s11.end_ts == pd.Timestamp(base + 30 * MIN, unit="us")

@@ -255,6 +255,71 @@ def user_event_stats(sf_dir: str):
         .sort("user_id")
 
 
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization of the event stream — the classic
+    stateful streaming window Ray Data has no operator for.
+
+    Composition (SURVEY custom-operator recipe (a)): hash-partition by
+    user (bucket exchange — all of a user's events co-locate), then ONE
+    vectorized pass per bucket: lexsort by (user, ts), session breaks
+    where the gap exceeds ``gap_minutes``, per-session aggregates via
+    boundary ``reduceat``-style slicing.  No per-user Python, no
+    per-session Python.  Partitioning assumption: a single user's
+    events fit one bucket's worker (true by construction for bounded
+    per-user activity; salt hot users if that breaks).  Oracle: the
+    equivalent LAG/SUM window SQL, value-exact."""
+    import pyarrow as pa
+
+    gap_us = np.int64(gap_minutes) * 60_000_000
+    npart = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = (b["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                         "part": pa.array(part)})
+
+    def combine(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u_s, ts_s = u[order], ts[order]
+        n = len(u_s)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "session_id": pa.array([], type=pa.int64()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "start_ts": pa.array([], type=pa.timestamp("us")),
+                             "end_ts": pa.array([], type=pa.timestamp("us"))})
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        np.not_equal(u_s[1:], u_s[:-1], out=new_user[1:])
+        new_sess = new_user.copy()
+        new_sess[1:] |= (ts_s[1:] - ts_s[:-1]) > gap_us
+        bounds = np.flatnonzero(new_sess)               # session starts
+        ends = np.append(bounds[1:], n) - 1             # session last rows
+        user_of = u_s[bounds]
+        # session_id = 1-based rank of the session within its user
+        first_of_user = np.flatnonzero(new_user[bounds])
+        starts_per_user = np.repeat(
+            first_of_user,
+            np.diff(np.append(first_of_user, len(bounds))))
+        sid = np.arange(len(bounds), dtype=np.int64) - starts_per_user + 1
+        return pa.table({
+            "user_id": pa.array(user_of.astype(np.int64)),
+            "session_id": pa.array(sid),
+            "n_events": pa.array(
+                np.diff(np.append(bounds, n)).astype(np.int64)),
+            "start_ts": pa.array(ts_s[bounds]).cast(pa.timestamp("us")),
+            "end_ts": pa.array(ts_s[ends]).cast(pa.timestamp("us")),
+        })
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(combine, batch_format="pyarrow") \
+        .sort(["user_id", "session_id"])
+
+
 def windowed_events(sf_dir: str, window: str = "hour"):
     """Tumbling-window aggregate over the events stream: per (window
     start, event_type) counts and integer-exact value sums.
