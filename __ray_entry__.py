@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q06_user_event_stats": rel.user_event_stats,
         "q07_windowed_events": rel.windowed_events,
         "q08_sessionize": rel.sessionize,
+        "q09_asof_join": rel.asof_prior_event,
         # text analysis
         "q10_token_counts": tr.token_counts,
         "q11_quality_scores": tr.quality_scores,
@@ -498,6 +499,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events,
                    MIN(ts) AS start_ts, MAX(ts) AS end_ts
             FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+        "q09_asof_join": """
+            SELECT e.user_id, e.event_id, e.ts, v.ts AS prior_ts
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'view') v
+              ON e.user_id = v.user_id AND e.ts > v.ts
+            ORDER BY e.event_id""",
         "q10_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens

@@ -45,3 +45,43 @@ def test_sessionize_edges(ray_session, tmp_path):
     s11 = out[(out.user_id == 1) & (out.session_id == 1)].iloc[0]
     assert s11.start_ts == pd.Timestamp(base, unit="us")
     assert s11.end_ts == pd.Timestamp(base + 30 * MIN, unit="us")
+
+
+def test_asof_prior_event_edges(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from warc_ray.pipelines.relational import asof_prior_event
+
+    base = 1_700_000_000_000_000
+    rows = [
+        # (event_id, user, ts, type)
+        (0, 1, base, "view"),
+        (1, 1, base + 10, "click"),        # prior view at base
+        (2, 1, base + 10, "view"),         # equal-ts view: excluded for #1
+        (3, 1, base + 20, "click"),        # prior = base+10 (the later view)
+        (4, 1, base + 20, "view"),         # a view row: its own prior = base+10
+        (5, 2, base + 5, "click"),         # user 2 has no views -> NULL
+        (6, 3, base, "view"),              # first view: no strictly-prior one
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array([""] * len(rows)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = asof_prior_event(str(tmp_path)).to_pandas().set_index("event_id")
+
+    def ptс(us):
+        return pd.Timestamp(us, unit="us")
+
+    assert out.loc[0].prior_ts is pd.NaT          # self excluded (strict >)
+    assert out.loc[1].prior_ts == ptс(base)       # equal-ts view excluded
+    assert out.loc[2].prior_ts == ptс(base)
+    assert out.loc[3].prior_ts == ptс(base + 10)
+    assert out.loc[4].prior_ts == ptс(base + 10)
+    assert out.loc[5].prior_ts is pd.NaT
+    assert out.loc[6].prior_ts is pd.NaT

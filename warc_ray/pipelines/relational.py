@@ -320,6 +320,75 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         .sort(["user_id", "session_id"])
 
 
+def asof_prior_event(sf_dir: str, right_type: str = "view"):
+    """ASOF join inside the event stream: every event gets the same
+    user's most recent strictly-prior ``right_type`` event's timestamp
+    (NULL when none) — the as-of pattern Ray Data has no operator for.
+
+    Composition (custom-operator recipe (a)): hash-partition by user so
+    both join sides of a user co-locate, then one vectorized
+    ``np.searchsorted`` per bucket over a composite monotone key
+    ``user * 2^43 + (ts - bucket_min_ts)`` (43 bits ≈ 278 years of
+    microseconds; asserted).  Ties among equal right timestamps are
+    value-identical by construction (only the timestamp is emitted), so
+    the result is hash-exact against DuckDB's ASOF LEFT JOIN."""
+    import pyarrow as pa
+
+    npart = 32
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = (b["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "ts": b["ts"], "event_type": b["event_type"],
+                         "part": pa.array(part)})
+
+    TS_BITS = np.int64(43)
+
+    def combine(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        is_right = pc.equal(g["event_type"], right_type).to_numpy(
+            zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "event_id": pa.array([], type=pa.int64()),
+                             "ts": pa.array([], type=pa.timestamp("us")),
+                             "prior_ts": pa.array([], type=pa.timestamp("us"))})
+        rel = ts - ts.min()
+        assert rel.max() < (1 << 43) and u.max() < (1 << 20), \
+            "composite asof key overflow — widen TS_BITS/user bits"
+        key = (u << TS_BITS) + rel
+        order = np.argsort(key[is_right])
+        r_key = key[is_right][order]
+        r_ts = ts[is_right][order]
+        if r_key.size:
+            # most recent right row with r_key < key (strict: 'left'
+            # side excludes equal timestamps, matching e.ts > v.ts),
+            # then confirm the hit belongs to the same user
+            pos = np.searchsorted(r_key, key, side="left") - 1
+            valid = pos >= 0
+            pos_c = np.maximum(pos, 0)
+            valid &= (r_key[pos_c] >> TS_BITS) == u
+            prior = np.where(valid, r_ts[pos_c], 0)
+        else:                      # bucket with no right-side rows
+            valid = np.zeros(len(u), dtype=bool)
+            prior = np.zeros(len(u), dtype=np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_id": pa.array(eid),
+            "ts": pa.array(ts).cast(pa.timestamp("us")),
+            "prior_ts": pa.array(prior, mask=~valid).cast(pa.timestamp("us")),
+        })
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(combine, batch_format="pyarrow") \
+        .sort("event_id")
+
+
 def windowed_events(sf_dir: str, window: str = "hour"):
     """Tumbling-window aggregate over the events stream: per (window
     start, event_type) counts and integer-exact value sums.
