@@ -125,40 +125,46 @@ def decompress_members(data: bytes) -> bytes:
     return b"".join(raw for _, _, raw in iter_member_spans(data))
 
 
-def iter_members(fileobj: BinaryIO, chunk_size: int = 1 << 20) -> Iterator[tuple[int, int, bytes]]:
+def iter_members(fileobj: BinaryIO, chunk_size: int = 1 << 20,
+                 feed: int = 1 << 13) -> Iterator[tuple[int, int, bytes]]:
     """Stream ``(offset, compressed_size, decompressed)`` per member.
 
     Memory is bounded by one member (decompressed) + ``chunk_size`` of
     compressed lookahead — suitable for iterating a large archive
-    without loading it whole.
+    without loading it whole.  The inflater is fed bounded ``feed``
+    slices of the lookahead chunk (iter_member_spans rationale): feeding
+    it the whole chunk made ``unused_data`` copy ~chunk_size of tail per
+    member — O(members × chunk) memcpy on record-per-member archives.
     """
     offset = 0
-    buf = b""
-    eof = False
+    chunk = b""
+    cpos = 0
     while True:
-        if not buf:
-            if eof:
-                return
+        if cpos >= len(chunk):
             chunk = fileobj.read(chunk_size)
+            cpos = 0
             if not chunk:
                 return
-            buf = chunk
         d = zlib.decompressobj(wbits=31)
         out = []
         consumed = 0
+        buf = b""
         while True:
+            if not buf:
+                if cpos >= len(chunk):
+                    chunk = fileobj.read(chunk_size)
+                    cpos = 0
+                    if not chunk:
+                        raise IOError(
+                            "Truncated gzip member at offset %d" % offset)
+                buf = chunk[cpos:cpos + feed]
+                cpos += len(buf)
             out.append(d.decompress(buf))
             consumed += len(buf) - len(d.unused_data)
             buf = d.unused_data
             if d.eof:
                 break
-            chunk = fileobj.read(chunk_size)
-            if not chunk:
-                eof = True
-                if not d.eof:
-                    raise IOError("Truncated gzip member at offset %d" % offset)
-                break
-            buf = chunk
+        cpos -= len(buf)   # push back the next member's bytes
         yield offset, consumed, b"".join(out)
         offset += consumed
 
@@ -221,7 +227,7 @@ def members_in_range(fileobj: BinaryIO, start: int, end: int, *,
                 pos = j
                 break
             j += 1
-    feed = 1 << 16
+    feed = 1 << 13   # bounded unused_data copy per member (see iter_member_spans)
     while pos < limit:
         d = zlib.decompressobj(wbits=31)
         out = []
