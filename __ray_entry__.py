@@ -101,6 +101,35 @@ def _seen_dedup_q(sf_dir: str):
         names=["url", "first_doc", "n_refs"])
 
 
+def _hll_host_distinct_q(sf_dir: str):
+    """Approximate distinct URLs per host via the mergeable HyperLogLog
+    sketch (stages/sketch.py): shuffle volume is one 4 KB register cell
+    per (host, batch) regardless of link cardinality — the 100-TB
+    alternative to q51's exact exchange.  Accuracy/merge laws are
+    pytest-gated (not SQL-reproducible → rows-only driver check)."""
+    import ray.data as rd
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from warc_ray.stages.sketch import hll_distinct
+    from warc_ray.stages.urls import extract_links
+
+    cdir = _corpus_for(sf_dir)
+    ds = rd.read_parquet(corpus_mod.docs_path(cdir), override_num_blocks=64)
+
+    def links_with_host(b: pa.Table) -> pa.Table:
+        links = extract_links(b)
+        host = pc.struct_field(pc.extract_regex(
+            links["url"], r"^https?://(?P<host>[^/:]+)"), "host")
+        return pa.table({"url": links["url"], "host": host})
+
+    return hll_distinct(
+        ds.map_batches(links_with_host, batch_format="pyarrow",
+                       batch_size=None),
+        key_col="url", group_col="host").sort("host")
+
+
 def _crawl_config(prof):
     """The ONE config both the distributed query crawl and the
     single-process oracle simulator run under — crawl-order / seen-set
@@ -370,6 +399,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q07_windowed_events": rel.windowed_events,
         "q08_sessionize": rel.sessionize,
         "q09_asof_join": rel.asof_prior_event,
+        "q14_grouped_topk": rel.grouped_topk_events,
+        "q15_event_quantiles": rel.event_quantiles,
+        "q16_doc_sample": rel.sample_documents,
+        "q17_range_join": rel.range_join_views,
+        "q18_anti_join": rel.customers_without_orders,
         # text analysis
         "q10_token_counts": tr.token_counts,
         "q11_quality_scores": tr.quality_scores,
@@ -382,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_embedding_neardup": tr.embedding_neardup,
         "q24_curation": tr.curation,
         "q25_ngram_jaccard": tr.ngram_jaccard,
+        "q26_hll_host_distinct": _hll_host_distinct_q,
         # similarity search
         "q30_knn_topk": tr.knn_topk,
         "q31_knn_topk_ivf": tr.knn_topk_ivf,
@@ -389,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_media_features": tr.media_features,
         "q41_frame_samples": tr.frame_samples,
         "q42_media_resize": tr.media_resize,
+        "q43_audio_features": tr.audio_features,
         # crawl substrate over the interleaved corpus
         "q50_extract_links": _extract_links_q,
         "q51_seen_dedup": _seen_dedup_q,
@@ -506,6 +542,38 @@ def oracle_sql() -> dict[str, str]:
                             WHERE event_type = 'view') v
               ON e.user_id = v.user_id AND e.ts > v.ts
             ORDER BY e.event_id""",
+        "q14_grouped_topk": """
+            SELECT user_id, event_id, value, rank FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rank
+                FROM events)
+            WHERE rank <= 3 ORDER BY user_id, rank""",
+        "q15_event_quantiles": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(percentile_disc(0.50) WITHIN GROUP
+                        (ORDER BY CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS p50_milli,
+                   CAST(percentile_disc(0.90) WITHIN GROUP
+                        (ORDER BY CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS p90_milli,
+                   CAST(percentile_disc(0.99) WITHIN GROUP
+                        (ORDER BY CAST(FLOOR(value*1000) AS BIGINT)) AS BIGINT) AS p99_milli
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "q16_doc_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
+            ORDER BY doc_id""",
+        "q17_range_join": """
+            SELECT e.event_id, e.user_id,
+                   CAST(COUNT(v.ts) AS BIGINT) AS n_views_10m
+            FROM events e LEFT JOIN events v
+              ON v.user_id = e.user_id AND v.event_type = 'view'
+             AND v.ts >= e.ts - INTERVAL 10 MINUTE AND v.ts < e.ts
+            GROUP BY 1, 2 ORDER BY e.event_id""",
+        "q18_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey""",
         "q10_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens

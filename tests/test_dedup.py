@@ -434,3 +434,68 @@ def test_media_resize_query(ray_session):
     assert (t.out_bytes > 0).all()
     t2 = media_resize(SF_DIR).to_pandas()
     assert t.values.tolist() == t2.values.tolist()
+
+
+def test_audio_features_reference_parity():
+    """AudioFeatures (stub s16le 'demux') vs a per-row pure-Python
+    reference: RMS, zero crossings, rate/duration, amplitude histogram.
+    Covers empty, 1-byte and odd-length payloads and sliced batches."""
+    import math
+    import struct
+
+    from warc_ray.stages.multimodal import AudioFeatures
+
+    rng = np.random.default_rng(3)
+    payloads = [
+        bytes(rng.integers(0, 256, size=2048, dtype=np.uint8)),
+        b"",                       # no samples
+        b"\x07",                   # 1 byte: no samples, rate from header
+        bytes(rng.integers(0, 256, size=333, dtype=np.uint8)),  # odd len
+        b"\x00\x00" * 64,          # silence: rms 0, zc 0
+    ]
+    batch = pa.table({
+        "media_id": [f"a{i}" for i in range(len(payloads))],
+        "media_type": ["video", "audio", "video", "audio", "video"],
+        "payload": pa.array(payloads, type=pa.large_binary()),
+    })
+    out = AudioFeatures()(batch).to_pydict()
+
+    def ref(p: bytes):
+        ns = len(p) // 2
+        samples = struct.unpack(f"<{ns}h", p[:ns * 2])
+        rms = (math.floor(1000.0 * math.sqrt(sum(s * s for s in samples) / ns))
+               if ns else 0)
+        zc = sum(1 for i in range(1, ns)
+                 if (samples[i] >= 0) != (samples[i - 1] >= 0))
+        rate = 8000 << (p[0] % 3) if p else 8000
+        hist = [0] * 8
+        for s in samples:
+            hist[min(abs(s) >> 12, 7)] += 1
+        n = math.sqrt(sum(v * v for v in hist)) or 1.0
+        return ns, rate, ns * 1000 // rate, rms, zc, [v / n for v in hist]
+
+    for i, p in enumerate(payloads):
+        ns, rate, dur, rms, zc, hist = ref(p)
+        assert out["n_samples"][i] == ns
+        assert out["sample_rate"][i] == rate
+        assert out["duration_ms"][i] == dur
+        assert out["rms_milli"][i] == rms, (i, out["rms_milli"][i], rms)
+        assert out["zero_crossings"][i] == zc
+        np.testing.assert_allclose(out["feature"][i], hist, atol=1e-6)
+    # sliced batches (non-zero Arrow offset) are identical
+    sliced = AudioFeatures()(batch.slice(2, 3)).to_pydict()
+    assert sliced["rms_milli"] == out["rms_milli"][2:]
+    assert sliced["zero_crossings"] == out["zero_crossings"][2:]
+    # empty input
+    assert AudioFeatures()(batch.slice(0, 0)).num_rows == 0
+
+
+def test_audio_features_query(ray_session):
+    from warc_ray.pipelines.training import audio_features
+
+    t = audio_features(SF_DIR).to_pandas()
+    assert len(t) > 0
+    assert (t.n_samples == t.n_bytes // 2).all()
+    assert t.sample_rate.isin([8000, 16000, 32000]).all()
+    t2 = audio_features(SF_DIR).to_pandas()
+    assert t.values.tolist() == t2.values.tolist()

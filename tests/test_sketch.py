@@ -1,0 +1,85 @@
+"""HyperLogLog sketch: accuracy bound, merge laws, end-to-end (q26)."""
+
+import numpy as np
+import pyarrow as pa
+
+from warc_ray.stages.sketch import (M, estimate, merge_registers,
+                                    registers_for)
+
+
+def _hashes(n: int, seed: int) -> np.ndarray:
+    """n deterministic 64-bit hashes (splitmix64 over arange)."""
+    x = (np.arange(n, dtype=np.uint64)
+         + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    z = x
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def test_hll_accuracy_bound():
+    # sigma = 1.04/sqrt(4096) ~ 1.6%; assert within 4 sigma
+    for n, seed in [(1_000, 1), (50_000, 2), (200_000, 3)]:
+        h = _hashes(n, seed)
+        regs = registers_for(h, np.zeros(n, dtype=np.int64), 1)
+        est = estimate(regs)[0]
+        assert abs(est - n) / n < 0.065, (n, est)
+
+
+def test_hll_small_range_linear_counting():
+    # tiny cardinalities hit the linear-counting branch: near-exact
+    for n in [1, 10, 100]:
+        h = _hashes(n, 7)
+        est = estimate(registers_for(h, np.zeros(n, dtype=np.int64), 1))[0]
+        assert abs(est - n) <= max(1, 0.02 * n), (n, est)
+
+
+def test_hll_merge_equals_single_pass():
+    h = _hashes(30_000, 5)
+    gid = np.zeros(len(h), dtype=np.int64)
+    full = registers_for(h, gid, 1)
+    # three partials merged (any split) == one pass; idempotent re-merge
+    parts = np.vstack([
+        registers_for(h[:10_000], gid[:10_000], 1),
+        registers_for(h[10_000:11_000], gid[:1_000], 1),
+        registers_for(h[11_000:], gid[11_000:], 1),
+    ])
+    merged = merge_registers(parts, np.array([0]))
+    assert np.array_equal(merged, full)
+    again = merge_registers(np.vstack([merged, full]), np.array([0]))
+    assert np.array_equal(again, full)
+
+
+def test_hll_grouped_registers():
+    # interleaved groups fold independently
+    h = _hashes(20_000, 11)
+    gid = (np.arange(20_000) % 2).astype(np.int64)
+    both = registers_for(h, gid, 2)
+    solo0 = registers_for(h[gid == 0], np.zeros(10_000, dtype=np.int64), 1)
+    solo1 = registers_for(h[gid == 1], np.zeros(10_000, dtype=np.int64), 1)
+    assert np.array_equal(both[0], solo0[0])
+    assert np.array_equal(both[1], solo1[0])
+    assert M == both.shape[1]
+
+
+def test_hll_distinct_dataset(ray_session):
+    import ray.data as rd
+
+    from warc_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(42)
+    groups, keys = [], []
+    truth = {"a": 5_000, "b": 700, "c": 12}
+    for g, n in truth.items():
+        # every key at least once + random repeats (~3 refs per key)
+        ids = np.concatenate([np.arange(n), rng.choice(n, size=n * 2)])
+        groups += [g] * len(ids)
+        keys += [f"{g}-key-{i}" for i in ids]
+    t = pa.table({"host": pa.array(groups), "url": pa.array(keys)})
+    ds = rd.from_arrow(t).repartition(8)
+    out = hll_distinct(ds, key_col="url", group_col="host").to_pandas()
+    got = dict(zip(out["host"], out["est_distinct"]))
+    assert set(got) == set(truth)
+    for g, n in truth.items():
+        assert abs(got[g] - n) / n < 0.08, (g, n, got[g])

@@ -389,6 +389,232 @@ def asof_prior_event(sf_dir: str, right_type: str = "view"):
         .sort("event_id")
 
 
+def _group_bounds(sorted_keys: "np.ndarray"):
+    """(group starts, per-row 0-based rank within group) for a SORTED
+    key array — the vectorized backbone of grouped top-k / windows."""
+    n = len(sorted_keys)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, n))
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    return starts, rank
+
+
+def grouped_topk_events(sf_dir: str, k: int = 3):
+    """Grouped top-k: each user's k highest-value events (ties broken
+    by event_id) — the per-key heap operator Ray Data lacks.
+
+    Scale shape: per-batch partial top-k per user (a combiner — at most
+    k rows per user per batch survive, so the exchange moves O(users·k)
+    rows, not the event stream), hash-bucket exchange on user, then one
+    vectorized re-top-k per bucket.  Ranking is a lexsort over
+    (user, descending IEEE-total-order value bits, event_id) + a
+    grouped cumcount — no per-user Python anywhere."""
+    npart = 16
+
+    def topk(b: pa.Table, with_rank: bool) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            cols = {"user_id": pa.array([], type=pa.int64()),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64())}
+            if with_rank:
+                cols["rank"] = pa.array([], type=pa.int64())
+            else:
+                cols["part"] = pa.array([], type=pa.int32())
+            return pa.table(cols)
+        order = np.lexsort((eid, ~_ordered_bits_f64(val), u))
+        _, rank = _group_bounds(u[order])
+        keep = order[rank < k]
+        out = pa.table({"user_id": pa.array(u[keep]),
+                        "event_id": pa.array(eid[keep]),
+                        "value": pa.array(val[keep])})
+        if with_rank:
+            return out.append_column(
+                "rank", pa.array(rank[rank < k] + 1, type=pa.int64()))
+        part = (u[keep] % npart).astype(np.int32)
+        return out.append_column("part", pa.array(part))
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_id", "value"])
+    return ds.map_batches(lambda b: topk(b, False), batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda g: topk(g.drop_columns(["part"]), True),
+                    batch_format="pyarrow") \
+        .sort(["user_id", "rank"])
+
+
+def event_quantiles(sf_dir: str):
+    """Exact distributed quantiles (p50/p90/p99 of integer-milli value)
+    per event type via a value-histogram exchange.
+
+    Scale shape: the per-batch partial collapses rows to distinct
+    (type, milli) counts — the shuffle carries the value HISTOGRAM, not
+    the rows, so a 100-TB event stream reduces to (types × distinct
+    quantized values) rows.  The final per-type pass computes the exact
+    order statistic from cumulative counts: percentile_disc(q) = value
+    at 1-based index ceil(q·n), evaluated in integer arithmetic."""
+    QS = [(1, 2, "p50_milli"), (9, 10, "p90_milli"), (99, 100, "p99_milli")]
+
+    def partial(b: pa.Table) -> pa.Table:
+        milli = _i64(pc.floor(pc.multiply(b["value"], 1000.0)))
+        t = pa.table({"event_type": b["event_type"], "milli": milli})
+        return t.group_by(["event_type", "milli"]) \
+            .aggregate([("milli", "count")]) \
+            .rename_columns(["event_type", "milli", "cnt"])
+
+    def combine(g: pa.Table) -> pa.Table:
+        # one group = one event type's full histogram
+        m = g["milli"].to_numpy(zero_copy_only=False)
+        c = g["cnt"].to_numpy(zero_copy_only=False)
+        # partials from different batches repeat milli values: re-sum
+        order = np.argsort(m)
+        m_s, c_s = m[order], c[order]
+        starts, _ = _group_bounds(m_s)
+        m_u = m_s[starts]
+        cum = np.cumsum(c_s)[np.append(starts[1:] - 1, len(c_s) - 1)]
+        n = int(cum[-1])
+        row = {"event_type": [g["event_type"][0].as_py()],
+               "n_events": pa.array([n], type=pa.int64())}
+        for a, b_, name in QS:
+            i = (a * n + b_ - 1) // b_          # ceil(a*n/b), 1-based
+            pos = int(np.searchsorted(cum, i, side="left"))
+            row[name] = pa.array([int(m_u[pos])], type=pa.int64())
+        return pa.table(row)
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(combine, batch_format="pyarrow") \
+        .sort("event_type")
+
+
+def sample_documents(sf_dir: str, hex_cap: str = "28"):
+    """Deterministic hash sample (~16%) of the documents table: keep a
+    doc iff the first md5 byte of its id is ≤ 0x28 — the reproducible,
+    engine-independent sampling primitive for training-data curation
+    (same rows on every run, any cluster size, any row order; the SQL
+    oracle computes the identical predicate).  Stateless map_batches;
+    md5 is per-row by nature (cryptographic), embarrassingly parallel."""
+    import hashlib
+
+    def f(b: pa.Table) -> pa.Table:
+        keep = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[:2] <= hex_cap
+             for i in b["doc_id"].to_pylist()])
+        return b.filter(keep)
+
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id")
+
+
+def range_join_views(sf_dir: str, window_minutes: int = 10,
+                     right_type: str = "view"):
+    """Range join inside the event stream: for every event, the count
+    of the same user's ``right_type`` events in [ts − window, ts) — the
+    bounded-interval join Ray Data has no operator for.
+
+    Same composition as the ASOF join (hash-partition by user, one
+    composite-key ``searchsorted`` pass per bucket): the window's two
+    edges are two searchsorted probes, clamped at the user's key base
+    so a window never leaks into the previous user's rows."""
+    npart = 32
+    gap_us = np.int64(window_minutes) * 60_000_000
+    TS_BITS = np.int64(43)
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = (b["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "ts": b["ts"], "event_type": b["event_type"],
+                         "part": pa.array(part)})
+
+    def combine(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "user_id": pa.array([], type=pa.int64()),
+                             "n_views_10m": pa.array([], type=pa.int64())})
+        rel = ts - ts.min()
+        assert rel.max() < (1 << 43) and u.max() < (1 << 20), \
+            "composite range-join key overflow — widen TS_BITS/user bits"
+        base = u << TS_BITS
+        key = base + rel
+        is_right = pc.equal(g["event_type"], right_type).to_numpy(
+            zero_copy_only=False)
+        r_key = np.sort(key[is_right])
+        hi = np.searchsorted(r_key, key, side="left")      # v.ts <  e.ts
+        lo = np.searchsorted(r_key, np.maximum(key - gap_us, base),
+                             side="left")                  # v.ts >= e.ts-w
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(u),
+            "n_views_10m": pa.array((hi - lo).astype(np.int64)),
+        })
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(combine, batch_format="pyarrow") \
+        .sort("event_id")
+
+
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
+    """Anti join: customers that never placed a ``priority`` order.
+
+    Scale shape: both sides hash-partition on the key — the orders side
+    first collapses to distinct keys per batch (combiner), so the
+    exchange moves distinct keys, not the fact table; each bucket then
+    anti-filters its customer rows against its key set with one
+    vectorized ``np.isin``.  No broadcast (the 'small' side of an anti
+    join isn't small at web scale), no driver materialization."""
+    npart = 16
+
+    def cust_part(b: pa.Table) -> pa.Table:
+        keys = b["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": pa.array(keys.astype(np.int64)),
+            "c_name": b["c_name"],
+            "side": pa.array(np.zeros(len(keys), dtype=np.int8)),
+            "part": pa.array((keys % npart).astype(np.int32)),
+        })
+
+    def order_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["o_orderpriority"], priority))
+        keys = np.unique(b["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "c_custkey": pa.array(keys.astype(np.int64)),
+            "c_name": pa.array([""] * len(keys), type=pa.string()),
+            "side": pa.array(np.ones(len(keys), dtype=np.int8)),
+            "part": pa.array((keys % npart).astype(np.int32)),
+        })
+
+    def combine(g: pa.Table) -> pa.Table:
+        keys = g["c_custkey"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        have = keys[side == 1]
+        keep = (side == 0) & ~np.isin(keys, have)
+        return pa.table({"c_custkey": g["c_custkey"].filter(pa.array(keep)),
+                         "c_name": g["c_name"].filter(pa.array(keep))})
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"]) \
+        .map_batches(cust_part, batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(order_part, batch_format="pyarrow")
+    return cust.union(orders) \
+        .groupby("part").map_groups(combine, batch_format="pyarrow") \
+        .sort("c_custkey")
+
+
 def windowed_events(sf_dir: str, window: str = "hour"):
     """Tumbling-window aggregate over the events stream: per (window
     start, event_type) counts and integer-exact value sums.

@@ -230,6 +230,24 @@ def frame_samples(sf_dir: str):
         .sort("midx").drop_columns(["midx"])
 
 
+def audio_features(sf_dir: str):
+    """Audio slice of the multimodal family: video blobs → demuxed
+    audio track (stub demux — the payload bytes stand in for the s16le
+    PCM track) → AudioFeatures actor pool (RMS, zero crossings,
+    duration, amplitude histogram; all single-pass numpy over the
+    batch).  Semantics pinned by the per-row reference in
+    tests/test_multimodal.py; driver check is rows-only."""
+    from .. import corpus as corpus_mod
+    from ..stages.multimodal import AudioFeatures, media_table_from_corpus
+
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    cdir = corpus_mod.ensure_corpus(prof)
+    media = media_table_from_corpus(cdir, prof.n_hosts)
+    feats = media.map_batches(AudioFeatures, batch_format="pyarrow",
+                              concurrency=(2, 24), batch_size=2048)
+    return feats.drop_columns(["feature", "midx"])
+
+
 def curation(sf_dir: str):
     """End-to-end training-data curation: exact dedup (hash-partition,
     keep min doc_id per distinct text) → quality gate (n_tokens>=10 AND

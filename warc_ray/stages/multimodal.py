@@ -351,6 +351,102 @@ class FrameSampler:
         return pa.table(cols)
 
 
+AUDIO_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("n_bytes", pa.int64()),
+    ("n_samples", pa.int64()),
+    ("sample_rate", pa.int32()),
+    ("duration_ms", pa.int64()),
+    ("rms_milli", pa.int64()),
+    ("zero_crossings", pa.int64()),
+    ("feature", pa.list_(pa.float32(), 8)),
+])
+
+
+class AudioFeatures:
+    """Actor-pool stage: demuxed audio track → per-track features.
+
+    Same stub-codec contract as the image/video stages: with a real
+    codec (ffmpeg/soundfile) the payload would be demuxed+decoded here;
+    in this container the payload bytes themselves stand in for the
+    s16le PCM track (deterministic, documented).  Everything around the
+    codec — actor-pool signature, zero-copy buffer math, fixed-dim
+    feature layout — is real: RMS energy, zero-crossing count and the
+    8-bucket amplitude histogram are computed in single numpy passes
+    over ALL rows at once (bincount keyed by row id; no per-track
+    Python).  Semantics pinned by the per-row reference in
+    tests/test_multimodal.py."""
+
+    def __init__(self, feature_dim: int = 8, track_types=("video", "audio")):
+        self.feature_dim = feature_dim
+        self.track_types = list(track_types)
+        self.use_real_codec = False  # no audio codec in this container
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fd = self.feature_dim
+        rows = batch.filter(pc.is_in(
+            batch["media_type"],
+            value_set=pa.array(self.track_types)))
+        _, starts, ends, data = _binary_views(rows["payload"])
+        lengths = (ends - starts).astype(np.int64)
+        n = len(starts)
+        n_samp = lengths // 2                      # s16le samples per row
+        flen = n_samp * 2
+        total = int(flen.sum())
+        # gather each row's even-length prefix into one contiguous buffer
+        idx = (np.repeat(starts, flen)
+               + np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(flen) - flen, flen))
+        buf = np.ascontiguousarray(data[idx])
+        samples = buf.view("<i2").astype(np.int32)
+        row_id = np.repeat(np.arange(n, dtype=np.int64), n_samp)
+        # RMS: exact int sums carried in float64 (< 2^53 for any
+        # realistic track length), one bincount for every row at once
+        sq = (samples.astype(np.int64) ** 2).astype(np.float64)
+        sumsq = np.bincount(row_id, weights=sq, minlength=n)
+        ns_safe = np.maximum(n_samp, 1)
+        rms_milli = np.floor(
+            1000.0 * np.sqrt(sumsq / ns_safe)).astype(np.int64)
+        rms_milli[n_samp == 0] = 0
+        # zero crossings: sign flips between in-row neighbors
+        if len(samples) > 1:
+            nonneg = samples >= 0
+            flip = (nonneg[1:] != nonneg[:-1]) & (row_id[1:] == row_id[:-1])
+            zc = np.bincount(row_id[1:][flip], minlength=n)
+        else:
+            zc = np.zeros(n, dtype=np.int64)
+        # stub "container header": first byte selects the sample rate
+        first = np.zeros(n, dtype=np.int64)
+        nz = lengths > 0
+        if data.size:
+            first[nz] = data[starts[nz]]
+        rate = (8000 << (first % 3)).astype(np.int32)   # 8/16/32 kHz
+        duration_ms = n_samp * 1000 // rate
+        # 8-bucket amplitude histogram, L2-normed (fixed-dim feature)
+        bucket = np.minimum(np.abs(samples) >> 12, fd - 1)
+        hist = np.bincount(row_id * fd + bucket, minlength=n * fd) \
+            .reshape(n, fd).astype(np.float32)
+        norms = np.sqrt((hist * hist).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        feats = hist / norms
+        cols = {
+            "media_id": rows["media_id"],
+            "n_bytes": pa.array(lengths),
+            "n_samples": pa.array(n_samp),
+            "sample_rate": pa.array(rate),
+            "duration_ms": pa.array(duration_ms),
+            "rms_milli": pa.array(rms_milli),
+            "zero_crossings": pa.array(zc.astype(np.int64)),
+            "feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.ravel(), type=pa.float32()), fd),
+        }
+        schema = AUDIO_SCHEMA
+        if "midx" in batch.column_names:
+            cols["midx"] = rows["midx"]
+            schema = schema.append(pa.field("midx", pa.int64()))
+        return pa.table(cols, schema=schema)
+
+
 def media_table_from_corpus(corpus_dir: str, n_hosts: int,
                             limit_docs: int | None = None,
                             npart: int = 64):

@@ -1,0 +1,135 @@
+"""Mergeable distinct-count sketch: vectorized HyperLogLog.
+
+The scale path for "distinct URLs per host" style questions where the
+exact bucket exchange (stages/exchange.py) would still move one row per
+distinct key: an HLL register array is a fixed 2^P bytes per group no
+matter how many keys it absorbed, and merging is an element-wise max —
+associative, commutative, idempotent, so partials compose across
+batches, blocks, and nodes in any order.
+
+Layout: one ``fixed_size_binary(2^P)`` cell per (group, batch) partial;
+the bucket exchange co-locates a group's partials and one
+``np.maximum.reduceat`` pass merges every group in the bucket at once.
+P=12 → 4096 registers → σ ≈ 1.04/√4096 ≈ 1.6% relative error
+(Flajolet et al. 2007, the analysis HyperLogLog ships with everywhere).
+
+Accuracy + merge associativity are pinned by tests/test_sketch.py; the
+estimate is not SQL-reproducible (DuckDB's approx_count_distinct uses
+its own sketch), so q26 is a rows-only driver query by design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+P = 12
+M = 1 << P
+_ALPHA = 0.7213 / (1.0 + 1.079 / M)     # standard alpha_m for m >= 128
+_REST_BITS = 64 - P
+
+
+def registers_for(hashes: np.ndarray, group_id: np.ndarray,
+                  n_groups: int) -> np.ndarray:
+    """(n_groups, M) uint8 register matrix from 64-bit key hashes.
+
+    Fully vectorized: register index = top P bits, rho = leading-zero
+    count of the remaining bits + 1, merged per (group, register) with
+    one ``np.maximum.at``.
+    """
+    h = hashes.astype(np.uint64, copy=False)
+    reg = (h >> np.uint64(_REST_BITS)).astype(np.int64)
+    w = h & np.uint64((1 << _REST_BITS) - 1)
+    rho = np.full(len(h), _REST_BITS + 1, dtype=np.uint8)
+    nz = w > 0
+    # w < 2^52 → exactly representable in float64, so floor(log2) is safe
+    rho[nz] = (_REST_BITS - np.floor(np.log2(w[nz].astype(np.float64)))
+               ).astype(np.uint8)
+    out = np.zeros((n_groups, M), dtype=np.uint8)
+    np.maximum.at(out.reshape(-1), group_id * M + reg, rho)
+    return out
+
+
+def merge_registers(stacked: np.ndarray, group_starts: np.ndarray) -> np.ndarray:
+    """Merge rows of an (n_partials, M) register matrix into one row per
+    group; ``group_starts`` are the first-row offsets of each group in
+    (sorted-by-group) row order.  One reduceat pass, no Python loop."""
+    return np.maximum.reduceat(stacked, group_starts, axis=0)
+
+
+def estimate(registers: np.ndarray) -> np.ndarray:
+    """Cardinality estimates (int64) for an (n_groups, M) register
+    matrix — raw HLL harmonic mean with the standard small-range
+    (linear-counting) correction."""
+    regs = registers.astype(np.float64)
+    est = _ALPHA * M * M / np.power(2.0, -regs).sum(axis=1)
+    zeros = (registers == 0).sum(axis=1)
+    small = (est <= 2.5 * M) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = M * np.log(M / np.maximum(zeros, 1).astype(np.float64))
+    est = np.where(small, lin, est)
+    return np.round(est).astype(np.int64)
+
+
+def registers_to_binary(regs: np.ndarray) -> pa.Array:
+    """(n, M) uint8 → fixed_size_binary(M) column (one cell per group)."""
+    n = regs.shape[0]
+    return pa.Array.from_buffers(
+        pa.binary(M), n, [None, pa.py_buffer(np.ascontiguousarray(regs))])
+
+
+def binary_to_registers(col) -> np.ndarray:
+    """fixed_size_binary(M) column → (n, M) uint8 matrix (zero-copy)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = arr.buffers()[1]
+    return np.frombuffer(buf, dtype=np.uint8,
+                         count=len(arr) * M,
+                         offset=arr.offset * M).reshape(len(arr), M)
+
+
+def hll_distinct(ds, key_col: str, group_col: str, npart: int = 16,
+                 est_name: str = "est_distinct"):
+    """Distributed distinct-count-by-group over a Dataset.
+
+    Per-batch partial: hash keys (polars 64-bit hash — the exchange
+    module's), fold into one register row per group in the batch, ship
+    ``(group, fixed_size_binary(4096))``.  Exchange on group hash, then
+    one reduceat merge + estimate per bucket.  The shuffle volume is
+    4 KB per (group, batch) regardless of key cardinality — the whole
+    point of the sketch at 100 TB.
+    """
+    from .exchange import hash64_strings
+
+    def partial(b: pa.Table) -> pa.Table:
+        groups = b[group_col].combine_chunks() \
+            if isinstance(b[group_col], pa.ChunkedArray) else b[group_col]
+        codes = groups.dictionary_encode()
+        gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = codes.dictionary
+        h = hash64_strings(b[key_col])
+        regs = registers_for(h, gid, len(uniq))
+        part = (hash64_strings(uniq) % np.uint64(npart)).astype(np.int32)
+        return pa.table({group_col: uniq,
+                         "regs": registers_to_binary(regs),
+                         "part": pa.array(part)})
+
+    def combine(g: pa.Table) -> pa.Table:
+        groups = g[group_col].combine_chunks()
+        order = pa.compute.sort_indices(groups)
+        o = order.to_numpy(zero_copy_only=False)
+        sorted_groups = groups.take(order)
+        stacked = binary_to_registers(g["regs"])[o]
+        keys = sorted_groups.to_numpy(zero_copy_only=False)
+        new = np.empty(len(keys), dtype=bool)
+        if len(keys):
+            new[0] = True
+            new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        merged = merge_registers(stacked, starts)
+        return pa.table({
+            group_col: sorted_groups.take(pa.array(starts, type=pa.int64())),
+            est_name: pa.array(estimate(merged)),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(combine, batch_format="pyarrow")
