@@ -139,21 +139,43 @@ def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
 
 
 # -- multimodal -------------------------------------------------------------
+#
+# All four pipelines run payload synthesis FUSED into the consuming
+# actor stage (SynthesizedStage): only bare int64 media indices enter
+# the actors and only feature/report rows leave — the multi-KB payload
+# column never crosses the object store (it was ~1.7 GB/query at sf0.1
+# and dominated the wall).
+
+def _media_index(sf_dir: str):
+    from .. import corpus as corpus_mod
+    from ..stages.multimodal import media_index_from_corpus
+
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    cdir = corpus_mod.ensure_corpus(prof)
+    return media_index_from_corpus(cdir), prof
+
+
+def _q40_post(t: pa.Table) -> pa.Table:
+    return t.drop_columns(["feature", "midx"])
+
 
 def media_features(sf_dir: str):
     """Decode/feature-extract pipeline over the synthetic corpus' media
     blobs (actor-pool stage; codec stubbed — see stages/multimodal.py)."""
-    from .. import corpus as corpus_mod
-    from ..stages.multimodal import DecodeMediaFeatures, media_table_from_corpus
+    from ..stages.multimodal import DecodeMediaFeatures, SynthesizedStage
 
-    prof = corpus_mod.profile_for_sf_dir(sf_dir)
-    cdir = corpus_mod.ensure_corpus(prof)
-    media = media_table_from_corpus(cdir, prof.n_hosts)
-    feats = media.map_batches(DecodeMediaFeatures, batch_format="pyarrow",
-                              concurrency=(2, 28), batch_size=2048)
-    # no output sort: the media table's bucket exchange already yields
+    idx, prof = _media_index(sf_dir)
+    # no output sort: the index's bucket exchange already yields
     # per-bucket-sorted rows and the driver check is order-insensitive
-    return feats.drop_columns(["feature", "midx"])
+    return idx.map_batches(
+        SynthesizedStage,
+        fn_constructor_args=(prof.n_hosts, DecodeMediaFeatures),
+        fn_constructor_kwargs={"post": _q40_post},
+        batch_format="pyarrow", concurrency=(2, 28), batch_size=8192)
+
+
+def _q42_post(t: pa.Table) -> pa.Table:
+    return t.drop_columns(["media_type", "midx"])
 
 
 def media_resize(sf_dir: str):
@@ -161,20 +183,38 @@ def media_resize(sf_dir: str):
     codec): per-image source/target dimensions + resized byte counts.
     Payload bytes are produced (and sized like a real resize) but
     dropped from the report — the driver check is rows-only."""
-    import pyarrow.compute as pc
+    from ..stages.multimodal import ResizeMedia, SynthesizedStage
 
-    from .. import corpus as corpus_mod
-    from ..stages.multimodal import ResizeMedia, media_table_from_corpus
-
-    prof = corpus_mod.profile_for_sf_dir(sf_dir)
-    cdir = corpus_mod.ensure_corpus(prof)
-    media = media_table_from_corpus(cdir, prof.n_hosts)
+    idx, prof = _media_index(sf_dir)
     # emit_payload=False: the resize (including the byte gather — the
     # stand-in for real codec work) runs in-actor, only sizes ship out
-    resized = media.map_batches(
-        ResizeMedia, fn_constructor_kwargs={"emit_payload": False},
-        batch_format="pyarrow", concurrency=(2, 24), batch_size=2048)
-    return resized.drop_columns(["media_type", "midx"])
+    return idx.map_batches(
+        SynthesizedStage,
+        fn_constructor_args=(prof.n_hosts, ResizeMedia),
+        fn_constructor_kwargs={"stage_kwargs": {"emit_payload": False},
+                               "post": _q42_post},
+        batch_format="pyarrow", concurrency=(2, 24), batch_size=8192)
+
+
+_FRAME_NPART = 64
+
+
+def _frame_partials(b: pa.Table) -> pa.Table:
+    """Per-batch combiner fused into the sampler actor: int group key
+    only, no frame bytes enter the shuffle — one row per (video, batch)
+    instead of one per frame."""
+    import pyarrow.compute as pc
+
+    t = pa.table({
+        "midx": b["midx"],
+        "frame_bytes": pc.cast(pc.binary_length(
+            pc.cast(b["frame"], pa.binary())), pa.int64()),
+    }).group_by(["midx"]).aggregate(
+        [("frame_bytes", "sum"), ("midx", "count")])
+    t = t.rename_columns(["midx", "frame_bytes", "n_frames"])
+    part = (t["midx"].to_numpy(zero_copy_only=False)
+            % _FRAME_NPART).astype(np.int32)
+    return t.append_column("part", pa.array(part))
 
 
 def frame_samples(sf_dir: str):
@@ -183,31 +223,14 @@ def frame_samples(sf_dir: str):
     returns per-video frame counts + byte sums (integer-only)."""
     import pyarrow.compute as pc
 
-    from .. import corpus as corpus_mod
-    from ..stages.multimodal import FrameSampler, media_table_from_corpus
+    from ..stages.multimodal import FrameSampler, SynthesizedStage
 
-    prof = corpus_mod.profile_for_sf_dir(sf_dir)
-    cdir = corpus_mod.ensure_corpus(prof)
-    media = media_table_from_corpus(cdir, prof.n_hosts)
-    frames = media.map_batches(FrameSampler, batch_format="pyarrow",
-                               concurrency=(2, 24), batch_size=2048)
-
-    npart = 64
-
-    def partials(b: pa.Table) -> pa.Table:
-        # per-batch combiner: int group key only, no strings enter the
-        # shuffle, and the shuffle moves one row per (video, batch)
-        # instead of one per frame
-        t = pa.table({
-            "midx": b["midx"],
-            "frame_bytes": pc.cast(pc.binary_length(
-                pc.cast(b["frame"], pa.binary())), pa.int64()),
-        }).group_by(["midx"]).aggregate(
-            [("frame_bytes", "sum"), ("midx", "count")])
-        t = t.rename_columns(["midx", "frame_bytes", "n_frames"])
-        part = (t["midx"].to_numpy(zero_copy_only=False)
-                % npart).astype(np.int32)
-        return t.append_column("part", pa.array(part))
+    idx, prof = _media_index(sf_dir)
+    partial = idx.map_batches(
+        SynthesizedStage,
+        fn_constructor_args=(prof.n_hosts, FrameSampler),
+        fn_constructor_kwargs={"post": _frame_partials},
+        batch_format="pyarrow", concurrency=(2, 24), batch_size=8192)
 
     def combine(g: pa.Table) -> pa.Table:
         # one vectorized Arrow group_by per hash bucket (exchange.py
@@ -224,7 +247,7 @@ def frame_samples(sf_dir: str):
                          "frame_bytes": b["frame_bytes"],
                          "midx": b["midx"]})
 
-    return frames.map_batches(partials, batch_format="pyarrow") \
+    return partial \
         .groupby("part").map_groups(combine, batch_format="pyarrow") \
         .map_batches(with_media_id, batch_format="pyarrow") \
         .sort("midx").drop_columns(["midx"])
@@ -236,16 +259,15 @@ def audio_features(sf_dir: str):
     PCM track) → AudioFeatures actor pool (RMS, zero crossings,
     duration, amplitude histogram; all single-pass numpy over the
     batch).  Semantics pinned by the per-row reference in
-    tests/test_multimodal.py; driver check is rows-only."""
-    from .. import corpus as corpus_mod
-    from ..stages.multimodal import AudioFeatures, media_table_from_corpus
+    tests/test_dedup.py; driver check is rows-only."""
+    from ..stages.multimodal import AudioFeatures, SynthesizedStage
 
-    prof = corpus_mod.profile_for_sf_dir(sf_dir)
-    cdir = corpus_mod.ensure_corpus(prof)
-    media = media_table_from_corpus(cdir, prof.n_hosts)
-    feats = media.map_batches(AudioFeatures, batch_format="pyarrow",
-                              concurrency=(2, 24), batch_size=2048)
-    return feats.drop_columns(["feature", "midx"])
+    idx, prof = _media_index(sf_dir)
+    return idx.map_batches(
+        SynthesizedStage,
+        fn_constructor_args=(prof.n_hosts, AudioFeatures),
+        fn_constructor_kwargs={"post": _q40_post},
+        batch_format="pyarrow", concurrency=(2, 24), batch_size=8192)
 
 
 def curation(sf_dir: str):

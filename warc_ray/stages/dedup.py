@@ -413,10 +413,76 @@ def _verify_joined(batch: pa.Table, threshold_ppm: int) -> pa.Table:
                      "jaccard_ppm": pa.array(out_ppm, type=pa.int64())})
 
 
+def attach_docs(pairs_ds, docs_ds, key_col: str, other_col: str,
+                text_as: str, npart: int = 16,
+                carry: tuple[str, ...] = (), dedup_pairs: bool = False):
+    """Hash-partitioned join of candidate pairs against the doc table
+    on ``key_col`` (bucket-exchange shape: both sides route by
+    ``key % npart``; one vectorized pyarrow ``Table.join`` per bucket —
+    no whole-table actor load, no driver materialization, and none of
+    the built-in join's shuffle-actor spawn cost, which dominated this
+    query at small pair counts).
+
+    Both sides are padded to a common schema so a plain ``union``
+    carries them through ONE exchange: doc rows ride with
+    ``side=0, text=<text>``; pair rows with ``side=1, text=null``.
+    Output columns: ``key`` (= the joined ``key_col``), ``other``
+    (the pair's other id), then ``carry`` and ``text_as``.
+    """
+    pad_cols = ["key", "other", *carry, "text", "side", "part"]
+
+    def pair_side(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        n = len(k)
+        cols = {"key": b[key_col], "other": b[other_col]}
+        for c in carry:
+            cols[c] = b[c]
+        cols["text"] = pa.nulls(n, type=pa.string())
+        cols["side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["part"] = pa.array((k % npart).astype(np.int32))
+        return pa.table({c: cols[c] for c in pad_cols})
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        k = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        cols = {"key": b["doc_id"],
+                "other": pa.nulls(n, type=pa.int64())}
+        for c in carry:
+            cols[c] = pa.nulls(n, type=pa.string())
+        cols["text"] = b["text"]
+        cols["side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["part"] = pa.array((k % npart).astype(np.int32))
+        return pa.table({c: cols[c] for c in pad_cols})
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        mask = pa.array(side == 1)
+        pairs = g.filter(mask).drop_columns(["text", "side", "part"])
+        if dedup_pairs:
+            # duplicate candidates (same pair from several LSH bands)
+            # all hash to this bucket — one np.unique pass replaces a
+            # whole distinct exchange
+            ab = np.empty((pairs.num_rows, 2), dtype=np.int64)
+            ab[:, 0] = pairs["key"].to_numpy(zero_copy_only=False)
+            ab[:, 1] = pairs["other"].to_numpy(zero_copy_only=False)
+            uniq = np.unique(ab, axis=0)
+            pairs = pa.table({"key": pa.array(uniq[:, 0]),
+                              "other": pa.array(uniq[:, 1])})
+        docs = g.filter(pc.invert(mask)).select(["key", "text"])
+        out = pairs.join(docs, keys=["key"], join_type="inner")
+        return out.rename_columns(
+            [text_as if c == "text" else c for c in out.column_names])
+
+    both = pairs_ds.map_batches(pair_side, batch_format="pyarrow").union(
+        docs_ds.map_batches(doc_side, batch_format="pyarrow"))
+    return both.groupby("part").map_groups(bucket_join,
+                                           batch_format="pyarrow")
+
+
 def minhash_dedup_pairs(docs_ds, docs_parquet: str | None = None, *,
                         threshold_ppm: int = 700_000,
                         bands: int = 32, rows: int = 2,
-                        verify: str = "join", num_partitions: int = 8):
+                        verify: str = "join", num_partitions: int = 16):
     """Full MinHash-LSH pipeline → verified near-dup pairs Dataset.
 
     shingle→minhash→band (map_batches) → bucket groupby (shuffle on
@@ -425,13 +491,11 @@ def minhash_dedup_pairs(docs_ds, docs_parquet: str | None = None, *,
     (>0.9999 at s=0.7; empirical bound pinned in tests/test_dedup.py).
 
     ``verify="join"`` (default, the 100-TB shape) hash-partitions the
-    candidate pairs against the doc table twice (doc_a then doc_b) so
-    NO actor ever holds the whole corpus; ``verify="broadcast"`` keeps
-    the small-scale path (doc table loaded once per actor) and needs
-    ``docs_parquet``.
+    candidate pairs against the doc table twice (doc_a then doc_b) via
+    ``attach_docs`` so NO actor ever holds the whole corpus;
+    ``verify="broadcast"`` keeps the small-scale path (doc table loaded
+    once per actor) and needs ``docs_parquet``.
     """
-    from ray.data.aggregate import Count
-
     def bands_with_part(b: pa.Table) -> pa.Table:
         t = minhash_bands(b, bands=bands, rows=rows)
         with np.errstate(over="ignore"):
@@ -442,27 +506,37 @@ def minhash_dedup_pairs(docs_ds, docs_parquet: str | None = None, *,
         return t.append_column("part", pa.array(part))
 
     # one vectorized pair expansion per hash PARTITION, not one Python
-    # call per (band,key) bucket — n_docs x bands tiny groups otherwise
+    # call per (band,key) bucket — n_docs x bands tiny groups otherwise.
     bands_ds = docs_ds.map_batches(bands_with_part, batch_format="pyarrow")
-    pairs = bands_ds.groupby("part").map_groups(
+    cand = bands_ds.groupby("part").map_groups(
         lambda g: bucket_pairs(g.drop_columns(["part"])),
         batch_format="pyarrow")
-    uniq = pairs.groupby(["doc_a", "doc_b"]) \
-        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
     if verify == "broadcast":
+        from ray.data.aggregate import Count
+
+        uniq = cand.groupby(["doc_a", "doc_b"]) \
+            .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
         return uniq.map_batches(
             VerifyJaccard, fn_constructor_args=(docs_parquet, threshold_ppm),
             batch_format="pyarrow", concurrency=(1, 2))
     docs = docs_ds.select_columns(["doc_id", "text"])
-    # join drops the right-side key column; only `text` rides along
-    j1 = uniq.join(docs, "inner", num_partitions,
-                   on=("doc_a",), right_on=("doc_id",)) \
-        .rename_columns({"text": "text_a"})
-    j2 = j1.join(docs, "inner", num_partitions,
-                 on=("doc_b",), right_on=("doc_id",)) \
-        .rename_columns({"text": "text_b"})
-    return j2.map_batches(
-        lambda b: _verify_joined(b, threshold_ppm), batch_format="pyarrow")
+    # exchange 1: key=doc_a picks up text_a AND dedups candidate pairs
+    # in the same bucket pass (duplicates of a pair co-locate by
+    # doc_a-hash); output (key=doc_a, other=doc_b, text_a).
+    # exchange 2: key=other(=doc_b) picks up text_b, doc_a rides in
+    # `other`.  Three total exchanges replace the previous five
+    # (band bucket → pair distinct → built-in join ×2).
+    j1 = attach_docs(cand, docs, "doc_a", "doc_b", "text_a",
+                     npart=num_partitions, dedup_pairs=True)
+    j2 = attach_docs(j1, docs, "other", "key", "text_b",
+                     npart=num_partitions, carry=("text_a",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table({"doc_a": b["other"], "doc_b": b["key"],
+                      "text_a": b["text_a"], "text_b": b["text_b"]})
+        return _verify_joined(t, threshold_ppm)
+
+    return j2.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -447,6 +447,102 @@ class AudioFeatures:
         return pa.table(cols, schema=schema)
 
 
+def synthesize_media(batch: pa.Table, n_hosts: int) -> pa.Table:
+    """Distinct media-index rows → full media table (id, url, type,
+    payload).  The payload synthesis stands in for the fetch/decode
+    input at test scale (deterministic splitmix64 bytes)."""
+    from .. import corpus as corpus_mod
+    from ..stages.fetch import media_bodies
+
+    midx = batch["midx"].combine_chunks() \
+        if isinstance(batch["midx"], pa.ChunkedArray) else batch["midx"]
+    ids = pc.binary_join_element_wise(
+        "media-", pc.cast(midx, pa.string()), "")
+    is_video = midx.to_numpy() % 3 == 0
+    types = pa.array(np.where(is_video, "video", "image"))
+    urls = corpus_mod.doc_url_array(midx.to_numpy(), n_hosts, "media")
+    payloads = media_bodies(urls.to_pylist())
+    return pa.table({
+        "media_id": ids,
+        "url": urls,
+        "media_type": types,
+        "payload": pa.array(payloads, type=pa.large_binary()),
+        "midx": midx,
+    }, schema=MEDIA_SCHEMA.append(pa.field("midx", pa.int64())))
+
+
+class SynthesizedStage:
+    """Fuse payload synthesis with a downstream media stage (and an
+    optional post-combiner) inside ONE actor call.
+
+    Multi-KB payload columns are the dominant inter-stage traffic of
+    the multimodal pipelines: synthesizing (in production: fetching /
+    demuxing) them in the same actor that consumes them keeps blobs out
+    of the object store entirely — only the tiny index rows enter and
+    only the feature/report rows leave.  ``post`` runs on the stage
+    output while still in-actor (e.g. a per-batch aggregate combiner or
+    a column drop), shrinking the exchange further."""
+
+    def __init__(self, n_hosts: int, stage_cls, stage_kwargs=None,
+                 post=None):
+        self.n_hosts = n_hosts
+        self.stage = stage_cls(**(stage_kwargs or {}))
+        self.post = post
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = self.stage(synthesize_media(batch, self.n_hosts))
+        return self.post(out) if self.post is not None else out
+
+
+def media_index_from_corpus(corpus_dir: str,
+                            limit_docs: int | None = None,
+                            npart: int = 64):
+    """Distinct media indices of the corpus as a Dataset of bare int64
+    ``midx`` rows — the input of the fused multimodal pipelines.
+
+    The global distinct is a hash-bucket exchange over int64 media
+    indices (stages/exchange.py rationale): per-block ``pc.unique``
+    partials → ``part = midx % npart`` → one vectorized ``np.unique``
+    per bucket.  Nothing but int64s enter the shuffle — the URL is a
+    pure function of the index and payload synthesis happens fused
+    into the consuming actor stage (``SynthesizedStage``), so blobs
+    never move.  Bucket outputs are sorted, so downstream row order is
+    deterministic (ordered by (part, midx)) without a global sort."""
+    import ray.data as rd
+
+    from .. import corpus as corpus_mod
+    from ..stages.urls import extract_links
+
+    import pyarrow.compute as pc
+
+    def to_media_idx(batch: pa.Table) -> pa.Table:
+        links = extract_links(batch, doc_col="doc_id")
+        media = links.filter(pc.match_substring(links["url"], "/media/"))
+        u = pc.unique(media["url"].combine_chunks())
+        midx = pc.cast(pc.extract_regex(
+            u, r"/media/(?P<midx>[0-9]+)$").field("midx"), pa.int64())
+        part = (midx.to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return pa.table({"midx": midx, "part": pa.array(part)})
+
+    def bucket_unique(g: pa.Table) -> pa.Table:
+        m = np.unique(g["midx"].to_numpy(zero_copy_only=False))
+        return pa.table({"midx": pa.array(m, type=pa.int64())})
+
+    # read a few dozen big blocks (not one per row-group): every
+    # downstream shuffle's partition count — and Ray's per-block fixed
+    # costs — scale with block count, and the index rows are tiny.
+    # On a multi-node cluster size this to ~2-4 blocks per node.
+    ds = rd.read_parquet(corpus_mod.docs_path(corpus_dir),
+                         override_num_blocks=64)
+    if limit_docs:
+        ds = ds.limit(limit_docs)
+    idx = ds.map_batches(to_media_idx, batch_format="pyarrow",
+                         batch_size=None)  # whole block = best pre-dedup
+    return idx.groupby("part").map_groups(bucket_unique,
+                                          batch_format="pyarrow")
+
+
 def media_table_from_corpus(corpus_dir: str, n_hosts: int,
                             limit_docs: int | None = None,
                             npart: int = 64):
@@ -461,59 +557,11 @@ def media_table_from_corpus(corpus_dir: str, n_hosts: int,
     (corpus.doc_url_array(kind="media")) and is reconstructed after
     the dedup, and payload synthesis also happens after, so blobs
     never move.  Bucket outputs are sorted, so downstream row order is
-    deterministic (ordered by (part, midx)) without a global sort."""
-    import ray.data as rd
+    deterministic (ordered by (part, midx)) without a global sort.
 
-    from .. import corpus as corpus_mod
-    from ..stages.fetch import media_bodies
-    from ..stages.urls import extract_links
-
-    import pyarrow.compute as pc
-
-    def to_media_idx(batch: pa.Table) -> pa.Table:
-        # distinct-per-batch int indices only — the media index is a
-        # collision-free int64 dedup key (the string-keyed aggregate
-        # alone was ~13s of q40's wall)
-        links = extract_links(batch, doc_col="doc_id")
-        media = links.filter(pc.match_substring(links["url"], "/media/"))
-        u = pc.unique(media["url"].combine_chunks())
-        midx = pc.cast(pc.extract_regex(
-            u, r"/media/(?P<midx>[0-9]+)$").field("midx"), pa.int64())
-        part = (midx.to_numpy(zero_copy_only=False)
-                % npart).astype(np.int32)
-        return pa.table({"midx": midx, "part": pa.array(part)})
-
-    def bucket_unique(g: pa.Table) -> pa.Table:
-        # np.unique = dedup + sort in one vectorized pass
-        m = np.unique(g["midx"].to_numpy(zero_copy_only=False))
-        return pa.table({"midx": pa.array(m, type=pa.int64())})
-
-    def synthesize(batch: pa.Table) -> pa.Table:
-        midx = batch["midx"].combine_chunks()
-        ids = pc.binary_join_element_wise(
-            "media-", pc.cast(midx, pa.string()), "")
-        is_video = midx.to_numpy() % 3 == 0
-        types = pa.array(np.where(is_video, "video", "image"))
-        urls = corpus_mod.doc_url_array(midx.to_numpy(), n_hosts, "media")
-        payloads = media_bodies(urls.to_pylist())
-        return pa.table({
-            "media_id": ids,
-            "url": urls,
-            "media_type": types,
-            "payload": pa.array(payloads, type=pa.large_binary()),
-            "midx": midx,
-        }, schema=MEDIA_SCHEMA.append(pa.field("midx", pa.int64())))
-
-    # read a few dozen big blocks (not one per row-group): every
-    # downstream shuffle's partition count — and Ray's per-block fixed
-    # costs — scale with block count, and the index rows are tiny.
-    # On a multi-node cluster size this to ~2-4 blocks per node.
-    ds = rd.read_parquet(corpus_mod.docs_path(corpus_dir),
-                         override_num_blocks=64)
-    if limit_docs:
-        ds = ds.limit(limit_docs)
-    idx = ds.map_batches(to_media_idx, batch_format="pyarrow",
-                         batch_size=None)  # whole block = best pre-dedup
-    distinct = idx.groupby("part").map_groups(bucket_unique,
-                                              batch_format="pyarrow")
-    return distinct.map_batches(synthesize, batch_format="pyarrow")
+    Prefer ``media_index_from_corpus`` + ``SynthesizedStage`` for new
+    pipelines — it keeps payload blocks out of the object store."""
+    distinct = media_index_from_corpus(corpus_dir, limit_docs=limit_docs,
+                                       npart=npart)
+    return distinct.map_batches(lambda b: synthesize_media(b, n_hosts),
+                                batch_format="pyarrow")
