@@ -435,7 +435,15 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     _pt = _time.perf_counter()
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    budget = max(1, cpus - (cfg.num_shards + 3) // 4 - 1)
+    # On small clusters don't reserve a whole core for the driver (it
+    # mostly blocks on ray.get between barriers): at 4 CPUs the old
+    # budget degenerated to 1 fetch + 1 WRITER, which serialized the
+    # entire ~370 core-s gzip backlog through one actor while the rest
+    # of the machine idled (measured: 393 s wall, 298 s of it
+    # final_flush).  The writer pool's TOTAL must fit the wall — it
+    # needs the lion's share of tiny budgets.
+    driver_reserve = 1 if cpus >= 12 else 0
+    budget = max(1, cpus - (cfg.num_shards + 3) // 4 - driver_reserve)
     if fetch_concurrency is None:
         # (A combined fetch+gzip pool with max_concurrency=2 was tried
         # and LOST ~40% at small cluster sizes to head-of-line
