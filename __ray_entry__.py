@@ -404,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_doc_sample": rel.sample_documents,
         "q17_range_join": rel.range_join_views,
         "q18_anti_join": rel.customers_without_orders,
+        "q19_bloom_semi_join": rel.bloom_semi_join,
         # text analysis
         "q10_token_counts": tr.token_counts,
         "q11_quality_scores": tr.quality_scores,
@@ -417,6 +418,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q24_curation": tr.curation,
         "q25_ngram_jaccard": tr.ngram_jaccard,
         "q26_hll_host_distinct": _hll_host_distinct_q,
+        # iterative graph ops (BSP fabric, pipelines/graph.py)
+        "q27_dup_clusters": tr.dup_clusters,
+        "q28_tfidf_topterms": tr.tfidf_topk,
+        "q29_pagerank": rel.part_supplier_pagerank,
         # similarity search
         "q30_knn_topk": tr.knn_topk,
         "q31_knn_topk_ivf": tr.knn_topk_ivf,
@@ -464,6 +469,33 @@ def oracle_sql() -> dict[str, str]:
         " doc_id AS src_doc, s.\"offset\" AS src_offset"
         " FROM (%s) WHERE s.kind IN ('link','image','video')" % spans_src
     )
+
+    # q29: integer PageRank, the 5 iterations UNROLLED as CTEs (same
+    # floor-division recurrence the BSP fabric runs — bit-equal)
+    pr_base = "(15 * (1000000000000 // (SELECT n FROM n))) // 100"
+    pr_iters = "".join(
+        f""", r{i} AS (
+              SELECT e.dst AS id,
+                     CAST({pr_base} + (85 * SUM(r.rank // d.outdeg)) // 100
+                          AS BIGINT) AS rank
+              FROM edges e
+              JOIN r{i - 1} r ON r.id = e.src
+              JOIN deg d ON d.src = e.src
+              GROUP BY e.dst)"""
+        for i in range(1, 6))
+    pagerank_sql = f"""
+        WITH edges AS (
+              SELECT DISTINCT l_partkey AS src, 1000000 + l_suppkey AS dst
+              FROM lineitem
+              UNION
+              SELECT DISTINCT 1000000 + l_suppkey AS src, l_partkey AS dst
+              FROM lineitem),
+             deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+             n AS (SELECT COUNT(*) AS n FROM deg),
+             r0 AS (SELECT src AS id,
+                           1000000000000 // (SELECT n FROM n) AS rank
+                    FROM deg){pr_iters}
+        SELECT id AS node_id, rank FROM r5 ORDER BY node_id"""
 
     return {
         "q01_agg_lineitem": """
@@ -574,6 +606,72 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
                                     WHERE o_orderpriority = '1-URGENT')
             ORDER BY c_custkey""",
+        "q19_bloom_semi_join": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS rev_units,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_mktsegment = 'BUILDING')
+            GROUP BY l_orderkey ORDER BY l_orderkey""",
+        "q27_dup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, UNNEST(
+                CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END) AS s
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i * 1000000 >= 500000 * (sa.n + sb.n - i)
+            ), e AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+            )
+            SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
+            FROM reach GROUP BY a ORDER BY doc_id""",
+        "q28_tfidf_topterms": """
+            WITH words AS (
+              SELECT doc_id,
+                     UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM words GROUP BY 1, 2
+            ), df AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            ), ranked AS (
+              SELECT doc_id, tf.term, tf.tf * 1000000 // df.df AS score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tf.tf * 1000000 // df.df DESC,
+                                                 tf.term) AS rank
+              FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, score, rank FROM ranked
+            WHERE rank <= 3 ORDER BY doc_id, rank""",
+        "q29_pagerank": pagerank_sql,
         "q10_token_counts": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens

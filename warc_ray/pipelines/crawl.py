@@ -285,14 +285,40 @@ class CrawlWorker:
         """process_round over shard-side-split slices: the driver hands
         this worker the ObjectRefs of ITS slices only — emitted rows
         flow shard → worker through the object store, never the
-        driver."""
-        tables = [tb for tb in ray.get(list(slice_refs)) if tb.num_rows]
-        if not tables:
-            return {"fetched": 0, "offer_refs": [], "warc_refs": [],
-                    "tm": (0.0, 0.0, 0.0, 0.0)}
-        return self.process_round(t, pa.concat_tables(tables), write_warc)
+        driver.  Slices are processed in READINESS order (``ray.wait``),
+        not shard order: the driver submits this call before the pops
+        resolve, so the worker fetches every fast shard's emissions
+        while the hot shard (the per-round straggler) is still sealing —
+        its seal+pop tail stops gating the other shards' fetch work.
+        Ready slices are processed in WAVES (everything complete at each
+        ``ray.wait`` return is concatenated into one call), so the
+        vectorized fetch/extract/offer path keeps its batch width —
+        typically two waves: the fast shards together, then the hot one.
+        The ``wave`` tag keeps WARC part ids unique per call."""
+        pend = list(slice_refs)
+        agg = {"fetched": 0, "offer_refs": [], "warc_refs": [],
+               "tm": [0.0, 0.0, 0.0, 0.0]}
+        wave = 0
+        while pend:
+            done, pend = ray.wait(pend, num_returns=1)
+            if pend:  # drain everything else that is already complete
+                more, pend = ray.wait(pend, num_returns=len(pend), timeout=0)
+                done += more
+            tables = [tb for tb in ray.get(done) if tb.num_rows]
+            if not tables:
+                continue
+            one = self.process_round(t, pa.concat_tables(tables), write_warc,
+                                     wave)
+            wave += 1
+            agg["fetched"] += one["fetched"]
+            agg["offer_refs"].extend(one["offer_refs"])
+            agg["warc_refs"].extend(one["warc_refs"])
+            agg["tm"] = [a + b for a, b in zip(agg["tm"], one["tm"])]
+        agg["tm"] = tuple(agg["tm"])
+        return agg
 
-    def process_round(self, t: int, urls: pa.Table, write_warc: bool) -> dict:
+    def process_round(self, t: int, urls: pa.Table, write_warc: bool,
+                      tag: int = 0) -> dict:
         import time as _t
         _p0 = _t.perf_counter()
         fetched = self.fetch(urls)
@@ -309,11 +335,14 @@ class CrawlWorker:
             # weight in the writer IPC.
             to_write = fetched.select(WRITER_COLS)
             nwr = len(self.writers)
-            for c, lo in enumerate(range(0, fetched.num_rows, 2048)):
-                chunk = to_write.slice(lo, 2048)
-                w = self.writers[(t * 131 + self.worker_id * 7 + c) % nwr]
+            csz = int(os.environ.get("GRAFT_WRITE_CHUNK", "2048"))
+            for c, lo in enumerate(range(0, fetched.num_rows, csz)):
+                chunk = to_write.slice(lo, csz)
+                w = self.writers[
+                    (t * 131 + self.worker_id * 7 + tag * 17 + c) % nwr]
                 warc_refs.append(w.write_round.remote(
-                    chunk, round_dir, "%03d-%02d" % (self.worker_id, c),
+                    chunk, round_dir,
+                    "%03d-%02d-%02d" % (self.worker_id, tag, c),
                     logical_date(t)))
 
         _p2 = _t.perf_counter()
@@ -443,7 +472,11 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     # final_flush).  The writer pool's TOTAL must fit the wall — it
     # needs the lion's share of tiny budgets.
     driver_reserve = 1 if cpus >= 12 else 0
-    budget = max(1, cpus - (cfg.num_shards + 3) // 4 - driver_reserve)
+    shard_reserve = (cfg.num_shards + 3) // 4
+    env_r = os.environ.get("GRAFT_POOL_RESERVE")
+    if env_r is not None:  # packing experiments: total cores held back
+        driver_reserve, shard_reserve = 0, int(env_r)
+    budget = max(1, cpus - shard_reserve - driver_reserve)
     if fetch_concurrency is None:
         # (A combined fetch+gzip pool with max_concurrency=2 was tried
         # and LOST ~40% at small cluster sizes to head-of-line
@@ -504,56 +537,75 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
             for i in range(k) if bounds[i + 1] > bounds[i]
         ])
         _phase["seed_slices"] = _time.perf_counter() - _pt
-        ray.get([s.seal_round.remote() for s in shards])
         _phase["seed"] = _time.perf_counter() - _pt
         _pt = _time.perf_counter()
 
     round_log = os.environ.get("WARC_RAY_ROUND_LOG")
     t = start_round
     next_split = None  # (round, split_refs) from a combined seal+pop
+    if start_round == 0 and not (resume and os.path.exists(manifest_path)):
+        # seed seal FUSED with the round-0 pop (one actor call instead
+        # of a seal barrier + a pop chain; the hot shard's seed seal
+        # overlaps every other shard's round-0 pop)
+        next_split = (0, [
+            s.seal_then_pop_split.options(num_returns=n_workers + 1).remote(
+                0, profile.n_buckets, n_workers)
+            for s in shards
+        ])
     rounds_run = 0
     total_fetched = 0
     total_warc_records = 0
     pending_warc: list = []
+    n_shards = len(shards)
+
+    def _submit_work(t_sub: int, split_refs_sub):
+        rd_dir = os.path.join(out_dir, f"round={t_sub:05d}")
+        if os.path.isdir(rd_dir):            # rerun of an unfinished round
+            shutil.rmtree(rd_dir)
+        return [
+            workers[w].process_round_refs.remote(
+                t_sub, [split_refs_sub[si][w + 1] for si in range(n_shards)],
+                write_warc)
+            for w in range(n_workers)
+        ]
+    next_work = None
     while t < cfg.max_rounds:
         _t0 = _time.perf_counter()
         # shard-side pop+split: the driver sees only per-worker row
         # COUNTS; emitted rows travel shard → worker via ObjectRefs
         # (the driver-side concat+re-split was a serial per-round cost
         # that grew with cluster emission rate).  Usually the previous
-        # iteration already fired the combined seal+pop for this round.
+        # iteration already fired the combined seal+pop for this round
+        # AND pre-submitted the per-(shard, worker) fetch tasks — the
+        # workers are already fetching by the time the driver reads the
+        # counts below.
         if next_split is not None and next_split[0] == t:
             split_refs = next_split[1]
+            refs = next_work if next_work is not None \
+                else _submit_work(t, split_refs)
         else:
             split_refs = [
                 s.pop_round_split.options(num_returns=n_workers + 1).remote(
                     t, profile.n_buckets, n_workers)
                 for s in shards
             ]
+            refs = _submit_work(t, split_refs)
         next_split = None
+        next_work = None
         counts_per_shard = ray.get([r[0] for r in split_refs])
         per_worker = [sum(c[w] for c in counts_per_shard)
                       for w in range(n_workers)]
         if sum(per_worker) == 0:
+            ray.get(refs)                     # drain the no-op calls
             if not any(ray.get([s.has_pending.remote() for s in shards])):
                 break
             nexts = [x for x in ray.get([s.earliest_allowed.remote(t) for s in shards])
                      if x is not None]
             t = max(t + 1, min(nexts)) if nexts else t + 1
             continue
-        round_dir = os.path.join(out_dir, f"round={t:05d}")
-        if os.path.isdir(round_dir):          # rerun of an unfinished round
-            shutil.rmtree(round_dir)
 
         _t1 = _time.perf_counter()
-        refs = [
-            workers[w].process_round_refs.remote(
-                t, [split_refs[si][w + 1] for si in range(len(shards))],
-                write_warc)
-            for w in range(n_workers)
-            if per_worker[w]
-        ]
-        counts = ray.get(refs)
+        counts = [c for c in ray.get(refs) if c["fetched"]]
         _t2 = _time.perf_counter()
         total_fetched += sum(c["fetched"] for c in counts)
         pending_warc.extend(r for c in counts for r in c["warc_refs"])
@@ -563,14 +615,20 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
             # combined seal + next-round pop in one actor call: the
             # driver never awaits seal separately (the next iteration's
             # counts read IS the barrier), saving an RPC round per
-            # crawl round.  Checkpointing runs need the explicit seal
-            # barrier below (shard snapshots must be post-seal).
+            # crawl round.  The next round's fetch tasks are submitted
+            # HERE too, referencing the not-yet-ready pop slices — each
+            # worker starts on a shard's slice the moment that pop
+            # lands, so the slowest shard's seal+pop never gates the
+            # other 15 shards' fetch work.  Checkpointing runs need the
+            # explicit seal barrier below (shard snapshots must be
+            # post-seal).
             next_split = (t + 1, [
                 s.seal_then_pop_split.options(
                     num_returns=n_workers + 1).remote(
                     t + 1, profile.n_buckets, n_workers)
                 for s in shards
             ])
+            next_work = _submit_work(t + 1, next_split[1])
         else:
             ray.get([s.seal_round.remote() for s in shards])
         if round_log:

@@ -649,3 +649,134 @@ def windowed_events(sf_dir: str, window: str = "hour"):
             Sum("n_events", alias_name="n_events"),
             Sum("sum_value_milli", alias_name="sum_value_milli"),
             Max("max_value_milli", alias_name="max_value_milli"))
+
+
+# ---------------------------------------------------------------------------
+# Q19: Bloom-pruned semi-join (sideways information passing)
+# ---------------------------------------------------------------------------
+
+def bloom_semi_join(sf_dir: str, segment: str = "BUILDING", npart: int = 16):
+    """Per-order revenue for lineitems of <segment>-customer orders —
+    the build side shipped as a FIXED-size Bloom filter, not a shuffle.
+
+    Scale shape: qualifying orderkeys (orders ⋈ broadcast customer-dim
+    segment set) fold into per-batch Bloom partials (128 KiB each,
+    OR-merged — size independent of key count), the merged filter is
+    broadcast (``ray.put``) to the lineitem scan which drops
+    non-members + pre-aggregates per batch, and ONE bucket exchange
+    both confirms membership exactly (kills Bloom false positives) and
+    finishes the revenue aggregate.  The probe side's shuffled volume
+    is O(qualifying orders), never O(lineitems)."""
+    import ray
+
+    from ..stages.sketch import BLOOM_BITS, bloom_contains, bloom_partial
+
+    seg_keys = set()
+    cust = pq.read_table(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+    m = pc.equal(cust["c_mktsegment"], segment)
+    seg_keys = ray.put(
+        np.unique(cust.filter(m)["c_custkey"].to_numpy(zero_copy_only=False)))
+
+    def order_keys(b: pa.Table) -> pa.Table:
+        keys = np.asarray(ray.get(seg_keys))
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        keep = ok[np.isin(ck, keys)]
+        return pa.table({"o_orderkey": pa.array(keep, type=pa.int64())})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(order_keys, batch_format="pyarrow")
+
+    def to_partial(b: pa.Table) -> pa.Table:
+        bits = bloom_partial(b["o_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.binary())})
+
+    # streaming OR-fold: the driver holds ONE 128 KiB accumulator, not
+    # O(#batches) partials (OR is associative — any fold order works)
+    acc = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+    for bt in orders.map_batches(to_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for cell in bt["bits"].to_pylist():
+            acc |= np.frombuffer(cell, dtype=np.uint8)
+    bloom_ref = ray.put(acc)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        hit = bloom_contains(bits, ok)
+        if not hit.any():
+            return pa.table({"l_orderkey": pa.array([], type=pa.int64()),
+                             "rev_units": pa.array([], type=pa.int64()),
+                             "n_items": pa.array([], type=pa.int64()),
+                             "is_key": pa.array([], type=pa.int64())})
+        sub = b.filter(pa.array(hit))
+        cents = _i64(pc.round(pc.multiply(sub["l_extendedprice"], 100.0)))
+        disc = _i64(pc.round(pc.multiply(sub["l_discount"], 100.0)))
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, type=INT64), disc))
+        t = pa.table({"l_orderkey": sub["l_orderkey"], "rev": rev})
+        g = t.group_by(["l_orderkey"]).aggregate(
+            [("rev", "sum"), ("rev", "count")])
+        g = g.rename_columns(["l_orderkey", "rev_units", "n_items"])
+        return g.append_column(
+            "is_key", pa.array(np.zeros(g.num_rows, dtype=np.int64)))
+
+    probe_ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(probe, batch_format="pyarrow")
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        z = pa.array(np.zeros(n, dtype=np.int64))
+        return pa.table({"l_orderkey": b["o_orderkey"], "rev_units": z,
+                         "n_items": z,
+                         "is_key": pa.array(np.ones(n, dtype=np.int64))})
+
+    key_ds = orders.map_batches(key_rows, batch_format="pyarrow")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((k % npart).astype(np.int32)))
+
+    def confirm(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]).group_by(["l_orderkey"]).aggregate(
+            [("rev_units", "sum"), ("n_items", "sum"), ("is_key", "max")])
+        t = t.rename_columns(["l_orderkey", "rev_units", "n_items", "is_key"])
+        t = t.filter(pc.and_(pc.equal(t["is_key"], 1),
+                             pc.greater(t["n_items"], 0)))
+        return t.drop_columns(["is_key"])
+
+    return probe_ds.union(key_ds) \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(confirm, batch_format="pyarrow") \
+        .sort("l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q29: PageRank over the part↔supplier graph (iterative BSP)
+# ---------------------------------------------------------------------------
+
+SUPP_NODE_BASE = 1_000_000
+
+
+def part_supplier_pagerank(sf_dir: str, iters: int = 5, nparts: int = 8):
+    """Integer PageRank over the symmetrized part↔supplier edge set
+    (edge = a lineitem linked the part to the supplier) — the iterative
+    operator, exact vs an unrolled-iteration SQL oracle.  See
+    pipelines/graph.py for the BSP shape."""
+    from . import graph
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        p = b["l_partkey"].to_numpy(zero_copy_only=False)
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False) + SUPP_NODE_BASE
+        return pa.table({"src": pa.array(np.concatenate([p, s])),
+                         "dst": pa.array(np.concatenate([s, p]))})
+
+    edges = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(to_edges, batch_format="pyarrow")
+    out = graph.pagerank(edges, iters=iters, nparts=nparts)
+    return out.sort_by("node_id")

@@ -11,6 +11,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
@@ -297,3 +298,105 @@ def curation(sf_dir: str):
 
     return survivors.map_batches(stats_and_gate, batch_format="pyarrow") \
         .sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q28: TF-IDF top terms per doc (integer scores, exchange-joined DF)
+# ---------------------------------------------------------------------------
+
+def tfidf_topk(sf_dir: str, k: int = 3, npart: int = 32):
+    """Top-k characteristic terms per document, scored
+    ``tf * 1_000_000 // df`` (integer — raw inverse document frequency
+    without the float log, so the distributed answer is bit-equal to
+    the SQL oracle regardless of reduce order; ties break on term asc).
+
+    Scale shape: per-batch tokenize → TF (COMPLETE per doc — a doc is
+    one row, so no tf merge exchange exists at all), ONE bucket
+    exchange on term computes DF and joins it back (each bucket sees
+    every row of its terms), then per-batch partial top-k per doc (≤k
+    rows/doc/batch survive) → ONE bucket exchange on doc for the final
+    vectorized re-rank.  Shuffle volume: O(distinct (doc, term)) then
+    O(docs · k) — never the token stream.
+    """
+    from .relational import _group_bounds
+    from ..stages.exchange import with_part
+
+    def tf_batch(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"])
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        doc = b["doc_id"].take(pc.list_parent_indices(toks))
+        t = pa.table({"doc_id": doc, "term": flat})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        tf = t.group_by(["doc_id", "term"]).aggregate([("term", "count")])
+        return tf.rename_columns(["doc_id", "term", "tf"])
+
+    def score_bucket(g: pa.Table) -> pa.Table:
+        tt = g.drop_columns(["part"]).combine_chunks()
+        df = tt.group_by(["term"]).aggregate([("term", "count")]) \
+            .rename_columns(["term", "df"])
+        j = tt.join(df, keys="term")
+        score = (j["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+                 * 1_000_000
+                 // j["df"].to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": j["doc_id"], "term": j["term"],
+                         "score": pa.array(score)})
+
+    def topk(t: pa.Table, with_rank: bool) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {"doc_id": pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.int64())}
+            cols["rank" if with_rank else "part"] = pa.array(
+                [], type=pa.int64() if with_rank else pa.int32())
+            return pa.table(cols)
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("doc_id", "ascending"), ("score", "descending"),
+            ("term", "ascending")]))
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        _, rank = _group_bounds(d)
+        keep = rank < k
+        out = t.filter(pa.array(keep))
+        if with_rank:
+            return out.append_column(
+                "rank", pa.array(rank[keep] + 1, type=pa.int64()))
+        return out.append_column(
+            "part", pa.array((d[keep] % 16).astype(np.int32)))
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    scored = docs.map_batches(tf_batch, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "term", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(score_bucket, batch_format="pyarrow")
+    return scored.map_batches(lambda b: topk(b, False),
+                              batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda g: topk(g.drop_columns(["part"]), True),
+                    batch_format="pyarrow") \
+        .sort(["doc_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# Q27: near-duplicate CLUSTERS (connected components over q25's pairs)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(sf_dir: str, threshold_ppm: int = 500_000):
+    """Dedup families: connected components over the exact n-gram
+    Jaccard near-dup pairs (q25) — component id = min doc_id reachable,
+    i.e. the canonical keeper each duplicate collapses to.  Min-label
+    propagation over the bucket-sharded BSP fabric (pipelines/graph.py);
+    docs in no pair are omitted (singleton ≙ its own keeper)."""
+    from . import graph
+
+    pairs = dd.ngram_jaccard_pairs(_docs(sf_dir, columns=["doc_id", "text"]),
+                                   threshold_ppm=threshold_ppm)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy(zero_copy_only=False)
+        bb = b["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, bb])),
+                         "dst": pa.array(np.concatenate([bb, a]))})
+
+    cc = graph.connected_components(
+        pairs.map_batches(to_edges, batch_format="pyarrow"), nparts=8)
+    return cc.rename_columns(["doc_id", "cluster"]).sort_by("doc_id")

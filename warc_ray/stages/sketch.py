@@ -133,3 +133,52 @@ def hll_distinct(ds, key_col: str, group_col: str, npart: int = 16,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("part").map_groups(combine, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom filter (join pruning / membership broadcast)
+# ---------------------------------------------------------------------------
+# The build side of a semi-join collapses to a FIXED-size bit array no
+# matter how many keys it holds: per-batch partials are plain byte
+# arrays, the merge is a bitwise OR (associative, commutative,
+# idempotent — composes across batches/blocks/nodes in any order), and
+# the merged filter is broadcast once (ray.put) to the probe scan,
+# which drops non-members before any shuffle.  False positives are
+# removed by an exact confirming exchange, so results stay value-exact
+# (Bloom 1970; the classic join-pruning sideways information pass).
+
+BLOOM_BITS = 1 << 20           # 128 KiB — FPR ≈ (1-e^(-2n/m))^2, <1% @ n=65k
+_BLOOM_MASK = np.uint64(BLOOM_BITS - 1)
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    k = keys.astype(np.uint64, copy=False)
+    h1 = k * _MIX1
+    h1 ^= h1 >> np.uint64(29)
+    h2 = (k ^ (k >> np.uint64(33))) * _MIX2
+    h2 ^= h2 >> np.uint64(31)
+    return (h1 & _BLOOM_MASK).astype(np.int64), \
+        (h2 & _BLOOM_MASK).astype(np.int64)
+
+
+def bloom_partial(keys: np.ndarray) -> np.ndarray:
+    """uint8[BLOOM_BITS/8] partial with this batch's keys set."""
+    bits = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+    for pos in _bloom_positions(keys):
+        np.bitwise_or.at(bits, pos >> 3,
+                         np.left_shift(np.uint8(1), pos & 7).astype(np.uint8))
+    return bits
+
+
+def bloom_merge(partials: list[np.ndarray]) -> np.ndarray:
+    return np.bitwise_or.reduce(np.stack(partials), axis=0)
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe (may return false positives)."""
+    p1, p2 = _bloom_positions(keys)
+    hit1 = (bits[p1 >> 3] >> (p1 & 7).astype(np.uint8)) & 1
+    hit2 = (bits[p2 >> 3] >> (p2 & 7).astype(np.uint8)) & 1
+    return (hit1 & hit2).astype(bool)
