@@ -425,6 +425,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "q30_knn_topk": tr.knn_topk,
         "q31_knn_topk_ivf": tr.knn_topk_ivf,
+        # training-loader prep (index / packing / scrubbing / splits)
+        "q32_inverted_index": tr.inverted_index,
+        "q33_pack_chunks": tr.pack_chunks,
+        "q34_pii_scrub": tr.pii_scrub,
+        "q35_split_assign": tr.split_assign,
         # multimodal (stubbed codec, real plumbing)
         "q40_media_features": tr.media_features,
         "q41_frame_samples": tr.frame_samples,
@@ -758,6 +763,74 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY sim DESC, vec_id) AS rank
                 FROM sims)
             WHERE rank <= 10 ORDER BY query_id, rank""",
+        "q32_inverted_index": """
+            WITH pairs AS (
+              SELECT DISTINCT doc_id,
+                     UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents
+            )
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY term ORDER BY term""",
+        "q33_pack_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                        // 2048 AS BIGINT) AS pack_id
+            FROM t ORDER BY doc_id""",
+        "q34_pii_scrub": r"""
+            WITH r AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS red1
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(red1, '[0-9]{3,}')) AS BIGINT) AS n_numbers,
+                   CAST(length(regexp_replace(red1, '[0-9]{3,}', '[NUM]', 'g')) AS BIGINT) AS clean_len
+            FROM r ORDER BY doc_id""",
+        # splitmix64 finalizer in HUGEINT: 64x64-bit products mod 2^64
+        # via 32-bit split (lo*M + ((hi*M) mod 2^32) << 32), exact
+        "q35_split_assign": """
+            WITH s0 AS (
+              SELECT doc_id,
+                     (CAST(doc_id AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS x
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, xor(x, x >> 30) AS x FROM s0
+            ), m1 AS (
+              SELECT doc_id,
+                ( (x % 4294967296) * 13787848793156543929
+                  + (((x // 4294967296) * 13787848793156543929)
+                     % 4294967296) * 4294967296
+                ) % 18446744073709551616 AS x
+              FROM s1
+            ), s2 AS (
+              SELECT doc_id, xor(x, x >> 27) AS x FROM m1
+            ), m2 AS (
+              SELECT doc_id,
+                ( (x % 4294967296) * 10723151780598845931
+                  + (((x // 4294967296) * 10723151780598845931)
+                     % 4294967296) * 4294967296
+                ) % 18446744073709551616 AS x
+              FROM s2
+            ), s3 AS (
+              SELECT doc_id, xor(x, x >> 31) AS x FROM m2
+            )
+            SELECT doc_id, CAST(x % 100 AS BIGINT) AS bucket,
+                   CASE WHEN x % 100 < 80 THEN 'train'
+                        WHEN x % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM s3 ORDER BY doc_id""",
         "q50_extract_links":
             links_src + " ORDER BY src_doc, src_offset, url",
         "q51_seen_dedup": (

@@ -400,3 +400,196 @@ def dup_clusters(sf_dir: str, threshold_ppm: int = 500_000):
     cc = graph.connected_components(
         pairs.map_batches(to_edges, batch_format="pyarrow"), nparts=8)
     return cc.rename_columns(["doc_id", "cluster"]).sort_by("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q32: inverted index (term -> sorted posting list)
+# ---------------------------------------------------------------------------
+
+def inverted_index(sf_dir: str, npart: int = 32):
+    """Full-text inverted index: per term, the document frequency and
+    the comma-joined sorted posting list of doc_ids.
+
+    Scale shape: per-batch tokenize → DISTINCT (term, doc_id) pairs
+    (complete per doc — a doc is one row, so batch-local distinct is
+    global distinct), ONE bucket exchange on term, then a per-bucket
+    fully vectorized build: sort by (term, doc_id), group offsets via
+    one scan, ``ListArray.from_arrays`` + ``pc.binary_join`` join the
+    postings without any per-term Python.  Shuffle volume is
+    O(distinct (term, doc) pairs) — never the token stream.  At real
+    scale hot stopword terms need posting-list sharding (term, shard)
+    — the bucket exchange already spreads TERMS; a per-term cap/shard
+    split would bolt on here."""
+    from .relational import _group_bounds
+    from ..stages.exchange import with_part
+
+    def pairs_batch(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"])
+        toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        doc = b["doc_id"].take(pc.list_parent_indices(toks))
+        t = pa.table({"term": flat, "doc_id": doc})
+        t = t.filter(pc.not_equal(t["term"], ""))
+        return t.group_by(["term", "doc_id"]).aggregate([])
+
+    def build_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]).combine_chunks()
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64()),
+                             "postings": pa.array([], type=pa.string())})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("term", "ascending"), ("doc_id", "ascending")]))
+        # group offsets over the sorted term column (one vectorized
+        # scan over the dictionary CODES — adjacent-equality of codes
+        # is adjacent-equality of terms, without materializing objects)
+        terms = t["term"].combine_chunks()
+        codes = terms.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        starts, _ = _group_bounds(codes)
+        offsets = np.append(starts, t.num_rows).astype(np.int32)
+        doc_str = pc.cast(t["doc_id"], pa.string()).combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets), doc_str)
+        return pa.table({
+            "term": terms.take(pa.array(starts)),
+            "df": pa.array(np.diff(offsets).astype(np.int64)),
+            "postings": pc.binary_join(lists, ","),
+        })
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(pairs_batch, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "term", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(build_bucket, batch_format="pyarrow") \
+        .sort("term")
+
+
+# ---------------------------------------------------------------------------
+# Q33: sequence packing by global token prefix-sum (two-pass scan)
+# ---------------------------------------------------------------------------
+
+def pack_chunks(sf_dir: str, budget: int = 2048, npart: int = 16):
+    """Assign each doc (in doc_id order) to a fixed token-budget pack:
+    ``pack_id = (tokens before this doc) // budget`` — the contiguous-
+    fill packing an LLM pretraining loader uses when documents may
+    split across context windows.
+
+    Scale shape: the global running offset is a classic distributed
+    prefix sum — docs are RANGE-partitioned by doc_id (parquet
+    max-stat, no data pass), each part computes its token subtotal
+    (tiny table driver-merged into per-part exclusive offsets), then
+    each part independently cumsums its own sorted rows + its offset.
+    Two passes over (doc_id, n_tokens) — the text column is read
+    once, never shuffled."""
+    from ray.data.aggregate import Sum
+
+    # range bounds from parquet stats (driver-side metadata only)
+    meta = pq.read_metadata(os.path.join(sf_dir, "documents.parquet"))
+    hi = 0
+    idx = meta.schema.to_arrow_schema().get_field_index("doc_id")
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        hi = max(hi, st.max)
+    span = hi + 1
+
+    def tok_batch(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b["text"], "[^A-Za-z0-9]+")
+        # split_pattern_regex yields empty-string fragments at the
+        # edges; count non-empty tokens exactly like q10's oracle
+        flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n = np.bincount(parents[nonempty], minlength=b.num_rows) \
+            .astype(np.int64)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        part = np.minimum(d * npart // span, npart - 1).astype(np.int32)
+        return pa.table({"doc_id": b["doc_id"], "n_tokens": pa.array(n),
+                         "part": pa.array(part)})
+
+    toks = _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(tok_batch, batch_format="pyarrow") \
+        .materialize()
+
+    # pass 1: per-part subtotals -> exclusive offsets (npart rows)
+    sub = toks.groupby("part").aggregate(Sum("n_tokens", alias_name="s")) \
+        .to_pandas().sort_values("part")
+    offs = np.zeros(npart, dtype=np.int64)
+    np.add.at(offs, sub["part"].to_numpy()[1:],
+              sub["s"].to_numpy().cumsum()[:-1])
+    offs = np.maximum.accumulate(offs)
+
+    def pack_part(g: pa.Table) -> pa.Table:
+        t = g.combine_chunks()
+        order = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+        t = t.take(order)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        before = offs[t["part"][0].as_py()] + np.concatenate(
+            ([0], n.cumsum()[:-1]))
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+                         "pack_id": pa.array(before // budget)})
+
+    return toks.groupby("part").map_groups(pack_part,
+                                           batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q34: PII scrub (vectorized regex redaction counts)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_NUM = r"[0-9]{3,}"
+
+
+def pii_scrub(sf_dir: str):
+    """Per-doc PII redaction stats: email-like and long-digit-run
+    matches counted and replaced with a fixed tag; emits the redacted
+    length.  All four kernels are single pyarrow.compute RE2 calls per
+    batch (the same RE2 the DuckDB oracle runs) — no Python per row,
+    trivially streaming at any scale."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        txt = b["text"]
+        n_email = pc.cast(pc.count_substring_regex(txt, _PII_EMAIL),
+                          pa.int64())
+        red = pc.replace_substring_regex(txt, _PII_EMAIL, "[EMAIL]")
+        n_num = pc.cast(pc.count_substring_regex(red, _PII_NUM), pa.int64())
+        red = pc.replace_substring_regex(red, _PII_NUM, "[NUM]")
+        return pa.table({"doc_id": b["doc_id"], "n_emails": n_email,
+                         "n_numbers": n_num,
+                         "clean_len": pc.cast(pc.utf8_length(red),
+                                              pa.int64())})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q35: deterministic train/val/test split (splitmix64, SQL-reproducible)
+# ---------------------------------------------------------------------------
+
+def split_assign(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
+    """Stable split assignment by an integer hash of doc_id — the
+    fixed-point splitmix64 finalizer, chosen because HUGEINT
+    arithmetic reproduces it EXACTLY in the SQL oracle (both sides
+    compute mod-2^64 products; no float, no library hash).  Adding
+    docs never reassigns existing ones (pure function of id)."""
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+
+    def assign(b: pa.Table) -> pa.Table:
+        x = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * M1
+        x = (x ^ (x >> np.uint64(27))) * M2
+        x = x ^ (x >> np.uint64(31))
+        bucket = (x % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < train_pct, "train",
+                         np.where(bucket < train_pct + val_pct, "val",
+                                  "test"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "bucket": pa.array(bucket),
+                         "split": pa.array(split)})
+
+    return _docs(sf_dir, columns=["doc_id"]) \
+        .map_batches(assign, batch_format="pyarrow").sort("doc_id")
