@@ -430,6 +430,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q33_pack_chunks": tr.pack_chunks,
         "q34_pii_scrub": tr.pii_scrub,
         "q35_split_assign": tr.split_assign,
+        "q36_repetition": tr.repetition_stats,
+        "q37_stratified_sample": tr.stratified_sample,
+        "q38_ngram_counts": tr.ngram_counts,
         # multimodal (stubbed codec, real plumbing)
         "q40_media_features": tr.media_features,
         "q41_frame_samples": tr.frame_samples,
@@ -831,6 +834,77 @@ def oracle_sql() -> dict[str, str]:
                         WHEN x % 100 < 90 THEN 'val'
                         ELSE 'test' END AS split
             FROM s3 ORDER BY doc_id""",
+        "q36_repetition": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), tri AS (
+              SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END AS g
+              FROM toks
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(len(g) AS BIGINT) AS n_tri,
+                   CAST((len(g) - len(list_distinct(g))) * 1000000
+                        // GREATEST(len(g), 1) AS BIGINT) AS dup_tri_ppm,
+                   ((len(g) - len(list_distinct(g))) * 1000000
+                        // GREATEST(len(g), 1)) >= 200000 AS is_repetitive
+            FROM tri ORDER BY doc_id""",
+        "q37_stratified_sample": """
+            WITH s0 AS (
+              SELECT doc_id, lang,
+                     (CAST(doc_id AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS x
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, lang, xor(x, x >> 30) AS x FROM s0
+            ), m1 AS (
+              SELECT doc_id, lang,
+                ( (x % 4294967296) * 13787848793156543929
+                  + (((x // 4294967296) * 13787848793156543929)
+                     % 4294967296) * 4294967296
+                ) % 18446744073709551616 AS x
+              FROM s1
+            ), s2 AS (
+              SELECT doc_id, lang, xor(x, x >> 27) AS x FROM m1
+            ), m2 AS (
+              SELECT doc_id, lang,
+                ( (x % 4294967296) * 10723151780598845931
+                  + (((x // 4294967296) * 10723151780598845931)
+                     % 4294967296) * 4294967296
+                ) % 18446744073709551616 AS x
+              FROM s2
+            ), s3 AS (
+              SELECT doc_id, lang, xor(x, x >> 31) AS x FROM m2
+            ), r AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY x, doc_id) AS rank
+              FROM s3
+            )
+            SELECT lang, doc_id, rank FROM r
+            WHERE rank <= 20 ORDER BY lang, rank""",
+        "q38_ngram_counts": """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), tri AS (
+              SELECT UNNEST(
+                CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END) AS trigram
+              FROM toks
+            ), c AS (
+              SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tri GROUP BY trigram
+            )
+            SELECT trigram, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS rank
+            FROM c ORDER BY rank LIMIT 50""",
         "q50_extract_links":
             links_src + " ORDER BY src_doc, src_offset, url",
         "q51_seen_dedup": (

@@ -568,21 +568,25 @@ def pii_scrub(sf_dir: str):
 # Q35: deterministic train/val/test split (splitmix64, SQL-reproducible)
 # ---------------------------------------------------------------------------
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (mod-2^64 wraparound is the
+    point — the SQL oracle reproduces it exactly in HUGEINT)."""
+    x = x.astype(np.uint64)
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def split_assign(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
     """Stable split assignment by an integer hash of doc_id — the
     fixed-point splitmix64 finalizer, chosen because HUGEINT
     arithmetic reproduces it EXACTLY in the SQL oracle (both sides
     compute mod-2^64 products; no float, no library hash).  Adding
     docs never reassigns existing ones (pure function of id)."""
-    M1 = np.uint64(0xBF58476D1CE4E5B9)
-    M2 = np.uint64(0x94D049BB133111EB)
 
     def assign(b: pa.Table) -> pa.Table:
-        x = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        x = (x + np.uint64(0x9E3779B97F4A7C15))
-        x = (x ^ (x >> np.uint64(30))) * M1
-        x = (x ^ (x >> np.uint64(27))) * M2
-        x = x ^ (x >> np.uint64(31))
+        x = _splitmix64(b["doc_id"].to_numpy(zero_copy_only=False))
         bucket = (x % np.uint64(100)).astype(np.int64)
         split = np.where(bucket < train_pct, "train",
                          np.where(bucket < train_pct + val_pct, "val",
@@ -593,3 +597,156 @@ def split_assign(sf_dir: str, train_pct: int = 80, val_pct: int = 10):
 
     return _docs(sf_dir, columns=["doc_id"]) \
         .map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q36-Q38: trigram family — repetition filter, stratified sample,
+# corpus n-gram counts
+# ---------------------------------------------------------------------------
+
+def _word_trigrams(b: pa.Table):
+    """Vectorized word-trigram expansion for one batch: returns
+    (doc_idx ChunkedArray into b, trigram StringArray, n_tokens per
+    row).  One regex split + three array slices + one
+    ``binary_join_element_wise`` — no per-row Python.  Complete per
+    doc (a doc is one row), so every downstream per-doc statistic is
+    batch-local."""
+    low = pc.utf8_lower(b["text"])
+    toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parents = pc.list_parent_indices(toks).combine_chunks()
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    p = parents.filter(mask).to_numpy(zero_copy_only=False)
+    n_tokens = np.bincount(p, minlength=b.num_rows).astype(np.int64)
+    n = len(p)
+    if n < 3:
+        return (pa.array([], type=pa.int64()),
+                pa.array([], type=pa.string()), n_tokens)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    tri = pc.binary_join_element_wise(
+        flat.slice(0, n - 2), flat.slice(1, n - 2), flat.slice(2, n - 2),
+        " ")
+    ok = p[:-2] == p[2:]
+    return (pa.array(p[:-2][ok]), tri.filter(pa.array(ok)), n_tokens)
+
+
+def repetition_stats(sf_dir: str, max_dup_ppm: int = 200_000):
+    """Gopher-style repetition quality gate: per doc, the fraction of
+    word trigrams that are repeats of an earlier trigram in the same
+    doc (`1 - distinct/total`, integer ppm).  Boilerplate and spam pages
+    score high; the flag marks docs a pretraining curation pass drops.
+
+    Stateless per-batch kernel (trigram stats are complete per doc) —
+    one vectorized trigram expansion, one Arrow group_by per batch; no
+    shuffle at any scale."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        doc_idx, tri, n_tokens = _word_trigrams(b)
+        n_tri = np.maximum(n_tokens - 2, 0)
+        distinct = np.zeros(b.num_rows, dtype=np.int64)
+        if len(doc_idx):
+            per = pa.table({"d": doc_idx, "g": tri}) \
+                .group_by(["d", "g"]).aggregate([])
+            dd_ = per["d"].to_numpy(zero_copy_only=False)
+            distinct = np.bincount(dd_, minlength=b.num_rows).astype(np.int64)
+        n_dup = n_tri - distinct
+        ppm = n_dup * 1_000_000 // np.maximum(n_tri, 1)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_tri": pa.array(n_tri),
+            "dup_tri_ppm": pa.array(ppm),
+            "is_repetitive": pa.array(ppm >= max_dup_ppm),
+        })
+
+    return _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def stratified_sample(sf_dir: str, k: int = 20):
+    """Deterministic stratified sample: the k docs with the smallest
+    splitmix64(doc_id) per language — every stratum is represented
+    regardless of its share of the corpus, and the pick is a pure
+    function of ids (stable under appends, cluster size, row order).
+
+    Scale shape: per-batch partial top-k (≤k rows per lang survive any
+    batch), then ONE tiny final pass over langs×k rows — the shuffle
+    never carries the corpus."""
+    from .relational import _group_bounds
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _splitmix64(b["doc_id"].to_numpy(zero_copy_only=False))
+        # keep h UNSIGNED (uint64) — the SQL oracle orders the raw
+        # 0..2^64-1 value; a signed view would flip the top half
+        t = pa.table({"lang": b["lang"], "doc_id": b["doc_id"],
+                      "h": pa.array(h)})
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("lang", "ascending"), ("h", "ascending"),
+            ("doc_id", "ascending")]))
+        codes = t["lang"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        _, rank = _group_bounds(codes)
+        return t.filter(pa.array(rank < k))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = partial(g)
+        codes = t["lang"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False)
+        _, rank = _group_bounds(codes)
+        return t.drop_columns(["h"]).append_column(
+            "rank", pa.array(rank + 1, type=pa.int64()))
+
+    # langs are a handful: one global group is langs*k*nblocks rows max
+    return _docs(sf_dir, columns=["doc_id", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: b.append_column(
+            "part", pa.array(np.zeros(b.num_rows, dtype=np.int32))),
+            batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda g: final(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .sort(["lang", "rank"])
+
+
+def ngram_counts(sf_dir: str, topn: int = 50, npart: int = 32):
+    """Corpus-wide word-trigram counts, top-n by frequency — the LM
+    n-gram statistics pass.  Per-batch trigram expansion + local
+    group_by combiner (shuffle carries (trigram, partial_count), never
+    the token stream), ONE bucket exchange on trigram, per-bucket sum
+    + partial top-n, tiny global re-rank."""
+    from ..stages.exchange import with_part
+
+    def partial(b: pa.Table) -> pa.Table:
+        _, tri, _ = _word_trigrams(b)
+        t = pa.table({"trigram": tri})
+        return t.group_by(["trigram"]).aggregate([("trigram", "count")]) \
+            .rename_columns(["trigram", "n"])
+
+    def bucket_top(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]).combine_chunks()
+        summed = t.group_by(["trigram"]).aggregate([("n", "sum")]) \
+            .rename_columns(["trigram", "n"])
+        summed = summed.take(pc.sort_indices(summed, sort_keys=[
+            ("n", "descending"), ("trigram", "ascending")]))
+        return summed.slice(0, topn)
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]).combine_chunks()
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("n", "descending"), ("trigram", "ascending")]))
+        t = t.slice(0, topn)
+        return t.append_column(
+            "rank", pa.array(np.arange(1, t.num_rows + 1)))
+
+    return _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "trigram", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket_top, batch_format="pyarrow") \
+        .map_batches(lambda b: b.append_column(
+            "part", pa.array(np.zeros(b.num_rows, dtype=np.int32))),
+            batch_format="pyarrow") \
+        .groupby("part").map_groups(final, batch_format="pyarrow") \
+        .sort("rank")
