@@ -433,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_repetition": tr.repetition_stats,
         "q37_stratified_sample": tr.stratified_sample,
         "q38_ngram_counts": tr.ngram_counts,
+        "q39_bottomk_distinct": tr.bottomk_distinct,
         # multimodal (stubbed codec, real plumbing)
         "q40_media_features": tr.media_features,
         "q41_frame_samples": tr.frame_samples,
@@ -905,6 +906,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT trigram, n,
                    ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS rank
             FROM c ORDER BY rank LIMIT 50""",
+        # bottom-k (KMV) distinct sketch: the estimate is a pure
+        # integer function of the 16 smallest md5-prefix64 hashes, so
+        # SQL reproduces it exactly (hex prefix -> HUGEINT via nibble
+        # shifts; (k-1)<<64 // h_k floor division)
+        "q39_bottomk_distinct": """
+            WITH d AS (
+              SELECT DISTINCT lang, md5(text) AS m FROM documents
+            ), h AS (
+              SELECT DISTINCT lang,
+                     list_sum(list_transform(range(1, 17),
+                       i -> CAST(strpos('0123456789abcdef',
+                                        substr(m, CAST(i AS INTEGER), 1))
+                                 - 1 AS HUGEINT)
+                            << (4 * (16 - i)))) AS hv
+              FROM d
+            ), r AS (
+              SELECT lang, hv,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY hv) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS cnt
+              FROM h
+            )
+            SELECT lang,
+                   CAST(CASE WHEN MAX(cnt) < 16 THEN MAX(cnt)
+                        ELSE LEAST((CAST(15 AS HUGEINT) << 64)
+                                   // GREATEST(MAX(CASE WHEN rn = 16
+                                                   THEN hv END), 1),
+                                   9223372036854775807)
+                        END AS BIGINT) AS est_distinct
+            FROM r GROUP BY lang ORDER BY lang""",
         "q50_extract_links":
             links_src + " ORDER BY src_doc, src_offset, url",
         "q51_seen_dedup": (

@@ -83,3 +83,63 @@ def test_hll_distinct_dataset(ray_session):
     assert set(got) == set(truth)
     for g, n in truth.items():
         assert abs(got[g] - n) / n < 0.08, (g, n, got[g])
+
+
+# -- bottom-k (KMV) sketch ----------------------------------------------------
+
+def test_bottomk_partial_keeps_k_smallest_distinct():
+    from warc_ray.stages.sketch import bottomk_partial
+
+    codes = np.array([0, 0, 0, 0, 1, 1], dtype=np.int64)
+    h = np.array([9, 3, 3, 5, 7, 2], dtype=np.uint64)
+    keep = bottomk_partial(codes, h, k=2)
+    got = sorted(zip(codes[keep].tolist(), h[keep].tolist()))
+    assert got == [(0, 3), (0, 5), (1, 2), (1, 7)]  # dup 3 dropped
+
+
+def test_bottomk_merge_equals_single_pass():
+    from warc_ray.stages.sketch import bottomk_partial
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 3, size=5000).astype(np.int64)
+    h = rng.integers(0, 1 << 62, size=5000).astype(np.uint64)
+    direct = bottomk_partial(codes, h, k=16)
+    ref = sorted(zip(codes[direct].tolist(), h[direct].tolist()))
+    # split into 7 parts, cut each, merge, cut again
+    mc, mh = [], []
+    for part in np.array_split(np.arange(5000), 7):
+        kp = bottomk_partial(codes[part], h[part], k=16)
+        mc.append(codes[part][kp])
+        mh.append(h[part][kp])
+    mc, mh = np.concatenate(mc), np.concatenate(mh)
+    merged = bottomk_partial(mc, mh, k=16)
+    assert sorted(zip(mc[merged].tolist(), mh[merged].tolist())) == ref
+
+
+def test_bottomk_estimate_accuracy_and_exact_small():
+    from warc_ray.stages.sketch import bottomk_estimate, bottomk_partial
+
+    # fewer distinct than k -> exact count
+    assert bottomk_estimate(5, 123456, k=16) == 5
+    # k smallest of n uniform hashes -> estimate within ~4/sqrt(k-2)
+    rng = np.random.default_rng(11)
+    for n in (500, 20_000):
+        h = rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+        h = np.unique(h)
+        codes = np.zeros(len(h), dtype=np.int64)
+        keep = bottomk_partial(codes, h, k=64)
+        kth = int(np.sort(h[keep])[-1])
+        est = bottomk_estimate(len(keep), kth, k=64)
+        assert abs(est - len(h)) / len(h) < 4 / np.sqrt(62), (n, est)
+
+
+def test_md5_prefix64_matches_hex_prefix():
+    import hashlib
+
+    from warc_ray.stages.sketch import md5_prefix64
+
+    texts = ["", "abc", "päyload é"]
+    got = md5_prefix64(texts)
+    for t, g in zip(texts, got):
+        want = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+        assert int(g) == want

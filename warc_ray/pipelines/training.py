@@ -750,3 +750,59 @@ def ngram_counts(sf_dir: str, topn: int = 50, npart: int = 32):
             batch_format="pyarrow") \
         .groupby("part").map_groups(final, batch_format="pyarrow") \
         .sort("rank")
+
+
+# ---------------------------------------------------------------------------
+# Q39: bottom-k (KMV) distinct sketch — oracle-exact estimate
+# ---------------------------------------------------------------------------
+
+def bottomk_distinct(sf_dir: str, k: int = 16):
+    """Approximate distinct-text count per language via a bottom-k
+    (KMV) sketch — the oracle-exact complement to q26's HLL: the
+    estimate is a pure integer function of the k smallest md5-prefix
+    hashes, so DuckDB reproduces it bit-for-bit (stages/sketch.py).
+
+    Scale shape: per-batch partials keep ≤k distinct hashes per group
+    (shuffle carries ≤ groups×k×blocks rows, never the corpus), one
+    tiny final merge re-applies the same cut and evaluates the
+    estimator."""
+    from ..stages import sketch as sk
+
+    I64_MAX = (1 << 63) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = sk.md5_prefix64(b["text"].to_pylist())
+        lang = b["lang"].combine_chunks()
+        codes = lang.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        keep = sk.bottomk_partial(codes, h, k)
+        return pa.table({"lang": lang.take(pa.array(keep)),
+                         "h": pa.array(h[keep]),
+                         "part": pa.array(
+                             np.zeros(len(keep), dtype=np.int32))})
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]).combine_chunks()
+        lang = t["lang"].combine_chunks()
+        codes = lang.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        keep = sk.bottomk_partial(codes, h, k)   # rows sorted (lang, h)
+        lang = lang.take(pa.array(keep))
+        codes = codes[keep]
+        h = h[keep]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], codes[1:] != codes[:-1]))) if len(codes) \
+            else np.empty(0, np.int64)
+        ends = np.append(starts[1:], len(codes))
+        ests = [min(sk.bottomk_estimate(int(e - s), int(h[e - 1]), k),
+                    I64_MAX) for s, e in zip(starts, ends)]
+        return pa.table({
+            "lang": lang.take(pa.array(starts)),
+            "est_distinct": pa.array(ests, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, columns=["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(final, batch_format="pyarrow") \
+        .sort("lang")
