@@ -292,3 +292,67 @@ def test_fused_doc_records_parity(tmp_path):
     s = t.slice(3, 40)
     assert fused_doc_records(s)["record_bytes"].to_pylist() == \
         serialize_records(docs_to_response_records(s))["record_bytes"].to_pylist()
+
+
+def test_write_fused_round_parity(tmp_path):
+    """write_fused_round (assembly+gzip fused, bodies streamed from the
+    Arrow buffer) must produce byte-identical shard FILES and identical
+    CDX rows to WriteWarcShard(fused_fetch_records(batch)) — including
+    mixed rounds, 404s, and stored-member media hints."""
+    import glob
+
+    import pyarrow as pa
+
+    from warc_ray import corpus
+    from warc_ray.sinks.warc_sink import WriteWarcShard, write_fused_round
+    from warc_ray.stages.assemble import fused_fetch_records
+    from warc_ray.stages.fetch import FetchGroup, add_bucket_column
+
+    cdir = corpus.ensure_corpus("t1", root=str(tmp_path))
+    p = corpus.PROFILES["t1"]
+    urls = ([corpus.doc_url(i, p.n_hosts) for i in range(0, 90, 3)]
+            + [corpus.media_url(7, p.n_hosts),
+               corpus.doc_url(p.n_docs + 5, p.n_hosts)])
+    n = len(urls)
+    g = pa.table({
+        "url": pa.array(urls), "host": pa.array(["h"] * n),
+        "priority": pa.array([1] * n, type=pa.int32()),
+        "depth": pa.array([i % 6 for i in range(n)], type=pa.int32()),
+        "round": pa.array([i % 4 for i in range(n)], type=pa.int32()),
+        "fetch_seq": pa.array(list(range(n)), type=pa.int64()),
+    })
+    fetched = FetchGroup(cdir, p.n_buckets)(add_bucket_column(g, p.n_buckets))
+    date = "2026-01-04T00:00:00Z"
+    old_dir, new_dir = str(tmp_path / "old"), str(tmp_path / "new")
+    cdx_old = WriteWarcShard(old_dir, date=date)(fused_fetch_records(fetched))
+    cdx_new = write_fused_round(fetched, new_dir, date)
+    (fo,) = glob.glob(old_dir + "/*.warc.gz")
+    (fn,) = glob.glob(new_dir + "/*.warc.gz")
+    assert os.path.basename(fo) == os.path.basename(fn)
+    with open(fo, "rb") as a, open(fn, "rb") as b:
+        assert a.read() == b.read()
+    assert cdx_old.drop_columns(["shard"]).equals(
+        cdx_new.drop_columns(["shard"]))
+
+
+def test_compress_member_parts_parity():
+    """Multi-part member compression must be byte-identical to the
+    single-buffer path for both deflate and stored framing."""
+    import numpy as np
+
+    from warc_ray.core.gzipm import (compress_member,
+                                     compress_member_parts,
+                                     compress_member_stored,
+                                     compress_member_stored_parts)
+
+    rng = np.random.default_rng(5)
+    for size in (0, 1, 57, 558, 4096):
+        data = bytes(rng.integers(0, 256, size=size, dtype=np.uint8)) \
+            + b"WARC/1.0 repeated text " * 20
+        cut1, cut2 = len(data) // 3, 2 * len(data) // 3
+        parts = (data[:cut1],
+                 np.frombuffer(data, dtype=np.uint8)[cut1:cut2],
+                 memoryview(data)[cut2:])
+        assert compress_member_parts(parts) == compress_member(data)
+        assert compress_member_stored_parts(parts) == \
+            compress_member_stored(data)

@@ -48,6 +48,32 @@ def compress_member(data: bytes, mtime: int = 0) -> bytes:
             + (len(data) & 0xFFFFFFFF).to_bytes(4, "little"))
 
 
+def compress_member_parts(parts, level: int = COMPRESS_LEVEL) -> bytes:
+    """One gzip member over the CONCATENATION of ``parts`` (buffers) —
+    the record's payload bytes stream straight from their source
+    buffer (e.g. an Arrow column) into deflate, with no intermediate
+    joined copy.  Byte parity with ``compress_member(b"".join(parts))``
+    is pinned by tests/test_archive_slice.py."""
+    c = zlib.compressobj(level, zlib.DEFLATED, -15, 6)
+    crc = 0
+    ln = 0
+    out = [_MEMBER_HEADER]
+    for p in parts:
+        out.append(c.compress(p))
+        crc = zlib.crc32(p, crc)
+        ln += len(p)
+    out.append(c.flush())
+    out.append(crc.to_bytes(4, "little"))
+    out.append((ln & 0xFFFFFFFF).to_bytes(4, "little"))
+    return b"".join(out)
+
+
+def compress_member_stored_parts(parts) -> bytes:
+    """STORED-member variant of ``compress_member_parts`` (see
+    ``compress_member_stored`` for when stored framing is right)."""
+    return compress_member_parts(parts, level=0)
+
+
 def compress_member_stored(data: bytes) -> bytes:
     """One gzip member using STORED (level-0) deflate blocks.
 

@@ -43,7 +43,7 @@ import ray
 import ray.data as rd
 
 from .. import corpus as corpus_mod
-from ..sinks.warc_sink import WriteWarcShard
+from ..sinks.warc_sink import WriteWarcShard, write_fused_round
 from ..stages.assemble import (
     fetch_to_warc_records,
     fused_fetch_records,
@@ -167,10 +167,14 @@ class WarcWriter:
 
         _b0 = _t.perf_counter()
         _c0 = _t.process_time()
-        records = fused_fetch_records(fetched)
-        self._busy_asm = getattr(self, "_busy_asm", 0.0) + (_t.perf_counter() - _b0)
-        sink = WriteWarcShard(os.path.join(round_dir, "warc"), date=date_str)
-        cdx = sink(records)
+        # fused assembly+gzip (write_fused_round): the writer pool is
+        # memory-bandwidth-bound at full node occupancy, so the record
+        # bytes never materialize — bodies stream Arrow→sha1→deflate.
+        # _busy_asm stays 0 by construction (folded into the member
+        # loop); byte parity with the two-pass path is pytest-pinned.
+        cdx = write_fused_round(fetched, os.path.join(round_dir, "warc"),
+                                date_str)
+        self._busy_asm = getattr(self, "_busy_asm", 0.0)
         # CDX rows buffer in-actor and flush at checkpoint barriers /
         # crawl end (same durability granularity as the fetch log) —
         # a parquet file per 2048-row chunk was ~3k tiny files and a
