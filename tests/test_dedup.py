@@ -88,6 +88,47 @@ def _lsh_candidates(t: pa.Table) -> set[tuple[int, int]]:
     return out
 
 
+def test_batch_shingle_sets_parity():
+    """The vectorized batch shingle path must produce exactly the
+    scalar per-doc shingle-hash sets, including the short-row (<n
+    tokens), empty, punctuation-only, and mixed-case edge cases."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",                        # no tokens -> no shingles
+        "only two",                # short row -> one whole-join shingle
+        "ONE",                     # single token
+        "a b a b a b a b",         # repeated trigrams -> distinct set
+        "...!!!   ",               # punctuation only -> no tokens
+        "Tabs\tand\nnewlines separate tokens 42 x9",
+        "word " * 500,             # one long degenerate row
+    ]
+    t = pa.table({"text": pa.array(texts)})
+    rows, sh, sizes = dd.batch_shingle_sets(t)
+    got = {r: set() for r in range(len(texts))}
+    for r, h in zip(rows.tolist(), sh.tolist()):
+        got[r].add(h)
+    for r, text in enumerate(texts):
+        exp = set(dd.shingle_hashes(text).tolist())
+        assert got[r] == exp, (r, text[:40])
+        assert sizes[r] == len(exp)
+
+
+def test_batch_signatures_parity():
+    """batch_signatures == per-row minhash_signature(shingle_hashes)
+    across a synthetic near-dup corpus plus edge rows, for several
+    chunking boundaries (the reduceat windows)."""
+    t = _synth_docs(n_base=12, n_dups=8)
+    extra = pa.table({
+        "doc_id": pa.array([100, 101, 102], type=pa.int64()),
+        "text": pa.array(["", "one two", "z " * 300]),
+    })
+    t = pa.concat_tables([t, extra])
+    got = dd.batch_signatures(t)
+    for i, text in enumerate(t["text"].to_pylist()):
+        exp = dd.minhash_signature(dd.shingle_hashes(text))
+        assert (got[i] == exp).all(), i
+
+
 def test_minhash_lsh_recall_and_precision():
     t = _synth_docs()
     ids = t["doc_id"].to_pylist()

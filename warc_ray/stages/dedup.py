@@ -67,6 +67,77 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
         dtype=np.uint64)
 
 
+def batch_shingle_sets(batch: pa.Table, *, n: int = 3,
+                       text_col: str = "text"):
+    """Vectorized ``shingle_hashes`` for every row of a batch: returns
+    ``(row_idx, sh, sizes)`` where ``row_idx`` (ascending int64) maps
+    each distinct-shingle hash in ``sh`` (uint64) to its batch row and
+    ``sizes[r]`` is row r's shingle-set cardinality.
+
+    One regex split + one ``binary_join_element_wise`` build every
+    trigram; short rows (1..n-1 tokens) contribute their whole token
+    join, exactly like ``shingles()``.  blake2b runs once per UNIQUE
+    shingle string in the batch (dictionary-encoded), not once per
+    occurrence — the web-corpus shingle stream is highly repetitive.
+    Per-row set parity with the scalar path is pinned by
+    tests/test_dedup.py::test_batch_shingle_sets_parity."""
+    nrows = batch.num_rows
+    low = pc.utf8_lower(batch[text_col])
+    toks = pc.split_pattern_regex(low, "[^a-z0-9]+")
+    flat = pc.list_flatten(toks).combine_chunks()
+    parents = pc.list_parent_indices(toks).combine_chunks()
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    p = parents.filter(mask).to_numpy(zero_copy_only=False)
+    ntok = np.bincount(p, minlength=nrows)
+    m = len(p)
+    rows_parts, sh_parts = [], []
+    if m >= n:
+        tri = pc.binary_join_element_wise(
+            flat.slice(0, m - 2), flat.slice(1, m - 2),
+            flat.slice(2, m - 2), " ")
+        ok = p[:-2] == p[2:]          # within-row (implies >= n tokens)
+        rows_parts.append(p[:-2][ok])
+        sh_parts.append(tri.filter(pa.array(ok)))
+    short = (ntok > 0) & (ntok < n)
+    if short.any():
+        sel = short[p]
+        ps = p[sel]
+        fs = flat.filter(pa.array(sel))
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ps[1:] != ps[:-1])))
+        offs = np.append(starts, len(ps)).astype(np.int32)
+        la = pa.ListArray.from_arrays(
+            pa.array(offs), fs.combine_chunks()
+            if isinstance(fs, pa.ChunkedArray) else fs)
+        rows_parts.append(ps[starts])
+        sh_parts.append(pc.binary_join(la, " "))
+    if not rows_parts:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                np.zeros(nrows, np.int64))
+    rows = np.concatenate(rows_parts).astype(np.int64)
+    sh = pa.concat_arrays([a.combine_chunks()
+                           if isinstance(a, pa.ChunkedArray) else a
+                           for a in sh_parts])
+    # hash once per unique shingle string, then gather by code
+    enc = sh.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    hu = np.empty(len(uniq), dtype=np.uint64)
+    b2 = hashlib.blake2b
+    for i, w in enumerate(uniq):
+        hu[i] = int.from_bytes(
+            b2(w.encode(), digest_size=8).digest(), "big")
+    h = hu[enc.indices.to_numpy(zero_copy_only=False)]
+    # distinct (row, hash): sort then drop adjacent dups
+    order = np.lexsort((h, rows))
+    rows, h = rows[order], h[order]
+    keep = np.concatenate(
+        ([True], (rows[1:] != rows[:-1]) | (h[1:] != h[:-1])))
+    rows, h = rows[keep], h[keep]
+    sizes = np.bincount(rows, minlength=nrows).astype(np.int64)
+    return rows, h, sizes
+
+
 _M32 = np.uint64(0xFFFFFFFF)
 
 
@@ -88,6 +159,13 @@ def minhash_signature(hashes: np.ndarray) -> np.ndarray:
     against Python-int arithmetic)."""
     if len(hashes) == 0:
         return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    return _perm_matrix(hashes).min(axis=0)
+
+
+def _perm_matrix(hashes: np.ndarray) -> np.ndarray:
+    """(len(hashes), 64) matrix of h_i(x) values (the shared core of
+    the scalar and batched signature paths — arithmetic documented in
+    ``minhash_signature``)."""
     x = hashes[:, None]                       # (n, 1) broadcast vs (64,)
     x_hi, x_lo = x >> np.uint64(32), x & _M32
     a_hi, a_lo = _A >> np.uint64(32), _A & _M32   # a < 2^61 → a_hi < 2^29
@@ -103,8 +181,41 @@ def minhash_signature(hashes: np.ndarray) -> np.ndarray:
         ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
         + (mid >> np.uint64(29)))
     lo = _mod_mersenne(a_lo * x_lo)
-    hx = _mod_mersenne(hi + mid + lo + _B)    # 4 terms < p → < 2^63
-    return hx.min(axis=0)
+    return _mod_mersenne(hi + mid + lo + _B)  # 4 terms < p → < 2^63
+
+
+def batch_signatures(batch: pa.Table, *, n: int = 3,
+                     text_col: str = "text") -> np.ndarray:
+    """(num_rows, 64) minhash signatures for a whole batch — identical
+    values to ``minhash_signature(shingle_hashes(text))`` per row
+    (parity pinned in tests/test_dedup.py) with no per-doc Python:
+    shingles come from the vectorized ``batch_shingle_sets`` and the
+    64 permutations are evaluated over doc-CHUNKS of the flat hash
+    stream with one ``np.minimum.reduceat`` per chunk.  Chunks keep the
+    (pairs × 64) intermediates allocator-friendly (~tens of MB)."""
+    rows, h, _sizes = batch_shingle_sets(batch, n=n, text_col=text_col)
+    nrows = batch.num_rows
+    sigs = np.full((nrows, N_PERM), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    if len(h) == 0:
+        return sigs
+    starts = np.flatnonzero(np.concatenate(
+        ([True], rows[1:] != rows[:-1])))
+    bounds = np.append(starts, len(h))
+    present = rows[starts]
+    nseg = len(starts)
+    chunk = 1 << 17                     # flat hashes per perm evaluation
+    si = 0
+    while si < nseg:
+        sj = si + 1
+        while sj < nseg and bounds[sj + 1] - bounds[si] <= chunk:
+            sj += 1
+        lo_, hi_ = bounds[si], bounds[sj]
+        vals = _perm_matrix(h[lo_:hi_])
+        mins = np.minimum.reduceat(vals, bounds[si:sj] - lo_, axis=0)
+        sigs[present[si:sj]] = mins
+        si = sj
+    return sigs
 
 
 # ---------------------------------------------------------------------------
@@ -151,11 +262,8 @@ def minhash_bands(batch: pa.Table, *, bands: int = 32, rows: int = 2,
     """
     assert bands * rows == N_PERM
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    sigs = np.empty((n, N_PERM), dtype=np.uint64)
-    for i, text in enumerate(texts):
-        sigs[i] = minhash_signature(shingle_hashes(text))
+    n = batch.num_rows
+    sigs = batch_signatures(batch, text_col=text_col)
     with np.errstate(over="ignore"):
         chunk = sigs.reshape(n, bands, rows)
         key = _mix64(chunk[:, :, 0] + _GOLDEN)
@@ -239,19 +347,16 @@ def shingle_explode(batch: pa.Table, *, n: int = 3, npart: int = 32,
     occurrence of a shingle to the same partition (blake2b-64 hashes
     are uniform, so partitions balance regardless of shingle skew)."""
     ids = batch[id_col].to_numpy(zero_copy_only=False)
-    per_doc = [shingle_hashes(t, n) for t in batch[text_col].to_pylist()]
-    sizes = np.array([len(h) for h in per_doc], dtype=np.int64)
-    total = int(sizes.sum())
-    if total == 0:
+    rows_ix, sh, sizes = batch_shingle_sets(batch, n=n, text_col=text_col)
+    if len(sh) == 0:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
                          "sh": pa.array([], type=pa.int64()),
                          "size": pa.array([], type=pa.int64()),
                          "part": pa.array([], type=pa.int32())})
-    sh = np.concatenate([h for h in per_doc if len(h)])
     return pa.table({
-        "doc_id": pa.array(np.repeat(ids, sizes), type=pa.int64()),
+        "doc_id": pa.array(ids[rows_ix], type=pa.int64()),
         "sh": pa.array(sh.view(np.int64)),
-        "size": pa.array(np.repeat(sizes, sizes)),
+        "size": pa.array(sizes[rows_ix]),
         "part": pa.array((sh % np.uint64(npart)).astype(np.int32)),
     })
 
