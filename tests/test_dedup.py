@@ -129,6 +129,24 @@ def test_batch_signatures_parity():
         assert (got[i] == exp).all(), i
 
 
+def test_perm_into_parity():
+    """The in-place scratch evaluation must be bit-identical to the
+    allocating spec (_perm_matrix), including values that hit the
+    conditional-subtract boundary (multiples of p and near-p folds)."""
+    p = (1 << 61) - 1
+    rng = np.random.default_rng(3)
+    xs = np.concatenate([
+        np.array([0, 1, p - 1, p, p + 1, 2 * p, 3 * p,
+                  (1 << 64) - 1, 1 << 63, (1 << 62) + 5],
+                 dtype=np.uint64),
+        rng.integers(0, 1 << 64, size=3000, dtype=np.uint64),
+    ])
+    ref = dd._perm_matrix(xs)
+    out = np.empty((len(xs), dd.N_PERM), dtype=np.uint64)
+    got = dd._perm_into(xs, out)
+    assert (ref == got).all()
+
+
 def test_minhash_lsh_recall_and_precision():
     t = _synth_docs()
     ids = t["doc_id"].to_pylist()

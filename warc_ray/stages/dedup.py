@@ -184,6 +184,69 @@ def _perm_matrix(hashes: np.ndarray) -> np.ndarray:
     return _mod_mersenne(hi + mid + lo + _B)  # 4 terms < p → < 2^63
 
 
+# Flat hashes per permutation evaluation, and the persistent scratch
+# the evaluation runs in.  2^10 × 64 × 8 B = 512 KB per buffer: the
+# whole working set stays allocator- and cache-hot.  Fresh multi-MB
+# numpy temporaries first-touch-fault (~30 µs/4K page on the bench
+# host) — measured 8× slower at chunk 2^17 with allocating ops than
+# 2^10 with in-place ops, for identical arithmetic.
+_PERM_CHUNK = 1 << 10
+_PERM_SCRATCH: dict = {}
+
+
+def _perm_into(hashes: np.ndarray, out: np.ndarray) -> np.ndarray:
+    """``_perm_matrix`` into ``out`` (n, 64) with in-place ufuncs over
+    persistent scratch — bit-identical arithmetic (same fold order;
+    parity pinned by tests/test_dedup.py::test_perm_into_parity).
+
+    The conditional subtract of ``_mod_mersenne``'s ``np.where`` is
+    expressed allocation-free as ``v -= p * ((v + 1) >> 61)`` (valid
+    because one fold leaves v ≤ p + 7 < 2p)."""
+    n = len(hashes)
+    bufs = _PERM_SCRATCH.get("bufs")
+    if bufs is None or bufs[0].shape[0] < n:
+        cap = max(n, _PERM_CHUNK)
+        bufs = _PERM_SCRATCH["bufs"] = [
+            np.empty((cap, N_PERM), dtype=np.uint64) for _ in range(3)]
+    t0, t1, t2 = (b[:n] for b in bufs)
+    u61, u32, u29, u3, u1 = (np.uint64(v) for v in (61, 32, 29, 3, 1))
+    x = hashes[:, None]
+    x_hi, x_lo = x >> u32, x & _M32
+    a_hi, a_lo = _A >> u32, _A & _M32
+
+    def modm(v, t):
+        np.right_shift(v, u61, out=t)
+        np.bitwise_and(v, _P, out=v)
+        np.add(v, t, out=v)              # one fold: v <= p + 7
+        np.add(v, u1, out=t)
+        np.right_shift(t, u61, out=t)    # 1 iff v >= p
+        np.multiply(t, _P, out=t)
+        np.subtract(v, t, out=v)
+
+    np.multiply(a_hi, x_hi, out=out)
+    modm(out, t2)
+    np.left_shift(out, u3, out=out)      # *8 = 2^64 mod p; < 2^64
+    modm(out, t2)                        # out = hi
+    np.multiply(a_hi, x_lo, out=t0)
+    modm(t0, t2)
+    np.multiply(a_lo, x_hi, out=t1)
+    modm(t1, t2)
+    np.add(t0, t1, out=t0)
+    modm(t0, t2)                         # t0 = mid
+    np.bitwise_and(t0, np.uint64((1 << 29) - 1), out=t1)
+    np.left_shift(t1, u32, out=t1)
+    np.right_shift(t0, u29, out=t0)
+    np.add(t1, t0, out=t0)
+    modm(t0, t2)                         # t0 = mid * 2^32 mod p
+    np.add(out, t0, out=out)
+    np.multiply(a_lo, x_lo, out=t0)
+    modm(t0, t2)
+    np.add(out, t0, out=out)
+    np.add(out, _B, out=out)             # 4 terms < p → < 2^63
+    modm(out, t2)
+    return out
+
+
 def batch_signatures(batch: pa.Table, *, n: int = 3,
                      text_col: str = "text") -> np.ndarray:
     """(num_rows, 64) minhash signatures for a whole batch — identical
@@ -191,8 +254,8 @@ def batch_signatures(batch: pa.Table, *, n: int = 3,
     (parity pinned in tests/test_dedup.py) with no per-doc Python:
     shingles come from the vectorized ``batch_shingle_sets`` and the
     64 permutations are evaluated over doc-CHUNKS of the flat hash
-    stream with one ``np.minimum.reduceat`` per chunk.  Chunks keep the
-    (pairs × 64) intermediates allocator-friendly (~tens of MB)."""
+    stream (``_perm_into`` scratch, one ``np.minimum.reduceat`` per
+    chunk)."""
     rows, h, _sizes = batch_shingle_sets(batch, n=n, text_col=text_col)
     nrows = batch.num_rows
     sigs = np.full((nrows, N_PERM), np.iinfo(np.uint64).max,
@@ -204,14 +267,21 @@ def batch_signatures(batch: pa.Table, *, n: int = 3,
     bounds = np.append(starts, len(h))
     present = rows[starts]
     nseg = len(starts)
-    chunk = 1 << 17                     # flat hashes per perm evaluation
+    out = _PERM_SCRATCH.get("out")
+    if out is None or out.shape[0] < _PERM_CHUNK:
+        out = _PERM_SCRATCH["out"] = np.empty(
+            (_PERM_CHUNK, N_PERM), dtype=np.uint64)
     si = 0
     while si < nseg:
         sj = si + 1
-        while sj < nseg and bounds[sj + 1] - bounds[si] <= chunk:
+        while sj < nseg and bounds[sj + 1] - bounds[si] <= _PERM_CHUNK:
             sj += 1
-        lo_, hi_ = bounds[si], bounds[sj]
-        vals = _perm_matrix(h[lo_:hi_])
+        lo_, hi_ = int(bounds[si]), int(bounds[sj])
+        m = hi_ - lo_
+        if m > out.shape[0]:             # one oversized doc
+            out = _PERM_SCRATCH["out"] = np.empty(
+                (m, N_PERM), dtype=np.uint64)
+        vals = _perm_into(h[lo_:hi_], out[:m])
         mins = np.minimum.reduceat(vals, bounds[si:sj] - lo_, axis=0)
         sigs[present[si:sj]] = mins
         si = sj
