@@ -160,6 +160,21 @@ def _q40_post(t: pa.Table) -> pa.Table:
     return t.drop_columns(["feature", "midx"])
 
 
+def _only_media(idx, kind: str):
+    """Pre-filter the bare media index to one media type BEFORE payload
+    synthesis: media_type is a pure function of midx (midx%3==0 →
+    video, else image), so stages that consume a single type (frames,
+    resize, audio tracks) should never synthesize the other 1/3–2/3."""
+    want_video = kind == "video"
+
+    def only(batch: pa.Table) -> pa.Table:
+        m = batch["midx"].to_numpy(zero_copy_only=False)
+        keep = (m % 3 == 0) if want_video else (m % 3 != 0)
+        return batch.take(np.flatnonzero(keep))
+
+    return idx.map_batches(only, batch_format="pyarrow")
+
+
 def media_features(sf_dir: str):
     """Decode/feature-extract pipeline over the synthetic corpus' media
     blobs (actor-pool stage; codec stubbed — see stages/multimodal.py)."""
@@ -189,7 +204,7 @@ def media_resize(sf_dir: str):
     idx, prof = _media_index(sf_dir)
     # emit_payload=False: the resize (including the byte gather — the
     # stand-in for real codec work) runs in-actor, only sizes ship out
-    return idx.map_batches(
+    return _only_media(idx, "image").map_batches(
         SynthesizedStage,
         fn_constructor_args=(prof.n_hosts, ResizeMedia),
         fn_constructor_kwargs={"stage_kwargs": {"emit_payload": False},
@@ -227,7 +242,7 @@ def frame_samples(sf_dir: str):
     from ..stages.multimodal import FrameSampler, SynthesizedStage
 
     idx, prof = _media_index(sf_dir)
-    partial = idx.map_batches(
+    partial = _only_media(idx, "video").map_batches(
         SynthesizedStage,
         fn_constructor_args=(prof.n_hosts, FrameSampler),
         fn_constructor_kwargs={"post": _frame_partials},
@@ -264,7 +279,7 @@ def audio_features(sf_dir: str):
     from ..stages.multimodal import AudioFeatures, SynthesizedStage
 
     idx, prof = _media_index(sf_dir)
-    return idx.map_batches(
+    return _only_media(idx, "video").map_batches(
         SynthesizedStage,
         fn_constructor_args=(prof.n_hosts, AudioFeatures),
         fn_constructor_kwargs={"post": _q40_post},

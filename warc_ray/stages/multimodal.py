@@ -84,6 +84,44 @@ def _gather_rows(data: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     return data[idx]
 
 
+def _chunk_row_ids(row_off: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Row id per flat position in [lo, hi): two searchsorted calls at
+    the chunk EDGES + one bounded repeat — not a per-element binary
+    search (which was ~13 ms per 1M-element window)."""
+    i_lo = int(np.searchsorted(row_off, lo, side="right"))
+    i_hi = int(np.searchsorted(row_off, hi - 1, side="right"))
+    c = np.minimum(row_off[i_lo:i_hi + 1], hi)
+    counts = np.empty(i_hi - i_lo + 1, dtype=np.int64)
+    counts[0] = c[0] - lo
+    np.subtract(c[1:], c[:-1], out=counts[1:])
+    return np.repeat(np.arange(i_lo, i_hi + 1, dtype=np.int32), counts)
+
+
+def _fake_decode_batch(data: np.ndarray, starts: np.ndarray,
+                       ends: np.ndarray, want_hex: bool = False):
+    """Vectorized-loop form of ``_fake_decode``: sha1 over each row's
+    ≤20-byte header.  The crypto is irreducibly per-row; everything
+    else (numpy scalar indexing, min(), output stores) is hoisted to
+    python ints / bytearrays — ~2µs/row instead of ~30µs/row."""
+    n = len(starts)
+    s_list = starts.tolist()
+    e_list = np.minimum(ends, starts + 20).tolist()
+    b0 = bytearray(n)
+    b1 = bytearray(n)
+    hexes = [] if want_hex else None
+    sha1 = hashlib.sha1
+    mv = memoryview(data)
+    for i in range(n):
+        d = sha1(mv[s_list[i]:e_list[i]]).digest()
+        b0[i] = d[0]
+        b1[i] = d[1]
+        if want_hex:
+            hexes.append(d.hex())
+    w = 64 + np.frombuffer(bytes(b0), dtype=np.uint8).astype(np.int64) % 192
+    h = 64 + np.frombuffer(bytes(b1), dtype=np.uint8).astype(np.int64) % 192
+    return w, h, hexes
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """STUB decoder: derives deterministic (width, height) from the
     payload header.  Replace with a real codec when available —
@@ -109,6 +147,9 @@ class DecodeMediaFeatures:
         # (~30µs/4K page here) dominated short queries (1.8 s first
         # batch vs 0.22 s steady)
         self._ar = np.arange(_GATHER_CHUNK, dtype=np.int64)
+        self._mod_lut = (np.arange(256) % feature_dim).astype(np.int32)
+        self._key = np.empty(_GATHER_CHUNK, dtype=np.int32)
+        self._mod = np.empty(_GATHER_CHUNK, dtype=np.int32)
 
     def _feature(self, payload: bytes) -> np.ndarray:
         # histogram of byte values folded to feature_dim buckets, L2-normed
@@ -138,29 +179,21 @@ class DecodeMediaFeatures:
         acc = np.zeros(n * fd, dtype=np.int64)
         for lo in range(0, m, _GATHER_CHUNK):
             hi = min(lo + _GATHER_CHUNK, m)
-            key = self._ar[:hi - lo] + lo
-            key = np.searchsorted(row_off, key, side="right")  # row ids
-            key *= fd
-            np.add(key, flat[lo:hi] % fd, out=key, casting="unsafe")
+            key = self._key[:hi - lo]
+            np.multiply(_chunk_row_ids(row_off, lo, hi), fd, out=key)
+            mod = self._mod[:hi - lo]
+            np.take(self._mod_lut, flat[lo:hi], out=mod)
+            key += mod
             acc += np.bincount(key, minlength=n * fd)
         hist = acc.reshape(n, fd).astype(np.float32)
         norms = np.sqrt((hist * hist).sum(axis=1, keepdims=True))
         norms[norms == 0.0] = 1.0
         feats = hist / norms
-        # header sha1 (first 20 bytes) — the one remaining per-row step;
-        # 20-byte digests are ~1µs each
-        widths = np.empty(n, dtype=np.int32)
-        heights = np.empty(n, dtype=np.int32)
-        shas = []
-        mv = data  # numpy view; hashlib accepts ndarray slices
-        sha1 = hashlib.sha1
-        for i in range(n):
-            s = starts[i]
-            d = sha1(mv[s:min(ends[i], s + 20)])
-            h = d.digest()
-            shas.append(d.hexdigest())
-            widths[i] = 64 + h[0] % 192     # _fake_decode, digest reused
-            heights[i] = 64 + h[1] % 192
+        # header sha1 (first 20 bytes) — the one remaining per-row step
+        w64, h64, shas = _fake_decode_batch(data, starts, ends,
+                                            want_hex=True)
+        widths = w64.astype(np.int32)
+        heights = h64.astype(np.int32)
         is_image = pc.equal(batch["media_type"], "image") \
             .combine_chunks().to_numpy(zero_copy_only=False)
         n_frames = np.where(is_image, 1, 1 + n_bytes // 1024).astype(np.int32)
@@ -225,6 +258,10 @@ class ResizeMedia:
         # the same-size chunk temporaries.
         self._ar = np.arange(_GATHER_CHUNK, dtype=np.int64)
         self._u8 = np.empty(0, dtype=np.uint8)
+        self._j = np.empty(0, dtype=np.int64)       # chunk scratch
+        self._opos = self._g64 = np.empty(0, dtype=np.int64)
+        self._g32 = np.empty(0, dtype=np.int32)
+        self._tk = np.empty(0, dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         images = batch.filter(pc.and_(
@@ -232,22 +269,21 @@ class ResizeMedia:
             pc.greater(pc.binary_length(batch["payload"]), 0)))
         _, starts, ends, data = _binary_views(images["payload"])
         n = len(starts)
-        sw = np.empty(n, dtype=np.int64)
-        sh = np.empty(n, dtype=np.int64)
-        sha1 = hashlib.sha1
-        for i in range(n):
-            s = starts[i]
-            h = sha1(data[s:min(ends[i], s + 20)]).digest()
-            sw[i] = 64 + h[0] % 192
-            sh[i] = 64 + h[1] % 192
+        sw, sh, _ = _fake_decode_batch(data, starts, ends)
         # fit into the box preserving aspect, integer-only: the binding
         # side takes the box dimension, the other floors (min 1)
         use_w = self.box_w * sh <= self.box_h * sw
         tw = np.where(use_w, self.box_w, np.maximum(1, (sw * self.box_h) // sh))
         th = np.where(use_w, np.maximum(1, (sh * self.box_w) // sw), self.box_h)
         out_len = np.minimum(tw * th * self.bpp, ends - starts).astype(np.int64)
-        # strided byte downsample out[i][j] = src[i][j*src_len//out_len],
-        # chunked over the fixed window (rationale in __init__)
+        # strided byte downsample out[i][j] = src[i][j*src_len//out_len].
+        # Split rows into IDENTITY (out_len == src_len — the payload
+        # already fits the box byte budget: the mapping is j→j, a plain
+        # memcpy of the row) and SHRINK rows, which get the strided
+        # gather.  All chunk temporaries live in persistent scratch and
+        # are written with out= — fresh multi-MB temporaries are mmap'd
+        # and returned to the OS every iteration, so they re-fault
+        # ~30µs/4K page on every chunk (the dominant cost before).
         row_off = np.cumsum(out_len)
         total = int(row_off[-1]) if n else 0
         if self._u8.size < total:
@@ -256,15 +292,56 @@ class ResizeMedia:
         row_start = row_off - out_len
         src_len = (ends - starts).astype(np.int64)
         starts64 = starts.astype(np.int64)
-        for lo in range(0, total, _GATHER_CHUNK):
-            hi = min(lo + _GATHER_CHUNK, total)
-            j = self._ar[:hi - lo] + lo              # absolute byte idx
-            r = np.searchsorted(row_off, j, side="right")
-            j -= row_start[r]                        # j within row
-            j *= src_len[r]
-            j //= out_len[r]
-            j += starts64[r]                         # absolute src index
-            np.take(data, j, out=values[lo:hi])
+        ident = out_len == src_len
+        # identity rows: memcpy maximal runs of consecutive rows (input
+        # rows are contiguous in `data` after the filter materializes)
+        edges = np.flatnonzero(np.diff(ident.astype(np.int8)))
+        bounds = np.concatenate(([0], edges + 1, [n])) if n else [0]
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if not ident[a]:
+                continue
+            values[row_start[a]:row_off[b - 1]] = \
+                data[starts64[a]:starts64[a] + (row_off[b - 1]
+                                                - row_start[a])]
+        # shrink rows: chunked strided gather over compacted row arrays
+        sh_rows = np.flatnonzero(~ident)
+        if sh_rows.size:
+            s_out = out_len[sh_rows]
+            s_off = np.cumsum(s_out)
+            s_start = s_off - s_out
+            s_src32 = src_len[sh_rows].astype(np.int32)
+            s_out32 = s_out.astype(np.int32)
+            s_data0 = starts64[sh_rows]
+            s_vals0 = row_start[sh_rows]
+            m_total = int(s_off[-1])
+            if self._j.size < _GATHER_CHUNK:
+                self._j = np.empty(_GATHER_CHUNK, np.int64)
+                self._opos = np.empty(_GATHER_CHUNK, np.int64)
+                self._g64 = np.empty(_GATHER_CHUNK, np.int64)
+                self._g32 = np.empty(_GATHER_CHUNK, np.int32)
+                self._tk = np.empty(_GATHER_CHUNK, np.uint8)
+            for lo in range(0, m_total, _GATHER_CHUNK):
+                hi = min(lo + _GATHER_CHUNK, m_total)
+                w = hi - lo
+                r = _chunk_row_ids(s_off, lo, hi)
+                j = self._j[:w]
+                g64 = self._g64[:w]
+                g32 = self._g32[:w]
+                out_pos = self._opos[:w]
+                np.take(s_start, r, out=g64)
+                np.add(self._ar[:w], lo, out=j)
+                np.subtract(j, g64, out=j)            # j within row
+                np.take(s_vals0, r, out=out_pos)
+                np.add(out_pos, j, out=out_pos)       # output positions
+                np.take(s_src32, r, out=g32)
+                np.multiply(j, g32, out=j, casting="unsafe")
+                np.take(s_out32, r, out=g32)
+                np.floor_divide(j, g32, out=j, casting="unsafe")
+                np.take(s_data0, r, out=g64)
+                np.add(j, g64, out=j)                 # absolute src index
+                taken = self._tk[:w]
+                np.take(data, j, out=taken)
+                values[out_pos] = taken
         offsets = np.concatenate(([0], row_off))
         payloads = pa.LargeBinaryArray.from_buffers(
             pa.large_binary(), n,
@@ -370,10 +447,58 @@ class AudioFeatures:
     Python).  Semantics pinned by the per-row reference in
     tests/test_multimodal.py."""
 
+    # evaluation window: per-chunk temporaries stay ~2 MB so the
+    # allocator reuses warm blocks (fresh multi-100MB temporaries
+    # first-touch-fault ~30µs/page on this host — see resize/frame
+    # stages for the same pattern)
+    CHUNK_SAMPLES = 1 << 20
+
     def __init__(self, feature_dim: int = 8, track_types=("video", "audio")):
-        self.feature_dim = feature_dim
+        self.feature_dim = fd = feature_dim
         self.track_types = list(track_types)
         self.use_real_codec = False  # no audio codec in this container
+        # per-int16-value lookup tables: one gather replaces the
+        # astype(int32)->int64**2->float64 chain over every sample
+        v = np.arange(65536, dtype=np.int64)
+        sv = np.where(v < 32768, v, v - 65536)          # signed value
+        self._sq_lut = (sv * sv).astype(np.float64)     # exact (< 2^30)
+        self._bkt_lut = np.minimum(
+            np.abs(sv) >> 12, fd - 1).astype(np.uint16)
+        self._scratch: dict = {}
+
+    def _buf(self, key: str, size: int, dtype) -> np.ndarray:
+        b = self._scratch.get(key)
+        if b is None or b.size < size:
+            b = np.empty(max(size, self.CHUNK_SAMPLES), dtype=dtype)
+            self._scratch[key] = b
+        return b[:size]
+
+    def _chunk_samples(self, data, starts, ends, lengths, i0, i1,
+                       contiguous: bool) -> np.ndarray:
+        """Rows [i0,i1) → one contiguous little-endian uint16 sample
+        array (each row's even-length prefix, odd tail bytes dropped).
+        One bounded memcpy / boolean compaction into persistent
+        scratch — never a per-byte fancy-index over the whole batch."""
+        nbytes = int((lengths[i0:i1] - (lengths[i0:i1] & 1)).sum())
+        out = self._buf("bytes", nbytes + (nbytes & 1), np.uint8)[:nbytes]
+        if contiguous:
+            base = starts[i0]
+            window = data[base:ends[i1 - 1]]
+            odd = np.flatnonzero(lengths[i0:i1] & 1)
+            if odd.size == 0:
+                np.copyto(out, window)
+            else:
+                mask = self._buf("mask", len(window), np.bool_)
+                mask[:len(window)] = True
+                mask[ends[i0 + odd] - 1 - base] = False
+                np.compress(mask[:len(window)], window, out=out)
+        else:   # sliced/re-chunked column: per-row copies (bounded)
+            pos = 0
+            for i in range(i0, i1):
+                m = int(lengths[i] & ~1)
+                out[pos:pos + m] = data[starts[i]:starts[i] + m]
+                pos += m
+        return out.view("<u2")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fd = self.feature_dim
@@ -384,30 +509,67 @@ class AudioFeatures:
         lengths = (ends - starts).astype(np.int64)
         n = len(starts)
         n_samp = lengths // 2                      # s16le samples per row
-        flen = n_samp * 2
-        total = int(flen.sum())
-        # gather each row's even-length prefix into one contiguous buffer
-        idx = (np.repeat(starts, flen)
-               + np.arange(total, dtype=np.int64)
-               - np.repeat(np.cumsum(flen) - flen, flen))
-        buf = np.ascontiguousarray(data[idx])
-        samples = buf.view("<i2").astype(np.int32)
-        row_id = np.repeat(np.arange(n, dtype=np.int64), n_samp)
-        # RMS: exact int sums carried in float64 (< 2^53 for any
-        # realistic track length), one bincount for every row at once
-        sq = (samples.astype(np.int64) ** 2).astype(np.float64)
-        sumsq = np.bincount(row_id, weights=sq, minlength=n)
+        contiguous = n > 0 and np.array_equal(starts[1:], ends[:-1])
+
+        sumsq = np.zeros(n, dtype=np.float64)
+        zc = np.zeros(n, dtype=np.int64)
+        hist = np.zeros((n, fd), dtype=np.int64)
+
+        # row-granular chunks of ≤ CHUNK_SAMPLES samples (a single
+        # huge row still forms its own chunk)
+        csum = np.cumsum(n_samp)
+        i0 = 0
+        while i0 < n:
+            base_s = csum[i0 - 1] if i0 else 0
+            i1 = int(np.searchsorted(
+                csum, base_s + self.CHUNK_SAMPLES, side="left"))
+            i1 = min(max(i1, i0 + 1), n)
+            u16 = self._chunk_samples(
+                data, starts, ends, lengths, i0, i1, contiguous)
+            m = len(u16)
+            if m == 0:
+                i0 = i1
+                continue
+            cn = i1 - i0
+            ns_c = n_samp[i0:i1]
+            # per-sample row ids (int32, bounded scratch)
+            rid = self._buf("rid", m, np.int32)
+            nzr = np.flatnonzero(ns_c)
+            ls = np.zeros(cn + 1, dtype=np.int64)
+            np.cumsum(ns_c, out=ls[1:])
+            rid_src = np.repeat(nzr.astype(np.int32), ns_c[nzr])
+            np.copyto(rid, rid_src)
+            # RMS partial: LUT gather + per-row segment sums.
+            # reduceat over nonzero-row starts is exact because empty
+            # rows occupy zero samples (consecutive spans stay tight).
+            sq = self._buf("sq", m, np.float64)
+            np.take(self._sq_lut, u16, out=sq)
+            sumsq[i0 + nzr] = np.add.reduceat(sq, ls[nzr])
+            # zero crossings: sign flips between in-row neighbors
+            if m > 1:
+                nonneg = self._buf("nn", m, np.bool_)
+                np.less(u16, 32768, out=nonneg)
+                flip = self._buf("flip", m - 1, np.bool_)
+                np.not_equal(nonneg[1:], nonneg[:-1], out=flip)
+                same = rid[1:] == rid[:-1]
+                np.logical_and(flip, same, out=flip)
+                at = np.flatnonzero(flip)
+                zc[i0:i1] += np.bincount(rid[1:][at].astype(np.int64),
+                                         minlength=cn)
+            # amplitude histogram partial: LUT bucket + one bincount
+            key = self._buf("key", m, np.int64)
+            np.multiply(rid, fd, out=key, casting="unsafe")
+            bkt = self._buf("bkt", m, np.uint16)
+            np.take(self._bkt_lut, u16, out=bkt)
+            key += bkt
+            hist[i0:i1] += np.bincount(
+                key, minlength=cn * fd).reshape(cn, fd)
+            i0 = i1
+
         ns_safe = np.maximum(n_samp, 1)
         rms_milli = np.floor(
             1000.0 * np.sqrt(sumsq / ns_safe)).astype(np.int64)
         rms_milli[n_samp == 0] = 0
-        # zero crossings: sign flips between in-row neighbors
-        if len(samples) > 1:
-            nonneg = samples >= 0
-            flip = (nonneg[1:] != nonneg[:-1]) & (row_id[1:] == row_id[:-1])
-            zc = np.bincount(row_id[1:][flip], minlength=n)
-        else:
-            zc = np.zeros(n, dtype=np.int64)
         # stub "container header": first byte selects the sample rate
         first = np.zeros(n, dtype=np.int64)
         nz = lengths > 0
@@ -415,13 +577,10 @@ class AudioFeatures:
             first[nz] = data[starts[nz]]
         rate = (8000 << (first % 3)).astype(np.int32)   # 8/16/32 kHz
         duration_ms = n_samp * 1000 // rate
-        # 8-bucket amplitude histogram, L2-normed (fixed-dim feature)
-        bucket = np.minimum(np.abs(samples) >> 12, fd - 1)
-        hist = np.bincount(row_id * fd + bucket, minlength=n * fd) \
-            .reshape(n, fd).astype(np.float32)
-        norms = np.sqrt((hist * hist).sum(axis=1, keepdims=True))
+        histf = hist.astype(np.float32)
+        norms = np.sqrt((histf * histf).sum(axis=1, keepdims=True))
         norms[norms == 0.0] = 1.0
-        feats = hist / norms
+        feats = histf / norms
         cols = {
             "media_id": rows["media_id"],
             "n_bytes": pa.array(lengths),
