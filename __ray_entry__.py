@@ -439,6 +439,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q41_frame_samples": tr.frame_samples,
         "q42_media_resize": tr.media_resize,
         "q43_audio_features": tr.audio_features,
+        # corpus hygiene (segment dedup / contamination / centroids)
+        "q44_segment_dedup": tr.segment_dedup,
+        "q45_contamination": tr.contamination,
+        "q46_group_centroids": tr.group_centroids,
         # crawl substrate over the interleaved corpus
         "q50_extract_links": _extract_links_q,
         "q51_seen_dedup": _seen_dedup_q,
@@ -936,6 +940,71 @@ def oracle_sql() -> dict[str, str]:
                                    9223372036854775807)
                         END AS BIGINT) AS est_distinct
             FROM r GROUP BY lang ORDER BY lang""",
+        # segment-level exact dedup (CCNet/C4 line-dedup over 16-token
+        # segments): global keep-first per distinct segment string,
+        # first occurrence = min (doc_id, seg_idx)
+        "q44_segment_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), seg AS (
+              SELECT doc_id, CAST((i-1)//16 AS BIGINT) AS seg_idx,
+                     array_to_string(
+                       list_slice(t, i, LEAST(i+15, len(t))), ' ') AS seg
+              FROM toks, UNNEST(range(1, len(t)+1, 16)) AS u(i)
+            ), firsts AS (
+              SELECT seg, MIN(doc_id * 1048576 + seg_idx) AS fk
+              FROM seg GROUP BY seg
+            ), kept AS (
+              SELECT s.doc_id, s.seg_idx, s.seg
+              FROM seg s JOIN firsts f
+                ON s.seg = f.seg
+               AND s.doc_id * 1048576 + s.seg_idx = f.fk
+            ), nseg AS (
+              SELECT doc_id, COUNT(*) AS n_seg FROM seg GROUP BY doc_id
+            )
+            SELECT k.doc_id, n.n_seg,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(k.seg, ' ' ORDER BY k.seg_idx) AS text_kept
+            FROM kept k JOIN nseg n USING (doc_id)
+            GROUP BY k.doc_id, n.n_seg ORDER BY doc_id""",
+        # benchmark contamination: distinct word n-grams of each
+        # candidate doc ∩ the benchmark slice (doc_id % 97 == 0);
+        # n=3 because the synthetic vocabulary is tiny (prod uses 13)
+        "q45_contamination": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, list_distinct(
+                CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(t) - 1),
+                       i -> array_to_string(list_slice(t, i, i+2), ' '))
+                END) AS g
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT u.g13 FROM grams, UNNEST(g) AS u(g13)
+              WHERE doc_id % 97 = 0
+            ), cand AS (
+              SELECT doc_id, len(g) AS n_grams, u.g13
+              FROM grams, UNNEST(g) AS u(g13) WHERE doc_id % 97 <> 0
+            )
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM cand WHERE g13 IN (SELECT g13 FROM bench)
+            GROUP BY doc_id, n_grams ORDER BY doc_id""",
+        # per-label centroid sums in exact fixed-point (floor(v*2^20)
+        # int64) — order-free, so partials merge bit-identically
+        "q46_group_centroids": """
+            SELECT label, CAST(i AS BIGINT) AS pos,
+                   CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                       * 1048576) AS BIGINT))
+                        AS BIGINT) AS sum_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS r(i)
+            GROUP BY label, pos ORDER BY label, pos""",
         "q50_extract_links":
             links_src + " ORDER BY src_doc, src_offset, url",
         "q51_seen_dedup": (

@@ -821,3 +821,75 @@ def bottomk_distinct(sf_dir: str, k: int = 16):
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("part").map_groups(final, batch_format="pyarrow") \
         .sort("lang")
+
+
+def segment_dedup(sf_dir: str, seg_len: int = 16, npart: int = 64):
+    """Segment-level exact dedup (q44) — CCNet/C4 line-dedup shaped
+    for newline-free docs: non-overlapping ``seg_len``-token segments,
+    global keep-first per distinct segment string, per-doc reassembly.
+
+    Two hash-bucket exchanges: (1) all occurrences of a segment meet in
+    one bucket keyed by hash64(seg) and keep-first resolves in one
+    vectorized pass; (2) surviving rows regroup by doc hash and
+    reassemble ordered text.  Shuffle carries one row per (doc,
+    segment) — never the token stream."""
+    from ..stages import segments as sg
+
+    ex = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: sg.segment_explode(b, seg_len=seg_len, npart=npart),
+        batch_format="pyarrow")
+    kept = ex.groupby("part").map_groups(
+        sg.bucket_keep_first, batch_format="pyarrow")
+
+    def with_dpart(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((d % npart).astype(np.int32)))
+
+    return kept.map_batches(with_dpart, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: sg.bucket_reassemble(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+
+
+def contamination(sf_dir: str, n: int = 3, npart: int = 64,
+                  bench_mod: int = 97):
+    """Benchmark-contamination check (q45): per-candidate-doc count of
+    distinct word n-grams shared with the benchmark slice
+    (``doc_id % bench_mod == 0``).  One exploding pass tags both sides,
+    one gram-hash bucket exchange runs the semi-join (np.isin against
+    the bucket's benchmark grams), and a tiny groupby merges per-doc
+    partials.  Production n is 13; the synthetic corpus' vocabulary
+    needs n=3 to produce overlap."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages import segments as sg
+
+    partials = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: sg.ngram_explode(b, n=n, npart=npart,
+                                   bench_mod=bench_mod),
+        batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: sg.bucket_contamination(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    return partials.groupby("doc_id").aggregate(
+        Max("n_grams", alias_name="n_grams"),
+        Sum("n_hits", alias_name="n_hits")).sort("doc_id")
+
+
+def group_centroids(sf_dir: str, scale: int = 1 << 20):
+    """Per-label embedding centroid sums (q46) in exact fixed-point:
+    each batch folds to labels×dim partial rows (order-free int64
+    sums), a tiny global groupby merges them — shuffle volume is
+    independent of the row count."""
+    from ray.data.aggregate import Sum
+
+    from ..stages import segments as sg
+
+    return _emb(sf_dir).map_batches(
+        lambda b: sg.centroid_partials(b, scale=scale),
+        batch_format="pyarrow") \
+        .groupby(["label", "pos"]).aggregate(
+            Sum("sum_q", alias_name="sum_q"),
+            Sum("n_vecs", alias_name="n_vecs")) \
+        .sort(["label", "pos"])
