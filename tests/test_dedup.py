@@ -381,8 +381,11 @@ def test_frame_samples_query(ray_session):
     assert len(t) > 0
     assert (t.n_frames >= 1).all() and (t.n_frames <= 4).all()
     assert (t.frame_bytes > 0).all()
-    # deterministic: repeat run produces identical results
+    # deterministic: repeat run produces identical results (sorted —
+    # block arrival order varies with preserve_order off)
     t2 = frame_samples(SF_DIR).to_pandas()
+    t = t.sort_values("media_id").reset_index(drop=True)
+    t2 = t2.sort_values("media_id").reset_index(drop=True)
     assert t.values.tolist() == t2.values.tolist()
 
 
@@ -492,6 +495,8 @@ def test_media_resize_query(ray_session):
     assert ((t.width == 64) | (t.height == 64)).all()
     assert (t.out_bytes > 0).all()
     t2 = media_resize(SF_DIR).to_pandas()
+    t = t.sort_values("media_id").reset_index(drop=True)
+    t2 = t2.sort_values("media_id").reset_index(drop=True)
     assert t.values.tolist() == t2.values.tolist()
 
 
@@ -557,4 +562,8 @@ def test_audio_features_query(ray_session):
     assert (t.n_samples == t.n_bytes // 2).all()
     assert t.sample_rate.isin([8000, 16000, 32000]).all()
     t2 = audio_features(SF_DIR).to_pandas()
+    # block arrival order is not deterministic (preserve_order is off);
+    # value determinism is per media_id
+    t = t.sort_values("media_id").reset_index(drop=True)
+    t2 = t2.sort_values("media_id").reset_index(drop=True)
     assert t.values.tolist() == t2.values.tolist()
