@@ -463,6 +463,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL (DuckDB; testdata tables pre-registered as views)
 # ---------------------------------------------------------------------------
 
+# 64-bit big-endian md5-PREFIX hash of a string column, as a HUGEINT —
+# the SQL twin of warc_ray.stages.dedup._hash64_str (q39's hex fold)
+_MD5H = ("list_sum(list_transform(range(1, 17), "
+         "i -> CAST(strpos('0123456789abcdef', "
+         "substr(md5({col}), CAST(i AS INTEGER), 1)) - 1 AS HUGEINT) "
+         "<< (4 * (16 - i))))")
+
+
+def _perms_sql() -> str:
+    """The minhash permutation constants (dedup._A/_B) as SQL VALUES
+    literals, so the q21 oracle runs the IDENTICAL hash family."""
+    from warc_ray.stages import dedup as _dd
+
+    return ", ".join(f"({i}, {int(a)}, {int(b)})"
+                     for i, (a, b) in enumerate(zip(_dd._A, _dd._B)))
+
+
 def oracle_sql() -> dict[str, str]:
     # the corpus parquet files must exist for q50/q51 — same generator
     # the Ray queries use (deterministic, idempotent)
@@ -714,6 +731,85 @@ def oracle_sql() -> dict[str, str]:
         "q20_exact_dedup": """
             SELECT MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY keep_doc""",
+        # exact SQL twin of the MinHash-LSH pipeline: md5-prefix-64
+        # shingle hashes (dedup._hash64_str), the SAME 64 (a,b) mod
+        # 2^61-1 permutations inlined as literals (HUGEINT arithmetic is
+        # exact: a < 2^61, hv < 2^64 → a*hv+b < 2^126), banding by
+        # direct slot equality (the Ray side folds the 2 slots to one
+        # key — identical up to a ~2^-64 fold collision), then the same
+        # integer-ppm exact-Jaccard verification as q25.
+        "q21_minhash_pairs": f"""
+            WITH perms(i, a, b) AS (VALUES {_perms_sql()}),
+            toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, UNNEST(
+                CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END) AS s
+              FROM toks
+            ), shh AS (
+              SELECT doc_id, s, {_MD5H.format(col='s')} AS hv FROM sh
+            ), sigs AS (
+              SELECT doc_id, p.i,
+                     MIN((CAST(p.a AS HUGEINT) * hv + p.b)
+                         % 2305843009213693951) AS sg
+              FROM shh CROSS JOIN perms p GROUP BY doc_id, p.i
+            ), bands AS (
+              SELECT doc_id, i // 2 AS band,
+                     MIN(CASE WHEN i % 2 = 0 THEN sg END) AS s0,
+                     MIN(CASE WHEN i % 2 = 1 THEN sg END) AS s1
+              FROM sigs GROUP BY doc_id, i // 2
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.s0 = b.s0 AND a.s1 = b.s1
+               AND a.doc_id < b.doc_id
+            ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+              FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+                          JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   (i.i * 1000000) // (sa.n + sb.n - i.i) AS jaccard_ppm
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.i * 1000000 >= 500000 * (sa.n + sb.n - i.i)
+            ORDER BY doc_a, doc_b""",
+        # exact SQL twin of the 64-bit token-multiset simhash: one vote
+        # row per (token occurrence, bit), sign-summed; bit set iff the
+        # vote is strictly positive (ties → 0, matching dedup.simhash64)
+        "q22_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents
+            ), th AS (
+              SELECT doc_id, {_MD5H.format(col='w')} AS h FROM toks
+            ), votes AS (
+              SELECT doc_id, bit.b,
+                     SUM(CASE WHEN (h >> bit.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th CROSS JOIN (SELECT UNNEST(range(64)) AS b) bit
+              GROUP BY doc_id, bit.b
+            ), val AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b)
+                              ELSE CAST(0 AS HUGEINT) END) AS x
+              FROM votes GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(printf('%08x%08x',
+                                   CAST(v.x >> 32 AS BIGINT),
+                                   CAST(v.x & 4294967295 AS BIGINT)),
+                            '0000000000000000') AS simhash
+            FROM documents d LEFT JOIN val v USING (doc_id)
+            ORDER BY doc_id""",
         "q24_curation": r"""
             WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text)
             SELECT d.doc_id,

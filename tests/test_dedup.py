@@ -270,7 +270,7 @@ def _simhash_reference(text: str) -> str:
         return "0" * 16
     bitw = (np.uint64(1) << np.arange(64, dtype=np.uint64))
     hs = np.array([int.from_bytes(
-        hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        hashlib.md5(w.encode()).digest()[:8], "big")
         for w in toks], dtype=np.uint64)
     votes = ((hs[:, None] & bitw[None, :]) != 0).sum(axis=0) * 2 - len(hs)
     val = np.uint64(0)

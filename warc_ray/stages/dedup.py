@@ -37,15 +37,20 @@ _B = _RNG.integers(0, int(_P), size=64, dtype=np.uint64)
 N_PERM = 64
 
 
+def _hash64_str(s: str) -> int:
+    """64-bit token/shingle hash = big-endian md5 PREFIX (first 8
+    bytes).  md5, not blake2b, so every DuckDB oracle can reproduce the
+    exact value in SQL (md5(s) hex prefix folded to a HUGEINT — the
+    q39 trick; see __ray_entry__.py q21/q22 oracles)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
 def word_set_hashes(text: str) -> np.ndarray:
     """Stable 64-bit hashes of the distinct word tokens of ``text``."""
     words = set(_WORD_RE.findall(text.lower()))
     if not words:
         return np.zeros(0, dtype=np.uint64)
-    return np.array(
-        sorted(int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-               for w in words),
-        dtype=np.uint64)
+    return np.array(sorted(_hash64_str(w) for w in words), dtype=np.uint64)
 
 
 def shingles(text: str, n: int = 3) -> set[str]:
@@ -61,10 +66,7 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     sh = shingles(text, n)
     if not sh:
         return np.zeros(0, dtype=np.uint64)
-    return np.array(
-        sorted(int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-               for s in sh),
-        dtype=np.uint64)
+    return np.array(sorted(_hash64_str(s) for s in sh), dtype=np.uint64)
 
 
 def batch_shingle_sets(batch: pa.Table, *, n: int = 3,
@@ -76,7 +78,7 @@ def batch_shingle_sets(batch: pa.Table, *, n: int = 3,
 
     One regex split + one ``binary_join_element_wise`` build every
     trigram; short rows (1..n-1 tokens) contribute their whole token
-    join, exactly like ``shingles()``.  blake2b runs once per UNIQUE
+    join, exactly like ``shingles()``.  md5 runs once per UNIQUE
     shingle string in the batch (dictionary-encoded), not once per
     occurrence — the web-corpus shingle stream is highly repetitive.
     Per-row set parity with the scalar path is pinned by
@@ -123,10 +125,9 @@ def batch_shingle_sets(batch: pa.Table, *, n: int = 3,
     enc = sh.dictionary_encode()
     uniq = enc.dictionary.to_pylist()
     hu = np.empty(len(uniq), dtype=np.uint64)
-    b2 = hashlib.blake2b
+    h64 = _hash64_str
     for i, w in enumerate(uniq):
-        hu[i] = int.from_bytes(
-            b2(w.encode(), digest_size=8).digest(), "big")
+        hu[i] = h64(w)
     h = hu[enc.indices.to_numpy(zero_copy_only=False)]
     # distinct (row, hash): sort then drop adjacent dups
     order = np.lexsort((h, rows))
@@ -325,7 +326,7 @@ def minhash_bands(batch: pa.Table, *, bands: int = 32, rows: int = 2,
 
     band key = splitmix64 fold of the band's ``rows`` signature slots —
     numeric and vectorized across the whole batch (replaces a
-    per-(doc, band) blake2b call, which was one Python hash per band
+    per-(doc, band) digest call, which was one Python hash per band
     row).  Bucketing semantics are identical: two docs share a key iff
     their band slots are equal, up to a ~2^-64 fold collision.
     bands*rows must equal 64.
@@ -414,7 +415,7 @@ def shingle_explode(batch: pa.Table, *, n: int = 3, npart: int = 32,
     ``size`` (the doc's shingle-set cardinality) rides along on every
     row so the reduce side can compute the union |A|+|B|-|A∩B| without
     a second pass or a join; ``part = sh % npart`` routes every
-    occurrence of a shingle to the same partition (blake2b-64 hashes
+    occurrence of a shingle to the same partition (md5-prefix-64 hashes
     are uniform, so partitions balance regardless of shingle skew)."""
     ids = batch[id_col].to_numpy(zero_copy_only=False)
     rows_ix, sh, sizes = batch_shingle_sets(batch, n=n, text_col=text_col)
@@ -723,9 +724,9 @@ _TOKEN_HASH_CACHE_MAX = 1 << 20
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """blake2b-64 per DISTINCT token, memoized per worker process (the
-    corpus vocabulary is tiny relative to token volume, so the digest
-    cost amortizes to ~zero after the first batch)."""
+    """md5-prefix-64 per DISTINCT token, memoized per worker process
+    (the corpus vocabulary is tiny relative to token volume, so the
+    digest cost amortizes to ~zero after the first batch)."""
     if len(_TOKEN_HASH_CACHE) > _TOKEN_HASH_CACHE_MAX:
         _TOKEN_HASH_CACHE.clear()
     out = np.empty(len(tokens), dtype=np.uint64)
@@ -733,8 +734,7 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
     for i, w in enumerate(tokens):
         h = cache.get(w)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+            h = _hash64_str(w)
             cache[w] = h
         out[i] = h
     return out
