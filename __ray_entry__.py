@@ -443,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q44_segment_dedup": tr.segment_dedup,
         "q45_contamination": tr.contamination,
         "q46_group_centroids": tr.group_centroids,
+        # sign-LSH embedding near-dup (sub-quadratic scale path)
+        "q47_embedding_lsh": tr.embedding_lsh_pairs,
         # crawl substrate over the interleaved corpus
         "q50_extract_links": _extract_links_q,
         "q51_seen_dedup": _seen_dedup_q,
@@ -478,6 +480,17 @@ def _perms_sql() -> str:
 
     return ", ".join(f"({i}, {int(a)}, {int(b)})"
                      for i, (a, b) in enumerate(zip(_dd._A, _dd._B)))
+
+
+def _lsh_planes_sql(dim: int = 64) -> str:
+    """The sign-LSH hyperplane matrix (similarity.lsh_planes) as SQL
+    VALUES literals for the q47 oracle."""
+    from warc_ray.stages import similarity as _sim
+
+    planes = _sim.lsh_planes(dim)
+    return ", ".join(
+        f"({j}, [{', '.join(str(int(v)) for v in planes[j])}])"
+        for j in range(planes.shape[0]))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -854,6 +867,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY vec_a, vec_b""",
+        # exact SQL twin of the sign-LSH pipeline: fixed-point quantize
+        # (identical float64 multiply/add/floor), the SAME 64 int
+        # hyperplanes as literals, 4-bit band keys, candidates = pairs
+        # sharing >= 1 band, then the q23 cosine-threshold verify
+        "q47_embedding_lsh": f"""
+            WITH planes(j, p) AS (VALUES {_lsh_planes_sql()}),
+            q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                 AS HUGEINT)) AS qe
+              FROM embeddings
+            ), dots AS (
+              SELECT vec_id, pl.j,
+                     list_sum(list_transform(range(1, 65),
+                                             k -> q.qe[k] * pl.p[k])) AS d
+              FROM q CROSS JOIN planes pl
+            ), bands AS (
+              SELECT vec_id, j // 4 AS band,
+                     SUM(CASE WHEN d >= 0 THEN 1 << (j % 4) ELSE 0 END) AS key
+              FROM dots GROUP BY vec_id, j // 4
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+            )
+            SELECT c.vec_a, c.vec_b
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+            WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])) >= 0.4
             ORDER BY vec_a, vec_b""",
         "q30_knn_topk": """
             WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

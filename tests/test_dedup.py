@@ -1,7 +1,9 @@
-"""Correctness oracles for the dedup family (q20-q23) and ANN recall.
+"""Correctness oracles for the dedup family (q20-q23, q47) and ANN
+recall.
 
-The MinHash/SimHash operators have no SQL oracle (the driver records
-rows-only), so THESE tests are their correctness gate:
+The MinHash/SimHash operators are ALSO DuckDB-oracle-exact since the
+md5-prefix-64 hash switch (q21/q22 in __ray_entry__.py); these tests
+remain their structural gate:
 
   * Mersenne-61 hash parity vs Python-int arithmetic (the universal
     hash the LSH recall formula relies on);
@@ -567,3 +569,61 @@ def test_audio_features_query(ray_session):
     t = t.sort_values("media_id").reset_index(drop=True)
     t2 = t2.sort_values("media_id").reset_index(drop=True)
     assert t.values.tolist() == t2.values.tolist()
+
+
+# ---------------------------------------------------------------------------
+# q47 sign-LSH embedding near-dup
+# ---------------------------------------------------------------------------
+
+def _lsh_sig_reference(vec, planes, quant=1_000_000):
+    """Per-row reference: quantize, sign of integer dots, 4-bit keys."""
+    q = [int(np.floor(float(np.float64(x)) * quant + 0.5)) for x in vec]
+    keys = []
+    for band in range(16):
+        key = 0
+        for r in range(4):
+            j = band * 4 + r
+            d = sum(qk * int(p) for qk, p in zip(q, planes[j]))
+            if d >= 0:
+                key |= 1 << r
+        keys.append(key)
+    return keys
+
+
+def test_lsh_band_rows_reference_parity():
+    from warc_ray.stages import similarity as sim
+
+    t = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet")).slice(0, 40)
+    out = sim.lsh_band_rows(t)
+    planes = sim.lsh_planes(64)
+    got = {}
+    for band, key, vid in zip(out["band"].to_pylist(),
+                              out["key"].to_pylist(),
+                              out["doc_id"].to_pylist()):
+        got.setdefault(vid, {})[band] = key & 0xF
+    embs = t["embedding"].to_pylist()
+    ids = t["vec_id"].to_pylist()
+    for vid, vec in zip(ids, embs):
+        ref = _lsh_sig_reference(vec, planes)
+        assert [got[vid][b] for b in range(16)] == ref
+
+
+def test_lsh_neardup_recall_and_subset(ray_session):
+    """LSH pairs ⊆ exact pairs; recall >= 0.9 at this corpus (b=16,
+    r=4: 1-(1-p^4)^16 ≈ 0.94 at s=0.4)."""
+    import ray.data as rd
+
+    from warc_ray.stages import similarity as sim
+
+    emb_pq = os.path.join(SF_DIR, "embeddings.parquet")
+    exact = sim.neardup_pairs_blocked(
+        rd.read_parquet(emb_pq), threshold=0.4, n_blocks=4).to_pandas()
+    lsh = sim.lsh_neardup_pairs(rd.read_parquet(emb_pq)).to_pandas()
+    e = set(map(tuple, exact.values.tolist()))
+    l = set(map(tuple, lsh.values.tolist()))
+    assert l <= e
+    assert len(e) > 0
+    assert len(l) / len(e) >= 0.9
+    # determinism
+    lsh2 = sim.lsh_neardup_pairs(rd.read_parquet(emb_pq)).to_pandas()
+    assert l == set(map(tuple, lsh2.values.tolist()))

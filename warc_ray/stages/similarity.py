@@ -229,3 +229,199 @@ def ivf_topk(embeddings_ds, query_ids: list[int], query_matrix: np.ndarray,
         lambda b: b.filter(pc.is_in(b["cluster"], value_set=pa.array(probe, type=pa.int32()))),
         batch_format="pyarrow")
     return knn_topk(cand, query_ids, query_matrix, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (sub-quadratic near-dup path)
+# ---------------------------------------------------------------------------
+#
+# The triangle block join above is exact but inherently O(N²/B) compute;
+# sign-LSH (Charikar 2002, SimHash for vectors) is the sub-quadratic
+# complement: P[sign_j(a) == sign_j(b)] = 1 - angle(a,b)/pi, so banding
+# r sign bits into b bands gives the classic 1-(1-p^r)^b recall curve.
+# Every step is INTEGER-exact so a DuckDB oracle reproduces the
+# candidate set bit-for-bit: embeddings are fixed-point quantized
+# (floor(x*1e6 + 0.5) — float64 multiply/add/floor, identical IEEE ops
+# in numpy and SQL), hyperplanes have small-int entries, and the sign
+# is taken on an int64 dot product (|dot| <= dim * 2^20 * 127 << 2^63).
+
+LSH_N_BITS = 64
+LSH_QUANT = 1_000_000
+LSH_SEED = 20260818
+_PLANES_CACHE: dict = {}
+
+
+def lsh_planes(dim: int) -> np.ndarray:
+    """(64, dim) int64 hyperplane matrix, deterministic per dim (seeded
+    — the q47 oracle inlines the same literals)."""
+    p = _PLANES_CACHE.get(dim)
+    if p is None:
+        rng = np.random.default_rng(LSH_SEED)
+        p = rng.integers(-127, 128, size=(LSH_N_BITS, dim)).astype(np.int64)
+        _PLANES_CACHE[dim] = p
+    return p
+
+
+def lsh_quantize(m: np.ndarray) -> np.ndarray:
+    """Fixed-point int64 view of a float64 embedding matrix (exact SQL
+    twin: CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS HUGEINT))."""
+    return np.floor(m * LSH_QUANT + 0.5).astype(np.int64)
+
+
+def lsh_band_rows(batch: pa.Table, *, bands: int = 16, rows: int = 4,
+                  npart: int = 32) -> pa.Table:
+    """Explode each vector to ``bands`` rows (band, key, doc_id, part):
+    key packs the band's ``rows`` sign bits; part routes whole
+    (band, key) buckets uniformly (splitmix64 of the pair), so the
+    bucket-pair expansion below never splits a bucket."""
+    from .dedup import _GOLDEN, _mix64
+
+    assert bands * rows <= LSH_N_BITS
+    m = _matrix(batch)
+    n = len(m)
+    q = lsh_quantize(m)
+    dots = q @ lsh_planes(m.shape[1])[:bands * rows].T     # (n, bits)
+    bits = (dots >= 0).astype(np.uint64).reshape(n, bands, rows)
+    key = np.zeros((n, bands), dtype=np.uint64)
+    for k in range(rows):
+        key |= bits[:, :, k] << np.uint64(k)
+    band = np.tile(np.arange(bands, dtype=np.int32), n)
+    keyf = key.ravel()
+    with np.errstate(over="ignore"):
+        part = (_mix64(keyf ^ ((band.astype(np.uint64) + 1) * _GOLDEN))
+                % np.uint64(npart)).astype(np.int32)
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "band": pa.array(band),
+        "key": pa.array(keyf.view(np.int64)),
+        "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
+        "part": pa.array(part),
+    })
+
+
+def _emb_binary(col) -> pa.Array:
+    """list<float> column → variable-length binary cells (4*dim bytes,
+    little-endian float32) — a join-payload-safe embedding encoding."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype("<f4")
+    n = len(arr)
+    dim = len(flat) // max(n, 1)
+    offs = np.arange(0, (n + 1) * 4 * dim, 4 * dim, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(flat))])
+
+
+def _binary_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 1), dtype=np.float64)
+    buf = arr.buffers()[2]
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1,
+                         offset=arr.offset * 4)
+    flat = np.frombuffer(buf, dtype="<f4", count=(offs[-1] - offs[0]) // 4,
+                         offset=offs[0]).astype(np.float64)
+    return flat.reshape(n, -1)
+
+
+def attach_vecs(pairs_ds, emb_ds, key_col: str, other_col: str,
+                emb_as: str, npart: int = 16, carry: tuple[str, ...] = (),
+                dedup_pairs: bool = False):
+    """Hash-partitioned join of candidate pairs against the embedding
+    table on ``key_col`` — the vector twin of dedup.attach_docs: both
+    sides route by key % npart through ONE union exchange, embeddings
+    ride as packed float32 binary cells (``carry`` names binary columns
+    from a previous attach)."""
+    import pyarrow.compute as pc
+
+    pad_cols = ["key", "other", *carry, "emb", "side", "part"]
+
+    def pair_side(b: pa.Table) -> pa.Table:
+        k = b[key_col].to_numpy(zero_copy_only=False)
+        n = len(k)
+        cols = {"key": b[key_col], "other": b[other_col]}
+        for c in carry:
+            cols[c] = b[c]
+        cols["emb"] = pa.nulls(n, type=pa.binary())
+        cols["side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["part"] = pa.array((k % npart).astype(np.int32))
+        return pa.table({c: cols[c] for c in pad_cols})
+
+    def emb_side(b: pa.Table) -> pa.Table:
+        k = b["vec_id"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        cols = {"key": b["vec_id"], "other": pa.nulls(n, type=pa.int64())}
+        for c in carry:
+            cols[c] = pa.nulls(n, type=pa.binary())
+        cols["emb"] = _emb_binary(b["embedding"])
+        cols["side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["part"] = pa.array((k % npart).astype(np.int32))
+        return pa.table({c: cols[c] for c in pad_cols})
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        mask = pa.array(side == 1)
+        pairs = g.filter(mask).drop_columns(["emb", "side", "part"])
+        if dedup_pairs:
+            ab = np.empty((pairs.num_rows, 2), dtype=np.int64)
+            ab[:, 0] = pairs["key"].to_numpy(zero_copy_only=False)
+            ab[:, 1] = pairs["other"].to_numpy(zero_copy_only=False)
+            uniq = np.unique(ab, axis=0)
+            pairs = pa.table({"key": pa.array(uniq[:, 0]),
+                              "other": pa.array(uniq[:, 1])})
+        embs = g.filter(pc.invert(mask)).select(["key", "emb"])
+        out = pairs.join(embs, keys=["key"], join_type="inner")
+        return out.rename_columns(
+            [emb_as if c == "emb" else c for c in out.column_names])
+
+    both = pairs_ds.map_batches(pair_side, batch_format="pyarrow").union(
+        emb_ds.map_batches(emb_side, batch_format="pyarrow"))
+    return both.groupby("part").map_groups(bucket_join,
+                                           batch_format="pyarrow")
+
+
+def lsh_neardup_pairs(emb_ds, threshold: float = 0.4, *,
+                      bands: int = 16, rows: int = 4, npart: int = 32):
+    """Sign-LSH near-dup pipeline: signature bands (map_batches) →
+    bucket groupby → vectorized pair expansion → pairs⋈embeddings twice
+    (bucket exchanges; first pass dedups cross-band candidates) → exact
+    float64 cosine verify.  Output (vec_a, vec_b), a<b, the LSH-recall
+    subset of the exact q23 pair set (recall 1-(1-p^rows)^bands at
+    sign-agreement p; candidate parity with the q47 oracle is exact
+    because every step up to the verify is integer).
+    """
+    from .dedup import bucket_pairs
+
+    emb_ds = emb_ds.select_columns(["vec_id", "embedding"])
+    sig = emb_ds.map_batches(
+        lambda b: lsh_band_rows(b, bands=bands, rows=rows, npart=npart),
+        batch_format="pyarrow")
+    cand = sig.groupby("part").map_groups(
+        lambda g: bucket_pairs(g.drop_columns(["part"])),
+        batch_format="pyarrow")
+    # exchange 1: key=doc_a dedups pairs and picks up emb_a
+    j1 = attach_vecs(cand, emb_ds, "doc_a", "doc_b", "emb_a",
+                     npart=npart, dedup_pairs=True)
+    # exchange 2: key=other(=doc_b) picks up emb_b; doc_a rides in other
+    j2 = attach_vecs(j1.map_batches(
+        lambda b: b.rename_columns(
+            ["other" if c == "key" else "key" if c == "other" else c
+             for c in b.column_names]),
+        batch_format="pyarrow"), emb_ds, "key", "other", "emb_b",
+        npart=npart, carry=("emb_a",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                             "vec_b": pa.array([], type=pa.int64())})
+        ma = normalize_rows(_binary_matrix(b["emb_a"]))
+        mb = normalize_rows(_binary_matrix(b["emb_b"]))
+        cos = np.einsum("ij,ij->i", ma, mb)
+        keep = cos >= threshold
+        vb = b["key"].to_numpy(zero_copy_only=False)[keep]    # = doc_b
+        va = b["other"].to_numpy(zero_copy_only=False)[keep]  # = doc_a
+        return pa.table({"vec_a": pa.array(va, type=pa.int64()),
+                         "vec_b": pa.array(vb, type=pa.int64())})
+
+    return j2.map_batches(verify, batch_format="pyarrow")
