@@ -105,8 +105,9 @@ def _hll_host_distinct_q(sf_dir: str):
     """Approximate distinct URLs per host via the mergeable HyperLogLog
     sketch (stages/sketch.py): shuffle volume is one 4 KB register cell
     per (host, batch) regardless of link cardinality — the 100-TB
-    alternative to q51's exact exchange.  Accuracy/merge laws are
-    pytest-gated (not SQL-reproducible → rows-only driver check)."""
+    alternative to q51's exact exchange.  Value-exact vs the DuckDB
+    oracle (md5-prefix-64 key hash + integer estimator); accuracy and
+    merge laws additionally pytest-gated."""
     import ray.data as rd
 
     import pyarrow as pa
@@ -480,6 +481,18 @@ def _perms_sql() -> str:
 
     return ", ".join(f"({i}, {int(a)}, {int(b)})"
                      for i, (a, b) in enumerate(zip(_dd._A, _dd._B)))
+
+
+_HLL_M = 4096  # stages/sketch.py M (P=12)
+
+
+def _hll_est_num() -> int:
+    """The q26 integer-estimator numerator ALPHA_PPB * M^2 * 2^53 (one
+    literal in the SQL so the division is a single exact floor div)."""
+    from warc_ray.stages.sketch import ALPHA_PPB, M
+
+    assert M == _HLL_M
+    return ALPHA_PPB * M * M * (1 << 53)
 
 
 def _lsh_planes_sql(dim: int = 64) -> str:
@@ -1149,6 +1162,49 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY label, pos ORDER BY label, pos""",
         "q50_extract_links":
             links_src + " ORDER BY src_doc, src_offset, url",
+        # exact SQL twin of the HyperLogLog sketch (stages/sketch.py):
+        # md5-prefix-64 key hash, register = top 12 bits, rho = 53 -
+        # bit_length of the low 52 bits, S = sum 2^(53-rho) over all
+        # 4096 registers (absent ones contribute 2^53), raw estimate =
+        # one exact HUGEINT floor division; only the rarely-hit
+        # linear-counting branch calls double ln (same libm)
+        "q26_hll_host_distinct": f"""
+            WITH links AS ({links_src}),
+            u AS (
+              SELECT DISTINCT
+                     regexp_extract(url, '^https?://([^/:]+)', 1) AS host,
+                     url
+              FROM links
+            ), h AS (
+              SELECT host, {_MD5H.format(col='url')} AS hv FROM u
+            ), rr AS (
+              SELECT host, CAST(hv >> 52 AS BIGINT) AS reg,
+                     CAST(hv & ((CAST(1 AS HUGEINT) << 52) - 1) AS BIGINT) AS w
+              FROM h
+            ), regs AS (
+              SELECT host, reg,
+                     MAX(CASE WHEN w = 0 THEN 53
+                         ELSE 53 - length(bin(w)) END) AS rho
+              FROM rr GROUP BY host, reg
+            ), stats AS (
+              SELECT host,
+                     SUM(CAST(1 AS HUGEINT) << (53 - rho)) AS s_present,
+                     COUNT(*) AS n_present
+              FROM regs GROUP BY host
+            ), est AS (
+              SELECT host,
+                     {_hll_est_num()} // ((s_present
+                        + ({_HLL_M} - n_present) * (CAST(1 AS HUGEINT) << 53))
+                        * 1000000000) AS raw,
+                     {_HLL_M} - n_present AS zeros
+              FROM stats
+            )
+            SELECT host,
+                   CAST(CASE WHEN raw * 2 <= 5 * {_HLL_M} AND zeros > 0
+                        THEN CAST(floor({_HLL_M}.0 * ln({_HLL_M}.0 / zeros)
+                                        + 0.5) AS HUGEINT)
+                        ELSE raw END AS BIGINT) AS est_distinct
+            FROM est ORDER BY host""",
         "q51_seen_dedup": (
             "SELECT url, MIN(src_doc) AS first_doc, COUNT(*) AS n_refs"
             " FROM (%s) GROUP BY url ORDER BY url" % links_src

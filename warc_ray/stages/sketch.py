@@ -13,12 +13,16 @@ the bucket exchange co-locates a group's partials and one
 P=12 → 4096 registers → σ ≈ 1.04/√4096 ≈ 1.6% relative error
 (Flajolet et al. 2007, the analysis HyperLogLog ships with everywhere).
 
-Accuracy + merge associativity are pinned by tests/test_sketch.py; the
-estimate is not SQL-reproducible (DuckDB's approx_count_distinct uses
-its own sketch), so q26 is a rows-only driver query by design.
+Accuracy + merge associativity are pinned by tests/test_sketch.py, and
+since the md5-prefix-64 key hash + integer estimator the whole sketch
+is ALSO SQL-reproducible: the q26 oracle recomputes registers and the
+estimate bit-for-bit in DuckDB (HUGEINT arithmetic; only the rarely-hit
+linear-counting branch uses a double ln, identical libm on this host).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -26,6 +30,11 @@ import pyarrow as pa
 P = 12
 M = 1 << P
 _ALPHA = 0.7213 / (1.0 + 1.079 / M)     # standard alpha_m for m >= 128
+# the integer-estimator constant: round(1e9 * alpha_4096); the raw
+# estimate is the single exact integer division
+#   floor(ALPHA_PPB * M^2 * 2^53 / (10^9 * S)),  S = sum 2^(53 - M_j)
+ALPHA_PPB = int(round(_ALPHA * 1_000_000_000))
+_EST_NUM = ALPHA_PPB * M * M * (1 << 53)
 _REST_BITS = 64 - P
 
 
@@ -60,15 +69,28 @@ def merge_registers(stacked: np.ndarray, group_starts: np.ndarray) -> np.ndarray
 def estimate(registers: np.ndarray) -> np.ndarray:
     """Cardinality estimates (int64) for an (n_groups, M) register
     matrix — raw HLL harmonic mean with the standard small-range
-    (linear-counting) correction."""
-    regs = registers.astype(np.float64)
-    est = _ALPHA * M * M / np.power(2.0, -regs).sum(axis=1)
-    zeros = (registers == 0).sum(axis=1)
-    small = (est <= 2.5 * M) & (zeros > 0)
-    with np.errstate(divide="ignore"):
-        lin = M * np.log(M / np.maximum(zeros, 1).astype(np.float64))
-    est = np.where(small, lin, est)
-    return np.round(est).astype(np.int64)
+    (linear-counting) correction.
+
+    Deterministic INTEGER spec (the q26 oracle reproduces it in SQL):
+    S = sum_j 2^(53 - M_j) is exact (M_j <= 53), the raw estimate is
+    one floor division of the ALPHA_PPB numerator, and the correction
+    branch condition (raw <= 2.5*M and zero registers exist) is an
+    integer compare.  Only the linear-counting value itself uses a
+    double ln (same libm call in numpy and DuckDB)."""
+    n = registers.shape[0]
+    out = np.empty(n, dtype=np.int64)
+    for g in range(n):
+        hist = np.bincount(registers[g], minlength=_REST_BITS + 2)
+        # S <= M * 2^53 = 2^65 — Python ints over the 54-entry histogram
+        s = sum(int(c) << (_REST_BITS + 1 - r)
+                for r, c in enumerate(hist.tolist()) if c)
+        raw = _EST_NUM // (s * 1_000_000_000)
+        zeros = int(hist[0])
+        if raw * 2 <= 5 * M and zeros > 0:
+            out[g] = int(np.floor(M * np.log(M / zeros) + 0.5))
+        else:
+            out[g] = raw
+    return out
 
 
 def registers_to_binary(regs: np.ndarray) -> pa.Array:
@@ -87,12 +109,26 @@ def binary_to_registers(col) -> np.ndarray:
                          offset=arr.offset * M).reshape(len(arr), M)
 
 
+def md5_hash64_strings(col) -> np.ndarray:
+    """md5-prefix-64 per string (dictionary-encoded so the digest runs
+    once per UNIQUE value per batch) — the SQL-reproducible key hash
+    (same big-endian md5 prefix as dedup._hash64_str)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    enc = arr.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    hu = np.empty(len(uniq), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, s in enumerate(uniq):
+        hu[i] = int.from_bytes(md5(s.encode()).digest()[:8], "big")
+    return hu[enc.indices.to_numpy(zero_copy_only=False)]
+
+
 def hll_distinct(ds, key_col: str, group_col: str, npart: int = 16,
                  est_name: str = "est_distinct"):
     """Distributed distinct-count-by-group over a Dataset.
 
-    Per-batch partial: hash keys (polars 64-bit hash — the exchange
-    module's), fold into one register row per group in the batch, ship
+    Per-batch partial: hash keys (md5-prefix-64 — SQL-reproducible),
+    fold into one register row per group in the batch, ship
     ``(group, fixed_size_binary(4096))``.  Exchange on group hash, then
     one reduceat merge + estimate per bucket.  The shuffle volume is
     4 KB per (group, batch) regardless of key cardinality — the whole
@@ -106,7 +142,7 @@ def hll_distinct(ds, key_col: str, group_col: str, npart: int = 16,
         codes = groups.dictionary_encode()
         gid = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uniq = codes.dictionary
-        h = hash64_strings(b[key_col])
+        h = md5_hash64_strings(b[key_col])
         regs = registers_for(h, gid, len(uniq))
         part = (hash64_strings(uniq) % np.uint64(npart)).astype(np.int32)
         return pa.table({group_col: uniq,
