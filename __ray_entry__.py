@@ -446,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q46_group_centroids": tr.group_centroids,
         # sign-LSH embedding near-dup (sub-quadratic scale path)
         "q47_embedding_lsh": tr.embedding_lsh_pairs,
+        # int8 scalar quantization of the embedding table
+        "q48_embedding_quantize": tr.embedding_quantize,
         # crawl substrate over the interleaved corpus
         "q50_extract_links": _extract_links_q,
         "q51_seen_dedup": _seen_dedup_q,
@@ -881,6 +883,33 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
             ORDER BY vec_a, vec_b""",
+        # exact SQL twin of the int8 scalar quantizer: per-dim min/max
+        # over fixed-point values, round-half-up codes on NON-NEGATIVE
+        # offsets (numpy floor div == DuckDB truncating // there), and
+        # the integer reconstruction-error checksum
+        "q48_embedding_quantize": """
+            WITH x AS (
+              SELECT vec_id, k.k AS dim,
+                     CAST(floor(CAST(embedding[CAST(k.k AS INTEGER)] AS DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS xv
+              FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS k) k
+            ), st AS (
+              SELECT dim, MIN(xv) AS mn, MAX(xv) AS mx FROM x GROUP BY dim
+            ), qq AS (
+              SELECT x.vec_id, x.dim,
+                     CASE WHEN mx = mn THEN 0
+                          ELSE ((xv - mn) * 510 + (mx - mn))
+                               // (2 * (mx - mn)) END AS q,
+                     xv - mn AS xp, mx - mn AS rng
+              FROM x JOIN st USING (dim)
+            )
+            SELECT vec_id,
+                   string_agg(lpad(lower(hex(q)), 2, '0'), ''
+                              ORDER BY dim) AS code_hex,
+                   CAST(SUM(CASE WHEN rng = 0 THEN 0
+                            ELSE (xp * 255 - q * rng) * (xp * 255 - q * rng)
+                            END) AS BIGINT) AS err_scaled
+            FROM qq GROUP BY vec_id ORDER BY vec_id""",
         # exact SQL twin of the sign-LSH pipeline: fixed-point quantize
         # (identical float64 multiply/add/floor), the SAME 64 int
         # hyperplanes as literals, 4-bit band keys, candidates = pairs

@@ -627,3 +627,36 @@ def test_lsh_neardup_recall_and_subset(ray_session):
     # determinism
     lsh2 = sim.lsh_neardup_pairs(rd.read_parquet(emb_pq)).to_pandas()
     assert l == set(map(tuple, lsh2.values.tolist()))
+
+
+def test_embedding_quantize(ray_session):
+    """q48: codes are valid int8 hex, reconstruction error is within the
+    per-dim half-step bound, dequantized vectors are close, and the
+    pipeline is deterministic."""
+    import ray.data as rd
+
+    from warc_ray.stages import similarity as sim
+
+    emb_pq = os.path.join(SF_DIR, "embeddings.parquet")
+    t = sim.quantize_embeddings(rd.read_parquet(emb_pq)) \
+        .sort("vec_id").to_pandas()
+    raw = pq.read_table(emb_pq)
+    assert len(t) == raw.num_rows
+    X = sim._fixed_point(np.array(raw["embedding"].to_pylist(),
+                                  dtype=np.float64))
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    rng = mx - mn
+    # error bound: per dim |x'*255 - q*rng| <= rng/2 + 1 (half-up step)
+    bound = ((rng // 2 + 1) ** 2).sum()
+    assert (t.err_scaled >= 0).all() and (t.err_scaled <= bound).all()
+    # codes decode to within one step of the source values
+    ids = raw["vec_id"].to_pylist()
+    order = np.argsort(ids)
+    for row_i, (_, row) in zip(order[:50], t.iloc[:50].iterrows()):
+        q = np.frombuffer(bytes.fromhex(row.code_hex), dtype=np.uint8) \
+            .astype(np.int64)
+        xhat = mn + np.where(rng == 0, 0, q * rng // 255)
+        assert (np.abs(xhat - X[row_i]) <= rng // 2 + rng // 255 + 2).all()
+    t2 = sim.quantize_embeddings(rd.read_parquet(emb_pq)) \
+        .sort("vec_id").to_pandas()
+    assert t.values.tolist() == t2.values.tolist()

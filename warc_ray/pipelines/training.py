@@ -108,6 +108,14 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4):
         .sort(["vec_a", "vec_b"])
 
 
+def embedding_quantize(sf_dir: str):
+    """Per-dimension int8 scalar quantization of the embedding table
+    (4→1 byte per dim, the standard ANN memory step): tiny two-phase
+    stats→quantize, integer-exact incl. the reconstruction-error
+    checksum (q48 oracle)."""
+    return sim.quantize_embeddings(_emb(sf_dir)).sort("vec_id")
+
+
 def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.4):
     """Sign-LSH (random-hyperplane) near-dup pairs — the sub-quadratic
     scale path complementing q23's exact triangle join; every step up

@@ -425,3 +425,66 @@ def lsh_neardup_pairs(emb_ds, threshold: float = 0.4, *,
                          "vec_b": pa.array(vb, type=pa.int64())})
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension int8 embedding quantization (ANN memory path)
+# ---------------------------------------------------------------------------
+#
+# The standard scalar-quantization step before large-scale ANN (4 bytes
+# → 1 byte per dim): per-dimension affine codes over the corpus min/max.
+# Two-phase: a stats pass reduces to ONE tiny (dim, min, max) table (64
+# rows regardless of corpus size — the legitimate small-side broadcast),
+# then a stateless quantize pass.  All arithmetic is fixed-point integer
+# on NON-NEGATIVE operands (offset by the per-dim min), so numpy floor
+# division == DuckDB // (which truncates toward zero — equal on
+# non-negatives) and the q48 oracle is value-exact including the
+# reconstruction-error checksum.
+
+QUANT_FP = 1_000_000  # fixed-point scale (same as the LSH quantizer)
+
+
+def _fixed_point(m: np.ndarray) -> np.ndarray:
+    return np.floor(m * QUANT_FP + 0.5).astype(np.int64)
+
+
+def quantize_embeddings(emb_ds):
+    """(vec_id, code_hex, err_scaled) per vector: 8-bit per-dim affine
+    codes + the integer reconstruction-error checksum
+    sum_d (x'_d*255 - q_d*range_d)^2 (exact; bounded by
+    sum (range_d/2 + 1)^2)."""
+    from ray.data.aggregate import Max, Min
+
+    def stats(b: pa.Table) -> pa.Table:
+        X = _fixed_point(_matrix(b))
+        d = X.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "mn": pa.array(X.min(axis=0)),
+            "mx": pa.array(X.max(axis=0)),
+        })
+
+    st = emb_ds.map_batches(stats, batch_format="pyarrow") \
+        .groupby("dim").aggregate(Min("mn", alias_name="mn"),
+                                  Max("mx", alias_name="mx")) \
+        .sort("dim").take_all()                      # tiny: one row per dim
+    mn = np.array([r["mn"] for r in st], dtype=np.int64)
+    mx = np.array([r["mx"] for r in st], dtype=np.int64)
+    rng = mx - mn
+    rng_safe = np.maximum(rng, 1)
+
+    def quant(b: pa.Table) -> pa.Table:
+        X = _fixed_point(_matrix(b))
+        Xp = X - mn                                   # >= 0 by construction
+        q = (Xp * 510 + rng) // (2 * rng_safe)        # round-half-up, int
+        q[:, rng == 0] = 0
+        d = Xp * 255 - q * rng
+        err = (d * d).sum(axis=1)
+        codes = q.astype(np.uint8)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "code_hex": pa.array([row.tobytes().hex() for row in codes]),
+            "err_scaled": pa.array(err, type=pa.int64()),
+        })
+
+    return emb_ds.map_batches(quant, batch_format="pyarrow")
