@@ -118,10 +118,11 @@ def embedding_quantize(sf_dir: str):
 
 def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.4):
     """Sign-LSH (random-hyperplane) near-dup pairs — the sub-quadratic
-    scale path complementing q23's exact triangle join; every step up
-    to the cosine verify is integer-exact (fixed-point quantize +
-    int hyperplanes) so the q47 oracle reproduces candidates
-    bit-for-bit.  Recall 1-(1-p^4)^16 at sign-agreement p."""
+    scale path complementing q23's exact triangle join; band-local
+    verify (see similarity.lsh_neardup_pairs), and every step up to
+    the cosine is integer-exact (fixed-point quantize + int
+    hyperplanes) so the q47 oracle reproduces candidates bit-for-bit.
+    Recall 1-(1-p^4)^16 at sign-agreement p."""
     return sim.lsh_neardup_pairs(_emb(sf_dir), threshold) \
         .sort(["vec_a", "vec_b"])
 

@@ -269,11 +269,14 @@ def lsh_quantize(m: np.ndarray) -> np.ndarray:
 
 
 def lsh_band_rows(batch: pa.Table, *, bands: int = 16, rows: int = 4,
-                  npart: int = 32) -> pa.Table:
+                  npart: int = 32, include_emb: bool = False) -> pa.Table:
     """Explode each vector to ``bands`` rows (band, key, doc_id, part):
     key packs the band's ``rows`` sign bits; part routes whole
     (band, key) buckets uniformly (splitmix64 of the pair), so the
-    bucket-pair expansion below never splits a bucket."""
+    bucket-pair expansion below never splits a bucket.  With
+    ``include_emb`` each row also carries the packed-f32 embedding
+    (the band-local-verify shape: ~bands × 4·dim bytes per vector of
+    one-time shuffle instead of per-CANDIDATE join traffic)."""
     from .dedup import _GOLDEN, _mix64
 
     assert bands * rows <= LSH_N_BITS
@@ -291,12 +294,23 @@ def lsh_band_rows(batch: pa.Table, *, bands: int = 16, rows: int = 4,
         part = (_mix64(keyf ^ ((band.astype(np.uint64) + 1) * _GOLDEN))
                 % np.uint64(npart)).astype(np.int32)
     ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-    return pa.table({
+    cols = {
         "band": pa.array(band),
         "key": pa.array(keyf.view(np.int64)),
         "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
         "part": pa.array(part),
-    })
+    }
+    if include_emb:
+        flat = m.astype("<f4")
+        dim = m.shape[1]
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)
+        offs = np.arange(0, (n * bands + 1) * 4 * dim, 4 * dim,
+                         dtype=np.int32)
+        cols["emb"] = pa.Array.from_buffers(
+            pa.binary(), n * bands,
+            [None, pa.py_buffer(offs),
+             pa.py_buffer(np.ascontiguousarray(flat[rep]))])
+    return pa.table(cols)
 
 
 def _emb_binary(col) -> pa.Array:
@@ -325,106 +339,71 @@ def _binary_matrix(col) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
-def attach_vecs(pairs_ds, emb_ds, key_col: str, other_col: str,
-                emb_as: str, npart: int = 16, carry: tuple[str, ...] = (),
-                dedup_pairs: bool = False):
-    """Hash-partitioned join of candidate pairs against the embedding
-    table on ``key_col`` — the vector twin of dedup.attach_docs: both
-    sides route by key % npart through ONE union exchange, embeddings
-    ride as packed float32 binary cells (``carry`` names binary columns
-    from a previous attach)."""
-    import pyarrow.compute as pc
-
-    pad_cols = ["key", "other", *carry, "emb", "side", "part"]
-
-    def pair_side(b: pa.Table) -> pa.Table:
-        k = b[key_col].to_numpy(zero_copy_only=False)
-        n = len(k)
-        cols = {"key": b[key_col], "other": b[other_col]}
-        for c in carry:
-            cols[c] = b[c]
-        cols["emb"] = pa.nulls(n, type=pa.binary())
-        cols["side"] = pa.array(np.ones(n, dtype=np.int8))
-        cols["part"] = pa.array((k % npart).astype(np.int32))
-        return pa.table({c: cols[c] for c in pad_cols})
-
-    def emb_side(b: pa.Table) -> pa.Table:
-        k = b["vec_id"].to_numpy(zero_copy_only=False)
-        n = len(k)
-        cols = {"key": b["vec_id"], "other": pa.nulls(n, type=pa.int64())}
-        for c in carry:
-            cols[c] = pa.nulls(n, type=pa.binary())
-        cols["emb"] = _emb_binary(b["embedding"])
-        cols["side"] = pa.array(np.zeros(n, dtype=np.int8))
-        cols["part"] = pa.array((k % npart).astype(np.int32))
-        return pa.table({c: cols[c] for c in pad_cols})
-
-    def bucket_join(g: pa.Table) -> pa.Table:
-        side = g["side"].to_numpy(zero_copy_only=False)
-        mask = pa.array(side == 1)
-        pairs = g.filter(mask).drop_columns(["emb", "side", "part"])
-        if dedup_pairs:
-            ab = np.empty((pairs.num_rows, 2), dtype=np.int64)
-            ab[:, 0] = pairs["key"].to_numpy(zero_copy_only=False)
-            ab[:, 1] = pairs["other"].to_numpy(zero_copy_only=False)
-            uniq = np.unique(ab, axis=0)
-            pairs = pa.table({"key": pa.array(uniq[:, 0]),
-                              "other": pa.array(uniq[:, 1])})
-        embs = g.filter(pc.invert(mask)).select(["key", "emb"])
-        out = pairs.join(embs, keys=["key"], join_type="inner")
-        return out.rename_columns(
-            [emb_as if c == "emb" else c for c in out.column_names])
-
-    both = pairs_ds.map_batches(pair_side, batch_format="pyarrow").union(
-        emb_ds.map_batches(emb_side, batch_format="pyarrow"))
-    return both.groupby("part").map_groups(bucket_join,
-                                           batch_format="pyarrow")
-
-
 def lsh_neardup_pairs(emb_ds, threshold: float = 0.4, *,
                       bands: int = 16, rows: int = 4, npart: int = 32):
-    """Sign-LSH near-dup pipeline: signature bands (map_batches) →
-    bucket groupby → vectorized pair expansion → pairs⋈embeddings twice
-    (bucket exchanges; first pass dedups cross-band candidates) → exact
-    float64 cosine verify.  Output (vec_a, vec_b), a<b, the LSH-recall
-    subset of the exact q23 pair set (recall 1-(1-p^rows)^bands at
-    sign-agreement p; candidate parity with the q47 oracle is exact
-    because every step up to the verify is integer).
-    """
-    from .dedup import bucket_pairs
+    """Sign-LSH near-dup pipeline, band-local verify: signature bands
+    CARRYING the packed-f32 embedding (map_batches) → ONE bucket
+    exchange → per-(band,key)-run vectorized cosine verify (a small
+    matmul per run: candidate pairs are matrix ENTRIES, never
+    materialized rows) → one tiny distinct exchange over the verified
+    pairs.  Output (vec_a, vec_b), a<b — the LSH-recall subset of the
+    exact q23 pair set (recall 1-(1-p^rows)^bands at sign-agreement p;
+    candidate parity with the q47 oracle is exact because everything up
+    to the cosine is integer).
 
-    emb_ds = emb_ds.select_columns(["vec_id", "embedding"])
-    sig = emb_ds.map_batches(
-        lambda b: lsh_band_rows(b, bands=bands, rows=rows, npart=npart),
+    Shuffle volume: bands × 4·dim bytes per VECTOR (one-time, the LSH
+    cost model) + one row per verified pair — independent of candidate
+    density, which is what kills the pairs⋈embeddings join shape when
+    the threshold is weak (at cos>=0.4 over near-orthogonal vectors
+    ~64% of ALL pairs band-match; as entries of per-run matmuls they
+    cost nanoseconds, as join rows they cost an exchange)."""
+    from ray.data.aggregate import Count
+
+    sig = emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        lambda b: lsh_band_rows(b, bands=bands, rows=rows, npart=npart,
+                                include_emb=True),
         batch_format="pyarrow")
-    cand = sig.groupby("part").map_groups(
-        lambda g: bucket_pairs(g.drop_columns(["part"])),
+
+    def bucket_verify(part: pa.Table) -> pa.Table:
+        empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64())})
+        if part.num_rows < 2:
+            return empty
+        band = part["band"].to_numpy(zero_copy_only=False)
+        key = part["key"].to_numpy(zero_copy_only=False)
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        m = normalize_rows(_binary_matrix(part["emb"]))
+        order = np.lexsort((ids, key, band))
+        b_s, k_s, id_s, m_s = band[order], key[order], ids[order], m[order]
+        brk = np.flatnonzero((b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])) + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(id_s)]))
+        out_a, out_b = [], []
+        for qi in np.flatnonzero(ends - starts >= 2):
+            s, e = int(starts[qi]), int(ends[qi])
+            run_ids, run_m = id_s[s:e], m_s[s:e]
+            sims = run_m @ run_m.T
+            iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(iu):
+                a, b = run_ids[iu], run_ids[ju]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        if not out_a:
+            return empty
+        return pa.table({
+            "vec_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "vec_b": pa.array(np.concatenate(out_b), type=pa.int64())})
+
+    ver = sig.groupby("part").map_groups(
+        lambda g: bucket_verify(g.drop_columns(["part"])),
         batch_format="pyarrow")
-    # exchange 1: key=doc_a dedups pairs and picks up emb_a
-    j1 = attach_vecs(cand, emb_ds, "doc_a", "doc_b", "emb_a",
-                     npart=npart, dedup_pairs=True)
-    # exchange 2: key=other(=doc_b) picks up emb_b; doc_a rides in other
-    j2 = attach_vecs(j1.map_batches(
-        lambda b: b.rename_columns(
-            ["other" if c == "key" else "key" if c == "other" else c
-             for c in b.column_names]),
-        batch_format="pyarrow"), emb_ds, "key", "other", "emb_b",
-        npart=npart, carry=("emb_a",))
+    # cross-band duplicates → one tiny distinct exchange (verified
+    # pairs only, orders of magnitude below candidate count)
+    return ver.groupby(["vec_a", "vec_b"]) \
+        .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
 
-    def verify(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table({"vec_a": pa.array([], type=pa.int64()),
-                             "vec_b": pa.array([], type=pa.int64())})
-        ma = normalize_rows(_binary_matrix(b["emb_a"]))
-        mb = normalize_rows(_binary_matrix(b["emb_b"]))
-        cos = np.einsum("ij,ij->i", ma, mb)
-        keep = cos >= threshold
-        vb = b["key"].to_numpy(zero_copy_only=False)[keep]    # = doc_b
-        va = b["other"].to_numpy(zero_copy_only=False)[keep]  # = doc_a
-        return pa.table({"vec_a": pa.array(va, type=pa.int64()),
-                         "vec_b": pa.array(vb, type=pa.int64())})
 
-    return j2.map_batches(verify, batch_format="pyarrow")
+
 
 
 # ---------------------------------------------------------------------------
