@@ -660,3 +660,47 @@ def test_embedding_quantize(ray_session):
     t2 = sim.quantize_embeddings(rd.read_parquet(emb_pq)) \
         .sort("vec_id").to_pandas()
     assert t.values.tolist() == t2.values.tolist()
+
+
+def test_lsh_bucket_verify_blocking_parity():
+    """The row-blocked per-run matmul in lsh_bucket_verify emits exactly
+    the full-matrix upper-triangle pairs, including a run larger than
+    the 1024-row block and multi-run partitions."""
+    from warc_ray.stages import similarity as sim
+
+    rng = np.random.default_rng(5)
+    # one run of 1500 near-identical vectors (crosses the block size),
+    # one run of 7, one singleton
+    base = rng.normal(size=8)
+    rows = []
+    for i in range(1500):
+        rows.append((0, 1, i, base + rng.normal(scale=0.01, size=8)))
+    for i in range(7):
+        rows.append((1, 9, 2000 + i, rng.normal(size=8)))
+    rows.append((2, 4, 9999, rng.normal(size=8)))
+    band = pa.array([r[0] for r in rows], type=pa.int32())
+    key = pa.array([r[1] for r in rows], type=pa.int64())
+    ids = pa.array([r[2] for r in rows], type=pa.int64())
+    m = np.array([r[3] for r in rows], dtype="<f4")
+    offs = np.arange(0, (len(rows) + 1) * 32, 32, dtype=np.int32)
+    emb = pa.Array.from_buffers(
+        pa.binary(), len(rows),
+        [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(m))])
+    part = pa.table({"band": band, "key": key, "doc_id": ids, "emb": emb})
+    t = 0.9
+    got = set(zip(*[sim.lsh_bucket_verify(part, t)[c].to_pylist()
+                    for c in ("vec_a", "vec_b")]))
+    # reference: full matrices per run
+    mm = sim.normalize_rows(m.astype(np.float64))
+    exp = set()
+    for sel in (range(1500), range(1500, 1507)):
+        idx = list(sel)
+        sub = mm[idx]
+        sims = sub @ sub.T
+        for i in range(len(idx)):
+            for j in range(i + 1, len(idx)):
+                if sims[i, j] >= t:
+                    a, b = ids[idx[i]].as_py(), ids[idx[j]].as_py()
+                    exp.add((min(a, b), max(a, b)))
+    assert got == exp
+    assert len(got) > 1000  # the big run actually produced dense pairs

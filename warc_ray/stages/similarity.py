@@ -364,43 +364,55 @@ def lsh_neardup_pairs(emb_ds, threshold: float = 0.4, *,
                                 include_emb=True),
         batch_format="pyarrow")
 
-    def bucket_verify(part: pa.Table) -> pa.Table:
-        empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
-                          "vec_b": pa.array([], type=pa.int64())})
-        if part.num_rows < 2:
-            return empty
-        band = part["band"].to_numpy(zero_copy_only=False)
-        key = part["key"].to_numpy(zero_copy_only=False)
-        ids = part["doc_id"].to_numpy(zero_copy_only=False)
-        m = normalize_rows(_binary_matrix(part["emb"]))
-        order = np.lexsort((ids, key, band))
-        b_s, k_s, id_s, m_s = band[order], key[order], ids[order], m[order]
-        brk = np.flatnonzero((b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])) + 1
-        starts = np.concatenate(([0], brk))
-        ends = np.concatenate((brk, [len(id_s)]))
-        out_a, out_b = [], []
-        for qi in np.flatnonzero(ends - starts >= 2):
-            s, e = int(starts[qi]), int(ends[qi])
-            run_ids, run_m = id_s[s:e], m_s[s:e]
-            sims = run_m @ run_m.T
-            iu, ju = np.nonzero(np.triu(sims >= threshold, k=1))
-            if len(iu):
-                a, b = run_ids[iu], run_ids[ju]
-                out_a.append(np.minimum(a, b))
-                out_b.append(np.maximum(a, b))
-        if not out_a:
-            return empty
-        return pa.table({
-            "vec_a": pa.array(np.concatenate(out_a), type=pa.int64()),
-            "vec_b": pa.array(np.concatenate(out_b), type=pa.int64())})
-
     ver = sig.groupby("part").map_groups(
-        lambda g: bucket_verify(g.drop_columns(["part"])),
+        lambda g: lsh_bucket_verify(g.drop_columns(["part"]), threshold),
         batch_format="pyarrow")
     # cross-band duplicates → one tiny distinct exchange (verified
     # pairs only, orders of magnitude below candidate count)
     return ver.groupby(["vec_a", "vec_b"]) \
         .aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+
+
+def lsh_bucket_verify(part: pa.Table, threshold: float) -> pa.Table:
+    """One hash partition of (band, key, doc_id, emb) rows → verified
+    (vec_a, vec_b) pairs: lexsort to (band,key) runs, one row-blocked
+    matmul per run (candidates are matrix entries, never rows)."""
+    empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                      "vec_b": pa.array([], type=pa.int64())})
+    if part.num_rows < 2:
+        return empty
+    band = part["band"].to_numpy(zero_copy_only=False)
+    key = part["key"].to_numpy(zero_copy_only=False)
+    ids = part["doc_id"].to_numpy(zero_copy_only=False)
+    m = normalize_rows(_binary_matrix(part["emb"]))
+    order = np.lexsort((ids, key, band))
+    b_s, k_s, id_s, m_s = band[order], key[order], ids[order], m[order]
+    brk = np.flatnonzero((b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])) + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [len(id_s)]))
+    out_a, out_b = [], []
+    for qi in np.flatnonzero(ends - starts >= 2):
+        s, e = int(starts[qi]), int(ends[qi])
+        run_ids, run_m = id_s[s:e], m_s[s:e]
+        k = e - s
+        # row-block the run matmul: a degenerate bucket (every
+        # near-identical vector landing in one (band,key)) would
+        # otherwise allocate a k×k matrix; blocks keep the
+        # temporary <= 1024×k while the verify stays exact
+        for s2 in range(0, k, 1024):
+            blk = run_m[s2:s2 + 1024] @ run_m.T       # (<=1024, k)
+            ii, jj = np.nonzero(blk >= threshold)
+            gi = ii + s2
+            keep = gi < jj                            # upper triangle
+            if keep.any():
+                a, b = run_ids[gi[keep]], run_ids[jj[keep]]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+    if not out_a:
+        return empty
+    return pa.table({
+        "vec_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+        "vec_b": pa.array(np.concatenate(out_b), type=pa.int64())})
 
 
 
