@@ -135,6 +135,34 @@ def _hll_host_distinct_q(sf_dir: str):
         key_col="url", group_col="host").sort("host")
 
 
+def _cms_url_refs_q(sf_dir: str):
+    """Estimated reference count per URL from a count-min sketch
+    (stages/sketch.py), probed at the deterministic 1/97 md5 sample of
+    the URL space — the fixed-size-sketch alternative to q51's exact
+    per-URL exchange when key cardinality is too large to shuffle: the
+    scan ships one 256 KiB counter cell per block plus the sampled
+    probe keys, never the URL stream.  Value-exact vs the DuckDB
+    oracle (the D row hashes are the four 32-bit chunks of one md5, so
+    SQL folds the same hex chunks); no-undercount / merge laws
+    additionally pytest-gated."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from warc_ray.stages.sketch import cms_freq
+    from warc_ray.stages.urls import extract_links
+
+    cdir = _corpus_for(sf_dir)
+    ds = rd.read_parquet(corpus_mod.docs_path(cdir), override_num_blocks=16)
+
+    def links(b: pa.Table) -> pa.Table:
+        return extract_links(b).select(["url"])
+
+    return cms_freq(
+        ds.map_batches(links, batch_format="pyarrow", batch_size=None),
+        key_col="url")
+
+
 def _crawl_config(prof):
     """The ONE config both the distributed query crawl and the
     single-process oracle simulator run under — crawl-order / seen-set
@@ -423,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q24_curation": tr.curation,
         "q25_ngram_jaccard": tr.ngram_jaccard,
         "q26_hll_host_distinct": _hll_host_distinct_q,
+        "q49_cms_url_refs": _cms_url_refs_q,
         # iterative graph ops (BSP fabric, pipelines/graph.py)
         "q27_dup_clusters": tr.dup_clusters,
         "q28_tfidf_topterms": tr.tfidf_topk,
@@ -1238,6 +1267,44 @@ def oracle_sql() -> dict[str, str]:
                                         + 0.5) AS HUGEINT)
                         ELSE raw END AS BIGINT) AS est_distinct
             FROM est ORDER BY host""",
+        # q49 count-min: row-r bucket = (hex chars [8r, 8r+8) of ONE
+        # md5(url), read as an integer) mod 8192; probe sample =
+        # (chunk0 * 2^32 + chunk1) mod 97 == 0 — exactly the numpy
+        # md5_chunks_u32 arithmetic, so counters and min-estimates are
+        # value-exact
+        "q49_cms_url_refs": f"""
+            WITH links AS ({links_src}),
+            cnt AS (
+              SELECT url, CAST(COUNT(*) AS HUGEINT) AS c
+              FROM links GROUP BY url
+            ), rs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(r)),
+            hb AS (
+              SELECT url, r,
+                     list_sum(list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef',
+                            substr(md5(url), CAST(8*r + i AS INTEGER), 1))
+                            - 1 AS HUGEINT) << (4 * (8 - i)))) AS hv
+              FROM cnt CROSS JOIN rs
+            ),
+            cells AS (
+              SELECT hb.r, hb.hv % 8192 AS b, SUM(cnt.c) AS tot
+              FROM hb JOIN cnt USING (url) GROUP BY 1, 2
+            ),
+            probe AS (
+              SELECT h0.url FROM hb h0 JOIN hb h1
+                ON h1.url = h0.url AND h1.r = 1
+              WHERE h0.r = 0
+                AND (h0.hv * 4294967296 + h1.hv) % 97 = 0
+            ),
+            est AS (
+              SELECT p.url, MIN(cells.tot) AS est_refs
+              FROM probe p
+              JOIN hb ON hb.url = p.url
+              JOIN cells ON cells.r = hb.r AND cells.b = hb.hv % 8192
+              GROUP BY p.url
+            )
+            SELECT url, CAST(est_refs AS BIGINT) AS est_refs
+            FROM est ORDER BY url""",
         "q51_seen_dedup": (
             "SELECT url, MIN(src_doc) AS first_doc, COUNT(*) AS n_refs"
             " FROM (%s) GROUP BY url ORDER BY url" % links_src

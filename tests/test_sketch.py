@@ -143,3 +143,74 @@ def test_md5_prefix64_matches_hex_prefix():
     for t, g in zip(texts, got):
         want = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
         assert int(g) == want
+
+
+def test_cms_partial_merge_and_no_undercount():
+    """Count-min laws: partials from any split of the data sum to the
+    whole-data sketch, and point estimates never under-count."""
+    import collections
+
+    from warc_ray.stages.sketch import (cms_estimate, cms_partial,
+                                        md5_chunks_u32)
+
+    rng = np.random.default_rng(11)
+    keys = [f"k{int(v)}" for v in rng.zipf(1.3, size=5000)]
+    cnt = collections.Counter(keys)
+    uniq = sorted(cnt)
+    counts = np.array([cnt[k] for k in uniq], dtype=np.int64)
+    ch = md5_chunks_u32(uniq)
+
+    whole = cms_partial(ch, counts)
+    assert (whole.sum(axis=1) == counts.sum()).all()  # mass per row
+    # split invariance: any partition of the increments merges to whole
+    for cut in (1, len(uniq) // 3, len(uniq) - 1):
+        merged = cms_partial(ch[:cut], counts[:cut]) \
+            + cms_partial(ch[cut:], counts[cut:])
+        assert np.array_equal(merged, whole)
+    est = cms_estimate(whole, ch)
+    assert (est >= counts).all()
+    # error bound: over-count <= e*N/W per Cormode-Muthukrishnan, with
+    # 4 rows the failure probability is e^-4 per key — allow 8*N/W slack
+    from warc_ray.stages.sketch import CMS_W
+    assert (est - counts <= max(1, 8 * counts.sum() // CMS_W)).all()
+
+
+def test_cms_chunks_match_md5_hex():
+    import hashlib
+
+    from warc_ray.stages.sketch import md5_chunks_u32
+
+    texts = ["", "abc", "päyload é", "http://h0.example/p/1"]
+    ch = md5_chunks_u32(texts)
+    for t, row in zip(texts, ch):
+        h = hashlib.md5(t.encode("utf-8")).hexdigest()
+        for r in range(4):
+            assert int(row[r]) == int(h[8 * r:8 * r + 8], 16)
+
+
+def test_cms_freq_dataset(ray_session):
+    """End-to-end: probe set = the deterministic md5 1/97 sample,
+    estimates >= true counts, invariant to block partitioning."""
+    import collections
+
+    import ray.data as rd
+
+    from warc_ray.stages.sketch import cms_freq, md5_chunks_u32
+
+    keys = [f"u{i % 257}" for i in range(8000)] + ["u3"] * 300
+    true = collections.Counter(keys)
+    ch = md5_chunks_u32(sorted(true))
+    h64 = (ch[:, 0].astype(np.uint64) << np.uint64(32)) | ch[:, 1]
+    probe = sorted(k for k, h in zip(sorted(true), h64)
+                   if h % np.uint64(97) == 0)
+
+    outs = []
+    for nblocks in (2, 7):
+        ds = rd.from_arrow(pa.table({"url": pa.array(keys)})) \
+            .repartition(nblocks)
+        out = cms_freq(ds, "url").to_pandas()
+        assert list(out.url) == probe
+        assert all(out.est_refs[i] >= true[out.url[i]]
+                   for i in range(len(out)))
+        outs.append(out)
+    assert outs[0].values.tolist() == outs[1].values.tolist()

@@ -289,3 +289,127 @@ def bottomk_estimate(m: int, kth_hash: int, k: int = BOTTOMK_K) -> int:
     if m < k:
         return m
     return ((k - 1) << 64) // max(int(kth_hash), 1)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation / heavy hitters)
+# ---------------------------------------------------------------------------
+#
+# The frequency complement to HLL's distinct count: a (D x W) int64
+# counter grid absorbs any number of (key, count) increments into a
+# FIXED 256 KiB cell, merging by element-wise sum (associative,
+# commutative — partials compose across batches/blocks/nodes in any
+# order), and answers point queries with min over D counters
+# (Cormode & Muthukrishnan 2005).  Estimates never under-count; the
+# over-count is bounded by e*N/W per row w.p. 1-e^-D over the hash
+# draw.  The D row hashes are the four big-endian 32-bit chunks of ONE
+# md5 digest per key — one hash call per key, and a SQL oracle folds
+# the same hex chunks to reproduce every counter and estimate
+# bit-for-bit (q49).
+
+CMS_D = 4
+CMS_W = 8192
+
+
+def md5_chunks_u32(texts: list) -> np.ndarray:
+    """(n, 4) uint32 big-endian 32-bit chunks of each utf-8 string's
+    md5 digest — chunk r = hex chars [8r, 8r+8) of ``md5(text)`` read
+    as an integer, which is what the SQL twin folds.  One md5 call per
+    key; chunking is a single vectorized frombuffer."""
+    md5 = hashlib.md5
+    buf = b"".join(md5(t.encode("utf-8")).digest() for t in texts)
+    return np.frombuffer(buf, dtype=">u4").reshape(len(texts), 4) \
+        .astype(np.uint32)
+
+
+def cms_partial(chunks: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(CMS_D, CMS_W) int64 counter partial from per-key md5 chunks and
+    multiplicities.  One scatter-add per row — no Python per key."""
+    out = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for r in range(CMS_D):
+        out[r] = np.bincount(chunks[:, r] % np.uint32(CMS_W),
+                             weights=counts, minlength=CMS_W
+                             ).astype(np.int64)
+    return out
+
+
+def cms_estimate(sketch: np.ndarray, chunks: np.ndarray) -> np.ndarray:
+    """Point-query estimates (int64): min over the D row counters each
+    key hashes to.  Never under-counts."""
+    est = sketch[0][chunks[:, 0] % np.uint32(CMS_W)]
+    for r in range(1, CMS_D):
+        est = np.minimum(est, sketch[r][chunks[:, r] % np.uint32(CMS_W)])
+    return est
+
+
+def cms_freq(ds, key_col: str, probe_mod: int = 97,
+             est_name: str = "est_refs", npart: int = 16):
+    """Estimated occurrence count per key, for the deterministic
+    1/probe_mod md5-hash sample of the key space, from ONE streaming
+    scan — the fixed-size-sketch alternative to the exact per-key
+    exchange (q51/q56) when key cardinality is too large to shuffle.
+
+    Scale shape: the scan emits (a) one 256 KiB counter cell per block
+    and (b) the batch-distinct sampled probe keys — never the key
+    stream — so the materialized intermediate is sketch-cells +
+    ~(1/probe_mod) of per-block distinct keys.  Cells fold driver-side
+    into one sketch (streaming, one accumulator — same pattern as the
+    q19 Bloom build; a tree-reduce exchange would cut driver bandwidth
+    at extreme block counts), the merged sketch is broadcast
+    (``ray.put``) to the probe rows, and one SMALL bucket exchange
+    dedups probe keys (min over identical estimates).  Estimates never
+    under-count; over-count ≤ e·N/W per row w.p. 1-e^-D.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    from .exchange import hash64_strings, with_part
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[key_col]
+        codes = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                 else col).dictionary_encode()
+        counts = np.bincount(
+            codes.indices.to_numpy(zero_copy_only=False),
+            minlength=len(codes.dictionary)).astype(np.int64)
+        uniq = codes.dictionary.to_pylist()
+        chunks = md5_chunks_u32(uniq)
+        cell = cms_partial(chunks, counts).tobytes()
+        h64 = ((chunks[:, 0].astype(np.uint64) << np.uint64(32))
+               | chunks[:, 1])
+        probe = np.flatnonzero(h64 % np.uint64(probe_mod) == 0)
+        keys = pa.array([""] + [uniq[i] for i in probe], type=pa.string())
+        kind = pa.array([0] + [1] * len(probe), type=pa.int32())
+        bits = pa.array([cell] + [b""] * len(probe), type=pa.binary())
+        return pa.table({"kind": kind, key_col: keys, "bits": bits})
+
+    emitted = ds.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    acc = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for bt in emitted.iter_batches(batch_format="pyarrow"):
+        for kind, cell in zip(bt["kind"].to_pylist(), bt["bits"].to_pylist()):
+            if kind == 0:
+                acc += np.frombuffer(cell, dtype=np.int64) \
+                    .reshape(CMS_D, CMS_W)
+    sketch_ref = ray.put(acc)
+
+    def probe_est(b: pa.Table) -> pa.Table:
+        sub = b.filter(pc.equal(b["kind"], 1))
+        keys = sub[key_col].to_pylist()
+        if not keys:
+            return pa.table({key_col: pa.array([], type=pa.string()),
+                             est_name: pa.array([], type=pa.int64()),
+                             "part": pa.array([], type=pa.int32())})
+        est = cms_estimate(np.asarray(ray.get(sketch_ref)),
+                           md5_chunks_u32(keys))
+        t = pa.table({key_col: sub[key_col],
+                      est_name: pa.array(est, type=pa.int64())})
+        return with_part(t, key_col, npart)
+
+    from .exchange import combine_buckets
+
+    return combine_buckets(
+        emitted.map_batches(probe_est, batch_format="pyarrow"),
+        key_col, [(est_name, "min")], names=[key_col, est_name]) \
+        .sort(key_col)
