@@ -454,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q49_cms_url_refs": _cms_url_refs_q,
         # iterative graph ops (BSP fabric, pipelines/graph.py)
         "q27_dup_clusters": tr.dup_clusters,
+        "q59_neardup_curation": tr.neardup_curation,
         "q28_tfidf_topterms": tr.tfidf_topk,
         "q29_pagerank": rel.part_supplier_pagerank,
         # similarity search
@@ -743,6 +744,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster
             FROM reach GROUP BY a ORDER BY doc_id""",
+        # q59 = q27's families reduced to the curation decision: drop
+        # every non-canonical member (min reachable doc_id < self)
+        "q59_neardup_curation": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, UNNEST(
+                CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                     ELSE list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(list_slice(t, i, i + 2), ' '))
+                END) AS s
+              FROM toks
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i * 1000000 >= 500000 * (sa.n + sb.n - i)
+            ), e AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT a FROM reach GROUP BY a HAVING MIN(b) < a)
+            ORDER BY doc_id""",
         "q28_tfidf_topterms": """
             WITH words AS (
               SELECT doc_id,

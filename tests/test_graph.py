@@ -174,3 +174,20 @@ def test_pagerank_pipeline_vs_duckdb(ray_session):
               JOIN deg d ON d.src = e.src GROUP BY e.dst)"""
         for i in range(1, 6)))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_neardup_curation_vs_duckdb(ray_session):
+    """q59: kept set = corpus minus non-canonical family members; also
+    pin the keep-one law directly — kept ∪ families covers every doc,
+    each family keeps exactly its min member."""
+    from warc_ray.pipelines.training import dup_clusters, neardup_curation
+
+    got = neardup_curation(SF).to_pandas().reset_index(drop=True)
+    want = _duck(_oracle("q59_neardup_curation"))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    cc = dup_clusters(SF).to_pandas()
+    kept = set(got.doc_id)
+    by_cluster = cc.groupby("cluster")["doc_id"]
+    assert all(min(m) in kept for _, m in by_cluster)
+    assert all(d not in kept for d, c in zip(cc.doc_id, cc.cluster) if c < d)

@@ -436,6 +436,33 @@ def dup_clusters(sf_dir: str, threshold_ppm: int = 500_000):
     return cc.rename_columns(["doc_id", "cluster"]).sort_by("doc_id")
 
 
+def neardup_curation(sf_dir: str, threshold_ppm: int = 500_000):
+    """End-to-end near-dup corpus curation (q59): keep exactly one doc
+    per q27 duplicate family — the canonical member (cluster id = min
+    reachable doc_id) — and every doc in no family.
+
+    Scale shape: the drop set is the NON-canonical family members only
+    (duplicates — orders of magnitude smaller than the corpus at real
+    dup rates), so it broadcasts via ``ray.put`` to the document scan
+    as a vectorized ``np.isin`` anti-filter; the corpus itself never
+    shuffles.  The family computation reuses q27's BSP
+    connected-components fabric over the q25 exact-Jaccard pairs."""
+    import ray
+
+    cc = dup_clusters(sf_dir, threshold_ppm)
+    d = cc["doc_id"].to_numpy(zero_copy_only=False)
+    c = cc["cluster"].to_numpy(zero_copy_only=False)
+    drop_ref = ray.put(np.sort(d[c < d]))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, np.asarray(ray.get(drop_ref)))
+        return pa.table({"doc_id": pa.array(ids[mask], type=pa.int64())})
+
+    return _docs(sf_dir, columns=["doc_id"]) \
+        .map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Q32: inverted index (term -> sorted posting list)
 # ---------------------------------------------------------------------------
