@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "q30_knn_topk": tr.knn_topk,
         "q31_knn_topk_ivf": tr.knn_topk_ivf,
+        "q60_semdedup": tr.semdedup,
         # training-loader prep (index / packing / scrubbing / splits)
         "q32_inverted_index": tr.inverted_index,
         "q33_pack_chunks": tr.pack_chunks,

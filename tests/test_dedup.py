@@ -704,3 +704,48 @@ def test_lsh_bucket_verify_blocking_parity():
                     exp.add((min(a, b), max(a, b)))
     assert got == exp
     assert len(got) > 1000  # the big run actually produced dense pairs
+
+
+def test_semdedup_laws(ray_session):
+    """q60 SemDeDup: (1) deterministic across block partitioning,
+    (2) no within-cluster near-dup pair survives in the kept set,
+    (3) most exact near-dup pairs (q23 brute force) are resolved —
+    cross-cluster misses are the documented approximation."""
+    import ray.data as rd
+
+    from warc_ray.pipelines import training as tr
+    from warc_ray.stages import similarity as sim
+
+    t = 0.4
+    kept = tr.semdedup(SF_DIR, threshold=t).to_pandas()
+    kept2 = tr.semdedup(SF_DIR, threshold=t).to_pandas()
+    assert kept.values.tolist() == kept2.values.tolist()
+
+    emb = pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    m = sim.normalize_rows(
+        np.array(emb["embedding"].to_pylist(), dtype=np.float64))
+    # recompute the pipeline's cluster assignment
+    sample = tr._head_rows(os.path.join(SF_DIR, "embeddings.parquet"),
+                           tr.KMEANS_SAMPLE_ROWS)
+    cent = sim.kmeans_lite(
+        np.array(sample["embedding"].to_pylist(), dtype=np.float64), 16)
+    top = np.argsort(-(m @ sim.normalize_rows(cent).T), axis=1)[:, :3]
+
+    kset = set(kept.vec_id)
+    assert kset <= set(ids.tolist()) and len(kset) == len(kept)
+    sims = m @ m.T
+    iu, ju = np.nonzero(np.triu(sims >= t, k=1))
+    exact_pairs = list(zip(ids[iu], ids[ju]))
+    assert exact_pairs, "test corpus must contain near-dup pairs"
+    same_cl = [(a, b) for (a, b), i, j in zip(exact_pairs, iu, ju)
+               if set(top[i]) & set(top[j])]
+    # law 2: a same-cluster pair never survives whole
+    for a, b in same_cl:
+        assert not (a in kset and b in kset), (a, b)
+    # law 3: the clustered path resolves most exact pairs (near-dups
+    # are near-identical vectors, so they co-cluster almost surely)
+    resolved = sum(1 for a, b in exact_pairs
+                   if not (a in kset and b in kset))
+    assert resolved / len(exact_pairs) >= 0.8, \
+        (resolved, len(exact_pairs))

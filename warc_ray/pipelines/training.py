@@ -158,6 +158,20 @@ def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
     return sim.ivf_topk(_emb(sf_dir), ids, qm, cent, k=k, nprobe=nprobe)
 
 
+def semdedup(sf_dir: str, n_clusters: int = 16, threshold: float = 0.4):
+    """q60: SemDeDup embedding curation — k-means clusters from a
+    bounded driver-side sample (as q31), within-cluster cosine dedup,
+    greedy keep-min.  Approximate (cross-cluster pairs missed), so
+    rows-only for the driver; the operator laws — determinism, no
+    surviving within-cluster pair, recall vs the exact q23 pair set —
+    are pytest-pinned (tests/test_dedup.py)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = _head_rows(path, KMEANS_SAMPLE_ROWS)
+    smat = np.array(sample["embedding"].to_pylist(), dtype=np.float64)
+    cent = sim.kmeans_lite(smat, n_clusters)
+    return sim.semdedup_keep(_emb(sf_dir), cent, threshold=threshold)
+
+
 # -- multimodal -------------------------------------------------------------
 #
 # All four pipelines run payload synthesis FUSED into the consuming

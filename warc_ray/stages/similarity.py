@@ -479,3 +479,70 @@ def quantize_embeddings(emb_ds):
         })
 
     return emb_ds.map_batches(quant, batch_format="pyarrow")
+
+
+def semdedup_keep(emb_ds, centroids: np.ndarray, threshold: float = 0.4,
+                  npart: int = 16, nassign: int = 3):
+    """SemDeDup (Abbas, Tirumala et al. 2023): k-means-bucketed
+    embedding dedup — assign every vector to its ``nassign`` nearest
+    centroids, find cosine pairs >= threshold within a SHARED cluster
+    only, and drop every vector with a smaller-id neighbor (greedy
+    keep-min, the same keep-one rule as q59).  Approximate by
+    construction: a near-dup pair sharing no assigned cluster is the
+    documented miss — multi-assignment is the standard recall knob
+    (nassign=1 is the paper's within-cluster rule; at moderate
+    thresholds over near-orthogonal embeddings nassign=3 lifts exact-
+    pair coverage from ~0.35 to >0.9 on the test corpus) at the cost
+    of nassign packed rows per vector through the exchange.
+
+    Scale shape: assignment is a stateless broadcast-matmul pass; each
+    hash bucket of CLUSTERS verifies locally with the same row-blocked
+    per-run matmul as the LSH path (``lsh_bucket_verify`` with the
+    cluster id in the (band,key) role — candidate pairs are matrix
+    entries, never rows; a pair sharing two clusters just re-verifies
+    cheaply and dedups in the drop fold); the drop set (non-kept
+    members only, tiny at real dup rates) folds driver-side and
+    broadcasts back as an ``np.isin`` anti-filter, so the embedding
+    table itself never shuffles more than one bucket exchange of
+    packed-f32 rows."""
+    import ray
+
+    cent = normalize_rows(np.asarray(centroids, dtype=np.float64))
+    nassign = min(nassign, len(cent))
+    cent_ref = ray.put(cent)
+
+    def assign_rows(b: pa.Table) -> pa.Table:
+        m = normalize_rows(_matrix(b))
+        sims_c = m @ np.asarray(ray.get(cent_ref)).T
+        top = np.argsort(-sims_c, axis=1)[:, :nassign].astype(np.int64)
+        n = b.num_rows
+        cl = top.reshape(-1)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), nassign))
+        emb = _emb_binary(b["embedding"])
+        return pa.table({
+            "band": pa.array(np.zeros(n * nassign, dtype=np.int32)),
+            "key": pa.array(cl),
+            "doc_id": b["vec_id"].take(rep),
+            "emb": emb.take(rep),
+            "part": pa.array((cl % npart).astype(np.int32)),
+        })
+
+    rows = emb_ds.select_columns(["vec_id", "embedding"]) \
+        .map_batches(assign_rows, batch_format="pyarrow")
+    ver = rows.groupby("part").map_groups(
+        lambda g: lsh_bucket_verify(g.drop_columns(["part"]), threshold),
+        batch_format="pyarrow")
+
+    parts = [bt["vec_b"].to_numpy(zero_copy_only=False)
+             for bt in ver.iter_batches(batch_format="pyarrow")]
+    drop = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, dtype=np.int64)
+    drop_ref = ray.put(drop)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, np.asarray(ray.get(drop_ref)))
+        return pa.table({"vec_id": pa.array(ids[mask], type=pa.int64())})
+
+    return emb_ds.select_columns(["vec_id"]) \
+        .map_batches(keep, batch_format="pyarrow").sort("vec_id")
