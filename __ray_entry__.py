@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph ops (BSP fabric, pipelines/graph.py)
         "q27_dup_clusters": tr.dup_clusters,
         "q59_neardup_curation": tr.neardup_curation,
+        "q61_window_chunks": tr.window_chunks,
         "q28_tfidf_topterms": tr.tfidf_topk,
         "q29_pagerank": rel.part_supplier_pagerank,
         # similarity search
@@ -829,6 +830,23 @@ def oracle_sql() -> dict[str, str]:
         "q13_doc_fingerprints": """
             SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp
             FROM documents ORDER BY doc_id""",
+        # q61: the same tokenizer as q27/q28; list_slice is 1-based
+        # inclusive, so window w covers tokens [w*stride+1, w*stride+win]
+        # = the Python slice [w*stride, w*stride+win); window count =
+        # ceil(n/stride) keeps every token covered (tail windows stay)
+        "q61_window_chunks": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, CAST(w AS BIGINT) AS win_idx,
+                     list_slice(t, CAST(w*32 + 1 AS BIGINT),
+                                CAST(w*32 + 64 AS BIGINT)) AS wt
+              FROM toks, UNNEST(range(0, (len(t) + 31) // 32)) AS u(w)
+            )
+            SELECT doc_id, win_idx, CAST(len(wt) AS BIGINT) AS n_tok,
+                   md5(array_to_string(wt, ' ')) AS win_md5
+            FROM wins ORDER BY doc_id, win_idx""",
         "q20_exact_dedup": """
             SELECT MIN(doc_id) AS keep_doc, COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY keep_doc""",

@@ -160,3 +160,46 @@ def test_contamination_pipeline(ray_session):
     assert got["doc_id"].to_pylist() == ref["doc_id"].to_pylist()
     assert got["n_hits"].to_pylist() == ref["n_hits"].to_pylist()
     assert got["n_grams"].to_pylist() == ref["n_grams"].to_pylist()
+
+
+def test_window_chunks_edges(ray_session, tmp_path):
+    """q61 window materialization: empty docs emit nothing, short docs
+    emit one short window, stride tiling covers every token, window
+    hashes match a per-row reference."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from warc_ray.pipelines.training import window_chunks
+
+    texts = {
+        10: "",
+        11: "one",
+        12: " ".join(f"w{i}" for i in range(64)),    # exactly one window
+        13: " ".join(f"w{i}" for i in range(65)),    # 64 + stride tail
+        14: " ".join(f"w{i}" for i in range(96)),    # 2 windows + tail
+        15: "A b. C  d!" * 20,                       # folding + punct
+    }
+    tab = pa.table({"doc_id": pa.array(sorted(texts), type=pa.int64()),
+                    "text": [texts[k] for k in sorted(texts)]})
+    pq.write_table(tab, os.path.join(tmp_path, "documents.parquet"))
+
+    got = window_chunks(str(tmp_path)).to_pandas()
+
+    exp = []
+    for d in sorted(texts):
+        toks = re.findall(r"[a-z0-9]+", texts[d].lower())
+        n = len(toks)
+        for w in range((n + 31) // 32):
+            seg = toks[w * 32:w * 32 + 64]
+            exp.append((d, w, len(seg),
+                        hashlib.md5(" ".join(seg).encode()).hexdigest()))
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    # tiling law: every token index of every doc is inside >= 1 window
+    for d in sorted(texts):
+        n = len(re.findall(r"[a-z0-9]+", texts[d].lower()))
+        covered = set()
+        for w in range((n + 31) // 32):
+            covered |= set(range(w * 32, min(w * 32 + 64, n)))
+        assert covered == set(range(n))

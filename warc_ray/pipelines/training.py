@@ -540,6 +540,51 @@ def inverted_index(sf_dir: str, npart: int = 32):
 
 
 # ---------------------------------------------------------------------------
+# Q61: sliding-window context materialization (training examples)
+# ---------------------------------------------------------------------------
+
+def window_chunks(sf_dir: str, win: int = 64, stride: int = 32):
+    """Per-doc token windows [s, s+win) at every stride-multiple start
+    s < n_tokens (tail windows included, so each token lands in at
+    least one example) — the overlapping context-window materialization
+    a pretraining loader runs when documents exceed the model context.
+    Output (doc_id, win_idx, n_tok, win_md5 = hex md5 of the
+    space-joined window).
+
+    Scale shape: a doc is one row, so every window is batch-local —
+    stateless map_batches, no shuffle at ANY scale; the DuckDB twin
+    slices the identical token lists (value-exact incl. the md5)."""
+    import hashlib
+
+    def wins(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_id: list[int] = []
+        out_w: list[int] = []
+        out_n: list[int] = []
+        digests: list[str] = []
+        md5 = hashlib.md5
+        for d, t in zip(ids, b["text"].to_pylist()):
+            toks = dd._WORD_RE.findall(t.lower())
+            n = len(toks)
+            for w in range((n + stride - 1) // stride):
+                seg = toks[w * stride:w * stride + win]
+                out_id.append(int(d))
+                out_w.append(w)
+                out_n.append(len(seg))
+                digests.append(md5(" ".join(seg).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "win_idx": pa.array(out_w, type=pa.int64()),
+            "n_tok": pa.array(out_n, type=pa.int64()),
+            "win_md5": pa.array(digests, type=pa.string()),
+        })
+
+    return _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(wins, batch_format="pyarrow") \
+        .sort(["doc_id", "win_idx"])
+
+
+# ---------------------------------------------------------------------------
 # Q33: sequence packing by global token prefix-sum (two-pass scan)
 # ---------------------------------------------------------------------------
 
