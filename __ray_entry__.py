@@ -382,7 +382,13 @@ def _arc_roundtrip_q(sf_dir: str):
         .sort("bucket") \
         .map_batches(FetchGroup, fn_constructor_args=(cdir, prof.n_buckets),
                      batch_format="pyarrow", batch_size=8192,
-                     concurrency=(1, 12))
+                     # rendering dominates this query (~110 µs/row —
+                     # 67 core-s at sf0.1), so size the pool to the
+                     # node, not to cache frugality: (4,28) measured
+                     # 8.7 s cold / 6.2 s warm vs 12.4 / 7.8 at (1,12);
+                     # bucket-sorted input keeps per-actor bucket
+                     # ranges contiguous either way
+                     concurrency=(4, 28))
 
     def to_arc_rows(b: pa.Table) -> pa.Table:
         n = b.num_rows

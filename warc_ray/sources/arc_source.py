@@ -182,4 +182,16 @@ class ArcDatasource(FileBasedDatasource):
 
 
 def read_arc(paths, *, batch_rows: int = 512, **kwargs) -> "rd.Dataset":
-    return rd.read_datasource(ArcDatasource(paths, batch_rows=batch_rows), **kwargs)
+    src = ArcDatasource(paths, batch_rows=batch_rows)
+    if "override_num_blocks" not in kwargs:
+        # CPU-scaled file-level parallelism (see _util.default_read_blocks:
+        # Ray's own estimate under-splits gzip; raw file count over-splits
+        # downstream shuffles)
+        from ._util import default_read_blocks
+
+        try:
+            kwargs["override_num_blocks"] = default_read_blocks(
+                len(src._paths()))
+        except Exception:  # pragma: no cover - API drift safety
+            pass
+    return rd.read_datasource(src, **kwargs)

@@ -294,4 +294,16 @@ def read_warc(paths, *, batch_rows: int = 512,
         # one descriptor per task: ranges are the parallelism unit
         return desc.map_batches(_ReadWarcRanges(batch_rows),
                                 batch_format="pyarrow", batch_size=1)
-    return rd.read_datasource(WarcDatasource(paths, batch_rows=batch_rows), **kwargs)
+    src = WarcDatasource(paths, batch_rows=batch_rows)
+    if "override_num_blocks" not in kwargs:
+        # CPU-scaled file-level parallelism (see _util.default_read_blocks:
+        # Ray's own estimate under-splits gzip; raw file count over-splits
+        # downstream shuffles)
+        from ._util import default_read_blocks
+
+        try:
+            kwargs["override_num_blocks"] = default_read_blocks(
+                len(src._paths()))
+        except Exception:  # pragma: no cover - API drift safety
+            pass
+    return rd.read_datasource(src, **kwargs)
