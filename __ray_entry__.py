@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_quality_scores": tr.quality_scores,
         "q12_lang_id": tr.lang_id,
         "q13_doc_fingerprints": tr.doc_fingerprints,
+        "q62_quality_model": tr.quality_model_scores,
         # dedup family
         "q20_exact_dedup": tr.exact_dedup,
         "q21_minhash_pairs": tr.minhash_pairs,
@@ -825,6 +826,33 @@ def oracle_sql() -> dict[str, str]:
                     AND CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1000000
                         // GREATEST(CAST(length(text) AS BIGINT), 1) >= 500000) AS is_quality
             FROM documents ORDER BY doc_id""",
+        # q62: the same RE2 feature counts as q11/q12 folded through
+        # the FIXED integer weight vector (textstats.QUALITY_MODEL);
+        # all divisions on non-negative operands, the weighted sum has
+        # none — bit-equal logits
+        "q62_quality_model": r"""
+            WITH f AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
+                GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT), 1) AS safe_t,
+                GREATEST(CAST(length(text) AS BIGINT), 1) AS safe_c,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS alpha,
+                CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS BIGINT) AS alnum,
+                CAST(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS BIGINT) AS stop
+              FROM documents
+            ), lg AS (
+              SELECT doc_id,
+                2000 * LEAST(n_tok, 1000)
+                + 3 * (alpha * 1000000 // safe_c)
+                + 1 * (stop * 1000000 // safe_t)
+                - 5 * (digit * 1000000 // safe_c)
+                - 40 * (alnum * 1000 // safe_t)
+                - 2460000 AS logit_micro
+              FROM f
+            )
+            SELECT doc_id, logit_micro, logit_micro > 0 AS is_keep
+            FROM lg ORDER BY doc_id""",
         "q12_lang_id": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS BIGINT) * 1000000

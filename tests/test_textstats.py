@@ -1,0 +1,69 @@
+"""Linear quality-classifier stage (q62): per-row pure-Python parity,
+weight injection, and the integer-exactness contract."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from warc_ray.stages.textstats import QUALITY_MODEL, QualityModel
+
+TEXTS = [
+    "",
+    "the quick brown fox jumps over the lazy dog " * 4,
+    "a of and in the " * 30,
+    "xxxxxxxx 12345 999 000 111",
+    "!!! ??? ...",
+    "word " * 2000,          # over the token cap
+    "päyload é ünicode the of",
+]
+
+
+def _ref_logit(text: str) -> int:
+    n_tok = len(re.findall(r"[A-Za-z0-9]+", text))
+    n_chars = len(text)
+    alpha = len(re.findall(r"[A-Za-z]", text))
+    digit = len(re.findall(r"[0-9]", text))
+    alnum = len(re.findall(r"[A-Za-z0-9]", text))
+    stop = len(re.findall(r"\b(the|a|of|and|in)\b", text))
+    sc, st = max(n_chars, 1), max(n_tok, 1)
+    w = QUALITY_MODEL
+    return (w["bias"]
+            + w["cap_tokens"] * min(n_tok, 1000)
+            + w["alpha_ppm"] * (alpha * 1_000_000 // sc)
+            + w["stop_ppm"] * (stop * 1_000_000 // st)
+            + w["digit_ppm"] * (digit * 1_000_000 // sc)
+            + w["tok_len_milli"] * (alnum * 1000 // st))
+
+
+def test_quality_model_matches_reference():
+    batch = pa.table({"doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+                      "text": TEXTS})
+    out = QualityModel()(batch)
+    got = out["logit_micro"].to_pylist()
+    want = [_ref_logit(t) for t in TEXTS]
+    assert got == want
+    assert out["is_keep"].to_pylist() == [v > 0 for v in want]
+
+
+def test_quality_model_weight_injection():
+    """The 'model' is constructor state (the load-once actor-pool
+    contract): different weights → different decisions, same batch."""
+    batch = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                      "text": ["the quick brown fox the of and"]})
+    base = QualityModel()(batch)["logit_micro"][0].as_py()
+    bumped = dict(QUALITY_MODEL, bias=QUALITY_MODEL["bias"] + 123)
+    got = QualityModel(bumped)(batch)["logit_micro"][0].as_py()
+    assert got == base + 123
+
+
+def test_quality_model_discriminative_on_corpus():
+    """The fixed weights must split the testdata corpus non-trivially
+    (a degenerate all-keep/all-drop boundary would make q62 vacuous)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    keep = QualityModel()(t)["is_keep"].to_numpy(zero_copy_only=False)
+    rate = keep.mean()
+    assert 0.2 < rate < 0.8, rate

@@ -66,6 +66,18 @@ def doc_fingerprints(sf_dir: str):
         .sort("doc_id")
 
 
+def quality_model_scores(sf_dir: str):
+    """q62: linear quality-classifier inference — the batched model
+    scoring pattern: ``QualityModel`` is an actor POOL (weights
+    materialized once per actor in ``__init__``, the slot where a real
+    deployment loads fastText/ONNX), each batch scored with vectorized
+    Arrow kernels.  Integer micro-logits, DuckDB-value-exact."""
+    return _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(ts.QualityModel, batch_format="pyarrow",
+                     concurrency=(1, 8)) \
+        .sort("doc_id")
+
+
 # -- dedup ------------------------------------------------------------------
 
 def exact_dedup(sf_dir: str):

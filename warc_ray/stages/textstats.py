@@ -93,3 +93,73 @@ def fingerprints(batch: pa.Table) -> pa.Table:
     fps = [hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest() for t in texts]
     return pa.table({"doc_id": batch["doc_id"],
                      "fp": pa.array(fps, type=pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (the batched-model-inference pattern)
+# ---------------------------------------------------------------------------
+
+DIGIT_RE = "[0-9]"
+ALNUM_RE = "[A-Za-z0-9]"
+
+# fastText-style linear quality filter with FIXED "pretrained" integer
+# weights (micro-logit units), calibrated to a ~50% keep rate on the
+# testdata corpus so the decision boundary is discriminative.  Integer
+# weights on integer ppm/milli features keep the logit exactly
+# reproducible in SQL (all divisions are on non-negative operands, so
+# numpy floor division == DuckDB truncating //; the weighted sum has
+# no division at all).
+QUALITY_MODEL = {
+    "bias": -2_460_000,
+    "cap_tokens": 2_000,      # per token, capped at 1000
+    "alpha_ppm": 3,
+    "stop_ppm": 1,
+    "digit_ppm": -5,
+    "tok_len_milli": -40,
+}
+
+
+class QualityModel:
+    """Actor-pool linear quality scorer (q62) — the model-inference
+    shape: the 'model' (weight vector) is materialized ONCE per actor
+    in ``__init__`` (where a real deployment would load fastText /
+    ONNX weights), ``__call__`` scores each batch with vectorized
+    Arrow kernels.  Emits (doc_id, logit_micro, is_keep)."""
+
+    def __init__(self, weights: dict | None = None):
+        w = dict(QUALITY_MODEL if weights is None else weights)
+        self.bias = int(w.pop("bias"))
+        self.weights = {k: int(v) for k, v in w.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        i64 = pa.int64()
+        one = pa.scalar(1, type=i64)
+        ppm = pa.scalar(1_000_000, type=i64)
+        n_tok = pc.cast(pc.count_substring_regex(text, TOKEN_RE), i64)
+        n_chars = pc.cast(pc.utf8_length(text), i64)
+        alpha = pc.cast(pc.count_substring_regex(text, ALPHA_RE), i64)
+        digit = pc.cast(pc.count_substring_regex(text, DIGIT_RE), i64)
+        alnum = pc.cast(pc.count_substring_regex(text, ALNUM_RE), i64)
+        stop = pc.cast(pc.count_substring_regex(text, STOPWORD_RE), i64)
+        safe_c = pc.max_element_wise(n_chars, one)
+        safe_t = pc.max_element_wise(n_tok, one)
+        feats = {
+            "cap_tokens": pc.min_element_wise(
+                n_tok, pa.scalar(1000, type=i64)),
+            "alpha_ppm": pc.divide(pc.multiply(alpha, ppm), safe_c),
+            "stop_ppm": pc.divide(pc.multiply(stop, ppm), safe_t),
+            "digit_ppm": pc.divide(pc.multiply(digit, ppm), safe_c),
+            "tok_len_milli": pc.divide(
+                pc.multiply(alnum, pa.scalar(1000, type=i64)), safe_t),
+        }
+        acc = None
+        for name, w in self.weights.items():
+            term = pc.multiply(feats[name], pa.scalar(w, type=i64))
+            acc = term if acc is None else pc.add(acc, term)
+        logit = pc.add(acc, pa.scalar(self.bias, type=i64))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "logit_micro": logit,
+            "is_keep": pc.greater(logit, pa.scalar(0, type=i64)),
+        })
