@@ -562,10 +562,22 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
     pending_warc: list = []
     n_shards = len(shards)
 
+    # rounds already on disk when THIS run starts are stale (an
+    # unfinished prior run) and safe to clear on resubmission; a round
+    # dir that appears DURING the run belongs to our own in-flight
+    # writers — deleting it mid-write was a crash under back-to-back
+    # bench runs (an orphaned writer re-created a cleared dir, and the
+    # "unfinished round" rmtree then raced a live writer's open)
+    stale_rounds = {name for name in
+                    (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+                    if name.startswith("round=")}
+
     def _submit_work(t_sub: int, split_refs_sub):
-        rd_dir = os.path.join(out_dir, f"round={t_sub:05d}")
-        if os.path.isdir(rd_dir):            # rerun of an unfinished round
-            shutil.rmtree(rd_dir)
+        rd_name = f"round={t_sub:05d}"
+        rd_dir = os.path.join(out_dir, rd_name)
+        if rd_name in stale_rounds:          # rerun of an unfinished round
+            stale_rounds.discard(rd_name)
+            shutil.rmtree(rd_dir, ignore_errors=True)
         return [
             workers[w].process_round_refs.remote(
                 t_sub, [split_refs_sub[si][w + 1] for si in range(n_shards)],
@@ -600,7 +612,11 @@ def run_crawl(corpus_dir: str, out_dir: str, *,
         per_worker = [sum(c[w] for c in counts_per_shard)
                       for w in range(n_workers)]
         if sum(per_worker) == 0:
-            ray.get(refs)                     # drain the no-op calls
+            # drain the no-op calls AND any write tasks they dispatched
+            # — discarding warc_refs here orphaned writers that could
+            # outlive the run and collide with a later run's cleanup
+            for c in ray.get(refs):
+                pending_warc.extend(c["warc_refs"])
             if not any(ray.get([s.has_pending.remote() for s in shards])):
                 break
             nexts = [x for x in ray.get([s.earliest_allowed.remote(t) for s in shards])
