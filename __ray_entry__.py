@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_split_assign": tr.split_assign,
         "q36_repetition": tr.repetition_stats,
         "q37_stratified_sample": tr.stratified_sample,
+        "q63_weighted_sample": tr.weighted_sample,
         "q38_ngram_counts": tr.ngram_counts,
         "q39_bottomk_distinct": tr.bottomk_distinct,
         # multimodal (stubbed codec, real plumbing)
@@ -1167,6 +1168,47 @@ def oracle_sql() -> dict[str, str]:
                    ((len(g) - len(list_distinct(g))) * 1000000
                         // GREATEST(len(g), 1)) >= 200000 AS is_repetitive
             FROM tri ORDER BY doc_id""",
+        # q63: Efraimidis–Spirakis weighted sample — the same splitmix64
+        # chain as q37, then the float key -ln((x+0.5)/2^64)/w computed
+        # with the IDENTICAL IEEE ops (uint64→double rounding, libm ln)
+        # as numpy, so the sample is value-exact
+        "q63_weighted_sample": """
+            WITH s0 AS (
+              SELECT doc_id, n_chars,
+                     (CAST(doc_id AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS x
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, n_chars, xor(x, x >> 30) AS x FROM s0
+            ), m1 AS (
+              SELECT doc_id, n_chars,
+                ( (x % 4294967296) * 13787848793156543929
+                  + (((x // 4294967296) * 13787848793156543929)
+                     % 4294967296) * 4294967296
+                ) % 18446744073709551616 AS x
+              FROM s1
+            ), s2 AS (
+              SELECT doc_id, n_chars, xor(x, x >> 27) AS x FROM m1
+            ), m2 AS (
+              SELECT doc_id, n_chars,
+                ( (x % 4294967296) * 10723151780598845931
+                  + (((x // 4294967296) * 10723151780598845931)
+                     % 4294967296) * 4294967296
+                ) % 18446744073709551616 AS x
+              FROM s2
+            ), s3 AS (
+              SELECT doc_id, n_chars, xor(x, x >> 31) AS x FROM m2
+            ), ky AS (
+              SELECT doc_id, n_chars,
+                     -ln((CAST(x AS DOUBLE) + 0.5)
+                         / 18446744073709551616.0)
+                       / GREATEST(n_chars, 1) AS ky
+              FROM s3
+            )
+            SELECT doc_id, n_chars,
+                   CAST(ROW_NUMBER() OVER (ORDER BY ky, doc_id)
+                        AS BIGINT) AS rank
+            FROM ky ORDER BY ky, doc_id LIMIT 20""",
         "q37_stratified_sample": """
             WITH s0 AS (
               SELECT doc_id, lang,

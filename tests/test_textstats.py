@@ -67,3 +67,37 @@ def test_quality_model_discriminative_on_corpus():
     keep = QualityModel()(t)["is_keep"].to_numpy(zero_copy_only=False)
     rate = keep.mean()
     assert 0.2 < rate < 0.8, rate
+
+
+def test_weighted_sample_laws(ray_session, tmp_path):
+    """q63 Efraimidis–Spirakis sample: matches a pure-python reference,
+    is invariant to block partitioning, and a dominant weight wins."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from warc_ray.pipelines.training import _splitmix64, weighted_sample
+
+    ids = np.arange(1, 401, dtype=np.int64)
+    w = np.ones(len(ids), dtype=np.int64) * 10
+    w[ids == 77] = 10_000_000          # dominant weight
+    tab = pa.table({"doc_id": pa.array(ids),
+                    "text": ["x"] * len(ids),
+                    "lang": ["en"] * len(ids),
+                    "source": ["s"] * len(ids),
+                    "n_chars": pa.array(w)})
+    pq.write_table(tab, os.path.join(tmp_path, "documents.parquet"))
+
+    got = weighted_sample(str(tmp_path)).to_pandas()
+
+    h = _splitmix64(ids)
+    u = (h.astype(np.float64) + 0.5) / 2.0**64
+    ky = -np.log(u) / np.maximum(w, 1)
+    order = np.lexsort((ids, ky))[:20]
+    assert got.doc_id.tolist() == ids[order].tolist()
+    assert got["rank"].tolist() == list(range(1, 21))
+    # dominance: the 10^6x weight makes this key ~10^6x smaller
+    assert got.doc_id.iloc[0] == 77
+
+    got2 = weighted_sample(str(tmp_path)).to_pandas()
+    assert got.values.tolist() == got2.values.tolist()

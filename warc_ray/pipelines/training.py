@@ -842,6 +842,48 @@ def stratified_sample(sf_dir: str, k: int = 20):
         .sort(["lang", "rank"])
 
 
+def weighted_sample(sf_dir: str, k: int = 20):
+    """q63: Efraimidis–Spirakis weighted sample without replacement —
+    key_i = -ln(u_i)/w_i with u_i = (splitmix64(doc_id)+0.5)/2^64 and
+    w_i = n_chars, smallest-k keys win: inclusion probability tracks
+    the weight, and the pick is a pure function of ids + weights
+    (stable under appends, cluster size, row order).  Both engines
+    compute the IDENTICAL IEEE-double key (same uint64→double
+    rounding, same libm ln), so the DuckDB oracle is value-exact —
+    the weighted complement to q37's uniform stratified sample.
+
+    Scale shape: per-batch partial top-k (≤k rows survive any batch)
+    → one tiny final cut; the shuffle never carries the corpus."""
+
+    def topk(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[
+            ("ky", "ascending"), ("doc_id", "ascending")])
+        return t.take(order.slice(0, k))
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _splitmix64(b["doc_id"].to_numpy(zero_copy_only=False))
+        w = np.maximum(b["n_chars"].to_numpy(zero_copy_only=False), 1)
+        u = (h.astype(np.float64) + 0.5) / 18446744073709551616.0
+        ky = -np.log(u) / w
+        t = pa.table({"doc_id": b["doc_id"], "n_chars": b["n_chars"],
+                      "ky": pa.array(ky)})
+        t = topk(t)
+        return t.append_column(
+            "part", pa.array(np.zeros(t.num_rows, dtype=np.int32)))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = topk(g)
+        return t.drop_columns(["ky"]).append_column(
+            "rank", pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)))
+
+    return _docs(sf_dir, columns=["doc_id", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda g: final(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .sort("rank")
+
+
 def ngram_counts(sf_dir: str, topn: int = 50, npart: int = 32):
     """Corpus-wide word-trigram counts, top-n by frequency — the LM
     n-gram statistics pass.  Per-batch trigram expansion + local
