@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q09_asof_join": rel.asof_prior_event,
         "q14_grouped_topk": rel.grouped_topk_events,
         "q15_event_quantiles": rel.event_quantiles,
+        "q64_quantile_sketch": rel.event_quantile_sketch,
         "q16_doc_sample": rel.sample_documents,
         "q17_range_join": rel.range_join_views,
         "q18_anti_join": rel.customers_without_orders,

@@ -214,3 +214,57 @@ def test_cms_freq_dataset(ray_session):
                    for i in range(len(out)))
         outs.append(out)
     assert outs[0].values.tolist() == outs[1].values.tolist()
+
+
+def test_kll_accuracy_merge_roundtrip():
+    """KLL sketch laws: bounded rank error, deterministic merge ==
+    deterministic single-pass at fixed chunking, serialization
+    round-trips bit-exactly."""
+    from warc_ray.stages.sketch import KLLSketch
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.normal(size=60_000),
+                        rng.exponential(5.0, size=40_000)])
+    s = KLLSketch()
+    s.add_many(x)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = s.quantile(q)
+        assert abs((x <= est).mean() - q) < 0.02, q
+    # merge in part order == the part-wise construction, reproducibly
+    a, b = KLLSketch(), KLLSketch()
+    a.add_many(x[:50_000])
+    b.add_many(x[50_000:])
+    m1 = a.merge(b)
+    a2, b2 = KLLSketch(), KLLSketch()
+    a2.add_many(x[:50_000])
+    b2.add_many(x[50_000:])
+    m2 = a2.merge(b2)
+    assert m1.to_bytes() == m2.to_bytes()
+    r = KLLSketch.from_bytes(m1.to_bytes())
+    assert r.to_bytes() == m1.to_bytes()
+    assert abs((x <= m1.quantile(0.5)).mean() - 0.5) < 0.02
+    # bounded memory: retained values << n
+    assert sum(len(lv) for lv in m1.levels) < 40 * 256
+
+
+def test_event_quantile_sketch_pipeline(ray_session):
+    """q64: per-type sketch percentiles are deterministic across runs
+    and within rank-error 2% of the exact per-type order statistics."""
+    import pyarrow.parquet as pq_
+
+    from warc_ray.pipelines.relational import event_quantile_sketch
+
+    sf = "/root/testdata/sf0.001"
+    got = event_quantile_sketch(sf).to_pandas()
+    got2 = event_quantile_sketch(sf).to_pandas()
+    assert got.values.tolist() == got2.values.tolist()
+
+    ev = pq_.read_table(sf + "/events.parquet",
+                        columns=["event_type", "value"]).to_pandas()
+    for _, row in got.iterrows():
+        vals = ev[ev.event_type == row.event_type].value.to_numpy()
+        for q, col in ((0.5, "p50_milli"), (0.9, "p90_milli"),
+                       (0.99, "p99_milli")):
+            est = row[col] / 1000.0
+            rank_err = abs((vals <= est).mean() - q)
+            assert rank_err < 0.02 + 1.0 / len(vals), (row.event_type, q)

@@ -448,6 +448,80 @@ def grouped_topk_events(sf_dir: str, k: int = 3):
         .sort(["user_id", "rank"])
 
 
+def event_quantile_sketch(sf_dir: str, nparts: int = 16):
+    """q64: approximate per-type percentiles from a mergeable KLL-style
+    quantile sketch (stages/sketch.KLLSketch) — the bounded-memory
+    scale path complementing q15's exact value-histogram exchange:
+    the histogram is only bounded for DISCRETIZED values, while the
+    compactor sketch retains O(k log n) values per (part, type) no
+    matter the value distribution.
+
+    Determinism discipline: the deterministic-compaction sketch is
+    order-SENSITIVE, so parts are explicit row RANGES (parquet
+    metadata only, q33's prefix-sum discipline) and the driver merges
+    the tiny partials in part order — bit-reproducible across runs and
+    cluster sizes, unlike a fold over Ray's arrival-ordered blocks.
+    Rows-only for the oracle (approximate by design); rank error vs
+    the exact order statistics is pytest-pinned."""
+    from ..stages.sketch import KLLSketch
+
+    path = _pq(sf_dir, "events")
+    meta = pq.read_metadata(path)
+    rg_rows = [meta.row_group(i).num_rows for i in range(meta.num_row_groups)]
+    offs = np.concatenate([[0], np.cumsum(rg_rows)]).astype(np.int64)
+    n = int(offs[-1])
+    nparts = max(1, min(nparts, n // 1024 or 1))
+    desc = pa.table({
+        "part": pa.array(range(nparts), type=pa.int32()),
+        "lo": pa.array([p * n // nparts for p in range(nparts)],
+                       type=pa.int64()),
+        "hi": pa.array([(p + 1) * n // nparts for p in range(nparts)],
+                       type=pa.int64()),
+    })
+
+    def sketch_part(b: pa.Table) -> pa.Table:
+        pf = pq.ParquetFile(path)
+        out_part, out_type, out_blob = [], [], []
+        for part, lo, hi in zip(b["part"].to_pylist(), b["lo"].to_pylist(),
+                                b["hi"].to_pylist()):
+            rgs = [i for i in range(len(rg_rows))
+                   if offs[i + 1] > lo and offs[i] < hi]
+            t = pf.read_row_groups(rgs, columns=["event_type", "value"])
+            base = int(offs[rgs[0]])
+            t = t.slice(lo - base, hi - lo)
+            codes = t["event_type"].combine_chunks().dictionary_encode()
+            gid = codes.indices.to_numpy(zero_copy_only=False)
+            vals = t["value"].to_numpy(zero_copy_only=False)
+            for g, name in enumerate(codes.dictionary.to_pylist()):
+                s = KLLSketch()
+                s.add_many(vals[gid == g])      # row order preserved
+                out_part.append(part)
+                out_type.append(name)
+                out_blob.append(s.to_bytes())
+        return pa.table({"part": pa.array(out_part, type=pa.int32()),
+                         "event_type": pa.array(out_type, type=pa.string()),
+                         "blob": pa.array(out_blob, type=pa.binary())})
+
+    rows = rd.from_arrow(desc) \
+        .map_batches(sketch_part, batch_format="pyarrow", batch_size=1) \
+        .take_all()                     # tiny: nparts x types sketch blobs
+    by_type: dict = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["part"])):
+        s = KLLSketch.from_bytes(r["blob"])
+        if r["event_type"] in by_type:
+            by_type[r["event_type"]].merge(s)
+        else:
+            by_type[r["event_type"]] = s
+    types = sorted(by_type)
+    cols = {"event_type": pa.array(types, type=pa.string())}
+    for q, name in ((0.5, "p50_milli"), (0.9, "p90_milli"),
+                    (0.99, "p99_milli")):
+        cols[name] = pa.array(
+            [int(np.floor(by_type[t].quantile(q) * 1000 + 0.5))
+             for t in types], type=pa.int64())
+    return pa.table(cols)
+
+
 def event_quantiles(sf_dir: str):
     """Exact distributed quantiles (p50/p90/p99 of integer-milli value)
     per event type via a value-histogram exchange.

@@ -413,3 +413,115 @@ def cms_freq(ds, key_col: str, probe_mod: int = 97,
         emitted.map_batches(probe_est, batch_format="pyarrow"),
         key_col, [(est_name, "min")], names=[key_col, est_name]) \
         .sort(key_col)
+
+
+# ---------------------------------------------------------------------------
+# KLL-style quantile sketch (bounded-memory distributed percentiles)
+# ---------------------------------------------------------------------------
+#
+# The quantile complement to HLL/CMS: q15's exact path ships the full
+# value HISTOGRAM, which is only bounded when values are discretized;
+# for continuous high-cardinality values the mergeable compactor
+# sketch (Karnin, Lang & Liberty 2016) keeps O(k log n) values total.
+# This implementation uses uniform level capacity k and DETERMINISTIC
+# alternating compaction (a per-level flip-flop offset instead of a
+# coin), trading the paper's randomized guarantee for bit-reproducible
+# results; rank error stays ~O(log(n/k)/k) empirically and is pinned
+# by pytest against the exact q15 order statistics.  Merging is
+# levelwise concatenation + the same compaction sweep — associative
+# but NOT order-independent, so distributed use runs partials over
+# deterministic RANGE parts and merges in part order (the q33
+# prefix-sum discipline, not the HLL any-order fold).
+
+KLL_K = 256
+
+
+class KLLSketch:
+    __slots__ = ("k", "levels", "flip", "n")
+
+    def __init__(self, k: int = KLL_K):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.flip: list[int] = [0]
+        self.n = 0
+
+    def _compact_sweep(self) -> None:
+        j = 0
+        while j < len(self.levels):
+            if len(self.levels[j]) >= self.k:
+                a = np.sort(self.levels[j], kind="stable")
+                off = self.flip[j]
+                self.flip[j] ^= 1
+                promoted = a[off::2]
+                self.levels[j] = np.empty(0, dtype=np.float64)
+                if j + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=np.float64))
+                    self.flip.append(0)
+                self.levels[j + 1] = np.concatenate(
+                    [self.levels[j + 1], promoted])
+            j += 1
+
+    def add_many(self, vals: np.ndarray) -> None:
+        """Absorb a chunk IN ORDER (chunk order is part of the
+        deterministic contract)."""
+        vals = np.asarray(vals, dtype=np.float64)
+        self.n += len(vals)
+        for lo in range(0, len(vals), self.k):
+            self.levels[0] = np.concatenate(
+                [self.levels[0], vals[lo:lo + self.k]])
+            self._compact_sweep()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        """self ⊕ other (in this order — order is part of determinism)."""
+        self.n += other.n
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+            self.flip.append(0)
+        for j, lv in enumerate(other.levels):
+            self.levels[j] = np.concatenate([self.levels[j], lv])
+        self._compact_sweep()
+        return self
+
+    def quantile(self, q: float) -> float:
+        """Approximate order statistic: the retained value whose
+        weighted cumulative rank first reaches ceil(q*n) (weight of a
+        level-j survivor is 2^j)."""
+        vals = np.concatenate(self.levels)
+        if len(vals) == 0:
+            return float("nan")
+        wts = np.concatenate([
+            np.full(len(lv), 1 << j, dtype=np.int64)
+            for j, lv in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        v, w = vals[order], wts[order]
+        target = max(1, int(np.ceil(q * self.n)))
+        idx = int(np.searchsorted(np.cumsum(w), target))
+        return float(v[min(idx, len(v) - 1)])
+
+    # -- serialization (partial rows through the object store) --------
+    def to_bytes(self) -> bytes:
+        import struct
+
+        parts = [struct.pack("<qqq", self.n, self.k, len(self.levels))]
+        for lv, fl in zip(self.levels, self.flip):
+            parts.append(struct.pack("<qq", len(lv), fl))
+            parts.append(np.ascontiguousarray(lv).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "KLLSketch":
+        import struct
+
+        n, k, nlev = struct.unpack_from("<qqq", raw, 0)
+        off = 24
+        s = cls(k)
+        s.n = n
+        s.levels, s.flip = [], []
+        for _ in range(nlev):
+            ln, fl = struct.unpack_from("<qq", raw, off)
+            off += 16
+            s.levels.append(np.frombuffer(
+                raw, dtype=np.float64, count=ln, offset=off).copy())
+            s.flip.append(fl)
+            off += 8 * ln
+        return s
