@@ -749,3 +749,21 @@ def test_semdedup_laws(ray_session):
                    if not (a in kset and b in kset))
     assert resolved / len(exact_pairs) >= 0.8, \
         (resolved, len(exact_pairs))
+
+
+def test_minhash_prune_docs_parity(ray_session):
+    """The Bloom-pruned attach path (the cluster-scale shape) returns
+    the identical verified pair set as the streaming default."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    base = dd.minhash_dedup_pairs(docs, threshold_ppm=500_000) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    docs2 = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                            columns=["doc_id", "text"])
+    pruned = dd.minhash_dedup_pairs(docs2, threshold_ppm=500_000,
+                                    prune_docs=True) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert base.values.tolist() == pruned.values.tolist()
+    assert len(base) > 0

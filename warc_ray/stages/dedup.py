@@ -658,7 +658,8 @@ def attach_docs(pairs_ds, docs_ds, key_col: str, other_col: str,
 def minhash_dedup_pairs(docs_ds, docs_parquet: str | None = None, *,
                         threshold_ppm: int = 700_000,
                         bands: int = 32, rows: int = 2,
-                        verify: str = "join", num_partitions: int = 16):
+                        verify: str = "join", num_partitions: int = 16,
+                        prune_docs: bool = False):
     """Full MinHash-LSH pipeline → verified near-dup pairs Dataset.
 
     shingle→minhash→band (map_batches) → bucket groupby (shuffle on
@@ -696,6 +697,44 @@ def minhash_dedup_pairs(docs_ds, docs_parquet: str | None = None, *,
             VerifyJaccard, fn_constructor_args=(docs_parquet, threshold_ppm),
             batch_format="pyarrow", concurrency=(1, 2))
     docs = docs_ds.select_columns(["doc_id", "text"])
+    if prune_docs:
+        # Bloom-prune the doc side BEFORE the verify exchanges (the
+        # q19 sideways-information-passing shape): candidate pairs are
+        # orders of magnitude fewer than corpus rows, so the attach
+        # exchanges ship 2 x corpus bytes to serve them; the
+        # candidate-id Bloom (fixed 128 KiB, per-batch OR-fold) cuts
+        # that to ~candidate bytes at the price of ONE extra columnar
+        # corpus scan and a barrier on the candidate set.  Measured
+        # crossover: at sf0.1 (430 MB corpus, 32 local CPUs) the
+        # streaming-overlap default wins (12.1 s vs 15.7 s — the
+        # barrier + rescan cost more than the shipping it saves); at
+        # cluster scale, where corpus bytes dwarf both, the pruned
+        # shape is the right one.  A Bloom false positive only ships
+        # one harmless extra doc row — results identical either way
+        # (pytest-pinned).
+        import ray
+
+        from .sketch import BLOOM_BITS, bloom_contains, bloom_partial
+
+        cand = cand.materialize()    # candidate pairs only — tiny
+        acc = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
+        for bt in cand.iter_batches(batch_format="pyarrow"):
+            ids = np.concatenate(
+                [bt["doc_a"].to_numpy(zero_copy_only=False),
+                 bt["doc_b"].to_numpy(zero_copy_only=False)])
+            acc |= bloom_partial(ids)
+        bloom_ref = ray.put(acc)
+
+        def prune(b: pa.Table) -> pa.Table:
+            hit = bloom_contains(np.asarray(ray.get(bloom_ref)),
+                                 b["doc_id"].to_numpy(zero_copy_only=False))
+            return b.filter(pa.array(hit))
+
+        # the pruned (candidate-only) doc slice is materialized so j1
+        # and j2 share one corpus scan; its size tracks candidate
+        # count, not the corpus
+        docs = docs.map_batches(prune, batch_format="pyarrow") \
+            .materialize()
     # exchange 1: key=doc_a picks up text_a AND dedups candidate pairs
     # in the same bucket pass (duplicates of a pair co-locate by
     # doc_a-hash); output (key=doc_a, other=doc_b, text_a).
