@@ -282,13 +282,52 @@ def _ensure_archive(sf_dir: str) -> str:
     out = os.path.join(_CRAWL_OUT, f"warc-{prof.name}")
     done = out + ".DONE"   # outside the dir — the WARC reader scans ALL files
     stamp = json.dumps(dict(asdict(prof), gen=corpus_mod.GEN_VERSION,
-                        fmt=2))  # fmt: archive record layout version
+                        fmt=3))  # fmt: archive record layout version
     if not (os.path.exists(done) and open(done).read() == stamp):
         shutil.rmtree(out, ignore_errors=True)
-        archive_corpus(corpus_mod.docs_path(cdir), out).materialize()
+        shutil.rmtree(out + "-cdx", ignore_errors=True)
+        # persist the CDX offset index next to the shards (its own dir
+        # — the WARC reader scans every file under `out`); q65 replays
+        # records through it by compressed offset
+        archive_corpus(corpus_mod.docs_path(cdir), out) \
+            .write_parquet(out + "-cdx")
         with open(done, "w") as f:
             f.write(stamp)
     return out
+
+
+def _cdx_lookup_q(sf_dir: str):
+    """Distributed random-access record replay through the CDX offset
+    index — the read side of reference op #10 (``browse()``/``tell()``
+    compressed offsets, warc/warc.py:284-313): a deterministic md5
+    sample of CDX rows fans out to readers that SEEK each shard at the
+    recorded offset, gunzip exactly one member (the member-per-record
+    write invariant makes any record independently decodable), parse
+    it, and verify the payload digest.  No shard is scanned — bytes
+    read = sum of sampled record lengths.  Oracle is expected-value in
+    the q53 style: the same sample straight off the CDX parquet with
+    digest_ok asserted TRUE, so any seek/frame/parse/digest defect
+    hash-mismatches."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from warc_ray.pipelines.archive import cdx_replay_batch
+    from warc_ray.stages.sketch import md5_prefix64
+
+    out = _ensure_archive(sf_dir)
+    cdx = rd.read_parquet(out + "-cdx")
+
+    def sample(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.not_equal(b["rec_type"], "warcinfo"))
+        h = md5_prefix64(b["record_id"].to_pylist())
+        return b.filter(pa.array(h % np.uint64(97) == 0))
+
+    return cdx.map_batches(sample, batch_format="pyarrow") \
+        .map_batches(cdx_replay_batch, batch_format="pyarrow") \
+        .sort("record_id")
 
 
 def _verify_spans_q(sf_dir: str):
@@ -498,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_seen_dedup": _seen_dedup_q,
         "q52_crawl_frontier": _crawl_q,
         "q53_warc_roundtrip": _warc_roundtrip_q,
+        "q65_cdx_lookup": _cdx_lookup_q,
         # reports (G17) + metrics (G15) over the crawl fetch log
         "q54_hottest_hosts": _hottest_hosts_q,
         "q55_crawl_metrics": _crawl_metrics_q,
@@ -562,6 +602,8 @@ def oracle_sql() -> dict[str, str]:
     # oracles (q52/q54/q55): distributed crawl == plain SQL over the
     # simulator's log is the BASELINE.json crawl-order parity invariant
     sim_log = _ensure_sim_log("t2")
+    # q65's CDX parquet (persisted by _ensure_archive beside the shards)
+    warc_cdx = _ensure_archive("/root/testdata/sf0.01") + "-cdx"
 
     spans_src = (
         "SELECT doc_id, UNNEST(spans) AS s FROM read_parquet('%s')" % docs_glob
@@ -1488,6 +1530,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.rec_type, n.c AS n_records, n.c AS n_digest_ok
             FROM (VALUES ('metadata'), ('response')) t(rec_type), n
             ORDER BY t.rec_type""",
+        # q65: expected-value in the q53 style — the same md5 1/97
+        # sample straight off the persisted CDX parquet, digest_ok
+        # asserted TRUE; any seek / gzip-member-framing / parse /
+        # digest defect in the Ray replay hash-mismatches
+        "q65_cdx_lookup": f"""
+            SELECT record_id, target_uri, rec_type, length,
+                   CAST(1 AS BOOLEAN) AS digest_ok
+            FROM read_parquet('{warc_cdx}/*.parquet')
+            WHERE rec_type <> 'warcinfo'
+              AND {_MD5H.format(col='record_id')} % 97 = 0
+            ORDER BY record_id""",
         # expected-value oracle: reconstruct the ARC roundtrip's byte
         # totals from first principles — seed URL → doc index (inverting
         # the RFC-3986 variants the seed table plants), doc spans →

@@ -36,3 +36,45 @@ def archive_corpus(corpus_docs_path: str, out_dir: str, **kwargs) -> "rd.Dataset
     from .. import io as wio
 
     return archive_docs(wio.read_docs(corpus_docs_path), out_dir, **kwargs)
+
+
+def cdx_replay_batch(b: "pa.Table") -> "pa.Table":
+    """Replay a batch of CDX rows by compressed offset: seek each shard
+    at ``offset``, gunzip exactly one member (record-per-member makes
+    any record independently decodable — reference warc/warc.py:269-272
+    invariant), parse, and verify the payload digest.  Rows are served
+    shard-grouped/offset-sorted so a shard is opened once per batch.
+    Used by q65 (__ray_entry__._cdx_lookup_q) and the corruption test."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..core.gzipm import decompress_members
+    from ..core.warcrec import parse_record_bytes, sha1_digest
+
+    order = pa.compute.sort_indices(
+        b, sort_keys=[("shard", "ascending"), ("offset", "ascending")])
+    b = b.take(order)
+    ok = np.zeros(b.num_rows, dtype=bool)
+    fh, cur = None, None
+    for i, (sh, off, ln, dig) in enumerate(zip(
+            b["shard"].to_pylist(), b["offset"].to_pylist(),
+            b["length"].to_pylist(), b["payload_digest"].to_pylist())):
+        if sh != cur:
+            if fh is not None:
+                fh.close()
+            fh, cur = open(sh, "rb"), sh
+        fh.seek(off)
+        rec = parse_record_bytes(decompress_members(fh.read(ln)))
+        payload = rec.payload if isinstance(rec.payload, bytes) \
+            else rec.payload.read()
+        ok[i] = (sha1_digest(payload) == dig
+                 and rec.header.get("warc-payload-digest", dig) == dig)
+    if fh is not None:
+        fh.close()
+    return pa.table({
+        "record_id": b["record_id"],
+        "target_uri": b["target_uri"],
+        "rec_type": b["rec_type"],
+        "length": b["length"],
+        "digest_ok": pa.array(ok),
+    })
