@@ -469,6 +469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / wide operators (G11/G15/G17 patterns)
         "q01_agg_lineitem": rel.agg_lineitem,
+        "q66_rollup_lineitem": rel.rollup_lineitem,
+        "q67_moving_average": rel.moving_average,
         "q02_revenue_by_nation": rel.revenue_by_nation,
         "q03_topk_events": rel.topk_events,
         "q04_events_by_type": rel.events_by_type,
@@ -652,6 +654,29 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
+        # q67: trailing 3-row window per user, (ts, event_id) order;
+        # milli values + floor division on non-negative sums
+        "q67_moving_average": """
+            SELECT user_id, event_id,
+                   CAST(FLOOR(value*1000) AS BIGINT) AS value_milli,
+                   SUM(CAST(FLOOR(value*1000) AS BIGINT)) OVER w
+                     // COUNT(*) OVER w AS ma_milli
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id""",
+        # q66: ROLLUP with NULL subtotal keys coalesced to 'ALL' so
+        # the ordering is engine-independent
+        "q66_rollup_lineitem": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_rev_c2,
+                   COUNT(*) AS n_rows
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY 1, 2""",
         "q02_revenue_by_nation": """
             SELECT n.n_name,
                    CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,

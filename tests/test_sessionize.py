@@ -1,7 +1,9 @@
 """Sessionize combine kernel edge cases (the q08 streaming window)."""
 
+import numpy as np
 import pyarrow as pa
 
+SF = "/root/testdata/sf0.001"
 
 MIN = 60_000_000  # one minute in us
 
@@ -85,3 +87,28 @@ def test_asof_prior_event_edges(ray_session, tmp_path):
     assert out.loc[4].prior_ts == ptс(base + 10)
     assert out.loc[5].prior_ts is pd.NaT
     assert out.loc[6].prior_ts is pd.NaT
+
+
+def test_moving_average_edges_and_npart_invariance(ray_session):
+    """q67: warm-up rows average over the shorter prefix window, values
+    are exact integer milli math, and bucket count doesn't change
+    results (per-user windows are bucket-local)."""
+    from warc_ray.pipelines.relational import moving_average
+
+    a = moving_average(SF, npart=32).to_pandas()
+    b = moving_average(SF, npart=5).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    # per-user reference check on the first few users
+    import pyarrow.parquet as pq_
+
+    ev = pq_.read_table(SF + "/events.parquet",
+                        columns=["user_id", "event_id", "ts", "value"]) \
+        .to_pandas().sort_values(["user_id", "ts", "event_id"])
+    ev["vm"] = np.floor(ev.value * 1000).astype(np.int64)
+    for uid in sorted(ev.user_id.unique())[:5]:
+        sub = ev[ev.user_id == uid].reset_index(drop=True)
+        want = [int(sub.vm[max(0, i - 2):i + 1].sum()
+                    // min(i + 1, 3)) for i in range(len(sub))]
+        got = a[a.user_id == uid].sort_values("event_id")
+        got = got.set_index("event_id").loc[sub.event_id].ma_milli.tolist()
+        assert got == want, uid

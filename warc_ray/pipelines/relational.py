@@ -83,6 +83,49 @@ def agg_lineitem(sf_dir: str):
     return out.sort(["l_returnflag", "l_linestatus"])
 
 
+def rollup_lineitem(sf_dir: str):
+    """q66: ROLLUP aggregation — the q01 pricing summary with subtotal
+    rows at every prefix level: (flag, status), (flag, ALL) and
+    (ALL, ALL), NULLs encoded as the literal 'ALL' so ordering is
+    engine-independent.
+
+    Scale shape: every coarser level is derivable from the FINEST
+    level's partials, so only (flag, status) partial rows ever move —
+    one tiny groupby reduces them exactly (q01's shuffle), and the
+    rollup expansion is driver-side arithmetic over the handful of
+    reduced rows (groups × levels, never the fact table)."""
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_shipdate"])
+    fine = ds.map_batches(_q1_partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_rev_c2", alias_name="sum_rev_c2"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    t = pa.concat_tables(fine.iter_batches(batch_format="pyarrow"))
+    flags = t["l_returnflag"].to_pylist()
+    stats = t["l_linestatus"].to_pylist()
+    q = np.asarray(t["sum_qty"].to_pylist(), dtype=np.int64)
+    r = np.asarray(t["sum_rev_c2"].to_pylist(), dtype=np.int64)
+    n = np.asarray(t["n_rows"].to_pylist(), dtype=np.int64)
+    rows = [(f, s, int(qq), int(rr), int(nn))
+            for f, s, qq, rr, nn in zip(flags, stats, q, r, n)]
+    for f in sorted(set(flags)):
+        m = np.array([x == f for x in flags])
+        rows.append((f, "ALL", int(q[m].sum()), int(r[m].sum()),
+                     int(n[m].sum())))
+    rows.append(("ALL", "ALL", int(q.sum()), int(r.sum()), int(n.sum())))
+    rows.sort()
+    return pa.table({
+        "l_returnflag": pa.array([x[0] for x in rows], type=pa.string()),
+        "l_linestatus": pa.array([x[1] for x in rows], type=pa.string()),
+        "sum_qty": pa.array([x[2] for x in rows], type=pa.int64()),
+        "sum_rev_c2": pa.array([x[3] for x in rows], type=pa.int64()),
+        "n_rows": pa.array([x[4] for x in rows], type=pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Q: revenue by nation (broadcast dimension join + partial agg)
 # ---------------------------------------------------------------------------
@@ -253,6 +296,65 @@ def user_event_stats(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("part").map_groups(combine, batch_format="pyarrow") \
         .sort("user_id")
+
+
+def moving_average(sf_dir: str, window: int = 3, npart: int = 32):
+    """q67: per-user trailing moving average (ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW) over the event stream ordered by
+    (ts, event_id) — the LAG-family window op complementing q08's gap
+    sessionization on the same bucket fabric.
+
+    One bucket exchange co-locates each user's events; per bucket ONE
+    vectorized pass: lexsort, per-user prefix sums, window sums as two
+    cumsum gathers.  Integer milli values with floor division on
+    non-negative sums keep the DuckDB oracle value-exact."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(b["value"], 1000.0)), pa.int64())
+        part = (b["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return pa.table({"user_id": b["user_id"], "event_id": b["event_id"],
+                         "ts": b["ts"], "value_milli": v,
+                         "part": pa.array(part)})
+
+    def combine(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g["value_milli"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u_s, e_s, v_s = u[order], e[order], v[order]
+        n = len(u_s)
+        if n == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "event_id": pa.array([], type=pa.int64()),
+                             "value_milli": pa.array([], type=pa.int64()),
+                             "ma_milli": pa.array([], type=pa.int64())})
+        new_u = np.empty(n, dtype=bool)
+        new_u[0] = True
+        np.not_equal(u_s[1:], u_s[:-1], out=new_u[1:])
+        starts = np.flatnonzero(new_u)
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        pos = np.arange(n) - seg_start            # rank within user
+        w = np.minimum(pos + 1, window)
+        cum = np.concatenate(([0], np.cumsum(v_s)))
+        wsum = cum[np.arange(1, n + 1)] - cum[np.arange(1, n + 1) - w]
+        ma = wsum // w                            # non-negative: floor==trunc
+        return pa.table({
+            "user_id": pa.array(u_s.astype(np.int64)),
+            "event_id": pa.array(e_s.astype(np.int64)),
+            "value_milli": pa.array(v_s.astype(np.int64)),
+            "ma_milli": pa.array(ma.astype(np.int64)),
+        })
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_id", "ts", "value"])
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda g: combine(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .sort(["user_id", "event_id"])
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):
