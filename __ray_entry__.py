@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q01_agg_lineitem": rel.agg_lineitem,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
+        "q68_segment_order_stats": rel.segment_order_stats,
         "q02_revenue_by_nation": rel.revenue_by_nation,
         "q03_topk_events": rel.topk_events,
         "q04_events_by_type": rel.events_by_type,
@@ -654,6 +655,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""",
+        # q68: the general shuffle-join path (q02 covers the same
+        # tables via broadcast dims)
+        "q68_segment_order_stats": """
+            SELECT c.c_mktsegment,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
         # q67: trailing 3-row window per user, (ts, event_id) order;
         # milli values + floor division on non-negative sums
         "q67_moving_average": """

@@ -68,3 +68,48 @@ def test_with_part_rejects_nothing_and_is_int32():
     assert out.num_rows == t.num_rows
     assert out["part"].type == pa.int32()
     assert set(out["part"].to_pylist()) <= set(range(4))
+
+
+def test_hash_join_vs_duckdb(ray_session):
+    """Generic bucket-exchange join: inner and left-outer results match
+    DuckDB joins on the same parquet inputs (including unmatched left
+    rows and the suffix on clashing right columns)."""
+    import duckdb
+    import ray.data as rd
+
+    from warc_ray.stages.exchange import hash_join
+
+    sf = "/root/testdata/sf0.001"
+    orders = rd.read_parquet(sf + "/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = rd.read_parquet(sf + "/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["o_custkey", "c_mktsegment"]), batch_format="pyarrow")
+
+    got = hash_join(orders, cust, "o_custkey", how="inner") \
+        .to_pandas().sort_values(["o_orderkey"]).reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, c.c_mktsegment
+        FROM read_parquet('{sf}/orders.parquet') o
+        JOIN read_parquet('{sf}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_orderkey""").df()
+    assert len(got) == len(want)
+    assert got.o_orderkey.tolist() == want.o_orderkey.tolist()
+    assert got.c_mktsegment.tolist() == want.c_mktsegment.tolist()
+
+    # left outer: synthetic right side missing most keys
+    import pyarrow as pa
+
+    small = rd.from_arrow(pa.table({
+        "o_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "tag": pa.array(["a", "b", "c"])}))
+    lo = hash_join(orders, small, "o_custkey", how="left outer") \
+        .to_pandas()
+    assert len(lo) == orders.count()
+    matched = lo[lo.o_custkey.isin([1, 2, 3])]
+    assert len(matched) > 0 and matched.tag.notna().all()
+    assert lo[~lo.o_custkey.isin([1, 2, 3])].tag.isna().all()

@@ -83,6 +83,37 @@ def agg_lineitem(sf_dir: str):
     return out.sort(["l_returnflag", "l_linestatus"])
 
 
+def segment_order_stats(sf_dir: str):
+    """q68: per-market-segment order stats through the GENERAL
+    bucket-exchange hash join (stages/exchange.hash_join) — the
+    both-sides-large join shape, complementing q02's broadcast-dict
+    join of the same tables: one union exchange on the key hash, one
+    vectorized pyarrow join per bucket, then the usual partial-agg
+    reduce.  Integer cents keep the DuckDB oracle value-exact."""
+    from ..stages.exchange import hash_join
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b.rename_columns(
+            ["o_custkey", "c_mktsegment"]), batch_format="pyarrow")
+    joined = hash_join(orders, cust, "o_custkey", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _i64(pc.round(pc.multiply(b["o_totalprice"], 100.0)))
+        t = pa.table({"c_mktsegment": b["c_mktsegment"], "cents": cents})
+        p = t.group_by(["c_mktsegment"]).aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return p.rename_columns(["c_mktsegment", "revenue_cents", "n_orders"])
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders")) \
+        .sort("c_mktsegment")
+
+
 def rollup_lineitem(sf_dir: str):
     """q66: ROLLUP aggregation — the q01 pricing summary with subtotal
     rows at every prefix level: (flag, status), (flag, ALL) and
