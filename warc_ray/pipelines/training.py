@@ -440,12 +440,24 @@ def tfidf_topk(sf_dir: str, k: int = 3, npart: int = 32):
 # Q27: near-duplicate CLUSTERS (connected components over q25's pairs)
 # ---------------------------------------------------------------------------
 
+_DUP_CLUSTERS_CACHE: dict = {}
+
+
 def dup_clusters(sf_dir: str, threshold_ppm: int = 500_000):
     """Dedup families: connected components over the exact n-gram
     Jaccard near-dup pairs (q25) — component id = min doc_id reachable,
     i.e. the canonical keeper each duplicate collapses to.  Min-label
     propagation over the bucket-sharded BSP fabric (pipelines/graph.py);
-    docs in no pair are omitted (singleton ≙ its own keeper)."""
+    docs in no pair are omitted (singleton ≙ its own keeper).
+
+    The result (a small Arrow table — duplicate-family members only)
+    is memoized per (sf_dir, threshold): the computation is
+    deterministic, and q27 and q59 both need it in one session — the
+    pairs + BSP propagation was re-run from scratch per query."""
+    key = (os.path.abspath(sf_dir), threshold_ppm)
+    hit = _DUP_CLUSTERS_CACHE.get(key)
+    if hit is not None:
+        return hit
     from . import graph
 
     pairs = dd.ngram_jaccard_pairs(_docs(sf_dir, columns=["doc_id", "text"]),
@@ -459,7 +471,9 @@ def dup_clusters(sf_dir: str, threshold_ppm: int = 500_000):
 
     cc = graph.connected_components(
         pairs.map_batches(to_edges, batch_format="pyarrow"), nparts=8)
-    return cc.rename_columns(["doc_id", "cluster"]).sort_by("doc_id")
+    out = cc.rename_columns(["doc_id", "cluster"]).sort_by("doc_id")
+    _DUP_CLUSTERS_CACHE[key] = out
+    return out
 
 
 def neardup_curation(sf_dir: str, threshold_ppm: int = 500_000):
