@@ -269,6 +269,30 @@ def _host_link_stats_q(sf_dir: str):
     return host_link_stats(links, target_per_group=2_000).sort("host")
 
 
+def _heavy_hitter_hosts_q(sf_dir: str):
+    """Exact phi-heavy-hitter hosts through the two-pass Misra-Gries
+    sketch (stages/sketch.mg_heavy_hitters): pass 1 folds ≤65 summary
+    rows per block into a candidate superset guaranteed to contain
+    every host with > 1/64 of all links (host-0's Zipf head), pass 2
+    exact-counts only the ≤64 candidates.  Nothing key-cardinality-
+    shaped ever shuffles or lands on the driver — the bounded-memory
+    complement to q56's exact per-host exchange and q49's CMS
+    estimates."""
+    import ray.data as rd
+
+    from warc_ray.stages.hoststats import add_host_column
+    from warc_ray.stages.sketch import mg_heavy_hitters
+    from warc_ray.stages.urls import extract_links
+
+    cdir = _corpus_for(sf_dir)
+    hosts = rd.read_parquet(corpus_mod.docs_path(cdir),
+                            override_num_blocks=64).map_batches(
+        lambda b: add_host_column(extract_links(b)).select(["host"]),
+        batch_format="pyarrow", batch_size=None)
+    return mg_heavy_hitters(hosts, "host", k=64, phi_inv=64,
+                            count_name="n_links")
+
+
 def _ensure_archive(sf_dir: str) -> str:
     """Archive the corpus to .warc.gz shards once; q53/q57 share it."""
     import json
@@ -472,6 +496,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
+        "q69_cube_lineitem": rel.cube_lineitem,
+        "q71_snapshot_diff": tr.snapshot_diff,
+        "q70_global_sort_orders": rel.global_sort_orders,
+        "q73_quality_deciles": rel.quality_deciles,
         "q02_revenue_by_nation": rel.revenue_by_nation,
         "q03_topk_events": rel.topk_events,
         "q04_events_by_type": rel.events_by_type,
@@ -546,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_crawl_metrics": _crawl_metrics_q,
         # skew-salted wide aggregation (G11) + span invariant (G13)
         "q56_host_link_stats": _host_link_stats_q,
+        "q72_heavy_hitter_hosts": _heavy_hitter_hosts_q,
         "q57_verify_spans": _verify_spans_q,
         # ARC write/read slice (reference ops #13-19)
         "q58_arc_roundtrip": _arc_roundtrip_q,
@@ -675,6 +704,52 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id""",
+        # q69: CUBE — all four grouping sets derived from the finest
+        # level's partials, same integer measures as q66
+        "q69_cube_lineitem": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_rev_c2,
+                   COUNT(*) AS n_rows
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY 1, 2""",
+        # q71: incremental re-crawl delta — two deterministic snapshots
+        # full-outer joined on doc_id, unchanged rows filtered in-bucket
+        "q71_snapshot_diff": """
+            WITH a AS (SELECT doc_id, md5(text) AS fp
+                       FROM documents WHERE doc_id % 97 != 3),
+                 b AS (SELECT doc_id,
+                              md5(CASE WHEN doc_id % 89 = 5
+                                       THEN text || '!' ELSE text END) AS fp
+                       FROM documents WHERE doc_id % 101 != 7)
+            SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN a.fp IS NULL THEN 'added'
+                        WHEN b.fp IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            WHERE a.fp IS NULL OR b.fp IS NULL OR a.fp != b.fp
+            ORDER BY doc_id""",
+        # q70: distributed global sort — rank must bit-match
+        # ROW_NUMBER over the same total order (ties broken by key)
+        "q70_global_sort_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                     AS rank
+            FROM orders""",
+        # q73: NTILE(10) over (alpha_ppm, doc_id) — decile is pure
+        # arithmetic on q70's exact global rank
+        "q73_quality_deciles": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1000000
+                     // GREATEST(CAST(length(text) AS BIGINT), 1) AS alpha_ppm,
+                   CAST(NTILE(10) OVER (
+                       ORDER BY CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) * 1000000
+                                  // GREATEST(CAST(length(text) AS BIGINT), 1),
+                                doc_id) AS BIGINT) AS decile
+            FROM documents""",
         # q66: ROLLUP with NULL subtotal keys coalesced to 'ALL' so
         # the ordering is engine-independent
         "q66_rollup_lineitem": """
@@ -1520,6 +1595,15 @@ def oracle_sql() -> dict[str, str]:
         "q51_seen_dedup": (
             "SELECT url, MIN(src_doc) AS first_doc, COUNT(*) AS n_refs"
             " FROM (%s) GROUP BY url ORDER BY url" % links_src
+        ),
+        # q72: exact heavy hitters — the MG candidate superset plus the
+        # exact confirm pass reduce to a plain HAVING threshold
+        "q72_heavy_hitter_hosts": (
+            "WITH h AS (SELECT regexp_extract(url, '^https?://([^/:]+)', 1)"
+            " AS host FROM (%s))"
+            " SELECT host, COUNT(*) AS n_links FROM h GROUP BY host"
+            " HAVING COUNT(*) * 64 > (SELECT COUNT(*) FROM h)"
+            " ORDER BY host" % links_src
         ),
         "q56_host_link_stats": (
             "SELECT regexp_extract(url, '^https?://([^/:]+)', 1) AS host,"

@@ -113,3 +113,111 @@ def test_hash_join_vs_duckdb(ray_session):
     matched = lo[lo.o_custkey.isin([1, 2, 3])]
     assert len(matched) > 0 and matched.tag.notna().all()
     assert lo[~lo.o_custkey.isin([1, 2, 3])].tag.isna().all()
+
+
+# ---------------------------------------------------------------------------
+# range_sort (TeraSort-shaped global sort with exact ranks)
+# ---------------------------------------------------------------------------
+
+def _sortable_ds(n=4000, seed=11, nblocks=8):
+    import ray.data as rd
+    rng = np.random.default_rng(seed)
+    # heavy ties: values drawn from a small domain so splitter
+    # boundaries land ON tied keys
+    vals = rng.integers(0, 97, n).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"id": pa.array(ids), "val": pa.array(vals)})
+    return rd.from_arrow(t).repartition(nblocks), t
+
+
+@pytest.mark.parametrize("npart", [1, 5, 32])
+def test_range_sort_exact_ranks(ray_session, npart):
+    from warc_ray.stages.exchange import range_sort
+
+    def u64(a):
+        return a.to_numpy(zero_copy_only=False).view(np.uint64) \
+            ^ np.uint64(1 << 63)
+
+    ds, t = _sortable_ds()
+    out = range_sort(ds, lambda b: u64(b["val"]),
+                     lambda b: u64(b["id"]), npart=npart)
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    got = got.take(pa.array(np.argsort(got["rank"].to_numpy())))
+    order = np.lexsort((t["id"].to_numpy(), t["val"].to_numpy()))
+    assert got["id"].to_numpy().tolist() == \
+        t["id"].to_numpy()[order].tolist()
+    ranks = got["rank"].to_numpy()
+    assert ranks.tolist() == list(range(1, len(t) + 1))
+
+
+def test_range_sort_descending_with_tie_leak_check(ray_session):
+    """All-equal primary keys: every row lands in ONE bucket (ties may
+    never straddle a splitter) and ranks follow the tiebreak."""
+    import ray.data as rd
+    from warc_ray.stages.exchange import range_sort
+
+    def u64(a):
+        return a.to_numpy(zero_copy_only=False).view(np.uint64) \
+            ^ np.uint64(1 << 63)
+
+    n = 500
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "val": pa.array(np.zeros(n, dtype=np.int64))})
+    out = range_sort(rd.from_arrow(t).repartition(4),
+                     lambda b: ~u64(b["val"]), lambda b: u64(b["id"]),
+                     npart=8)
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    got = got.take(pa.array(np.argsort(got["rank"].to_numpy())))
+    assert got["id"].to_numpy().tolist() == list(range(n))
+    assert got["rank"].to_numpy().tolist() == list(range(1, n + 1))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_mg_prune_guarantee():
+    """Cumulative prune offsets stay under n/(k+1): a key with true
+    count > n/(k+1) can never be evicted."""
+    from warc_ray.stages.sketch import mg_prune
+
+    rng = np.random.default_rng(3)
+    # Zipf stream, vocab far above k
+    raw = rng.zipf(1.3, 200_000)
+    raw = raw[raw < 5000]
+    keys, counts = np.unique(raw, return_counts=True)
+    keys = keys.astype(str).astype(object)
+    k = 64
+    pk, pcnt = mg_prune(keys, counts, k)
+    assert len(pk) <= k
+    n = counts.sum()
+    thresh = n // (k + 1)
+    heavy = set(keys[counts > thresh])
+    assert heavy <= set(pk)
+    # under-count bounded by the single prune's offset
+    m = {key: c for key, c in zip(pk, pcnt)}
+    true = {key: c for key, c in zip(keys, counts)}
+    for key in pk:
+        assert 0 < m[key] <= true[key]
+        assert true[key] - m[key] <= thresh + 1
+
+
+def test_mg_heavy_hitters_exact_vs_bruteforce(ray_session):
+    import ray.data as rd
+    from warc_ray.stages.sketch import mg_heavy_hitters
+
+    rng = np.random.default_rng(5)
+    vals = rng.zipf(1.2, 60_000)
+    vals = vals[vals < 3000]
+    keys = np.array([f"h{v}" for v in vals], dtype=object)
+    ds = rd.from_arrow(pa.table({"host": pa.array(list(keys))})) \
+        .repartition(16)
+    phi_inv = 64
+    got = mg_heavy_hitters(ds, "host", k=256, phi_inv=phi_inv)
+    uk, uc = np.unique(keys, return_counts=True)
+    n = len(keys)
+    want = sorted((str(k_), int(c)) for k_, c in zip(uk, uc)
+                  if c * phi_inv > n)
+    assert list(zip(got["host"].to_pylist(),
+                    got["n_refs"].to_pylist())) == want
+    assert len(want) >= 3  # the law test must actually exercise hitters

@@ -157,6 +157,49 @@ def rollup_lineitem(sf_dir: str):
     })
 
 
+def cube_lineitem(sf_dir: str):
+    """q69: CUBE aggregation — q66's ROLLUP generalized to ALL 2^k
+    grouping sets: (flag, status), (flag, ALL), (ALL, status) and
+    (ALL, ALL), NULL subtotal keys coalesced to 'ALL'.
+
+    Same scale shape as the ROLLUP: every grouping set is derivable
+    from the FINEST level's exactly-reduced partials, so only
+    (flag, status) partial rows ever shuffle (q01's tiny groupby); the
+    cube expansion is driver arithmetic over groups × 2^k, never the
+    fact table.  The one NEW set vs ROLLUP — (ALL, status) — folds the
+    same fine rows along the other axis."""
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                  "l_extendedprice", "l_discount", "l_shipdate"])
+    fine = ds.map_batches(_q1_partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_rev_c2", alias_name="sum_rev_c2"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    t = pa.concat_tables(fine.iter_batches(batch_format="pyarrow"))
+    flags = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
+    stats = np.asarray(t["l_linestatus"].to_pylist(), dtype=object)
+    meas = [np.asarray(t[c].to_pylist(), dtype=np.int64)
+            for c in ("sum_qty", "sum_rev_c2", "n_rows")]
+    rows = []
+    for keep_f, keep_s in ((True, True), (True, False),
+                           (False, True), (False, False)):
+        kf = flags if keep_f else np.asarray(["ALL"] * len(flags), dtype=object)
+        ks = stats if keep_s else np.asarray(["ALL"] * len(stats), dtype=object)
+        for f, s in sorted(set(zip(kf, ks))):
+            m = (kf == f) & (ks == s)
+            rows.append((f, s) + tuple(int(v[m].sum()) for v in meas))
+    rows.sort()
+    return pa.table({
+        "l_returnflag": pa.array([x[0] for x in rows], type=pa.string()),
+        "l_linestatus": pa.array([x[1] for x in rows], type=pa.string()),
+        "sum_qty": pa.array([x[2] for x in rows], type=pa.int64()),
+        "sum_rev_c2": pa.array([x[3] for x in rows], type=pa.int64()),
+        "n_rows": pa.array([x[4] for x in rows], type=pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Q: revenue by nation (broadcast dimension join + partial agg)
 # ---------------------------------------------------------------------------
@@ -254,6 +297,78 @@ def _ordered_bits_f64(v: "np.ndarray") -> "np.ndarray":
     out = bits ^ np.uint64(1 << 63)
     out[neg] = ~bits[neg]
     return out
+
+
+def global_sort_orders(sf_dir: str):
+    """q70: range-partitioned global sort with exact ranks — orders by
+    (o_totalprice DESC, o_orderkey ASC) through the TeraSort-shaped
+    ``exchange.range_sort`` primitive (sampled splitters → exact
+    per-range counts → one range exchange → per-bucket vectorized
+    lexsort + offset ranks).
+
+    The rank column is what makes a distributed sort VERIFIABLE under
+    the driver's order-insensitive compare: ``rank`` must bit-match
+    DuckDB's ``ROW_NUMBER() OVER (ORDER BY ...)``, so any
+    mis-partitioned splitter, off-by-one offset or cross-bucket tie
+    leak shows up as a value mismatch.  Descending float order is the
+    inverted IEEE total-order bits; o_totalprice > 0 so the encoding
+    and DuckDB's double compare agree exactly."""
+    from ..stages.exchange import range_sort
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def key(b: pa.Table) -> np.ndarray:
+        return ~_ordered_bits_f64(
+            b["o_totalprice"].to_numpy(zero_copy_only=False))
+
+    def tiebreak(b: pa.Table) -> np.ndarray:
+        return _ordered_bits_i64(
+            b["o_orderkey"].to_numpy(zero_copy_only=False))
+
+    return range_sort(ds, key, tiebreak, npart=32)
+
+
+def quality_deciles(sf_dir: str):
+    """q73: NTILE decile bucketing — every document assigned its decile
+    by quality score, the "sort the corpus by a model score and keep
+    the top X%" curation step, as a second consumer of
+    ``exchange.range_sort`` (q70's primitive).
+
+    Rank order is (score ASC, doc_id ASC); the decile is then pure
+    arithmetic on the exact global rank (SQL NTILE semantics: the
+    first ``n % 10`` tiles get one extra row).  Total rows comes from
+    the range_sort COUNT pass for free — here re-derived from parquet
+    metadata so the decile map stays a stateless function."""
+    from ..stages import textstats as ts
+    from ..stages.exchange import range_sort
+
+    n_total = pq.read_metadata(_pq(sf_dir, "documents")).num_rows
+    ds = rd.read_parquet(_pq(sf_dir, "documents"),
+                         columns=["doc_id", "text"]) \
+        .map_batches(ts.quality_scores, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["doc_id", "alpha_ppm"]),
+                     batch_format="pyarrow")
+
+    def key(b: pa.Table) -> np.ndarray:
+        return _ordered_bits_i64(
+            b["alpha_ppm"].to_numpy(zero_copy_only=False))
+
+    def tiebreak(b: pa.Table) -> np.ndarray:
+        return _ordered_bits_i64(b["doc_id"].to_numpy(zero_copy_only=False))
+
+    ranked = range_sort(ds, key, tiebreak, npart=32)
+    size, rem = divmod(n_total, 10)
+
+    def to_decile(b: pa.Table) -> pa.Table:
+        p = b["rank"].to_numpy(zero_copy_only=False) - 1   # 0-based position
+        big = rem * (size + 1)
+        dec = np.where(p < big, p // max(size + 1, 1),
+                       rem + (p - big) // max(size, 1)) + 1
+        return pa.table({"doc_id": b["doc_id"], "alpha_ppm": b["alpha_ppm"],
+                         "decile": pa.array(dec.astype(np.int64))})
+
+    return ranked.map_batches(to_decile, batch_format="pyarrow")
 
 
 def user_event_stats(sf_dir: str):

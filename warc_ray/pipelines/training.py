@@ -1066,3 +1066,68 @@ def group_centroids(sf_dir: str, scale: int = 1 << 20):
             Sum("sum_q", alias_name="sum_q"),
             Sum("n_vecs", alias_name="n_vecs")) \
         .sort(["label", "pos"])
+
+
+# -- incremental re-crawl (snapshot delta) -----------------------------------
+
+def snapshot_diff(sf_dir: str):
+    """q71: crawl snapshot diff — the incremental re-crawl scheduler's
+    input: given two crawl snapshots of (doc_id, content fingerprint),
+    emit the delta rows a scheduler acts on — ``added`` (new URL in
+    the fresh crawl), ``removed`` (gone from it) and ``changed``
+    (fingerprint moved); unchanged rows — the overwhelming bulk at
+    real re-crawl rates — are filtered inside the join bucket and
+    never leave it.
+
+    Snapshots derive deterministically from the documents table (no
+    external data): snapshot A drops doc_id % 97 == 3, snapshot B
+    drops doc_id % 101 == 7 and mutates the text of doc_id % 89 == 5
+    before fingerprinting.  Both sides flow through the general
+    ``exchange.hash_join`` full-outer path — the schedule-shaped
+    consumer of the engine's one-exchange join primitive.
+
+    Scale shape: fingerprints are computed scan-side (16-byte md5 per
+    doc, the text never shuffles), the join exchanges 2 small columns
+    per side, and the output is delta-sized."""
+    import hashlib
+
+    from ..stages.exchange import hash_join
+
+    def snap(mutate: bool):
+        def fp(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False)
+            texts = b["text"].to_pylist()
+            if mutate:
+                keep = did % 101 != 7
+                texts = [t + "!" if d % 89 == 5 else t
+                         for t, d, m in zip(texts, did, keep) if m]
+            else:
+                keep = did % 97 != 3
+                texts = [t for t, m in zip(texts, keep) if m]
+            fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+            return pa.table({
+                "doc_id": pa.array(did[keep]),
+                ("fp_b" if mutate else "fp_a"):
+                    pa.array(fps, type=pa.string()),
+            })
+        return _docs(sf_dir, columns=["doc_id", "text"]) \
+            .map_batches(fp, batch_format="pyarrow")
+
+    joined = hash_join(snap(False), snap(True), "doc_id", how="full outer")
+
+    def classify(b: pa.Table) -> pa.Table:
+        fa = b["fp_a"].to_numpy(zero_copy_only=False)
+        fb = b["fp_b"].to_numpy(zero_copy_only=False)
+        a_null = pc.is_null(b["fp_a"]).to_numpy(zero_copy_only=False)
+        b_null = pc.is_null(b["fp_b"]).to_numpy(zero_copy_only=False)
+        status = np.where(a_null, "added",
+                          np.where(b_null, "removed", "changed"))
+        delta = a_null | b_null | (fa != fb)
+        return pa.table({
+            "doc_id": pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False)[delta]),
+            "status": pa.array(status[delta].astype(object),
+                               type=pa.string()),
+        })
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -150,3 +150,101 @@ def hash_join(left_ds, right_ds, keys, how: str = "inner", *,
     u = left_ds.map_batches(pad_left, batch_format="pyarrow") \
         .union(right_ds.map_batches(pad_right, batch_format="pyarrow"))
     return u.groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Range-partitioned global sort (terasort shape)
+# ---------------------------------------------------------------------------
+
+def range_sort(ds, key_fn, tiebreak_fn, *, npart: int = 32,
+               sample_per_block: int = 256, rank_col: str = "rank"):
+    """Distributed total-order sort with exact global ranks.
+
+    The classic sampled range partition (the TeraSort shape; Ray Data's
+    own ``Dataset.sort`` uses the same boundary-sampling idea but does
+    not expose ranks):
+
+      1. SAMPLE pass — each batch contributes a deterministic,
+         evenly-strided sample of its primary sort keys; the driver
+         folds the tiny sample and cuts ``npart - 1`` splitters at even
+         quantiles.  Splitters are *data-adaptive*, so skewed key
+         distributions still yield balanced range buckets.
+      2. COUNT pass — ``part = searchsorted(splitters, key)`` is a pure
+         stateless function of the row, so exact per-part row counts
+         come from per-batch ``bincount`` partials (npart ints per
+         block — the shuffle never carries rows).  Their prefix sum is
+         each bucket's global rank offset.
+      3. EXCHANGE pass — one range exchange co-locates each key range;
+         each bucket sorts vectorized (``np.lexsort`` on tiebreak-then-key)
+         and emits ``rank = offset[part] + local position`` (1-based).
+
+    ``key_fn(batch) -> np.uint64`` must encode the PRIMARY sort order
+    as ascending unsigned bits (use ``_ordered_bits_*`` encoders;
+    invert ``~bits`` for descending).  ``tiebreak_fn(batch) ->
+    np.uint64`` breaks ties (must be unique per row for a
+    deterministic total order).  Rows with EQUAL primary keys always
+    land in the same bucket (``searchsorted`` side='right'), so ranks
+    are exact even when ties straddle a splitter value.
+
+    Scale shape: three pruned scans of the key column, one scan of the
+    payload; per-bucket memory = rows/npart — size ``npart`` so a
+    bucket fits a worker's heap.  No driver materialization beyond the
+    sample and the npart-int histogram.
+    """
+    import ray
+
+    # -- pass 1: strided key sample → splitters --------------------------
+    def sample_keys(b: pa.Table) -> pa.Table:
+        k = key_fn(b)
+        if len(k) == 0:
+            return pa.table({"k": pa.array([], type=pa.uint64())})
+        step = max(1, len(k) // sample_per_block)
+        return pa.table({"k": pa.array(np.sort(k)[::step])})
+
+    samp = np.sort(np.concatenate(
+        [b["k"].to_numpy() for b in
+         ds.map_batches(sample_keys, batch_format="pyarrow")
+           .iter_batches(batch_format="pyarrow")] or
+        [np.array([], dtype=np.uint64)]))
+    if len(samp) == 0:
+        splitters = np.array([], dtype=np.uint64)
+    else:
+        cuts = (np.arange(1, npart) * len(samp)) // npart
+        splitters = np.unique(samp[np.minimum(cuts, len(samp) - 1)])
+    spl_ref = ray.put(splitters)
+
+    def _parts(b: pa.Table) -> np.ndarray:
+        return np.searchsorted(ray.get(spl_ref), key_fn(b),
+                               side="right").astype(np.int32)
+
+    # -- pass 2: exact per-part counts (npart ints per block) ------------
+    def count_parts(b: pa.Table) -> pa.Table:
+        c = np.bincount(_parts(b), minlength=len(splitters) + 1)
+        return pa.table({"part": pa.array(np.arange(len(c), dtype=np.int32)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = np.zeros(len(splitters) + 1, dtype=np.int64)
+    for b in ds.map_batches(count_parts, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        # np.add.at: iter_batches coalesces blocks, so part indices
+        # repeat within one yielded batch — fancy-index += would
+        # silently keep only one block's count per part
+        np.add.at(counts, b["part"].to_numpy(zero_copy_only=False),
+                  b["n"].to_numpy(zero_copy_only=False))
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    off_ref = ray.put(offsets)
+
+    # -- pass 3: range exchange + per-bucket vectorized sort -------------
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("part", pa.array(_parts(b)))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        order = np.lexsort((tiebreak_fn(g), key_fn(g)))
+        g = g.drop_columns(["part"]).take(pa.array(order))
+        base = int(ray.get(off_ref)[part])
+        rank = np.arange(1, g.num_rows + 1, dtype=np.int64) + base
+        return g.append_column(rank_col, pa.array(rank))
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow")

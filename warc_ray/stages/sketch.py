@@ -525,3 +525,114 @@ class KLLSketch:
             s.flip.append(fl)
             off += 8 * ln
         return s
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (two-pass EXACT heavy hitters at bounded memory)
+# ---------------------------------------------------------------------------
+
+MG_K = 64
+
+
+def mg_prune(keys: np.ndarray, counts: np.ndarray,
+             k: int = MG_K) -> tuple[np.ndarray, np.ndarray]:
+    """Prune an exact (or merged) counter table to a Misra-Gries
+    summary with at most ``k`` counters: subtract the (k+1)-th largest
+    count from every counter and keep the positive ones.  The summary
+    under-counts each key by at most the subtracted offset, and
+    offsets accumulated over prunes total < n/(k+1) — so every key
+    with true count > n/(k+1) is guaranteed to survive (the classic
+    MG guarantee; merging summaries preserves it, Agarwal et al.,
+    "Mergeable Summaries")."""
+    if len(counts) <= k:
+        return keys, counts
+    off = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > off
+    return keys[keep], counts[keep] - off
+
+
+def mg_heavy_hitters(ds, key_col: str, k: int = MG_K,
+                     phi_inv: int = MG_K, count_name: str = "n_refs"):
+    """EXACT phi-heavy hitters (count·phi_inv > n_total) in two bounded
+    passes — the heavy-hitter complement to the CMS (estimates for a
+    key SAMPLE) when the answer must be exact and complete:
+
+      pass 1 — per-batch exact vectorized counts pruned to a ≤k-row
+        MG summary (plus one null-key row carrying the batch total);
+        the driver folds the tiny summaries (dict accumulate, re-prune
+        when oversized).  MG's guarantee makes the surviving ≤k keys a
+        SUPERSET of every true phi-heavy hitter for phi ≥ 1/(k+1) —
+        nothing key-shaped ever shuffles, the scan emits ≤k+1 rows per
+        block regardless of key cardinality.
+      pass 2 — the candidate list broadcasts (``ray.put``); one more
+        scan exact-counts ONLY candidate keys (vectorized ``np.isin``
+        filter + group count partials, ≤k rows per block), the driver
+        folds and applies the integer threshold count·phi_inv > n.
+
+    Requires k+1 ≥ phi_inv (else the superset guarantee breaks — the
+    constructor asserts).  Returns a pyarrow Table (key, count) of the
+    exact heavy hitters, sorted by key.
+    """
+    import ray
+
+    assert k + 1 >= phi_inv, "MG needs k+1 >= phi_inv for completeness"
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[key_col]
+        codes = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                 else col).dictionary_encode()
+        counts = np.bincount(
+            codes.indices.to_numpy(zero_copy_only=False),
+            minlength=len(codes.dictionary)).astype(np.int64)
+        keys = np.asarray(codes.dictionary.to_pylist(), dtype=object)
+        pk, pc_ = mg_prune(keys, counts, k)
+        return pa.table({
+            key_col: pa.array(list(pk) + [None], type=pa.string()),
+            "c": pa.array(np.concatenate([pc_, [counts.sum()]])),
+        })
+
+    acc: dict[str, int] = {}
+    n_total = 0
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        ks = t[key_col].to_pylist()
+        cs = t["c"].to_pylist()
+        for key, c in zip(ks, cs):
+            if key is None:
+                n_total += c
+            else:
+                acc[key] = acc.get(key, 0) + c
+        if len(acc) > 8 * k:
+            ak, ac = mg_prune(np.array(list(acc), dtype=object),
+                              np.array(list(acc.values()), dtype=np.int64), k)
+            acc = dict(zip(ak, (int(x) for x in ac)))
+    ak, ac = mg_prune(np.array(list(acc), dtype=object),
+                      np.array(list(acc.values()), dtype=np.int64), k)
+    cand_ref = ray.put(np.sort(ak.astype(str)))
+
+    def exact_partial(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        col = b[key_col]
+        keys = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col).to_numpy(zero_copy_only=False)
+        m = np.isin(keys, cand)
+        if not m.any():
+            return pa.table({key_col: pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        codes = pa.array(keys[m]).dictionary_encode()
+        counts = np.bincount(
+            codes.indices.to_numpy(zero_copy_only=False),
+            minlength=len(codes.dictionary)).astype(np.int64)
+        return pa.table({key_col: codes.dictionary, "c": pa.array(counts)})
+
+    exact: dict[str, int] = {}
+    for t in ds.map_batches(exact_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for key, c in zip(t[key_col].to_pylist(), t["c"].to_pylist()):
+            exact[key] = exact.get(key, 0) + c
+    hh = sorted((key, c) for key, c in exact.items()
+                if c * phi_inv > n_total)
+    return pa.table({
+        key_col: pa.array([x[0] for x in hh], type=pa.string()),
+        count_name: pa.array([x[1] for x in hh], type=pa.int64()),
+    })
