@@ -500,6 +500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q71_snapshot_diff": tr.snapshot_diff,
         "q70_global_sort_orders": rel.global_sort_orders,
         "q73_quality_deciles": rel.quality_deciles,
+        "q74_fuzzy_name_pairs": rel.fuzzy_name_pairs,
+        "q75_compression_signal": tr.compression_signal,
         "q02_revenue_by_nation": rel.revenue_by_nation,
         "q03_topk_events": rel.topk_events,
         "q04_events_by_type": rel.events_by_type,
@@ -739,6 +741,14 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
                      AS rank
             FROM orders""",
+        # q74: entity-resolution fuzzy join — the SQL twin does the
+        # quadratic compare the deletion-variant blocking avoids
+        "q74_fuzzy_name_pairs": """
+            SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) = 1
+            ORDER BY 1, 2""",
         # q73: NTILE(10) over (alpha_ppm, doc_id) — decile is pure
         # arithmetic on q70's exact global rank
         "q73_quality_deciles": r"""

@@ -101,3 +101,33 @@ def test_weighted_sample_laws(ray_session, tmp_path):
 
     got2 = weighted_sample(str(tmp_path)).to_pandas()
     assert got.values.tolist() == got2.values.tolist()
+
+
+def test_compression_signal_per_row_reference():
+    import zlib
+
+    import pyarrow as pa
+
+    from warc_ray.stages.textstats import (COMP_LEVEL, COMP_RATIO_HI,
+                                           COMP_RATIO_LO, compression_signal)
+
+    texts = ["word " * 500,                    # hyper-repetitive → low ratio
+             "The quick brown fox jumps over the lazy dog. " * 4,
+             "kf93jzx1qv8wmt4hy6bn0eds72rcap5guoli",   # noise → high ratio
+             ""]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    out = compression_signal(t)
+    for i, s in enumerate(texts):
+        raw = len(s.encode())
+        comp = len(zlib.compress(s.encode(), COMP_LEVEL))
+        ratio = comp * 1_000_000 // max(raw, 1)
+        assert out["raw_len"][i].as_py() == raw
+        assert out["comp_len"][i].as_py() == comp
+        assert out["ratio_ppm"][i].as_py() == ratio
+        assert out["keep"][i].as_py() == \
+            (COMP_RATIO_LO <= ratio <= COMP_RATIO_HI)
+    # the signal discriminates: repetition fails low, noise fails high
+    assert not out["keep"][0].as_py()
+    assert out["keep"][1].as_py()
+    assert not out["keep"][2].as_py()

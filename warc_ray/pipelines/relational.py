@@ -1102,3 +1102,27 @@ def part_supplier_pagerank(sf_dir: str, iters: int = 5, nparts: int = 8):
         .map_batches(to_edges, batch_format="pyarrow")
     out = graph.pagerank(edges, iters=iters, nparts=nparts)
     return out.sort_by("node_id")
+
+
+def fuzzy_name_pairs(sf_dir: str):
+    """q74: fuzzy (edit-distance-1) self-join on customer names — the
+    entity-resolution / typo-matching operator, via FastSS
+    deletion-variant blocking (stages/fuzzy.py): keys explode to
+    len+1 variants, ONE hash exchange on the variant string co-locates
+    every candidate pair (provably complete for distance ≤ 1), each
+    bucket verifies candidates exactly.  The quadratic all-pairs
+    compare the SQL twin runs never happens — the engine touches
+    only variant-colliding candidates."""
+    from ..stages.fuzzy import lev1_join
+
+    ds = rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["id", "name"])
+
+    pairs = lev1_join(ds.map_batches(prep, batch_format="pyarrow"),
+                      "name", "id")
+    return pairs.map_batches(
+        lambda b: b.rename_columns(["a_custkey", "b_custkey"]),
+        batch_format="pyarrow")

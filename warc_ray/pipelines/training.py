@@ -1131,3 +1131,12 @@ def snapshot_diff(sf_dir: str):
         })
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def compression_signal(sf_dir: str):
+    """q75: per-doc zlib compression-ratio quality gate — stateless
+    ``map_batches`` scan (stages/textstats.compression_signal), no
+    shuffle at any scale.  Rows-only vs the driver (no SQL zlib);
+    per-row reference parity pinned in tests/test_textstats.py."""
+    return _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(ts.compression_signal, batch_format="pyarrow")
