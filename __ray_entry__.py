@@ -406,6 +406,121 @@ def _warc_roundtrip_q(sf_dir: str):
     return out_ds.sort("rec_type")
 
 
+def _ensure_arc_src(sf_dir: str) -> str:
+    """Fetched docs → .arc.gz shards ONCE per profile (stamped) — the
+    migration fixture q78 reads; q58 keeps its own unstamped dir (it
+    tests the sink itself, rewriting deliberately)."""
+    import json
+    import shutil
+    from dataclasses import asdict
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from warc_ray.sinks import write_arc_shards
+    from warc_ray.stages.fetch import FetchGroup, add_bucket_column
+    from warc_ray.stages.urls import urls_from_seeds
+
+    cdir = _corpus_for(sf_dir)
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    out = os.path.join(_CRAWL_OUT, f"arcsrc-{prof.name}")
+    done = out + ".DONE"
+    stamp = json.dumps(dict(asdict(prof), gen=corpus_mod.GEN_VERSION, fmt=1))
+    if os.path.exists(done) and open(done).read() == stamp:
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = urls_from_seeds(b)
+        n = t.num_rows
+        t = t.append_column("round", pa.array([0] * n, type=pa.int32()))
+        t = t.append_column("fetch_seq",
+                            pa.array(t["src_offset"].cast(pa.int64())))
+        return add_bucket_column(t, prof.n_buckets)
+
+    def to_arc_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "url": b["url"],
+            "ip_address": pa.array(["127.0.0.1"] * n),
+            "date": pa.array(["20260101000000"] * n),
+            "content_type": b["content_type"],
+            "body": b["body"],
+        })
+
+    fetched = rd.from_arrow(corpus_mod.read_seeds(cdir)) \
+        .repartition(32) \
+        .map_batches(prep, batch_format="pyarrow") \
+        .sort("bucket") \
+        .map_batches(FetchGroup, fn_constructor_args=(cdir, prof.n_buckets),
+                     batch_format="pyarrow", batch_size=8192,
+                     concurrency=(4, 28))
+    write_arc_shards(fetched.map_batches(to_arc_rows,
+                                         batch_format="pyarrow"),
+                     out).materialize()
+    with open(done, "w") as f:
+        f.write(stamp)
+    return out
+
+
+def _arc_to_warc_q(sf_dir: str):
+    """q78: ARC → WARC migration — the cross-format pipeline the
+    reference's dual reader/writer surface exists for (the Internet
+    Archive's own historical ARC→WARC conversion): distributed
+    ``read_arc`` (member-aligned splits) → per-record field mapping
+    (ARC positional header → WARC named headers, ARC
+    ``YYYYmmddHHMMSS`` date → ISO-8601 WARC-Date, fresh record ids +
+    sha1 payload digests) → ``serialize_records`` fast path →
+    ``write_warc_shards`` (record-per-member gzip + CDX) →
+    distributed ``read_warc`` read-back verifying every migrated
+    record's digest.  Output: one row — migrated record count, total
+    payload bytes, digests_ok — matched against the corpus-derived
+    expected values in SQL (q58's body-length model + asserted-true
+    digest column)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from warc_ray.core.warcrec import sha1_digest
+    from warc_ray.sinks import write_warc_shards
+    from warc_ray.sources import read_arc, read_warc
+    from warc_ray.stages.assemble import (arc_rows_to_warc_records,
+                                          serialize_records)
+
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    arc_dir = _ensure_arc_src(sf_dir)
+    out = os.path.join(_CRAWL_OUT, f"warc-mig-{prof.name}")
+
+    migrated = read_arc(arc_dir) \
+        .map_batches(arc_rows_to_warc_records, batch_format="pyarrow") \
+        .map_batches(serialize_records, batch_format="pyarrow")
+    write_warc_shards(migrated, out).materialize()
+
+    def check(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["rec_type"], "response"))
+        ok = sum(int(sha1_digest(bytes(p)) == d)
+                 for p, d in zip(b["payload"].to_pylist(),
+                                 b["payload_digest"].to_pylist()))
+        nb = int(pc.sum(pc.binary_length(b["payload"])).as_py() or 0)
+        return pa.table({"k": pa.array([0], type=pa.int64()),
+                         "n_records": pa.array([b.num_rows], type=pa.int64()),
+                         "payload_bytes": pa.array([nb], type=pa.int64()),
+                         "n_digest_ok": pa.array([ok], type=pa.int64())})
+
+    agg = read_warc(out).map_batches(check, batch_format="pyarrow") \
+        .groupby("k").aggregate(
+            Sum("n_records", alias_name="n_records"),
+            Sum("payload_bytes", alias_name="payload_bytes"),
+            Sum("n_digest_ok", alias_name="n_digest_ok"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "n_records": t["n_records"],
+        "payload_bytes": t["payload_bytes"],
+        "digests_ok": pa.array(
+            [t["n_digest_ok"][0].as_py() == t["n_records"][0].as_py()]),
+    })
+
+
 def _arc_roundtrip_q(sf_dir: str):
     """ARC slice: fetched docs → .arc.gz shards (filedesc headers) →
     distributed read-back; returns per-shard record counts + byte sums."""
@@ -502,6 +617,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q73_quality_deciles": rel.quality_deciles,
         "q74_fuzzy_name_pairs": rel.fuzzy_name_pairs,
         "q75_compression_signal": tr.compression_signal,
+        "q76_duplicate_spans": tr.duplicate_spans,
+        "q77_outlier_events": rel.outlier_events,
         "q02_revenue_by_nation": rel.revenue_by_nation,
         "q03_topk_events": rel.topk_events,
         "q04_events_by_type": rel.events_by_type,
@@ -580,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q57_verify_spans": _verify_spans_q,
         # ARC write/read slice (reference ops #13-19)
         "q58_arc_roundtrip": _arc_roundtrip_q,
+        "q78_arc_to_warc": _arc_to_warc_q,
     }
 
 
@@ -741,6 +859,35 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
                      AS rank
             FROM orders""",
+        # q76: stride-1 rolling 16-token windows, distinct per doc,
+        # spans claimed by >= 2 docs (substring-dedup granularity)
+        "q76_duplicate_spans": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), w AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(
+                         list_slice(t, CAST(i AS BIGINT),
+                                    CAST(i + 15 AS BIGINT)), ' ')) AS fp
+              FROM toks, UNNEST(range(1, len(t) - 16 + 2)) AS u(i)
+              WHERE len(t) >= 16)
+            SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+                   MAX(doc_id) AS max_doc
+            FROM w GROUP BY fp HAVING COUNT(*) >= 2 ORDER BY fp""",
+        # q77: exact per-type p99 threshold (percentile_disc semantics,
+        # integer milli) then a strict-above filter
+        "q77_outlier_events": """
+            WITH q AS (
+              SELECT event_type,
+                     percentile_disc(0.99) WITHIN GROUP (
+                       ORDER BY CAST(FLOOR(value*1000) AS BIGINT)) AS p99
+              FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   CAST(FLOOR(e.value*1000) AS BIGINT) AS value_milli
+            FROM events e JOIN q USING (event_type)
+            WHERE CAST(FLOOR(e.value*1000) AS BIGINT) > q.p99
+            ORDER BY e.event_id""",
         # q74: entity-resolution fuzzy join — the SQL twin does the
         # quadratic compare the deletion-variant blocking avoids
         "q74_fuzzy_name_pairs": """
@@ -1678,6 +1825,35 @@ def oracle_sql() -> dict[str, str]:
         # response head.  Any corruption in fetch, ARC write (v2
         # filedesc quirk included), gzip member framing, or read-back
         # shifts the byte sum and breaks the hash.
+        # q78: ARC→WARC migration — expected values derive from the
+        # same corpus body-length model as q58 (payload bytes are the
+        # ARC payloads verbatim); digests_ok is asserted TRUE and the
+        # Ray side recomputes every sha1 on the migrated read-back
+        "q78_arc_to_warc": f"""
+            WITH spans AS (
+              SELECT doc_id, UNNEST(spans) AS s
+              FROM read_parquet('{docs_glob}')
+            ),
+            doc_len AS (
+              SELECT CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS i,
+                     SUM(CASE s.kind
+                           WHEN 'text' THEN strlen(s.text)
+                           WHEN 'link' THEN 15 + strlen(s.media_ref) + strlen(s.text)
+                           WHEN 'image' THEN 12 + strlen(s.media_ref)
+                           ELSE 14 + strlen(s.media_ref) END)
+                     + COUNT(*) - 1 AS body_len
+              FROM spans GROUP BY doc_id
+            ),
+            seed_docs AS (
+              SELECT CAST(regexp_extract(replace(url, '%64', 'd'),
+                                         '/doc/(\\d+)', 1) AS BIGINT) AS i
+              FROM read_parquet('{t2}/seeds.parquet')
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+                   CAST(SUM(58 + strlen(CAST(d.body_len AS VARCHAR))
+                            + 4 + d.body_len) AS BIGINT) AS payload_bytes,
+                   TRUE AS digests_ok
+            FROM seed_docs sd JOIN doc_len d USING (i)""",
         "q58_arc_roundtrip": f"""
             WITH spans AS (
               SELECT doc_id, UNNEST(spans) AS s

@@ -1126,3 +1126,45 @@ def fuzzy_name_pairs(sf_dir: str):
     return pairs.map_batches(
         lambda b: b.rename_columns(["a_custkey", "b_custkey"]),
         batch_format="pyarrow")
+
+
+def outlier_events(sf_dir: str):
+    """q77: per-type p99 outlier filter — the two-phase
+    quantile-threshold gate (the "drop the tail" curation cut):
+
+      phase 1 — q15's value-histogram fabric reduces the stream to
+        distinct (type, milli) counts and computes the EXACT per-type
+        p99 order statistic (percentile_disc semantics, pure integer
+        arithmetic); the result is a types-sized table;
+      phase 2 — the tiny threshold dict broadcasts (task closure) and
+        one stateless scan keeps rows strictly above their type's p99.
+
+    Composition story: any exact-quantile cut at any scale costs one
+    histogram exchange + one filter scan — the rows themselves never
+    shuffle."""
+    thr_t = pa.concat_tables(
+        event_quantiles(sf_dir)
+        .map_batches(lambda b: b.select(["event_type", "p99_milli"]),
+                     batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    thr = dict(zip(thr_t["event_type"].to_pylist(),
+                   thr_t["p99_milli"].to_pylist()))
+
+    def keep(b: pa.Table) -> pa.Table:
+        milli = _i64(pc.floor(pc.multiply(b["value"], 1000.0))) \
+            .to_numpy(zero_copy_only=False)
+        types = b["event_type"].to_pylist()
+        p99 = np.fromiter((thr[t] for t in types), dtype=np.int64,
+                          count=len(types))
+        m = milli > p99
+        return pa.table({
+            "event_id": pa.array(
+                b["event_id"].to_numpy(zero_copy_only=False)[m]),
+            "event_type": pa.array(np.asarray(types, dtype=object)[m],
+                                   type=pa.string()),
+            "value_milli": pa.array(milli[m]),
+        })
+
+    return rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["event_id", "event_type", "value"]) \
+        .map_batches(keep, batch_format="pyarrow")

@@ -1140,3 +1140,73 @@ def compression_signal(sf_dir: str):
     per-row reference parity pinned in tests/test_textstats.py."""
     return _docs(sf_dir, columns=["doc_id", "text"]) \
         .map_batches(ts.compression_signal, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q76: cross-document duplicate-span detection (substring-dedup shape)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(sf_dir: str, win: int = 16, npart: int = 32):
+    """q76: find every ``win``-token span that appears in ≥ 2 distinct
+    documents — the window-granular form of exact substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): stride-1 rolling windows catch duplication q44's
+    ALIGNED segments miss (a copied paragraph at any offset).
+
+    Scale shape: the scan emits batch-local-DISTINCT (fp, doc_id)
+    pairs — one row per distinct window per doc, the inherent cost of
+    substring-level dedup (the suffix-array construction pays the same
+    n rows; the hash-window form shards trivially).  One hash exchange
+    on the fingerprint co-locates claims; each bucket counts distinct
+    docs per fingerprint vectorized.  Output is duplicated-span-sized.
+    """
+    import hashlib
+
+    from ..stages.exchange import with_part
+
+    def spans(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        fps: list[str] = []
+        out_ids: list[int] = []
+        md5 = hashlib.md5
+        for d, t in zip(ids, b["text"].to_pylist()):
+            toks = dd._WORD_RE.findall(t.lower())
+            n = len(toks)
+            if n < win:
+                continue
+            seen: set[str] = set()
+            for i in range(n - win + 1):
+                seen.add(md5(" ".join(toks[i:i + win]).encode()).hexdigest())
+            fps.extend(seen)
+            out_ids.extend([int(d)] * len(seen))
+        t = pa.table({"fp": pa.array(fps, type=pa.string()),
+                      "doc_id": pa.array(out_ids, type=pa.int64())})
+        return with_part(t, "fp", npart)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        codes = g["fp"].combine_chunks().dictionary_encode()
+        vc = codes.indices.to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, vc))
+        vc, ids = vc[order], ids[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], vc[1:] != vc[:-1], [True])))
+        n_docs = np.diff(starts)
+        keep = n_docs >= 2
+        if not keep.any():
+            return pa.table({"fp": pa.array([], type=pa.string()),
+                             "n_docs": pa.array([], type=pa.int64()),
+                             "min_doc": pa.array([], type=pa.int64()),
+                             "max_doc": pa.array([], type=pa.int64())})
+        s = starts[:-1][keep]
+        e = starts[1:][keep] - 1
+        return pa.table({
+            "fp": codes.dictionary.take(pa.array(vc[s])),
+            "n_docs": pa.array(n_docs[keep].astype(np.int64)),
+            "min_doc": pa.array(ids[s]),        # sorted per run: first=min
+            "max_doc": pa.array(ids[e]),
+        })
+
+    return _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(spans, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow")

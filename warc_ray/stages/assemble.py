@@ -560,3 +560,24 @@ def parse_record_rows(records: list) -> pa.Table:
             "payload": rec.payload_bytes(),
         })
     return pa.Table.from_pylist(rows, schema=WARC_RECORD_SCHEMA)
+
+
+def arc_rows_to_warc_records(batch: pa.Table,
+                             rec_type: str = "response") -> pa.Table:
+    """ARC record rows (schema.ARC_RECORD_SCHEMA) → WARC record rows —
+    the field mapping of the classic ARC→WARC archive migration: ARC's
+    positional header fields become named WARC headers (url →
+    WARC-Target-URI, ip → WARC-IP-Address), the ARC ``YYYYmmddHHMMSS``
+    date becomes an ISO-8601 WARC-Date (reference date formats:
+    warc/arc.py:47-53 vs warc/warc.py:86), payloads move verbatim, and
+    the write path mints fresh record ids + sha1 payload digests
+    (reference defaults, warc/warc.py:147-157)."""
+    rows = []
+    for url, d, ip, pay in zip(batch["url"].to_pylist(),
+                               batch["date"].to_pylist(),
+                               batch["ip_address"].to_pylist(),
+                               batch["payload"].to_pylist()):
+        iso = (f"{d[0:4]}-{d[4:6]}-{d[6:8]}T{d[8:10]}:{d[10:12]}:{d[12:14]}Z"
+               if d and len(d) == 14 else d or "")
+        rows.append(make_record_row(rec_type, url, pay, iso, ip=ip or ""))
+    return pa.Table.from_pylist(rows, schema=WARC_RECORD_SCHEMA)
