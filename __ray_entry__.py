@@ -618,6 +618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q74_fuzzy_name_pairs": rel.fuzzy_name_pairs,
         "q75_compression_signal": tr.compression_signal,
         "q76_duplicate_spans": tr.duplicate_spans,
+        "q79_export_partitioned": tr.export_partitioned,
+        "q80_mode_lang_by_source": tr.mode_lang_by_source,
         "q77_outlier_events": rel.outlier_events,
         "q02_revenue_by_nation": rel.revenue_by_nation,
         "q03_topk_events": rel.topk_events,
@@ -859,6 +861,26 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
                      AS rank
             FROM orders""",
+        # q80: grouped MODE, ties broken by smallest lang — ROW_NUMBER
+        # over (n DESC, lang) reproduces the deterministic argmax
+        "q80_mode_lang_by_source": """
+            WITH c AS (SELECT source, lang, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+                 r AS (SELECT source, lang, n,
+                              ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, lang) AS rn
+                       FROM c)
+            SELECT source, lang AS mode_lang, n AS n_docs
+            FROM r WHERE rn = 1 ORDER BY source""",
+        # q79: the export manifest must survive the hive write→read
+        # round trip; expected values = routing computed on the source
+        "q79_export_partitioned": r"""
+            SELECT CASE WHEN CAST(len(regexp_extract_all(text, '\b(the|a|of|and|in)\b')) AS BIGINT) * 1000000
+                     // GREATEST(CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT), 1) >= 50000
+                        THEN 'en' ELSE 'unk' END AS lang_pred,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes
+            FROM documents GROUP BY 1 ORDER BY lang_pred""",
         # q76: stride-1 rolling 16-token windows, distinct per doc,
         # spans claimed by >= 2 docs (substring-dedup granularity)
         "q76_duplicate_spans": """

@@ -1210,3 +1210,89 @@ def duplicate_spans(sf_dir: str, win: int = 16, npart: int = 32):
     return _docs(sf_dir, columns=["doc_id", "text"]) \
         .map_batches(spans, batch_format="pyarrow") \
         .groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q79: partitioned corpus export (hive layout, resumable-output shape)
+# ---------------------------------------------------------------------------
+
+def export_partitioned(sf_dir: str, out_dir: str | None = None):
+    """q79: route the corpus into hive-partitioned parquet by detected
+    language — the EXPORT side of a training-data pipeline (CCNet-style
+    per-language shards) and the brief's resumable-output contract:
+    one directory per partition key (``lang=xx/``), many files per
+    partition (never one giant file), so a re-run skips or replaces
+    whole partitions instead of merging in place.
+
+    The query returns the post-export manifest — per-language doc
+    count and byte size aggregated from a DISTRIBUTED READ-BACK of the
+    exported files (hive partition column recovered from the path) —
+    so the oracle check verifies the full write→read round trip, not
+    just the routing."""
+    import shutil
+
+    out = out_dir or os.path.join("/tmp/warc_ray_bench",
+                                  f"export-{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(out, ignore_errors=True)
+
+    def route(b: pa.Table) -> pa.Table:
+        lid = ts.lang_id(b)                     # (doc_id, stop_ppm, lang_pred)
+        return pa.table({"doc_id": b["doc_id"],
+                         "lang_pred": lid["lang_pred"],
+                         "text": b["text"]})
+
+    _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(route, batch_format="pyarrow") \
+        .write_parquet(out, partition_cols=["lang_pred"])
+
+    back = rd.read_parquet(out)
+
+    def manifest(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang_pred": pc.cast(b["lang_pred"], pa.string()),
+            "n_bytes": pc.cast(pc.binary_length(
+                pc.cast(b["text"], pa.string())), pa.int64()),
+        })
+        p = t.group_by(["lang_pred"]).aggregate(
+            [("n_bytes", "count"), ("n_bytes", "sum")])
+        return p.rename_columns(["lang_pred", "n_docs", "n_bytes"])
+
+    return back.map_batches(manifest, batch_format="pyarrow") \
+        .groupby("lang_pred").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                        Sum("n_bytes", alias_name="n_bytes")) \
+        .sort("lang_pred")
+
+
+def mode_lang_by_source(sf_dir: str):
+    """q80: grouped MODE — the most frequent lang per source with a
+    deterministic tie-break (smallest lang among the argmax counts),
+    e.g. "dominant language per domain" in a crawl report.
+
+    Scale shape: per-batch (source, lang) count partials → one tiny
+    groupby reduces them exactly (the (source × lang) domain is tiny
+    regardless of row count), then the argmax is driver arithmetic
+    over the reduced table — the same partials-then-tiny-reduce shape
+    as q01/q66."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"], "lang": b["lang"]})
+        p = t.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return p.rename_columns(["source", "lang", "n"])
+
+    fine = _docs(sf_dir, columns=["source", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(_Sum("n", alias_name="n"))
+    t = pa.concat_tables(fine.iter_batches(batch_format="pyarrow"))
+    src = np.asarray(t["source"].to_pylist(), dtype=object)
+    lang = np.asarray(t["lang"].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    # sort by (source, -n, lang): first row per source is the mode
+    order = np.lexsort((lang, -n, src))
+    src, lang, n = src[order], lang[order], n[order]
+    first = np.concatenate(([True], src[1:] != src[:-1]))
+    return pa.table({
+        "source": pa.array(src[first], type=pa.string()),
+        "mode_lang": pa.array(lang[first], type=pa.string()),
+        "n_docs": pa.array(n[first].astype(np.int64)),
+    })
