@@ -602,12 +602,22 @@ def _arc_roundtrip_q(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from warc_ray.pipelines import analytics as an
     from warc_ray.pipelines import relational as rel
     from warc_ray.pipelines import training as tr
 
     return {
         # relational / wide operators (G11/G15/G17 patterns)
         "q01_agg_lineitem": rel.agg_lineitem,
+        # session-5 analytics / lakehouse operators
+        "q81_merge_upsert": an.merge_upsert,
+        "q82_group_concat": an.group_concat,
+        "q83_feature_corr": an.feature_corr,
+        "q84_json_props": an.json_props_stats,
+        "q85_retention_cohorts": an.retention_cohorts,
+        "q86_vocab_build": an.vocab_build,
+        "q87_containment_pairs": an.containment_pairs,
+        "q88_source_mixture": an.source_mixture,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -748,6 +758,8 @@ def _lsh_planes_sql(dim: int = 64) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from warc_ray.pipelines import analytics as _an
+
     # the corpus parquet files must exist for q50/q51 — same generator
     # the Ray queries use (deterministic, idempotent)
     t2 = corpus_mod.ensure_corpus("t2")
@@ -861,6 +873,17 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
                      AS rank
             FROM orders""",
+        # q81-q88: session-5 analytics — SQL twins live beside their
+        # pipelines in warc_ray/pipelines/analytics.py (house rule:
+        # exactness notes in the module docstring)
+        "q81_merge_upsert": _an.MERGE_UPSERT_SQL,
+        "q82_group_concat": _an.GROUP_CONCAT_SQL,
+        "q83_feature_corr": _an.FEATURE_CORR_SQL,
+        "q84_json_props": _an.JSON_PROPS_SQL,
+        "q85_retention_cohorts": _an.RETENTION_SQL,
+        "q86_vocab_build": _an.VOCAB_BUILD_SQL,
+        "q87_containment_pairs": _an.CONTAINMENT_SQL,
+        "q88_source_mixture": _an.SOURCE_MIXTURE_SQL,
         # q80: grouped MODE, ties broken by smallest lang — ROW_NUMBER
         # over (n DESC, lang) reproduces the deterministic argmax
         "q80_mode_lang_by_source": """

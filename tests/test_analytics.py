@@ -1,0 +1,154 @@
+"""Law tests for the session-5 analytics operators (q81–q88) on
+adversarial in-memory fixtures — the DuckDB value-parity itself is
+covered by the driver harness; these pin the semantic invariants the
+SQL can't (latest-wins resolution, bounded concat, containment
+orientation, mixture determinism)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------- q81
+
+def test_merge_upsert_latest_wins(ray_session):
+    from warc_ray.pipelines.analytics import merge_upsert
+
+    out = merge_upsert(SF).to_pandas().set_index("o_orderkey")
+    base = pq.read_table(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice",
+                                  "o_orderstatus"]).to_pandas()
+    miss_upd = miss_del = miss_keep = 0
+    for _, r in base.iterrows():
+        k = int(r.o_orderkey)
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        cents = int(round(r.o_totalprice * 100))
+        if h[1] in "01":                      # delete wins over update
+            assert k not in out.index
+            miss_del += 1
+        elif h[0] in "0123":                  # update applied
+            assert out.loc[k, "o_orderstatus"] == "X"
+            assert out.loc[k, "price_cents"] == cents + 500
+            assert out.loc[k, "version"] == 2
+            miss_upd += 1
+        else:                                 # untouched base row
+            assert out.loc[k, "o_orderstatus"] == r.o_orderstatus
+            assert out.loc[k, "price_cents"] == cents
+            assert out.loc[k, "version"] == 1
+            miss_keep += 1
+    assert min(miss_upd, miss_del, miss_keep) > 0  # all 3 branches hit
+    assert len(out) == len(base) - miss_del
+
+
+# --------------------------------------------------------------------- q82
+
+def test_group_concat_bounded_and_ordered(ray_session):
+    from warc_ray.pipelines.analytics import group_concat
+
+    t = group_concat(SF, k=4).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "lang"]).to_pandas()
+    assert t.n_docs.sum() == len(docs)
+    for _, r in t.iterrows():
+        ids = [int(x) for x in r.first_ids.split(",")]
+        assert ids == sorted(ids) and len(ids) <= 4
+        grp = sorted(docs[(docs.source == r.source)
+                          & (docs.lang == r.lang)].doc_id)[:4]
+        assert ids == grp
+
+
+# --------------------------------------------------------------------- q83
+
+def test_feature_corr_matches_numpy(ray_session):
+    from warc_ray.pipelines.analytics import feature_corr
+    from warc_ray.stages.textstats import token_counts
+
+    t = feature_corr(SF).to_pandas().set_index("lang")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    toks = token_counts(pa.Table.from_pandas(docs))["n_tokens"].to_numpy()
+    docs["y"] = toks
+    for lang, g in docs.groupby("lang"):
+        got = t.loc[lang, "corr_chars_tokens"]
+        want = np.corrcoef(g.n_chars, g.y)[0, 1]
+        assert abs(got - want) < 1e-9
+        assert -1.0 <= got <= 1.0
+
+
+# --------------------------------------------------------------------- q85
+
+def test_retention_cohort_laws(ray_session):
+    from warc_ray.pipelines.analytics import retention_cohorts
+
+    t = retention_cohorts(SF).to_pandas()
+    assert (t.week_offset >= 0).all()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    # offset-0 rows partition all users: every user is in exactly its
+    # own cohort's week-0 cell
+    assert t[t.week_offset == 0].n_users.sum() == ev.user_id.nunique()
+    # retention never exceeds the cohort's size
+    size = t[t.week_offset == 0].set_index("cohort_week").n_users
+    for _, r in t.iterrows():
+        assert r.n_users <= size[r.cohort_week]
+
+
+# --------------------------------------------------------------------- q86
+
+def test_vocab_ranked_and_coverage(ray_session):
+    from warc_ray.pipelines.analytics import vocab_build
+
+    t = vocab_build(SF, v=8).to_pandas()
+    assert list(t.vocab_id) == list(range(len(t)))
+    assert (np.diff(t.n) <= 0).all()          # counts non-increasing
+    import re
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    cnt: dict = {}
+    for txt in docs.text:
+        for w in re.findall(r"[a-z0-9]+", txt.lower()):
+            cnt[w] = cnt.get(w, 0) + 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert list(zip(t.token, t.n)) == want
+    grand = sum(cnt.values())
+    assert t.oov_ppm.iloc[0] == (grand - t.n.sum()) * 1_000_000 // grand
+
+
+# --------------------------------------------------------------------- q87
+
+def test_containment_orientation_and_values(ray_session):
+    from warc_ray.pipelines.analytics import containment_pairs
+    from warc_ray.stages.dedup import shingles
+
+    t = containment_pairs(SF, threshold_ppm=500_000).to_pandas()
+    assert len(t) > 0
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs.doc_id, docs.text))
+    for _, r in t.iterrows():
+        sa = shingles(texts[r.doc_contained])
+        sb = shingles(texts[r.doc_container])
+        assert len(sa) <= len(sb)             # contained side is smaller
+        inter = len(sa & sb)
+        assert r.contain_ppm == inter * 1_000_000 // len(sa)
+        assert r.contain_ppm >= 500_000
+
+
+# --------------------------------------------------------------------- q88
+
+def test_source_mixture_deterministic_and_proportional(ray_session):
+    from warc_ray.pipelines.analytics import source_mixture
+
+    a = source_mixture(SF).to_pandas()
+    b = source_mixture(SF).to_pandas()
+    pd.testing.assert_frame_equal(a, b)       # pure function of input
+    assert (a.n_kept <= a.n_total).all()
+    assert (a.target_n <= a.n_total).all()
+    # md5 sampling tracks the integer target within binomial noise
+    for _, r in a.iterrows():
+        assert abs(r.n_kept - r.target_n) <= max(
+            5, 4 * np.sqrt(max(r.target_n, 1)))

@@ -1,0 +1,705 @@
+"""Session-5 analytics / lakehouse operators (q81+).
+
+The reference library stops at archive I/O (SURVEY.md §2.A); these are
+graft-layer operators a crawl+training substrate needs around the
+archives: CDC merge (lakehouse upsert), order-sensitive group
+aggregates, exact-sums statistics, semi-structured extraction, cohort
+analytics, tokenizer vocab construction, asymmetric containment
+dedup, and source-mixture sampling.
+
+Cross-engine exactness follows the house rules (relational.py header):
+integer units before any sum, md5-derived determinism for anything
+sampled, floats only as a FINAL single expression both engines compute
+identically from exact integer inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..stages.exchange import with_part
+
+INT64 = pa.int64()
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(_pq(sf_dir, "documents"), columns=columns)
+
+
+def _md5_hex(strs: list[str]) -> list[str]:
+    md5 = hashlib.md5
+    return [md5(s.encode()).hexdigest() for s in strs]
+
+
+# ---------------------------------------------------------------------------
+# Q86: tokenizer vocabulary construction + OOV coverage
+# ---------------------------------------------------------------------------
+
+def vocab_build(sf_dir: str, v: int = 16, npart: int = 32):
+    """q86: build a top-``v`` token vocabulary with contiguous ids
+    assigned by (count DESC, token ASC) and report corpus OOV coverage
+    — the tokenizer-training prefix every LM data pipeline runs (the
+    unigram seed of BPE/WordPiece).
+
+    Scale shape: q38's count fabric (per-batch combiner → ONE bucket
+    exchange on the token) with two additions that stay bucket-local:
+    each bucket emits its top-``v`` candidates (bucket tops are a
+    superset of the global top-``v`` since buckets partition tokens)
+    plus its total occurrence count, so the global rank AND the exact
+    OOV rate both resolve driver-side over ≤ (v+1)·npart tiny rows —
+    the token tail never leaves its bucket."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        import re
+        wre = re.compile(r"[a-z0-9]+")
+        for t in b["text"].to_pylist():
+            toks.extend(wre.findall(t.lower()))
+        t = pa.table({"token": pa.array(toks, type=pa.string())})
+        p = t.group_by(["token"]).aggregate([("token", "count")]) \
+            .rename_columns(["token", "n"])
+        return with_part(p, "token", npart)
+
+    def bucket_top(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        t = g.drop_columns(["part"]).combine_chunks()
+        t = t.group_by(["token"]).aggregate([("n", "sum")]) \
+            .rename_columns(["token", "n"])
+        total = int(pc.sum(t["n"]).as_py())
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("n", "descending"), ("token", "ascending")])).slice(0, v)
+        return pa.table({
+            "token": t["token"], "n": pc.cast(t["n"], INT64),
+            "part": pa.array([part] * t.num_rows, type=pa.int32()),
+            "bucket_total": pa.array([total] * t.num_rows, type=INT64),
+        })
+
+    tops = _docs(sf_dir, columns=["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket_top, batch_format="pyarrow")
+    t = pa.concat_tables(tops.iter_batches(batch_format="pyarrow"))
+    totals: dict[int, int] = {}
+    for p, bt in zip(t["part"].to_pylist(), t["bucket_total"].to_pylist()):
+        totals[p] = bt
+    grand = sum(totals.values())
+    tok = np.asarray(t["token"].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -n))[:v]
+    in_vocab = int(n[order].sum())
+    oov_ppm = (grand - in_vocab) * 1_000_000 // grand if grand else 0
+    return pa.table({
+        "token": pa.array(tok[order].tolist(), type=pa.string()),
+        "vocab_id": pa.array(np.arange(len(order)), type=INT64),
+        "n": pa.array(n[order], type=INT64),
+        "oov_ppm": pa.array([oov_ppm] * len(order), type=INT64),
+    })
+
+
+VOCAB_BUILD_SQL = """
+    WITH tc AS (
+      SELECT t AS token, COUNT(*) AS n
+      FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents)
+      GROUP BY t
+    ), ranked AS (
+      SELECT token, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS vocab_id
+      FROM tc
+    ), tot AS (SELECT SUM(n) AS s FROM tc),
+       inv AS (SELECT SUM(n) AS s FROM ranked WHERE vocab_id < 16)
+    SELECT token, CAST(vocab_id AS BIGINT) AS vocab_id,
+           CAST(n AS BIGINT) AS n,
+           CAST((tot.s - inv.s) * 1000000 // tot.s AS BIGINT) AS oov_ppm
+    FROM ranked, tot, inv
+    WHERE vocab_id < 16 ORDER BY vocab_id"""
+
+
+# ---------------------------------------------------------------------------
+# Q87: asymmetric n-gram containment (near-subset detection)
+# ---------------------------------------------------------------------------
+
+def containment_pairs(sf_dir: str, threshold_ppm: int = 600_000,
+                      n: int = 3, npart: int = 32):
+    """q87: directed containment near-dup — pairs where the SMALLER
+    document's shingle set is ≥ threshold contained in the larger's
+    (``inter/|small|``), the asymmetric complement of q25's symmetric
+    Jaccard: quote/excerpt and page-template detection, where Jaccard
+    stays low because the containing document is much bigger.
+
+    Same 100%-recall distributed inverted-index fabric as q25
+    (shingle-explode → posting-list pair partials → pair-bucket sum);
+    only the final per-pair arithmetic differs, so the marginal cost
+    over running q25 is one vectorized filter."""
+    from ..stages import dedup as dd
+
+    exploded = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: dd.shingle_explode(b, n=n, npart=npart),
+        batch_format="pyarrow")
+    pairs = exploded.groupby("part").map_groups(
+        lambda g: dd.posting_pairs(g.drop_columns(["part"])),
+        batch_format="pyarrow")
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        k = (t["doc_a"].to_numpy().astype(np.uint64) * np.uint64(2654435761)
+             ^ t["doc_b"].to_numpy().astype(np.uint64))
+        return t.append_column(
+            "part", pa.array((k % np.uint64(npart)).astype(np.int32)))
+
+    def finish(g: pa.Table) -> pa.Table:
+        tot = g.drop_columns(["part"]).group_by(["doc_a", "doc_b"]) \
+            .aggregate([("na", "min"), ("nb", "min"), ("c", "sum")]) \
+            .rename_columns(["doc_a", "doc_b", "na", "nb", "inter"])
+        a = tot["doc_a"].to_numpy()
+        b = tot["doc_b"].to_numpy()
+        na = tot["na"].to_numpy()
+        nb = tot["nb"].to_numpy()
+        inter = tot["inter"].to_numpy()
+        small = np.minimum(na, nb)
+        keep = inter * 1_000_000 >= threshold_ppm * small
+        a, b, na, nb, inter, small = (x[keep] for x in
+                                      (a, b, na, nb, inter, small))
+        contained = np.where(na <= nb, a, b)
+        container = np.where(na <= nb, b, a)
+        return pa.table({
+            "doc_contained": pa.array(contained, type=INT64),
+            "doc_container": pa.array(container, type=INT64),
+            "contain_ppm": pa.array(inter * 1_000_000 // small, type=INT64),
+        })
+
+    return pairs.map_batches(pair_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(finish, batch_format="pyarrow")
+
+
+CONTAINMENT_SQL = """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, UNNEST(
+        CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+             ELSE list_transform(range(1, len(t) - 1),
+                    i -> array_to_string(list_slice(t, i, i + 2), ' '))
+        END) AS s
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END
+             AS doc_contained,
+           CASE WHEN sa.n <= sb.n THEN doc_b ELSE doc_a END
+             AS doc_container,
+           (i * 1000000) // LEAST(sa.n, sb.n) AS contain_ppm
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1000000 >= 600000 * LEAST(sa.n, sb.n)"""
+
+
+# ---------------------------------------------------------------------------
+# Q88: source-mixture sampling (training-data mixing)
+# ---------------------------------------------------------------------------
+
+def source_mixture(sf_dir: str):
+    """q88: deterministic proportional data mixing — resize each
+    source's contribution so the kept corpus follows target mixture
+    weights (the Pile/Dolma-style source reweighting pass), via an
+    md5 coin per doc so membership is a pure function of doc_id
+    (stable under appends, row order and cluster size).
+
+    Weights derive from the source name (``1 + idx % 4``).  Pass 1
+    reduces to per-source counts (tiny domain); the driver computes
+    each source's EXACT integer keep threshold ``⌊2^64·target/n⌋``
+    with Python bigints (the SQL twin does the identical HUGEINT
+    arithmetic); pass 2 re-scans with the thresholds broadcast in the
+    task closure and counts survivors — no shuffle in either pass
+    beyond the domain-sized count reduce."""
+
+    def counts(b: pa.Table) -> pa.Table:
+        p = pa.table({"source": b["source"]}).group_by(["source"]) \
+            .aggregate([("source", "count")])
+        return p.rename_columns(["source", "n"])
+
+    agg = _docs(sf_dir, columns=["source"]) \
+        .map_batches(counts, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    srcs = t["source"].to_pylist()
+    ns = {s: int(x) for s, x in zip(srcs, t["n"].to_pylist())}
+    ws = {s: 1 + int(s[3:]) % 4 for s in srcs}
+    wsum = sum(ws.values())
+    kmax = min(ns[s] * wsum // ws[s] for s in srcs)
+    target = {s: kmax * ws[s] // wsum for s in srcs}
+    thr = {s: ((1 << 64) * target[s]) // ns[s] for s in srcs}
+
+    def keep_counts(b: pa.Table) -> pa.Table:
+        src = b["source"].to_pylist()
+        hs = [int.from_bytes(
+            hashlib.md5(str(d).encode()).digest()[:8], "big")
+            for d in b["doc_id"].to_pylist()]
+        kept: dict[str, int] = {}
+        tot: dict[str, int] = {}
+        for s, h in zip(src, hs):
+            tot[s] = tot.get(s, 0) + 1
+            if h < thr[s]:
+                kept[s] = kept.get(s, 0) + 1
+        keys = sorted(tot)
+        return pa.table({
+            "source": pa.array(keys, type=pa.string()),
+            "n_total": pa.array([tot[k] for k in keys], type=INT64),
+            "n_kept": pa.array([kept.get(k, 0) for k in keys], type=INT64),
+        })
+
+    out = _docs(sf_dir, columns=["doc_id", "source"]) \
+        .map_batches(keep_counts, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_total", alias_name="n_total"),
+                                     Sum("n_kept", alias_name="n_kept"))
+    t2 = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    tgt = pa.array([target[s] for s in t2["source"].to_pylist()], type=INT64)
+    return pa.table({
+        "source": t2["source"],
+        "n_total": pc.cast(t2["n_total"], INT64),
+        "target_n": tgt,
+        "n_kept": pc.cast(t2["n_kept"], INT64),
+    }).sort_by("source")
+
+
+_MD5H64 = ("list_sum(list_transform(range(1, 17), "
+           "i -> CAST(strpos('0123456789abcdef', "
+           "substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 "
+           "AS HUGEINT) << (4 * (16 - i))))")
+
+SOURCE_MIXTURE_SQL = f"""
+    WITH cnt AS (
+      SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(1 + CAST(substr(source, 4) AS BIGINT) % 4 AS HUGEINT) AS w
+      FROM documents GROUP BY source
+    ), wsum AS (SELECT SUM(w) AS ws FROM cnt),
+    kmax AS (SELECT MIN(n * ws // w) AS k FROM cnt, wsum),
+    thr AS (
+      SELECT source, n, (k * w // ws) AS target_n,
+             ((CAST(1 AS HUGEINT) << 64) * (k * w // ws)) // n AS threshold
+      FROM cnt, wsum, kmax
+    )
+    SELECT d.source, CAST(t.n AS BIGINT) AS n_total,
+           CAST(t.target_n AS BIGINT) AS target_n,
+           CAST(SUM(CASE WHEN {_MD5H64} < t.threshold
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN thr t USING (source)
+    GROUP BY d.source, t.n, t.target_n
+    ORDER BY d.source"""
+
+
+# ---------------------------------------------------------------------------
+# Q81: CDC MERGE / upsert — apply a keyed changelog, latest version wins
+# ---------------------------------------------------------------------------
+
+def merge_upsert(sf_dir: str, npart: int = 32):
+    """q81: lakehouse MERGE — base snapshot + CDC changelog → merged
+    snapshot.  Per key the highest-version row wins; a winning ``D``
+    tombstone drops the key.  This is the Delta/Iceberg ``MERGE INTO``
+    shape every incremental-ingest pipeline needs and the reference's
+    append-only archives cannot express.
+
+    The changelog is derived deterministically from the base table (an
+    md5 coin per key), so both engines construct the identical input:
+    version 1 = base insert, version 2 = +5.00 price & status ``X``
+    update for keys whose md5 starts in ``0-3`` (~1/4), version 3 =
+    delete for keys whose second md5 hex is ``0-1`` (~1/8; overlap
+    with updates resolves by version, exercising latest-wins).
+
+    Scale shape: base and changelog stream through ONE hash exchange on
+    the key — per bucket a vectorized lexsort picks each key's max
+    version (no per-key Python).  The changelog here is generated
+    inside the same scan; in production it would be a second
+    ``read_parquet`` unioned in — identical fabric either way."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        INT64).to_numpy(zero_copy_only=False)
+        status = b["o_orderstatus"].to_pylist()
+        hexes = _md5_hex([str(int(k)) for k in keys])
+        upd = np.array([h[0] in "0123" for h in hexes])
+        dele = np.array([h[1] in "01" for h in hexes])
+
+        k_parts = [keys, keys[upd], keys[dele]]
+        v_parts = [np.full(len(keys), 1), np.full(upd.sum(), 2),
+                   np.full(dele.sum(), 3)]
+        op_parts = [np.full(len(keys), "I", dtype=object),
+                    np.full(upd.sum(), "U", dtype=object),
+                    np.full(dele.sum(), "D", dtype=object)]
+        c_parts = [cents, cents[upd] + 500, np.zeros(dele.sum(), np.int64)]
+        s_parts = [status,
+                   ["X"] * int(upd.sum()),
+                   [""] * int(dele.sum())]
+        t = pa.table({
+            "o_orderkey": pa.array(np.concatenate(k_parts), type=INT64),
+            "version": pa.array(np.concatenate(v_parts), type=INT64),
+            "op": pa.array(np.concatenate(op_parts).tolist()),
+            "price_cents": pa.array(np.concatenate(c_parts), type=INT64),
+            "o_orderstatus": pa.array(
+                s_parts[0] + s_parts[1] + s_parts[2]),
+        })
+        part = (np.concatenate(k_parts) % npart).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        k = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        v = g["version"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-v, k))              # per key: max version first
+        first = np.concatenate(([True], k[order][1:] != k[order][:-1]))
+        win = g.take(pa.array(order[first]))
+        return win.filter(pc.not_equal(win["op"], pa.scalar("D"))) \
+            .select(["o_orderkey", "o_orderstatus", "price_cents",
+                     "version"])
+
+    return rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Q82: order-sensitive bounded group concat (first-k ordered string_agg)
+# ---------------------------------------------------------------------------
+
+def group_concat(sf_dir: str, k: int = 16):
+    """q82: per (source, lang) the comma-joined SMALLEST ``k`` doc ids
+    plus the group count — the order-SENSITIVE aggregate family
+    (``string_agg(... ORDER BY ...)``) the engine's commutative
+    Sum/Min fabric can't express: per-host URL lists, per-domain
+    sample manifests.
+
+    Scale shape: the aggregate is bounded (k ids per group), so each
+    batch emits a partial (group, count, smallest-k list) and the tiny
+    (source × lang) domain reduces driver-side exactly like q80's mode
+    — the shuffle carries k ids per group per batch, never rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["source"].to_pylist(), dtype=object)
+        lang = np.asarray(b["lang"].to_pylist(), dtype=object)
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, lang, src))
+        src, lang, d = src[order], lang[order], d[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (src[1:] != src[:-1]) | (lang[1:] != lang[:-1]), [True])))
+        rows_s, rows_l, rows_n, rows_ids = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            rows_s.append(src[s]); rows_l.append(lang[s])
+            rows_n.append(int(e - s))
+            rows_ids.append(d[s:min(s + k, e)].tolist())
+        return pa.table({
+            "source": pa.array(rows_s, type=pa.string()),
+            "lang": pa.array(rows_l, type=pa.string()),
+            "n": pa.array(rows_n, type=INT64),
+            "ids": pa.array(rows_ids, type=pa.list_(INT64)),
+        })
+
+    parts = _docs(sf_dir, columns=["doc_id", "source", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    merged: dict[tuple, tuple[int, list[int]]] = {}
+    for s, l, n, ids in zip(t["source"].to_pylist(), t["lang"].to_pylist(),
+                            t["n"].to_pylist(), t["ids"].to_pylist()):
+        cn, cids = merged.get((s, l), (0, []))
+        merged[(s, l)] = (cn + n, sorted(cids + ids)[:k])
+    keys = sorted(merged)
+    return pa.table({
+        "source": pa.array([s for s, _ in keys]),
+        "lang": pa.array([l for _, l in keys]),
+        "n_docs": pa.array([merged[kk][0] for kk in keys], type=INT64),
+        "first_ids": pa.array(
+            [",".join(str(i) for i in merged[kk][1]) for kk in keys]),
+    })
+
+
+GROUP_CONCAT_SQL = """
+    WITH ranked AS (
+      SELECT source, lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source, lang
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(CASE WHEN rn <= 16
+                           THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS first_ids
+    FROM ranked GROUP BY source, lang ORDER BY source, lang"""
+
+
+# ---------------------------------------------------------------------------
+# Q83: Pearson correlation from exact integer sums
+# ---------------------------------------------------------------------------
+
+def feature_corr(sf_dir: str):
+    """q83: per-lang Pearson correlation between document length
+    (``n_chars``) and token count — the two-pass-free exact-sums form:
+    each batch emits integer partials (n, Σx, Σy, Σxy, Σx², Σy²), one
+    tiny groupby folds them (sums of int64 are associative and exact),
+    and the correlation is ONE final double expression over exact
+    integers — so the value bit-matches any engine computing the same
+    formula, independent of row order or cluster size.
+
+    Overflow headroom: x ≤ 4e3 chars, y ≤ 1e3 tokens → Σxy per row ≤
+    4e6; int64 holds ~2.3e12 such rows per lang (≈ corpus scale); the
+    SQL twin folds in HUGEINT.
+    """
+    import math
+
+    from ..stages import textstats as ts
+
+    def partial(b: pa.Table) -> pa.Table:
+        tc = ts.token_counts(b)
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = tc["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lang = np.asarray(b["lang"].to_pylist(), dtype=object)
+        order = np.argsort(lang)
+        lang, x, y = lang[order], x[order], y[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], lang[1:] != lang[:-1], [True])))
+        segs = list(zip(starts[:-1], starts[1:]))
+        return pa.table({
+            "lang": pa.array([lang[s] for s, _ in segs], type=pa.string()),
+            "n": pa.array([e - s for s, e in segs], type=INT64),
+            "sx": pa.array([x[s:e].sum() for s, e in segs], type=INT64),
+            "sy": pa.array([y[s:e].sum() for s, e in segs], type=INT64),
+            "sxy": pa.array([(x[s:e] * y[s:e]).sum() for s, e in segs],
+                            type=INT64),
+            "sxx": pa.array([(x[s:e] * x[s:e]).sum() for s, e in segs],
+                            type=INT64),
+            "syy": pa.array([(y[s:e] * y[s:e]).sum() for s, e in segs],
+                            type=INT64),
+        })
+
+    agg = _docs(sf_dir, columns=["doc_id", "lang", "text", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    corr = []
+    for i in range(t.num_rows):
+        n, sx, sy, sxy, sxx, syy = (int(t[c][i].as_py()) for c in
+                                    ("n", "sx", "sy", "sxy", "sxx", "syy"))
+        num = n * sxy - sx * sy                  # exact Python ints
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        corr.append(float(num) / math.sqrt(float(vx) * float(vy))
+                    if vx > 0 and vy > 0 else None)
+    return pa.table({
+        "lang": t["lang"],
+        "n_docs": pc.cast(t["n"], INT64),
+        "sum_chars": pc.cast(t["sx"], INT64),
+        "sum_tokens": pc.cast(t["sy"], INT64),
+        "corr_chars_tokens": pa.array(corr, type=pa.float64()),
+    }).sort_by("lang")
+
+
+FEATURE_CORR_SQL = """
+    WITH f AS (
+      SELECT lang, CAST(n_chars AS HUGEINT) AS x,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS HUGEINT) AS y
+      FROM documents
+    ), s AS (
+      SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM f GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(sx AS BIGINT) AS sum_chars,
+           CAST(sy AS BIGINT) AS sum_tokens,
+           CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE)
+             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(n*syy - sy*sy AS DOUBLE))
+           END AS corr_chars_tokens
+    FROM s ORDER BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# Q84: semi-structured (JSON) property extraction + per-type stats
+# ---------------------------------------------------------------------------
+
+def json_props_stats(sf_dir: str):
+    """q84: parse the ``props`` JSON column and aggregate the extracted
+    ``k`` per event type — the semi-structured-extraction stage every
+    log/crawl pipeline has (request headers, page metadata).
+
+    The extraction is zero-copy vectorized: ``utf8_trim`` strips the
+    constant JSON framing characters (the fast path for the corpus's
+    fixed ``{"k": <int>}`` shape — a schema-aware struct parse, not a
+    general JSON library), then one cast.  Distinct-k folds through
+    per-batch (type, k) partials — the (type × k) domain is bounded by
+    the value domain, not row count."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = pc.cast(pc.utf8_trim(b["props"], '{"k: }'), INT64)
+        t = pa.table({"event_type": b["event_type"], "k": k})
+        p = t.group_by(["event_type", "k"]).aggregate([("k", "count")])
+        return p.rename_columns(["event_type", "k", "n"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_type", "props"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "k"]).aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    k = t["k"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((k, et))
+    et, k, n = et[order], k[order], n[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], et[1:] != et[:-1], [True])))
+    segs = list(zip(starts[:-1], starts[1:]))
+    return pa.table({
+        "event_type": pa.array([et[s] for s, _ in segs], type=pa.string()),
+        "n_events": pa.array([n[s:e].sum() for s, e in segs], type=INT64),
+        "sum_k": pa.array([(k[s:e] * n[s:e]).sum() for s, e in segs],
+                          type=INT64),
+        "min_k": pa.array([k[s] for s, _ in segs], type=INT64),
+        "max_k": pa.array([k[e - 1] for _, e in segs], type=INT64),
+        "n_distinct_k": pa.array([e - s for s, e in segs], type=INT64),
+    })
+
+
+JSON_PROPS_SQL = """
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM e GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q85: retention cohorts (first-activity week × activity-week offset)
+# ---------------------------------------------------------------------------
+
+_EPOCH_MONDAY_SHIFT = 3        # 1970-01-01 is Thursday; +3 → Monday weeks
+
+
+def retention_cohorts(sf_dir: str, npart: int = 32):
+    """q85: classic cohort retention — users grouped by their FIRST
+    active ISO week (Monday-start, ``date_trunc('week')`` semantics),
+    counted in every later week they return: the engagement analytic
+    run over any event log.
+
+    Scale shape: each batch reduces to distinct (user, week) pairs;
+    ONE hash exchange on user_id co-locates a user's weeks; each
+    bucket derives (cohort=min week, offset) pairs vectorized; the
+    final count groupby runs on the tiny (cohort × offset) domain.
+    The user table never materializes anywhere."""
+
+    def pairs(b: pa.Table) -> pa.Table:
+        us = b["user_id"].to_numpy(zero_copy_only=False)
+        days = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000)
+        wk = (days + _EPOCH_MONDAY_SHIFT) // 7
+        t = pa.table({"user_id": pa.array(us, type=INT64),
+                      "week": pa.array(wk, type=INT64)})
+        t = t.group_by(["user_id", "week"]).aggregate([])
+        part = (t["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        w = g["week"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        # global distinct (user, week): batch partials overlap
+        uniq = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])))
+        u, w = u[uniq], w[uniq]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        cohort = w[np.flatnonzero(first)][np.cumsum(first) - 1]
+        t = pa.table({"cohort_week": pa.array(cohort, type=INT64),
+                      "week_offset": pa.array(w - cohort, type=INT64)})
+        p = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("week_offset", "count")])
+        return p.rename_columns(["cohort_week", "week_offset", "n_users"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts"]) \
+        .map_batches(pairs, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby(["cohort_week", "week_offset"]) \
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    wk = t["cohort_week"].to_numpy(zero_copy_only=False)
+    days = wk * 7 - _EPOCH_MONDAY_SHIFT
+    dates = (np.array(days, dtype="datetime64[D]")
+             .astype("datetime64[s]").astype("int64"))
+    iso = [str(np.datetime64(int(d), "s"))[:10] for d in dates]
+    return pa.table({
+        "cohort_week": pa.array(iso, type=pa.string()),
+        "week_offset": pc.cast(t["week_offset"], INT64),
+        "n_users": pc.cast(t["n_users"], INT64),
+    }).sort_by([("cohort_week", "ascending"), ("week_offset", "ascending")])
+
+
+RETENTION_SQL = """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT e.user_id, f.cw,
+             (epoch(date_trunc('week', e.ts)) - epoch(CAST(cw AS TIMESTAMP)))
+             // (7 * 86400) AS wk
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(wk AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY cw, wk ORDER BY 1, 2"""
+
+
+MERGE_UPSERT_SQL = """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders
+    ), changelog AS (
+      SELECT o_orderkey, CAST(1 AS BIGINT) AS version, 'I' AS op,
+             price_cents, o_orderstatus FROM base
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', price_cents + 500, 'X'
+      FROM base WHERE substr(h, 1, 1) IN ('0','1','2','3')
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', 0, ''
+      FROM base WHERE substr(h, 2, 1) IN ('0','1')
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC) AS rn
+      FROM changelog
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents, version
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY o_orderkey"""
