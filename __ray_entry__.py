@@ -68,6 +68,13 @@ def _extract_links_q(sf_dir: str):
                           batch_format="pyarrow")
 
 
+def _degree_histogram_q(sf_dir: str):
+    from warc_ray.pipelines.analytics import degree_histogram
+
+    cdir = _corpus_for(sf_dir)
+    return degree_histogram(corpus_mod.docs_path(cdir))
+
+
 def _seen_dedup_q(sf_dir: str):
     import ray.data as rd
 
@@ -618,6 +625,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q86_vocab_build": an.vocab_build,
         "q87_containment_pairs": an.containment_pairs,
         "q88_source_mixture": an.source_mixture,
+        "q89_pivot_events": an.pivot_events,
+        "q90_funnel": an.funnel,
+        "q91_degree_histogram": _degree_histogram_q,
+        "q92_debounce_events": an.debounce_events,
+        "q93_bigram_topk": an.bigram_topk,
+        "q94_cumulative_users": an.cumulative_users,
+        "q95_cooccurrence": an.cooccurrence,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -884,6 +898,31 @@ def oracle_sql() -> dict[str, str]:
         "q86_vocab_build": _an.VOCAB_BUILD_SQL,
         "q87_containment_pairs": _an.CONTAINMENT_SQL,
         "q88_source_mixture": _an.SOURCE_MIXTURE_SQL,
+        "q89_pivot_events": _an.PIVOT_EVENTS_SQL,
+        "q90_funnel": _an.FUNNEL_SQL,
+        "q92_debounce_events": _an.DEBOUNCE_SQL,
+        "q93_bigram_topk": _an.BIGRAM_TOPK_SQL,
+        "q94_cumulative_users": _an.CUMULATIVE_USERS_SQL,
+        "q95_cooccurrence": _an.COOCCURRENCE_SQL,
+        # q91: degree histograms over the corpus link graph — distinct
+        # (src_doc, url) edges; zero-outlink docs land in out-degree 0
+        "q91_degree_histogram": f"""
+            WITH links AS ({links_src}),
+            e AS (SELECT DISTINCT src_doc, url FROM links),
+            od AS (
+              SELECT d.doc_id, COUNT(e.url) AS deg
+              FROM read_parquet('{docs_glob}') d
+              LEFT JOIN e ON e.src_doc = d.doc_id GROUP BY d.doc_id
+            ),
+            idg AS (SELECT url, COUNT(*) AS deg FROM e GROUP BY url),
+            h AS (
+              SELECT 'out' AS side, deg, COUNT(*) AS n FROM od GROUP BY deg
+              UNION ALL
+              SELECT 'in', deg, COUNT(*) FROM idg GROUP BY deg
+            )
+            SELECT side, CAST(deg AS BIGINT) AS degree,
+                   CAST(n AS BIGINT) AS n
+            FROM h ORDER BY side, degree""",
         # q80: grouped MODE, ties broken by smallest lang — ROW_NUMBER
         # over (n DESC, lang) reproduces the deterministic argmax
         "q80_mode_lang_by_source": """

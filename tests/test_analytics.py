@@ -152,3 +152,131 @@ def test_source_mixture_deterministic_and_proportional(ray_session):
     for _, r in a.iterrows():
         assert abs(r.n_kept - r.target_n) <= max(
             5, 4 * np.sqrt(max(r.target_n, 1)))
+
+
+# --------------------------------------------------------------------- q89
+
+def test_pivot_events_row_sums(ray_session):
+    from warc_ray.pipelines.analytics import pivot_events
+
+    t = pivot_events(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type"]).to_pandas()
+    cols = [c for c in t.columns if c.startswith("n_")]
+    assert t[cols].to_numpy().sum() == len(ev)
+    for ty, n in ev.event_type.value_counts().items():
+        assert t[f"n_{ty}"].sum() == n
+
+
+# --------------------------------------------------------------------- q90
+
+def test_funnel_matches_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import funnel
+
+    t = funnel(SF).to_pandas().iloc[0]
+    assert t.n_view >= t.n_click >= t.n_purchase
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    n1 = n2 = n3 = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        v = g[g.event_type == "view"]
+        if v.empty:
+            continue
+        n1 += 1
+        t1 = v.ts.iloc[0]
+        c = g[(g.event_type == "click") & (g.ts > t1)]
+        if c.empty:
+            continue
+        n2 += 1
+        t2 = c.ts.iloc[0]
+        if not g[(g.event_type == "purchase") & (g.ts > t2)].empty:
+            n3 += 1
+    assert (t.n_view, t.n_click, t.n_purchase) == (n1, n2, n3)
+
+
+# --------------------------------------------------------------------- q92
+
+def test_debounce_matches_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import debounce_events
+
+    t = debounce_events(SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev.ts.astype("int64")
+    for ty, g in ev.groupby("event_type"):
+        kept = 0
+        for _, u in g.groupby("user_id"):
+            ts = u.sort_values(["us", "event_id"]).us.to_numpy()
+            kept += 1 + int((np.diff(ts) >= 300_000_000).sum())
+        assert t.loc[ty, "n_kept"] == kept
+        assert t.loc[ty, "n_total"] == len(g)
+
+
+# --------------------------------------------------------------------- q93
+
+def test_bigram_topk_law(ray_session):
+    from warc_ray.pipelines.analytics import bigram_topk
+
+    t = bigram_topk(SF, k=2).to_pandas()
+    assert (t.groupby("head")["rank"].max() <= 2).all()
+    # per head, counts are non-increasing with rank
+    for _, g in t.groupby("head"):
+        g = g.sort_values("rank")
+        assert (np.diff(g.n) <= 0).all()
+
+
+# --------------------------------------------------------------------- q94
+
+def test_cumulative_users_laws(ray_session):
+    from warc_ray.pipelines.analytics import cumulative_users
+
+    t = cumulative_users(SF).to_pandas()
+    assert (t.cum_users == t.n_new.cumsum()).all()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id"]).to_pandas()
+    assert t.cum_users.iloc[-1] == ev.user_id.nunique()
+
+
+# --------------------------------------------------------------------- q95
+
+def test_cooccurrence_formula(ray_session):
+    import re
+
+    from warc_ray.pipelines.analytics import cooccurrence
+
+    t = cooccurrence(SF, v=8, topk=10).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    cnt: dict = {}
+    for txt in docs.text:
+        for w in re.findall(r"[a-z0-9]+", txt.lower()):
+            cnt[w] = cnt.get(w, 0) + 1
+    vocab = set(w for w, _ in sorted(cnt.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:8])
+    sets = [set(re.findall(r"[a-z0-9]+", txt.lower())) & vocab
+            for txt in docs.text]
+    for _, r in t.iterrows():
+        assert r.tok_a < r.tok_b
+        n_ab = sum(1 for s in sets if r.tok_a in s and r.tok_b in s)
+        n_a = sum(1 for s in sets if r.tok_a in s)
+        n_b = sum(1 for s in sets if r.tok_b in s)
+        assert r.n_ab == n_ab
+        assert r.assoc_ppm == n_ab * len(sets) * 1_000_000 // (n_a * n_b)
+
+
+# --------------------------------------------------------------------- q91
+
+def test_degree_histogram_conservation(ray_session):
+    from warc_ray import corpus as corpus_mod
+    from warc_ray.pipelines.analytics import degree_histogram
+
+    cdir = corpus_mod.ensure_corpus("t1")
+    t = degree_histogram(corpus_mod.docs_path(cdir)).to_pandas()
+    out = t[t.side == "out"]
+    inn = t[t.side == "in"]
+    docs = pq.read_table(corpus_mod.docs_path(cdir),
+                         columns=["doc_id"])
+    assert out.n.sum() == docs.num_rows          # every doc in one bucket
+    # edge conservation: Σ degree·n is the same distinct-edge set on
+    # both sides
+    assert (out.degree * out.n).sum() == (inn.degree * inn.n).sum()
+    assert (inn.degree >= 1).all()

@@ -43,6 +43,583 @@ def _md5_hex(strs: list[str]) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# Q89: PIVOT (rows → typed count columns per day)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events(sf_dir: str):
+    """q89: reshape the event log into one row per day with one count
+    column per event type — the PIVOT/crosstab operator (conditional
+    aggregation), the report shape dashboards consume.
+
+    Scale shape: per-batch (day, type) count partials → tiny
+    (days × types) reduce → driver-side pivot of the tiny table.  The
+    pivoted column set is the FIXED event-type domain (pivot requires
+    a known column domain in any engine — DuckDB's PIVOT samples it,
+    we declare it)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor(pc.divide(
+            pc.cast(b["ts"], INT64), 86_400_000_000)), INT64)
+        t = pa.table({"day": days, "event_type": b["event_type"]})
+        return t.group_by(["day", "event_type"]).aggregate(
+            [("event_type", "count")]) \
+            .rename_columns(["day", "event_type", "n"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "event_type"]).aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    days = t["day"].to_numpy(zero_copy_only=False)
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    uday = np.unique(days)
+    cols = {f"n_{ty}": np.zeros(len(uday), dtype=np.int64)
+            for ty in _EVENT_TYPES}
+    idx = np.searchsorted(uday, days)
+    for ty in _EVENT_TYPES:
+        m = et == ty
+        cols[f"n_{ty}"][idx[m]] = n[m]
+    iso = [str(np.datetime64(int(d) * 86_400, "s"))[:10] for d in uday]
+    out = {"day": pa.array(iso, type=pa.string())}
+    out.update({k: pa.array(v, type=INT64) for k, v in cols.items()})
+    return pa.table(out)
+
+
+PIVOT_EVENTS_SQL = """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+             AS n_click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+             AS n_error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS n_purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+             AS n_signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+             AS n_view
+    FROM events GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Q90: ordered funnel (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+def funnel(sf_dir: str, npart: int = 32):
+    """q90: strict-order funnel — users whose first ``view`` precedes a
+    later ``click`` which precedes a later ``purchase``; counts per
+    stage.  The sequential-pattern analytic (conversion funnels,
+    session flows) that needs per-user EVENT ORDER, not just counts.
+
+    Scale shape: only (user, type, min-relevant-ts) partials shuffle
+    through ONE user-hash exchange; each bucket resolves its users'
+    stage times with three vectorized reduceat passes (first view →
+    first later click → first later purchase).  Output is one row."""
+
+    KINDS = {"view": 0, "click": 1, "purchase": 2}
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"],
+                     value_set=pa.array(list(KINDS)))
+        t = b.filter(m)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        k = np.array([KINDS[x] for x in t["event_type"].to_pylist()],
+                     dtype=np.int32)
+        out = pa.table({"user_id": pa.array(u, type=INT64),
+                        "kind": pa.array(k, type=pa.int32()),
+                        "ts": pa.array(ts, type=INT64)})
+        part = (u % npart).astype(np.int32)
+        return out.append_column("part", pa.array(part))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        k = g["kind"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+
+        def first_after(kind: int, users: np.ndarray,
+                        after: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """users sorted; after[i] = strict lower bound for users[i].
+            Returns (users', t') where t' = min ts of `kind` events of
+            users' with ts > after."""
+            m = k == kind
+            eu, ets = u[m], ts[m]
+            pos = np.searchsorted(users, eu)
+            ok = (pos < len(users)) & (users[np.minimum(
+                pos, len(users) - 1)] == eu)
+            ok &= ets > after[np.minimum(pos, len(users) - 1)]
+            eu, ets = eu[ok], ets[ok]
+            if not len(eu):
+                return eu, ets
+            order = np.lexsort((ets, eu))
+            eu, ets = eu[order], ets[order]
+            firsts = np.concatenate(([True], eu[1:] != eu[:-1]))
+            return eu[firsts], ets[firsts]
+
+        mv = k == 0
+        if mv.any():
+            vu, vts = u[mv], ts[mv]
+            order = np.lexsort((vts, vu))
+            vu, vts = vu[order], vts[order]
+            firsts = np.concatenate(([True], vu[1:] != vu[:-1]))
+            u1, t1 = vu[firsts], vts[firsts]
+        else:
+            u1 = np.zeros(0, np.int64); t1 = np.zeros(0, np.int64)
+        u2, t2 = first_after(1, u1, t1) if len(u1) else (u1, t1)
+        u3, _ = first_after(2, u2, t2) if len(u2) else (u2, t2)
+        return pa.table({
+            "n_view": pa.array([len(u1)], type=INT64),
+            "n_click": pa.array([len(u2)], type=INT64),
+            "n_purchase": pa.array([len(u3)], type=INT64),
+        })
+
+    parts = rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["user_id", "ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "n_view": pa.array([int(pc.sum(t["n_view"]).as_py())], type=INT64),
+        "n_click": pa.array([int(pc.sum(t["n_click"]).as_py())], type=INT64),
+        "n_purchase": pa.array([int(pc.sum(t["n_purchase"]).as_py())],
+                               type=INT64),
+    })
+
+
+FUNNEL_SQL = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase"""
+
+
+# ---------------------------------------------------------------------------
+# Q92: event debounce (windowed LAG dedup)
+# ---------------------------------------------------------------------------
+
+def debounce_events(sf_dir: str, gap_us: int = 300_000_000,
+                    npart: int = 32):
+    """q92: keep an event only if ≥ ``gap_us`` has passed since the
+    PREVIOUS event of the same (user, type) — the LAG-window dedup
+    (double-click suppression, retry collapsing; previous-ROW
+    semantics, the SQL-window-expressible debounce).  Ties at the
+    same timestamp keep the smallest event_id and drop the rest.
+
+    Scale shape: one user-hash exchange, per-bucket lexsort + one
+    vectorized diff; output reduces to per-type totals."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "user_id": pa.array(u, type=INT64),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "ts": pc.cast(b["ts"], INT64),
+        })
+        return t.append_column(
+            "part", pa.array((u % npart).astype(np.int32)))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ty = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, ty, u))
+        u, ty, ts, eid = u[order], ty[order], ts[order], eid[order]
+        new_key = np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])))
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[0] = gap_us
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = new_key | (gap >= gap_us)
+        tt = pa.table({"event_type": pa.array(ty.tolist()),
+                       "kept": pa.array(keep.astype(np.int64), type=INT64),
+                       "one": pa.array(np.ones(len(ty), np.int64),
+                                       type=INT64)})
+        p = tt.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("kept", "sum")])
+        return p.rename_columns(["event_type", "n_total", "n_kept"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_id", "user_id", "ts",
+                                   "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("n_total", alias_name="n_total"),
+                                         Sum("n_kept", alias_name="n_kept"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return pa.table({"event_type": t["event_type"],
+                     "n_total": pc.cast(t["n_total"], INT64),
+                     "n_kept": pc.cast(t["n_kept"], INT64)}) \
+        .sort_by("event_type")
+
+
+DEBOUNCE_SQL = """
+    WITH lagd AS (
+      SELECT event_type,
+             ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN gap IS NULL
+                         OR gap >= INTERVAL 300 SECOND
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM lagd GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q93: bigram conditional top-k (Markov transition table)
+# ---------------------------------------------------------------------------
+
+def bigram_topk(sf_dir: str, k: int = 3, npart: int = 32):
+    """q93: for every head token the top-``k`` FOLLOWING tokens by
+    bigram count (ties to the smaller token) — the Markov transition
+    table / next-word statistics pass.
+
+    Scale shape: per-batch bigram combiner → ONE hash exchange on the
+    HEAD token (all of a head's continuations meet in one bucket, so
+    the grouped top-k is bucket-local) → vectorized per-bucket rank
+    cut.  Nothing re-aggregates globally."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import re
+        wre = re.compile(r"[a-z0-9]+")
+        heads: list[str] = []
+        tails: list[str] = []
+        for txt in b["text"].to_pylist():
+            toks = wre.findall(txt.lower())
+            heads.extend(toks[:-1])
+            tails.extend(toks[1:])
+        t = pa.table({"head": pa.array(heads, type=pa.string()),
+                      "tail": pa.array(tails, type=pa.string())})
+        p = t.group_by(["head", "tail"]).aggregate([("tail", "count")]) \
+            .rename_columns(["head", "tail", "n"])
+        return with_part(p, "head", npart)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]).combine_chunks()
+        t = t.group_by(["head", "tail"]).aggregate([("n", "sum")]) \
+            .rename_columns(["head", "tail", "n"])
+        h = np.asarray(t["head"].to_pylist(), dtype=object)
+        tl = np.asarray(t["tail"].to_pylist(), dtype=object)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tl, -n, h))
+        h, tl, n = h[order], tl[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        rank = np.arange(len(h)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(h)]))))
+        keep = rank < k
+        return pa.table({
+            "head": pa.array(h[keep].tolist(), type=pa.string()),
+            "tail": pa.array(tl[keep].tolist(), type=pa.string()),
+            "n": pa.array(n[keep], type=INT64),
+            "rank": pa.array(rank[keep] + 1, type=INT64),
+        })
+
+    return _docs(sf_dir, columns=["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+
+BIGRAM_TOPK_SQL = """
+    WITH toks AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), bg AS (
+      SELECT t[CAST(i AS BIGINT)] AS head,
+             t[CAST(i + 1 AS BIGINT)] AS tail
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ), c AS (
+      SELECT head, tail, COUNT(*) AS n FROM bg GROUP BY 1, 2
+    ), r AS (
+      SELECT head, tail, n,
+             ROW_NUMBER() OVER (PARTITION BY head
+                                ORDER BY n DESC, tail) AS rank
+      FROM c
+    )
+    SELECT head, tail, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3 ORDER BY head, rank"""
+
+
+# ---------------------------------------------------------------------------
+# Q94: cumulative distinct users by day (running distinct count)
+# ---------------------------------------------------------------------------
+
+def cumulative_users(sf_dir: str, npart: int = 32):
+    """q94: per day the number of NEW users (first event that day) and
+    the running total of distinct users seen so far — the growth-curve
+    analytic, i.e. a windowed COUNT(DISTINCT) made exact by reducing
+    it to first-touch attribution.
+
+    Scale shape: distinct (user, day) partials → ONE user-hash
+    exchange → per-bucket first day per user → tiny per-day count →
+    driver prefix sum over the days-sized table."""
+
+    def pairs(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        days = (b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000)
+        t = pa.table({"user_id": pa.array(u, type=INT64),
+                      "day": pa.array(days, type=INT64)})
+        t = t.group_by(["user_id", "day"]).aggregate([])
+        part = (t["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        t = pa.table({"day": pa.array(d[first], type=INT64)})
+        return t.group_by(["day"]).aggregate([("day", "count")]) \
+            .rename_columns(["day", "n_new"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts"]) \
+        .map_batches(pairs, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n_new", alias_name="n_new"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    d = t["day"].to_numpy(zero_copy_only=False)
+    n = t["n_new"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    iso = [str(np.datetime64(int(x) * 86_400, "s"))[:10] for x in d]
+    return pa.table({
+        "day": pa.array(iso, type=pa.string()),
+        "n_new": pa.array(n, type=INT64),
+        "cum_users": pa.array(np.cumsum(n), type=INT64),
+    })
+
+
+CUMULATIVE_USERS_SQL = """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events
+      GROUP BY user_id
+    ), nn AS (
+      SELECT d, COUNT(*) AS n_new FROM f GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM nn ORDER BY day"""
+
+
+# ---------------------------------------------------------------------------
+# Q95: token co-occurrence association (integer-PMI word pairs)
+# ---------------------------------------------------------------------------
+
+def cooccurrence(sf_dir: str, v: int = 16, topk: int = 20,
+                 npart: int = 32):
+    """q95: top word-pair associations — document co-occurrence of the
+    top-``v`` vocabulary ranked by the exact integer association ratio
+    ``ppm(P(a,b)/(P(a)P(b))) = n_ab·N·10⁶ // (n_a·n_b)`` (the PMI
+    argument, kept rational so both engines rank identically without a
+    log) — the word-association / embedding-prep statistics pass.
+
+    Scale shape: the q86 vocab fabric yields the tiny vocab, which
+    broadcasts in the second scan's task closure; each batch emits
+    (pair, count) partials over the v² bounded domain; one tiny reduce
+    + driver rank.  Nothing quadratic in corpus size anywhere."""
+    vocab_t = vocab_build(sf_dir, v=v, npart=npart)
+    vocab = vocab_t["token"].to_pylist()
+    vset = {w: i for i, w in enumerate(sorted(vocab))}
+
+    def partial(b: pa.Table) -> pa.Table:
+        import re
+        wre = re.compile(r"[a-z0-9]+")
+        v_n = len(vset)
+        ndoc = b.num_rows
+        present = np.zeros((ndoc, v_n), dtype=bool)
+        for r, txt in enumerate(b["text"].to_pylist()):
+            for w in wre.findall(txt.lower()):
+                i = vset.get(w)
+                if i is not None:
+                    present[r, i] = True
+        co = present.T.astype(np.int64) @ present.astype(np.int64)
+        ia, ib = np.triu_indices(v_n, k=0)     # k=0: diagonal = n_a
+        cnt = co[ia, ib]
+        nz = cnt > 0
+        toks = sorted(vset)
+        return pa.table({
+            "tok_a": pa.array([toks[i] for i in ia[nz]], type=pa.string()),
+            "tok_b": pa.array([toks[i] for i in ib[nz]], type=pa.string()),
+            "n": pa.array(cnt[nz], type=INT64),
+        })
+
+    agg = _docs(sf_dir, columns=["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["tok_a", "tok_b"]).aggregate(Sum("n", alias_name="n"))
+    # total docs: cheap exact count (metadata-only on parquet)
+    n_total = _docs(sf_dir, columns=["doc_id"]).count()
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    a = np.asarray(t["tok_a"].to_pylist(), dtype=object)
+    b_ = np.asarray(t["tok_b"].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    diag = {w: c for w, bb, c in zip(a, b_, n) if w == bb}
+    off = a != b_
+    a, b_, n = a[off], b_[off], n[off]
+    na = np.array([diag[x] for x in a], dtype=np.int64)
+    nb = np.array([diag[x] for x in b_], dtype=np.int64)
+    assoc = n * np.int64(n_total) * np.int64(1_000_000) // (na * nb)
+    order = np.lexsort((b_, a, -assoc))[:topk]
+    return pa.table({
+        "tok_a": pa.array(a[order].tolist(), type=pa.string()),
+        "tok_b": pa.array(b_[order].tolist(), type=pa.string()),
+        "n_ab": pa.array(n[order], type=INT64),
+        "assoc_ppm": pa.array(assoc[order], type=INT64),
+    })
+
+
+COOCCURRENCE_SQL = """
+    WITH tc AS (
+      SELECT t AS token, COUNT(*) AS n
+      FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents)
+      GROUP BY t
+    ), vocab AS (
+      SELECT token FROM tc ORDER BY n DESC, token LIMIT 16
+    ), pres AS (
+      SELECT DISTINCT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+            FROM documents)
+      WHERE t IN (SELECT token FROM vocab)
+    ), dc AS (
+      SELECT token, COUNT(*) AS n FROM pres GROUP BY token
+    ), pairs AS (
+      SELECT p1.token AS tok_a, p2.token AS tok_b, COUNT(*) AS n_ab
+      FROM pres p1 JOIN pres p2 USING (doc_id)
+      WHERE p1.token < p2.token GROUP BY 1, 2
+    ), tot AS (SELECT COUNT(*) AS nd FROM documents)
+    SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_ab * nd * 1000000
+                // (da.n * db.n) AS BIGINT) AS assoc_ppm
+    FROM pairs
+    JOIN dc da ON da.token = tok_a
+    JOIN dc db ON db.token = tok_b
+    CROSS JOIN tot
+    ORDER BY assoc_ppm DESC, tok_a, tok_b LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# Q91: link-graph degree histograms (corpus-backed)
+# ---------------------------------------------------------------------------
+
+def degree_histogram(docs_path: str, npart: int = 32):
+    """q91: in-/out-degree histograms of the crawl link graph over
+    distinct (source doc, target url) edges — the graph-shape
+    diagnostic (power-law check, supernode detection) run before any
+    graph algorithm; zero-outlink docs count in the out-side bucket 0.
+
+    Scale shape: ONE scan over the span kernels (no per-link sha1 —
+    the frontier's url identity pipeline is NOT needed for counting,
+    so edges travel as two 64-bit hashes, never strings).  Out-degree
+    is batch-local (a doc's spans are one row) and folds to a
+    histogram before leaving the task; in-degree edges ride the SAME
+    output table through one url-hash exchange (hist rows carry
+    part ≥ npart and pass through their bucket untouched).  Everything
+    downstream of the scan is integer-only."""
+    from ..stages.exchange import hash64_strings
+
+    REF_KINDS = pa.array(["link", "image", "video"])
+
+    def scan(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        m = pc.is_in(flat.field("kind"), value_set=REF_KINDS)
+        urls = pc.filter(flat.field("media_ref"), m)
+        par = pc.filter(parents, m).to_numpy(zero_copy_only=False)
+        uh = hash64_strings(urls).view(np.int64)
+        # batch-local distinct (doc row, url): one lexsort
+        order = np.lexsort((uh, par))
+        par, uh = par[order], uh[order]
+        uniq = np.concatenate(
+            ([True], (par[1:] != par[:-1]) | (uh[1:] != uh[:-1])))
+        par, uh = par[uniq], uh[uniq]
+        # out-degree histogram folds before leaving the task
+        deg = np.bincount(par, minlength=b.num_rows)
+        hist = np.bincount(deg)
+        hd = np.flatnonzero(hist)
+        # doc identity for the in-side global distinct
+        dh = hash64_strings(b["doc_id"]).view(np.int64)[par]
+        kind = np.concatenate((np.zeros(len(uh), np.int8),
+                               np.ones(len(hd), np.int8)))
+        a = np.concatenate((uh, hd.astype(np.int64)))
+        v = np.concatenate((dh, hist[hd].astype(np.int64)))
+        part = np.concatenate((
+            (uh.view(np.uint64) % np.uint64(npart)).astype(np.int32),
+            np.full(len(hd), npart, dtype=np.int32)))
+        return pa.table({"kind": pa.array(kind),
+                         "a": pa.array(a, type=INT64),
+                         "v": pa.array(v, type=INT64),
+                         "part": pa.array(part)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        if kind[0] == 1:                       # out-side histogram partials
+            t = pa.table({"degree": pa.array(a, type=INT64),
+                          "n": pa.array(v, type=INT64)})
+            p = t.group_by(["degree"]).aggregate([("n", "sum")])                 .rename_columns(["degree", "n"])
+            return p.append_column(
+                "side", pa.array(["out"] * p.num_rows, type=pa.string()))
+        # in-side: global distinct (url_h, doc_h) then count per url
+        order = np.lexsort((v, a))
+        a, v = a[order], v[order]
+        uniq = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (v[1:] != v[:-1])))
+        a = a[uniq]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], a[1:] != a[:-1], [True])))
+        deg = np.diff(starts)
+        hist = np.bincount(deg)
+        hd = np.flatnonzero(hist)
+        return pa.table({
+            "degree": pa.array(hd.astype(np.int64), type=INT64),
+            "n": pa.array(hist[hd].astype(np.int64), type=INT64),
+            "side": pa.array(["in"] * len(hd), type=pa.string()),
+        })
+
+    agg = rd.read_parquet(docs_path, columns=["doc_id", "spans"]) \
+        .map_batches(scan, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow") \
+        .groupby(["side", "degree"]).aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return pa.table({"side": t["side"],
+                     "degree": pc.cast(t["degree"], INT64),
+                     "n": pc.cast(t["n"], INT64)}) \
+        .sort_by([("side", "ascending"), ("degree", "ascending")])
+
+
+# ---------------------------------------------------------------------------
 # Q86: tokenizer vocabulary construction + OOV coverage
 # ---------------------------------------------------------------------------
 
