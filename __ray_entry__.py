@@ -75,6 +75,22 @@ def _degree_histogram_q(sf_dir: str):
     return degree_histogram(corpus_mod.docs_path(cdir))
 
 
+def _host_reciprocity_q(sf_dir: str):
+    from warc_ray.pipelines.analytics import host_reciprocity
+
+    cdir = _corpus_for(sf_dir)
+    prof = corpus_mod.profile_for_sf_dir(sf_dir)
+    return host_reciprocity(corpus_mod.docs_path(cdir), prof.n_hosts)
+
+
+def _revisit_dedup_q(sf_dir: str):
+    from warc_ray.pipelines.archive import revisit_decisions
+
+    arch = _ensure_archive(sf_dir)
+    cdir = _corpus_for(sf_dir)
+    return revisit_decisions(arch, corpus_mod.docs_path(cdir))
+
+
 def _seen_dedup_q(sf_dir: str):
     import ray.data as rd
 
@@ -632,6 +648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q93_bigram_topk": an.bigram_topk,
         "q94_cumulative_users": an.cumulative_users,
         "q95_cooccurrence": an.cooccurrence,
+        "q97_session_trigrams": an.session_trigrams,
+        "q98_incremental_agg": an.incremental_agg,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -724,6 +742,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ARC write/read slice (reference ops #13-19)
         "q58_arc_roundtrip": _arc_roundtrip_q,
         "q78_arc_to_warc": _arc_to_warc_q,
+        "q96_revisit_dedup": _revisit_dedup_q,
+        "q99_host_reciprocity": _host_reciprocity_q,
     }
 
 
@@ -773,6 +793,8 @@ def _lsh_planes_sql(dim: int = 64) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from warc_ray.pipelines import analytics as _an
+
+    _nh = corpus_mod.PROFILES["t2"].n_hosts   # q99 host-domain literal
 
     # the corpus parquet files must exist for q50/q51 — same generator
     # the Ray queries use (deterministic, idempotent)
@@ -904,6 +926,8 @@ def oracle_sql() -> dict[str, str]:
         "q93_bigram_topk": _an.BIGRAM_TOPK_SQL,
         "q94_cumulative_users": _an.CUMULATIVE_USERS_SQL,
         "q95_cooccurrence": _an.COOCCURRENCE_SQL,
+        "q97_session_trigrams": _an.SESSION_TRIGRAMS_SQL,
+        "q98_incremental_agg": _an.INCREMENTAL_AGG_SQL,
         # q91: degree histograms over the corpus link graph — distinct
         # (src_doc, url) edges; zero-outlink docs land in out-degree 0
         "q91_degree_histogram": f"""
@@ -1890,6 +1914,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.rec_type, n.c AS n_records, n.c AS n_digest_ok
             FROM (VALUES ('metadata'), ('response')) t(rec_type), n
             ORDER BY t.rec_type""",
+        # q99: host-graph reciprocity — src host recomputed via the
+        # corpus host function (i%5==0 -> hot host 0, else 1 + splitmix64(i)
+        # % (n_hosts-1), the exact q35 HUGEINT chain), dst host parsed
+        # from the link url; DISTINCT host edges, then the self-join
+        # reciprocity count
+        "q99_host_reciprocity": f"""
+            WITH links AS ({links_src}),
+            ii AS (
+              SELECT DISTINCT CAST(regexp_extract(src_doc, '(\\d+)$', 1)
+                                   AS BIGINT) AS i
+              FROM links
+            ),
+            s0 AS (SELECT i, (CAST(i AS HUGEINT) + 11400714819323198485)
+                              % 18446744073709551616 AS x FROM ii),
+            s1 AS (SELECT i, xor(x, x >> 30) AS x FROM s0),
+            m1 AS (SELECT i,
+                ( (x % 4294967296) * 13787848793156543929
+                  + (((x // 4294967296) * 13787848793156543929)
+                     % 4294967296) * 4294967296
+                ) % 18446744073709551616 AS x FROM s1),
+            s2 AS (SELECT i, xor(x, x >> 27) AS x FROM m1),
+            m2 AS (SELECT i,
+                ( (x % 4294967296) * 10723151780598845931
+                  + (((x // 4294967296) * 10723151780598845931)
+                     % 4294967296) * 4294967296
+                ) % 18446744073709551616 AS x FROM s2),
+            s3 AS (SELECT i, xor(x, x >> 31) AS x FROM m2),
+            hosts AS (
+              SELECT i, CASE WHEN i % 5 = 0 THEN 0
+                             ELSE 1 + CAST(x % ({_nh} - 1) AS BIGINT)
+                        END AS h_src
+              FROM s3
+            ),
+            edges AS (
+              SELECT DISTINCT h.h_src,
+                     CAST(regexp_extract(l.url, 'host-(\\d+)', 1)
+                          AS BIGINT) AS h_dst
+              FROM links l
+              JOIN hosts h ON h.i = CAST(regexp_extract(l.src_doc,
+                                         '(\\d+)$', 1) AS BIGINT)
+            ),
+            e2 AS (SELECT * FROM edges WHERE h_src != h_dst),
+            stats AS (
+              SELECT (SELECT COUNT(*) FROM e2) AS n_edges,
+                     (SELECT COUNT(*) FROM edges WHERE h_src = h_dst)
+                       AS n_self,
+                     (SELECT COUNT(*) FROM e2 a JOIN e2 b
+                        ON a.h_src = b.h_dst AND a.h_dst = b.h_src
+                       WHERE a.h_src < a.h_dst) AS n_recip_pairs
+            )
+            SELECT CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(n_self AS BIGINT) AS n_self,
+                   CAST(n_recip_pairs AS BIGINT) AS n_recip_pairs,
+                   CAST(CASE WHEN n_edges > 0
+                        THEN 2 * n_recip_pairs * 1000000 // n_edges
+                        ELSE 0 END AS BIGINT) AS reciprocity_ppm
+            FROM stats""",
+        # q96: revisit-dedup decisions — expected values from the
+        # corpus body-length model (q58/q78) + the q71 re-crawl coin
+        # rules: i%101==7 gone, i%89==5 mutated (+1 byte); response
+        # bytes = bytes written (mutated), revisit bytes = bytes saved
+        "q96_revisit_dedup": f"""
+            WITH spans AS (
+              SELECT doc_id, UNNEST(spans) AS s
+              FROM read_parquet('{docs_glob}')
+            ),
+            doc_len AS (
+              SELECT CAST(regexp_extract(doc_id, '(\\d+)$', 1) AS BIGINT) AS i,
+                     SUM(CASE s.kind
+                           WHEN 'text' THEN strlen(s.text)
+                           WHEN 'link' THEN 15 + strlen(s.media_ref) + strlen(s.text)
+                           WHEN 'image' THEN 12 + strlen(s.media_ref)
+                           ELSE 14 + strlen(s.media_ref) END)
+                     + COUNT(*) - 1 AS body_len
+              FROM spans GROUP BY doc_id
+            ),
+            b AS (SELECT i, 58 + strlen(CAST(body_len AS VARCHAR))
+                            + 4 + body_len AS payload_len
+                  FROM doc_len WHERE i % 101 != 7)
+            SELECT * FROM (
+              SELECT 'response' AS decision,
+                     CAST(COUNT(*) AS BIGINT) AS n_records,
+                     CAST(SUM(payload_len + 1) AS BIGINT) AS payload_bytes
+              FROM b WHERE i % 89 = 5
+              UNION ALL
+              SELECT 'revisit', CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(payload_len) AS BIGINT)
+              FROM b WHERE i % 89 != 5
+            ) ORDER BY decision""",
         # q65: expected-value in the q53 style — the same md5 1/97
         # sample straight off the persisted CDX parquet, digest_ok
         # asserted TRUE; any seek / gzip-member-framing / parse /

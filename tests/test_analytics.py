@@ -280,3 +280,129 @@ def test_degree_histogram_conservation(ray_session):
     # both sides
     assert (out.degree * out.n).sum() == (inn.degree * inn.n).sum()
     assert (inn.degree >= 1).all()
+
+
+# --------------------------------------------------------------------- q96
+
+def test_revisit_record_roundtrip(tmp_path):
+    """The q96 write side: serialized revisit records survive the
+    shard writer and come back through the CORE reader with the
+    refers-to / digest headers intact and a zero-length payload."""
+    from warc_ray.core.warcrec import parse_record_bytes
+    from warc_ray.pipelines.archive import serialize_revisit_records
+
+    t = serialize_revisit_records(
+        ["urn:doc:doc-1", "urn:doc:doc-2"],
+        ["<urn:orig:1>", "<urn:orig:2>"],
+        ["sha1:aaaa", "sha1:bbbb"])
+    assert t.num_rows == 2
+    for i in range(2):
+        rec = parse_record_bytes(t["record_bytes"][i].as_py())
+        assert rec.header["warc-type"] == "revisit"
+        assert rec.header["warc-refers-to"] == f"<urn:orig:{i + 1}>"
+        assert rec.header["warc-payload-digest"] == f"sha1:{'ab'[i] * 4}"
+        payload = rec.payload if isinstance(rec.payload, bytes) \
+            else rec.payload.read()
+        assert payload == b""
+
+
+def test_revisit_decisions_partition_law(ray_session):
+    """Decisions partition the re-crawl snapshot: n_response +
+    n_revisit == docs surviving the %101 drop, and responses are
+    exactly the %89 mutations."""
+    from warc_ray import corpus as corpus_mod
+    from warc_ray.pipelines.archive import archive_corpus, \
+        revisit_decisions
+
+    cdir = corpus_mod.ensure_corpus("t1")
+    out = "/tmp/warc_ray_test/revisit-arch"
+    import shutil
+    shutil.rmtree(out, ignore_errors=True)
+    archive_corpus(corpus_mod.docs_path(cdir), out).write_parquet(
+        out + "-cdx")
+    t = revisit_decisions(out, corpus_mod.docs_path(cdir)).to_pandas() \
+        .set_index("decision")
+    n = corpus_mod.PROFILES["t1"].n_docs
+    alive = sum(1 for i in range(n) if i % 101 != 7)
+    mutated = sum(1 for i in range(n) if i % 101 != 7 and i % 89 == 5)
+    assert t.loc["response", "n_records"] == mutated
+    assert t.loc["revisit", "n_records"] == alive - mutated
+
+
+# --------------------------------------------------------------------- q97
+
+def test_session_trigrams_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import session_trigrams
+
+    t = session_trigrams(SF, topk=5).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev.ts.astype("int64")
+    cnt: dict = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        ts = g.us.to_numpy()
+        ty = g.event_type.to_numpy()
+        sess = np.concatenate(([0], np.cumsum(
+            (np.diff(ts) > 30 * 60_000_000).astype(int))))
+        for i in range(len(ty) - 2):
+            if sess[i] == sess[i + 2]:
+                k = f"{ty[i]}>{ty[i + 1]}>{ty[i + 2]}"
+                cnt[k] = cnt.get(k, 0) + 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(t.trigram, t.n)) == want
+
+
+# --------------------------------------------------------------------- q98
+
+def test_incremental_agg_ivm_identity(ray_session, tmp_path):
+    """merge(agg(base), agg(delta)) == agg(all) — and the persisted
+    state is genuinely reused (second run with the state dir already
+    populated returns the same result)."""
+    from warc_ray.pipelines.analytics import incremental_agg
+
+    state = str(tmp_path / "state")
+    a = incremental_agg(SF, state_dir=state).to_pandas()
+    b = incremental_agg(SF, state_dir=state).to_pandas()  # reuses state
+    pd.testing.assert_frame_equal(a, b)
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    want = orders.groupby("o_orderstatus").agg(
+        n_orders=("o_orderkey", "size"),
+        sum_cents=("o_totalprice",
+                   lambda s: int(round(s.mul(100).round().sum())))
+    ).reset_index()
+    got = a.sort_values("o_orderstatus").reset_index(drop=True)
+    assert (got.n_orders.to_numpy()
+            == want.n_orders.to_numpy()).all()
+    cents = orders.assign(
+        c=(orders.o_totalprice * 100).round().astype("int64")) \
+        .groupby("o_orderstatus").c.sum()
+    assert (got.set_index("o_orderstatus").sum_cents == cents).all()
+
+
+# --------------------------------------------------------------------- q99
+
+def test_host_reciprocity_bruteforce(ray_session):
+    from warc_ray import corpus as corpus_mod
+    from warc_ray.pipelines.analytics import host_reciprocity
+
+    cdir = corpus_mod.ensure_corpus("t1")
+    nh = corpus_mod.PROFILES["t1"].n_hosts
+    t = host_reciprocity(corpus_mod.docs_path(cdir), nh).to_pandas().iloc[0]
+    # brute force over the corpus
+    import re
+
+    import pyarrow.parquet as _pq
+    docs = _pq.read_table(corpus_mod.docs_path(cdir)).to_pylist()
+    edges = set()
+    for d in docs:
+        i = int(d["doc_id"].rsplit("-", 1)[1])
+        hs = int(corpus_mod.host_index(np.array([i]), nh)[0])
+        for s in d["spans"]:
+            if s["kind"] in ("link", "image", "video"):
+                hd = int(re.search(r"host-(\d+)", s["media_ref"]).group(1))
+                edges.add((hs, hd))
+    e2 = {(a, b) for a, b in edges if a != b}
+    recip = sum(1 for a, b in e2 if a < b and (b, a) in e2)
+    assert t.n_edges == len(e2)
+    assert t.n_self == len(edges) - len(e2)
+    assert t.n_recip_pairs == recip

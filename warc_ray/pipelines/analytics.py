@@ -526,6 +526,175 @@ COOCCURRENCE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q97: session path trigrams (sequence mining inside q08 sessions)
+# ---------------------------------------------------------------------------
+
+def session_trigrams(sf_dir: str, topk: int = 10, gap_minutes: int = 30,
+                     npart: int = 32):
+    """q97: most frequent 3-step event-type paths WITHIN a session —
+    sequence mining over q08's gap-sessionization (what do users do in
+    what order?), ordered by (ts, event_id) so ties are deterministic.
+
+    Scale shape: one user-hash exchange (q08's fabric); per bucket ONE
+    lexsort derives sessions AND emits all in-session trigrams
+    vectorized (three shifted views of the type array masked by
+    same-session); counts reduce over the tiny type³ domain; final
+    top-k is driver arithmetic."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({"user_id": pa.array(u, type=INT64),
+                      "event_id": b["event_id"],
+                      "event_type": b["event_type"],
+                      "ts": pc.cast(b["ts"], INT64)})
+        return t.append_column(
+            "part", pa.array((u % npart).astype(np.int32)))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ty = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, ty = u[order], ts[order], ty[order]
+        n = len(u)
+        if n < 3:
+            return pa.table({"trigram": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=INT64)})
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        # a trigram starting at i is valid iff rows i+1, i+2 are in the
+        # same session (no new-session break inside the window)
+        ok = ~(new_sess[1:-1] | new_sess[2:])
+        tri = np.char.add(np.char.add(
+            np.char.add(ty[:-2].astype(str), ">"),
+            np.char.add(ty[1:-1].astype(str), ">")), ty[2:].astype(str))
+        t = pa.table({"trigram": pa.array(tri[ok].tolist(),
+                                          type=pa.string())})
+        return t.group_by(["trigram"]).aggregate([("trigram", "count")]) \
+            .rename_columns(["trigram", "n"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_id", "user_id", "ts",
+                                   "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("trigram").aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    tri = np.asarray(t["trigram"].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((tri, -n))[:topk]
+    return pa.table({
+        "trigram": pa.array(tri[order].tolist(), type=pa.string()),
+        "n": pa.array(n[order], type=INT64),
+        "rank": pa.array(np.arange(1, len(order) + 1), type=INT64),
+    })
+
+
+SESSION_TRIGRAMS_SQL = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ), t AS (
+      SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+               || '>' || LEAD(event_type, 2) OVER w2 AS trigram,
+             sid, LEAD(sid, 2) OVER w2 AS sid2
+      FROM s
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), c AS (
+      SELECT trigram, COUNT(*) AS n FROM t
+      WHERE sid2 = sid AND trigram IS NOT NULL GROUP BY trigram
+    )
+    SELECT trigram, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS BIGINT)
+             AS rank
+    FROM c ORDER BY n DESC, trigram LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# Q98: incremental aggregate maintenance (IVM merge contract)
+# ---------------------------------------------------------------------------
+
+def incremental_agg(sf_dir: str, state_dir: str | None = None):
+    """q98: incremental view maintenance — ``merge(agg(base),
+    agg(delta)) == agg(all)`` without rescanning the base: the daily
+    incremental-ingest contract every warehouse pipeline relies on.
+
+    Base = orders whose key md5 does NOT start in ``0-2``; delta = the
+    rest (~3/16, "today's ingest").  The base aggregate state is
+    materialized to partitioned parquet and READ BACK (the persisted
+    state is part of the operator — a rerun reuses it), the delta is
+    aggregated from a pruned scan, and the merge is one tiny groupby
+    over state ∪ delta partials.  The oracle aggregates everything
+    from scratch — equality proves the maintenance identity."""
+    import shutil
+
+    out = state_dir or os.path.join(
+        "/tmp/warc_ray_bench",
+        f"ivm-state-{os.path.basename(sf_dir.rstrip('/'))}")
+
+    def split(b: pa.Table, want_delta: bool) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        hexes = _md5_hex([str(int(k)) for k in keys])
+        is_delta = np.array([h[0] in "012" for h in hexes])
+        b = b.filter(pa.array(is_delta if want_delta else ~is_delta))
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        INT64)
+        t = pa.table({"o_orderstatus": b["o_orderstatus"],
+                      "cents": cents,
+                      "one": pa.nulls(b.num_rows, INT64).fill_null(1)})
+        p = t.group_by(["o_orderstatus"]).aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return p.rename_columns(["o_orderstatus", "n_orders", "sum_cents"])
+
+    orders = lambda: rd.read_parquet(  # noqa: E731
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    if not os.path.isdir(out) or not os.listdir(out):
+        shutil.rmtree(out, ignore_errors=True)
+        orders().map_batches(lambda b: split(b, False),
+                             batch_format="pyarrow") \
+            .groupby("o_orderstatus") \
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("sum_cents", alias_name="sum_cents")) \
+            .write_parquet(out)
+
+    state = rd.read_parquet(out)
+    delta = orders().map_batches(lambda b: split(b, True),
+                                 batch_format="pyarrow")
+    agg = state.union(delta).groupby("o_orderstatus") \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "o_orderstatus": t["o_orderstatus"],
+        "n_orders": pc.cast(t["n_orders"], INT64),
+        "sum_cents": pc.cast(t["sum_cents"], INT64),
+    }).sort_by("o_orderstatus")
+
+
+INCREMENTAL_AGG_SQL = """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+
+# ---------------------------------------------------------------------------
 # Q91: link-graph degree histograms (corpus-backed)
 # ---------------------------------------------------------------------------
 
@@ -617,6 +786,70 @@ def degree_histogram(docs_path: str, npart: int = 32):
                      "degree": pc.cast(t["degree"], INT64),
                      "n": pc.cast(t["n"], INT64)}) \
         .sort_by([("side", "ascending"), ("degree", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Q99: host-graph reciprocity (corpus-backed)
+# ---------------------------------------------------------------------------
+
+def host_reciprocity(docs_path: str, n_hosts: int):
+    """q99: reciprocity of the host-level link graph — distinct
+    host→host edges (self-loops split out), and how many unordered
+    host pairs link BOTH ways: the classic web-graph structure metric
+    (reciprocal linking vs one-way citation).
+
+    Scale shape: the scan reduces each batch to its distinct
+    (src_host, dst_host) pairs — source host recomputed from the
+    corpus host function (``corpus.host_index``), target host parsed
+    from the url — so only host-domain-sized partials (≤ n_hosts²
+    rows per batch) reach the single tiny distinct; reciprocity is
+    driver set arithmetic on that tiny edge table.  Output is one
+    row: directed-edge count, self-loop count, reciprocal pair count
+    and the reciprocity ratio in ppm."""
+    from .. import corpus as corpus_mod
+
+    def edges(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        m = pc.is_in(flat.field("kind"),
+                     value_set=pa.array(["link", "image", "video"]))
+        urls = pc.filter(flat.field("media_ref"), m)
+        par = pc.filter(parents, m).to_numpy(zero_copy_only=False)
+        dst = pc.cast(pc.struct_field(pc.extract_regex(
+            urls, r"^https?://host-(?P<h>\d+)\."), "h"), INT64) \
+            .to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_pylist()
+        i = np.array([int(d.rsplit("-", 1)[1]) for d in ids],
+                     dtype=np.int64)
+        src = corpus_mod.host_index(i, n_hosts)[par]
+        key = src * np.int64(n_hosts) + dst
+        uk = np.unique(key)
+        t = pa.table({"h_src": pa.array(uk // n_hosts, type=INT64),
+                      "h_dst": pa.array(uk % n_hosts, type=INT64)})
+        return t
+
+    parts = rd.read_parquet(docs_path, columns=["doc_id", "spans"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    t = t.group_by(["h_src", "h_dst"]).aggregate([])   # tiny driver distinct
+    s = t["h_src"].to_numpy(zero_copy_only=False)
+    d = t["h_dst"].to_numpy(zero_copy_only=False)
+    self_m = s == d
+    n_self = int(self_m.sum())
+    s, d = s[~self_m], d[~self_m]
+    n_edges = len(s)
+    fwd = set((int(a), int(b)) for a, b in zip(s, d))
+    n_recip = sum(1 for a, b in fwd if a < b and (b, a) in fwd)
+    ppm = 2 * n_recip * 1_000_000 // n_edges if n_edges else 0
+    return pa.table({
+        "n_edges": pa.array([n_edges], type=INT64),
+        "n_self": pa.array([n_self], type=INT64),
+        "n_recip_pairs": pa.array([n_recip], type=INT64),
+        "reciprocity_ppm": pa.array([ppm], type=INT64),
+    })
 
 
 # ---------------------------------------------------------------------------

@@ -78,3 +78,146 @@ def cdx_replay_batch(b: "pa.Table") -> "pa.Table":
         "length": b["length"],
         "digest_ok": pa.array(ok),
     })
+
+
+def revisit_decisions(archive_dir: str, corpus_docs_path: str,
+                      npart: int = 32) -> "rd.Dataset":
+    """q96: WARC ``revisit``-record dedup — the Heritrix/IA dedup
+    contract (reference CONTENT_TYPES enumerate the record type,
+    warc/warc.py:52-55): on a re-crawl, a payload whose sha1 digest
+    matches what the archive already holds for that URI is written as
+    a tiny ``revisit`` record referencing the original instead of a
+    full ``response``.
+
+    Inputs: the existing archive's CDX (uri → payload digest — the
+    dedup index IS the offset index the sink already emits) and a
+    deterministic re-crawl snapshot (q71's rules: doc i%101==7 gone,
+    i%89==5 mutated — here the RENDERED body mutates, so the decision
+    is a real digest comparison, not a coin flip).  Returns the
+    decision summary: per decision the record count and payload bytes
+    (bytes WRITTEN for responses, bytes SAVED for revisits).
+
+    Scale shape: both sides reduce scan-side to (uri, digest[, len])
+    rows — the corpus body never shuffles — and meet in ONE uri-hash
+    exchange; each bucket compares via a vectorized Arrow join.  The
+    revisit-record serialization itself is pinned by
+    tests/test_analytics.py::test_revisit_record_roundtrip."""
+    import hashlib
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.assemble import render_payloads
+    from ..stages.exchange import with_part
+
+    INT64 = pa.int64()
+
+    def cdx_side(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["rec_type"], "response"))
+        t = pa.table({
+            "target_uri": b["target_uri"],
+            "dig_a": b["payload_digest"],
+            "dig_b": pa.nulls(b.num_rows, pa.string()),
+            "body_len": pa.nulls(b.num_rows, INT64),
+        })
+        return with_part(t, "target_uri", npart)
+
+    num_re = _re.compile(r"(\d+)$")
+
+    def recrawl_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        i = np.array([int(num_re.search(d).group(1)) for d in ids],
+                     dtype=np.int64)
+        keep = i % 101 != 7
+        b = b.filter(pa.array(keep))
+        i = i[keep]
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        payloads = render_payloads(spans)
+        sha1 = hashlib.sha1
+        digs, lens = [], []
+        mutate = i % 89 == 5
+        for j in range(b.num_rows):
+            p = payloads[j].as_py()
+            if mutate[j]:
+                p = p + b"!"
+            digs.append("sha1:" + sha1(p).hexdigest())
+            lens.append(len(p))
+        t = pa.table({
+            "target_uri": pa.array(
+                ["urn:doc:%s" % d for d, k in zip(ids, keep) if k],
+                type=pa.string()),
+            "dig_a": pa.nulls(b.num_rows, pa.string()),
+            "dig_b": pa.array(digs, type=pa.string()),
+            "body_len": pa.array(lens, type=INT64),
+        })
+        return with_part(t, "target_uri", npart)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        a = g.filter(pc.is_valid(g["dig_a"])) \
+            .select(["target_uri", "dig_a"])
+        bb = g.filter(pc.is_valid(g["dig_b"])) \
+            .select(["target_uri", "dig_b", "body_len"])
+        j = bb.join(a, keys=["target_uri"], join_type="left outer")
+        same = pc.equal(j["dig_b"], j["dig_a"])
+        same = pc.fill_null(same, False)        # new URI → full response
+        dec = pc.if_else(same, "revisit", "response")
+        t = pa.table({"decision": dec, "body_len": j["body_len"],
+                      "one": pa.nulls(j.num_rows, INT64).fill_null(1)})
+        p = t.group_by(["decision"]).aggregate(
+            [("one", "sum"), ("body_len", "sum")])
+        return p.rename_columns(["decision", "n_records", "payload_bytes"])
+
+    cdx = rd.read_parquet(archive_dir + "-cdx") \
+        .map_batches(cdx_side, batch_format="pyarrow")
+    snap = rd.read_parquet(corpus_docs_path,
+                           columns=["doc_id", "spans"]) \
+        .map_batches(recrawl_side, batch_format="pyarrow")
+    import pyarrow as _pa
+
+    agg = cdx.union(snap).groupby("part") \
+        .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("decision") \
+        .aggregate(Sum("n_records", alias_name="n_records"),
+                   Sum("payload_bytes", alias_name="payload_bytes"))
+    t = _pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return _pa.table({
+        "decision": t["decision"],
+        "n_records": pc.cast(t["n_records"], INT64),
+        "payload_bytes": pc.cast(t["payload_bytes"], INT64),
+    }).sort_by("decision")
+
+
+def serialize_revisit_records(uris: list[str], refers_to: list[str],
+                              digests: list[str],
+                              date: str = "2026-01-01T00:00:00Z") -> "pa.Table":
+    """Serialized WARC ``revisit`` records (zero-length payload,
+    ``WARC-Refers-To`` = the original response's record id,
+    ``WARC-Payload-Digest`` = the shared digest) — the write side of
+    the q96 decision, compatible with ``write_warc_shards``."""
+    import pyarrow as pa
+
+    from ..stages.assemble import _record_id_fast
+
+    ids, blobs = [], []
+    for uri, ref, dig in zip(uris, refers_to, digests):
+        rid = _record_id_fast(uri, "revisit", "")
+        ids.append(rid)
+        blobs.append((
+            "WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Record-ID: %s\r\n"
+            "WARC-Date: %s\r\nWARC-Target-URI: %s\r\n"
+            "WARC-Refers-To: %s\r\nWARC-Payload-Digest: %s\r\n"
+            "Content-Length: 0\r\n\r\n\r\n\r\n"
+            % (rid, date, uri, ref, dig)).encode("ascii"))
+    return pa.table({
+        "record_id": pa.array(ids, type=pa.string()),
+        "rec_type": pa.array(["revisit"] * len(ids), type=pa.string()),
+        "target_uri": pa.array(uris, type=pa.string()),
+        "payload_digest": pa.array(digests, type=pa.string()),
+        "record_bytes": pa.array(blobs, type=pa.large_binary()),
+    })
