@@ -318,6 +318,7 @@ def test_revisit_decisions_partition_law(ray_session):
     out = "/tmp/warc_ray_test/revisit-arch"
     import shutil
     shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + "-cdx", ignore_errors=True)
     archive_corpus(corpus_mod.docs_path(cdir), out).write_parquet(
         out + "-cdx")
     t = revisit_decisions(out, corpus_mod.docs_path(cdir)).to_pandas() \

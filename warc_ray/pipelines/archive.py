@@ -158,16 +158,25 @@ def revisit_decisions(archive_dir: str, corpus_docs_path: str,
         return with_part(t, "target_uri", npart)
 
     def bucket(g: pa.Table) -> pa.Table:
+        # archive side: distinct (uri, digest) — an archive may hold
+        # several responses per uri; revisit iff ANY digest matches
         a = g.filter(pc.is_valid(g["dig_a"])) \
-            .select(["target_uri", "dig_a"])
+            .select(["target_uri", "dig_a"]) \
+            .group_by(["target_uri", "dig_a"]).aggregate([])
         bb = g.filter(pc.is_valid(g["dig_b"])) \
             .select(["target_uri", "dig_b", "body_len"])
+        bb = bb.append_column(
+            "row", pa.array(np.arange(bb.num_rows), type=INT64))
         j = bb.join(a, keys=["target_uri"], join_type="left outer")
-        same = pc.equal(j["dig_b"], j["dig_a"])
-        same = pc.fill_null(same, False)        # new URI → full response
-        dec = pc.if_else(same, "revisit", "response")
-        t = pa.table({"decision": dec, "body_len": j["body_len"],
-                      "one": pa.nulls(j.num_rows, INT64).fill_null(1)})
+        same = pc.fill_null(pc.equal(j["dig_b"], j["dig_a"]), False)
+        hit = pa.table({"row": j["row"], "body_len": j["body_len"],
+                        "same": pc.cast(same, INT64)}) \
+            .group_by(["row"]).aggregate(
+                [("same", "max"), ("body_len", "min")])
+        dec = pc.if_else(pc.equal(hit["same_max"], 1),
+                         "revisit", "response")
+        t = pa.table({"decision": dec, "body_len": hit["body_len_min"],
+                      "one": pa.nulls(hit.num_rows, INT64).fill_null(1)})
         p = t.group_by(["decision"]).aggregate(
             [("one", "sum"), ("body_len", "sum")])
         return p.rename_columns(["decision", "n_records", "payload_bytes"])
