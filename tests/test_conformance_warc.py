@@ -149,8 +149,13 @@ class TestWarcFile:
         for i in range(10):
             record = WARCRecord(payload=b"hello %d" % i)
             f.write_record(record)
-        GZIP_MAGIC_NUMBER = b"\037\213"
-        assert buffer.getvalue().count(GZIP_MAGIC_NUMBER) == 10
+        # one gzip MEMBER per record (reference warc/warc.py:269-272).
+        # Counting magic-number byte pairs is flaky: record ids are
+        # random uuids and deflate output can contain \x1f\x8b by
+        # chance (~5%/run) — count real member boundaries instead.
+        from warc_ray.core import gzipm
+        buffer.seek(0)
+        assert sum(1 for _ in gzipm.iter_members(buffer)) == 10
 
     # test_warc.py:111-119 — CRLF across a 1024-byte boundary; Base32
     # payload digest read back verbatim (never recomputed)
