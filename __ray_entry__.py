@@ -650,6 +650,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q95_cooccurrence": an.cooccurrence,
         "q97_session_trigrams": an.session_trigrams,
         "q98_incremental_agg": an.incremental_agg,
+        "q100_shipping_priority": an.shipping_priority,
+        "q101_bucketed_dedup": an.bucketed_dedup,
+        "q102_compact_files": an.compact_files,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -928,6 +931,10 @@ def oracle_sql() -> dict[str, str]:
         "q95_cooccurrence": _an.COOCCURRENCE_SQL,
         "q97_session_trigrams": _an.SESSION_TRIGRAMS_SQL,
         "q98_incremental_agg": _an.INCREMENTAL_AGG_SQL,
+        "q100_shipping_priority": _an.SHIPPING_PRIORITY_SQL,
+        "q101_bucketed_dedup": _an.BUCKETED_DEDUP_SQL,
+        "q102_compact_files": _an.COMPACT_FILES_SQL.format(
+            MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct
         # (src_doc, url) edges; zero-outlink docs land in out-degree 0
         "q91_degree_histogram": f"""

@@ -407,3 +407,74 @@ def test_host_reciprocity_bruteforce(ray_session):
     assert t.n_edges == len(e2)
     assert t.n_self == len(edges) - len(e2)
     assert t.n_recip_pairs == recip
+
+
+# --------------------------------------------------------------------- q100
+
+def test_shipping_priority_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import shipping_priority
+
+    t = shipping_priority(SF, k=5).to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    ck = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+    cutoff = pd.Timestamp("1995-03-15")
+    o = orders[(orders.o_custkey.isin(ck)) & (orders.o_orderdate < cutoff)]
+    l = li[li.l_shipdate > cutoff].copy()
+    l["rev"] = ((l.l_extendedprice * 100).round().astype("int64")
+                * (100 - (l.l_discount * 100).round().astype("int64")))
+    m = l.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    g = m.groupby("l_orderkey").rev.sum().sort_values(
+        ascending=False)
+    want = sorted(g.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(t.l_orderkey, (t.revenue * 10000).round().astype(int)))
+    assert got == want
+
+
+# --------------------------------------------------------------------- q101
+
+def test_bucketed_dedup_matches_plain(ray_session, tmp_path):
+    from warc_ray.pipelines.analytics import bucketed_dedup
+
+    t = bucketed_dedup(SF, n_buckets=8,
+                       layout_dir=str(tmp_path / "layout")).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    want = docs.groupby("text").doc_id.agg(["min", "size"]) \
+        .rename(columns={"min": "keep_doc", "size": "n_copies"}) \
+        .reset_index(drop=True)
+    got = t.sort_values("keep_doc").reset_index(drop=True)
+    want = want.sort_values("keep_doc").reset_index(drop=True)
+    assert (got.keep_doc.to_numpy() == want.keep_doc.to_numpy()).all()
+    assert (got.n_copies.to_numpy() == want.n_copies.to_numpy()).all()
+    # second run reuses the completed layout (resumable contract)
+    t2 = bucketed_dedup(SF, n_buckets=8,
+                        layout_dir=str(tmp_path / "layout")).to_pandas()
+    assert len(t2) == len(t)
+
+
+# --------------------------------------------------------------------- q102
+
+def test_compact_files_preserves_content(ray_session, tmp_path):
+    import glob
+    import hashlib as h
+
+    from warc_ray.pipelines.analytics import _MERSENNE61, compact_files
+
+    t = compact_files(SF, target_rows=100,
+                      work_dir=str(tmp_path / "w")).to_pandas().iloc[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    ck = 0
+    for d in docs.doc_id:
+        ck = (ck + int.from_bytes(
+            h.md5(str(d).encode()).digest()[:8], "big")) % _MERSENNE61
+    assert t.checksum == ck
+    assert t.n_rows == len(docs)
+    assert t.n_files_before == 64
+    # the rewritten files really exist and hold every row
+    out_files = glob.glob(str(tmp_path / "w" / "out" / "*.parquet"))
+    assert len(out_files) == t.n_files_after
+    total = sum(pq.read_metadata(f).num_rows for f in out_files)
+    assert total == len(docs)

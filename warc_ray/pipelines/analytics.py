@@ -789,6 +789,270 @@ def degree_histogram(docs_path: str, npart: int = 32):
 
 
 # ---------------------------------------------------------------------------
+# Q100: TPC-H Q3 shape (dim filter broadcast → fact⋈fact join → top-k)
+# ---------------------------------------------------------------------------
+
+_Q3_CUTOFF_US = 795_225_600_000_000    # 1995-03-15 in epoch microseconds
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      k: int = 10):
+    """q100: the canonical TPC-H Q3 composition — a small filtered
+    dimension BROADCAST (customer segment), a both-sides-large fact
+    join (orders ⋈ lineitem through ``exchange.hash_join``), grouped
+    revenue, global top-k: every primitive the engine has, in the
+    order a real report uses them.
+
+    Revenue accumulates in exact (cents × percent) integer units
+    (q01's convention) and converts to a double ONCE at the end, so
+    the top-k order and values bit-match the oracle."""
+    import pyarrow.parquet as _pq2
+
+    from ..stages.exchange import hash_join
+
+    cust = _pq2.read_table(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    keep = pc.equal(cust["c_mktsegment"], segment)
+    ck_arr = np.sort(cust.filter(keep)["c_custkey"]
+                     .to_numpy(zero_copy_only=False))
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        m = pc.less(pc.cast(b["o_orderdate"], INT64),
+                    pa.scalar(_Q3_CUTOFF_US, type=INT64))
+        b = b.filter(m)
+        inseg = np.isin(b["o_custkey"].to_numpy(zero_copy_only=False),
+                        ck_arr)
+        b = b.filter(pa.array(inseg))
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "o_orderdate": b["o_orderdate"],
+                         "o_orderpriority": b["o_orderpriority"]})
+
+    def line_side(b: pa.Table) -> pa.Table:
+        m = pc.greater(pc.cast(b["l_shipdate"], INT64),
+                       pa.scalar(_Q3_CUTOFF_US, type=INT64))
+        b = b.filter(m)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, type=INT64),
+                                             disc))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        return t.group_by(["l_orderkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "rev"])
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+    lines = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+    def topk_finish(j: pa.Table) -> pa.Table:
+        # fused inside the join bucket (bucket_finish): an orderkey's
+        # joined rows are complete here, so the grouped sum is final
+        # and the bucket's top-k is a valid global-top-k superset
+        t = j.group_by(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "o_orderdate",
+                             "o_orderpriority", "rev"])
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("rev", "descending"), ("l_orderkey", "ascending")]))
+        return t.slice(0, k)
+
+    parts = hash_join(lines, orders, "l_orderkey", how="inner",
+                      bucket_finish=topk_finish)
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    t = t.take(pc.sort_indices(t, sort_keys=[
+        ("rev", "descending"), ("l_orderkey", "ascending")])).slice(0, k)
+    return pa.table({
+        "l_orderkey": t["l_orderkey"],
+        "revenue": pc.divide(pc.cast(t["rev"], pa.float64()), 10_000.0),
+        "o_orderdate": t["o_orderdate"],
+        "o_orderpriority": t["o_orderpriority"],
+    })
+
+
+SHIPPING_PRIORITY_SQL = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# Q101: bucketed storage layout → shuffle-free grouped consumer
+# ---------------------------------------------------------------------------
+
+def bucketed_dedup(sf_dir: str, n_buckets: int = 32,
+                   layout_dir: str | None = None):
+    """q101: the bucketing optimization — pay ONE hash-partitioned
+    write (``bucket = hash(key) % n``, hive layout), then every
+    downstream key-aligned consumer is SHUFFLE-FREE: each bucket dir
+    is complete for its keys, so a grouped op is one independent read
+    task per bucket.  This is the brief's "pick ONE partitioning key
+    and reuse it across stages" made storage-durable (Hive/Iceberg
+    bucketed tables / Spark bucketBy).
+
+    The consumer here is q20's exact dedup (keep-first per text):
+    identical result, but after the layout write the dedup itself
+    moves ZERO rows between workers — at 100 TB the layout is written
+    once and amortized over every dedup / join / groupby on the key.
+    A rerun reuses a complete layout (resumable-output contract)."""
+    import shutil
+
+    from ..stages.exchange import hash64_strings
+
+    out = layout_dir or os.path.join(
+        "/tmp/warc_ray_bench",
+        f"bucketed-{os.path.basename(sf_dir.rstrip('/'))}-{n_buckets}")
+    done = out + ".DONE"
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = hash64_strings(b["text"])
+        return b.append_column(
+            "bucket", pa.array((h % np.uint64(n_buckets))
+                               .astype(np.int32)))
+
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        _docs(sf_dir, columns=["doc_id", "text"]) \
+            .map_batches(add_bucket, batch_format="pyarrow") \
+            .write_parquet(out, partition_cols=["bucket"])
+        open(done, "w").write("ok")
+
+    buckets = sorted(d for d in os.listdir(out)
+                     if d.startswith("bucket="))
+
+    def dedup_bucket(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as _pq2
+        t = _pq2.read_table(os.path.join(out, b["dir"][0].as_py()),
+                            columns=["doc_id", "text"])
+        # bucket-local == global for this key: one vectorized pass
+        p = t.group_by(["text"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")])
+        return pa.table({
+            "keep_doc": pc.cast(p["doc_id_min"], INT64),
+            "n_copies": pc.cast(p["doc_id_count"], INT64),
+        })
+
+    return rd.from_items([{"dir": d} for d in buckets]) \
+        .repartition(len(buckets)) \
+        .map_batches(dedup_bucket, batch_format="pyarrow", batch_size=1)
+
+
+BUCKETED_DEDUP_SQL = """
+    SELECT MIN(doc_id) AS keep_doc, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY text ORDER BY keep_doc"""
+
+
+# ---------------------------------------------------------------------------
+# Q102: small-file compaction (lakehouse OPTIMIZE)
+# ---------------------------------------------------------------------------
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+def compact_files(sf_dir: str, target_rows: int = 4096,
+                  work_dir: str | None = None):
+    """q102: lakehouse OPTIMIZE — bin-pack many small parquet files
+    into few size-targeted ones, preserving content exactly.  Small
+    files are the #1 operational failure of streaming writers at
+    scale; compaction is the maintenance operator every table format
+    ships.
+
+    Scale shape: the plan is METADATA-ONLY (footer row counts — file
+    bodies are never read by the driver); each output file is one
+    task reading only its input group (first-fit bin packing); the
+    content proof is an order-free integer checksum (Σ md5₆₄(doc_id)
+    mod 2⁶¹−1) computed DURING the rewrite and compared to the
+    source-model oracle — any lost/duplicated/corrupted row shifts
+    it.  Output: one manifest row."""
+    import shutil
+
+    import pyarrow.parquet as _pq2
+
+    work = work_dir or os.path.join(
+        "/tmp/warc_ray_bench",
+        f"compact-{os.path.basename(sf_dir.rstrip('/'))}")
+    small, outd = os.path.join(work, "small"), os.path.join(work, "out")
+
+    # stage 0: a deliberately fragmented copy (streaming-writer shape)
+    if not os.path.exists(small + ".DONE"):
+        shutil.rmtree(small, ignore_errors=True)
+        rd.read_parquet(_pq(sf_dir, "documents"),
+                        columns=["doc_id", "text"]) \
+            .repartition(64).write_parquet(small)
+        open(small + ".DONE", "w").write("ok")
+
+    files = sorted(os.path.join(small, f) for f in os.listdir(small)
+                   if f.endswith(".parquet"))
+    rows = [_pq2.read_metadata(f).num_rows for f in files]
+    groups: list[dict] = []
+    cur: list[str] = []
+    acc = 0
+    for f, r in zip(files, rows):               # first-fit bin packing
+        if cur and acc + r > target_rows:
+            groups.append({"files": cur, "gid": len(groups)})
+            cur, acc = [], 0
+        cur.append(f)
+        acc += r
+    if cur:
+        groups.append({"files": cur, "gid": len(groups)})
+
+    shutil.rmtree(outd, ignore_errors=True)
+    os.makedirs(outd, exist_ok=True)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        import hashlib as _h
+        gid = int(b["gid"][0].as_py())
+        t = pa.concat_tables([_pq2.read_table(f)
+                              for f in b["files"][0].as_py()])
+        _pq2.write_table(t, os.path.join(outd, f"part-{gid:05d}.parquet"))
+        ck = 0
+        for d in t["doc_id"].to_pylist():
+            ck = (ck + int.from_bytes(
+                _h.md5(str(d).encode()).digest()[:8], "big")) % _MERSENNE61
+        return pa.table({"n_rows": pa.array([t.num_rows], type=INT64),
+                         "checksum": pa.array([ck], type=INT64),
+                         "n_files": pa.array([1], type=INT64)})
+
+    man = rd.from_items(groups).repartition(max(len(groups), 1)) \
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=1)
+    t = pa.concat_tables(man.iter_batches(batch_format="pyarrow"))
+    ck = 0
+    for c in t["checksum"].to_pylist():
+        ck = (ck + c) % _MERSENNE61
+    return pa.table({
+        "n_files_before": pa.array([len(files)], type=INT64),
+        "n_files_after": pa.array([int(pc.sum(t["n_files"]).as_py())],
+                                  type=INT64),
+        "n_rows": pa.array([int(pc.sum(t["n_rows"]).as_py())], type=INT64),
+        "checksum": pa.array([ck], type=INT64),
+    })
+
+
+# the oracle recomputes the checksum from the SOURCE table — equality
+# proves the compacted output holds exactly the source rows
+COMPACT_FILES_SQL = """
+    SELECT CAST(64 AS BIGINT) AS n_files_before,
+           CAST(CEIL(COUNT(*) / 4096.0) AS BIGINT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({MD5H}) % 2305843009213693951 AS BIGINT) AS checksum
+    FROM documents"""
+
+
+# ---------------------------------------------------------------------------
 # Q99: host-graph reciprocity (corpus-backed)
 # ---------------------------------------------------------------------------
 
@@ -829,12 +1093,20 @@ def host_reciprocity(docs_path: str, n_hosts: int):
         uk = np.unique(key)
         t = pa.table({"h_src": pa.array(uk // n_hosts, type=INT64),
                       "h_dst": pa.array(uk % n_hosts, type=INT64)})
-        return t
+        part = (uk % 16).astype(np.int32)
+        return t.append_column("part", pa.array(part))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        # batch partials overlap — global distinct resolves per bucket
+        # so only globally-distinct edges (≤ n_hosts² total) reach the
+        # driver set arithmetic
+        return g.drop_columns(["part"]) \
+            .group_by(["h_src", "h_dst"]).aggregate([])
 
     parts = rd.read_parquet(docs_path, columns=["doc_id", "spans"]) \
-        .map_batches(edges, batch_format="pyarrow")
+        .map_batches(edges, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow")
     t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
-    t = t.group_by(["h_src", "h_dst"]).aggregate([])   # tiny driver distinct
     s = t["h_src"].to_numpy(zero_copy_only=False)
     d = t["h_dst"].to_numpy(zero_copy_only=False)
     self_m = s == d

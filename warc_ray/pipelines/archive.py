@@ -139,14 +139,12 @@ def revisit_decisions(archive_dir: str, corpus_docs_path: str,
             spans = spans.combine_chunks()
         payloads = render_payloads(spans)
         sha1 = hashlib.sha1
-        digs, lens = [], []
         mutate = i % 89 == 5
-        for j in range(b.num_rows):
-            p = payloads[j].as_py()
-            if mutate[j]:
-                p = p + b"!"
-            digs.append("sha1:" + sha1(p).hexdigest())
-            lens.append(len(p))
+        pl = payloads.to_pylist()               # ONE C call, not per-row
+        digs = ["sha1:" + sha1(p + b"!" if m else p).hexdigest()
+                for p, m in zip(pl, mutate)]
+        lens = (pc.binary_length(payloads).to_numpy(zero_copy_only=False)
+                .astype(np.int64) + mutate.astype(np.int64))
         t = pa.table({
             "target_uri": pa.array(
                 ["urn:doc:%s" % d for d, k in zip(ids, keep) if k],

@@ -71,7 +71,8 @@ def combine_buckets(ds, key_cols, aggs: list[tuple[str, str]],
 
 
 def hash_join(left_ds, right_ds, keys, how: str = "inner", *,
-              npart: int = 32, right_suffix: str = "_r"):
+              npart: int = 32, right_suffix: str = "_r",
+              bucket_finish=None):
     """General bucket-exchange join for two Datasets — the
     both-sides-large path (for fact ⋈ small-dim, broadcast a dict
     instead; see pipelines/relational.revenue_by_nation).
@@ -89,6 +90,10 @@ def hash_join(left_ds, right_ds, keys, how: str = "inner", *,
     Partitioning assumption: one key's rows (both sides) fit a
     bucket's worker — salt hot keys upstream if that breaks.
     ``how`` ∈ {"inner", "left outer", "right outer", "full outer"}.
+    ``bucket_finish``: optional per-bucket post-join callable — because
+    a join key's rows are complete within a bucket, any per-key finish
+    (grouped aggregate, top-k partial, keep-first) fused here avoids a
+    second exchange (q100 uses this for join→aggregate→top-k).
     """
     import pyarrow as pa
 
@@ -145,7 +150,11 @@ def hash_join(left_ds, right_ds, keys, how: str = "inner", *,
             .select(keys + [n for n in l_names if n not in keys])
         rt = g.filter(pa.array(side == 1)) \
             .select(keys + [r_out[n] for n in r_extra])
-        return lt.join(rt, keys=keys, join_type=how)
+        j = lt.join(rt, keys=keys, join_type=how)
+        # join→consumer fusion: a key's rows are COMPLETE inside this
+        # bucket, so a per-key finish (aggregate, top-k partial, dedup)
+        # applied here needs no second exchange downstream
+        return bucket_finish(j) if bucket_finish is not None else j
 
     u = left_ds.map_batches(pad_left, batch_format="pyarrow") \
         .union(right_ds.map_batches(pad_right, batch_format="pyarrow"))
