@@ -653,6 +653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q100_shipping_priority": an.shipping_priority,
         "q101_bucketed_dedup": an.bucketed_dedup,
         "q102_compact_files": an.compact_files,
+        "q103_skewed_user_join": an.skewed_user_join,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -933,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "q98_incremental_agg": _an.INCREMENTAL_AGG_SQL,
         "q100_shipping_priority": _an.SHIPPING_PRIORITY_SQL,
         "q101_bucketed_dedup": _an.BUCKETED_DEDUP_SQL,
+        "q103_skewed_user_join": _an.SKEWED_USER_JOIN_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

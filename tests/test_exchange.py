@@ -221,3 +221,59 @@ def test_mg_heavy_hitters_exact_vs_bruteforce(ray_session):
     assert list(zip(got["host"].to_pylist(),
                     got["n_refs"].to_pylist())) == want
     assert len(want) >= 3  # the law test must actually exercise hitters
+
+
+def test_skew_join_parity_with_hash_join(ray_session):
+    """Salted and unsalted joins are VALUE-equal on skewed input —
+    the skew_join contract (salting only moves work)."""
+    import ray.data as rd
+    from warc_ray.stages.exchange import hash_join, skew_join
+
+    rng = np.random.default_rng(7)
+    # hot key 0 carries ~40% of fact rows; dim has one row per key
+    keys = np.where(rng.random(20_000) < 0.4, 0,
+                    rng.integers(1, 500, 20_000))
+    fact = pa.table({"k": pa.array(keys, type=pa.int64()),
+                     "v": pa.array(np.arange(20_000), type=pa.int64())})
+    dim = pa.table({"k": pa.array(np.arange(500), type=pa.int64()),
+                    "w": pa.array(np.arange(500) * 10, type=pa.int64())})
+    f = rd.from_arrow(fact).repartition(8)
+    d = rd.from_arrow(dim).repartition(4)
+
+    def norm(ds):
+        t = pa.concat_tables(ds.iter_batches(batch_format="pyarrow"))
+        df = t.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        return df
+
+    a = norm(skew_join(f, d, "k", how="inner", n_salt=4,
+                       hot_keys={0}))
+    b = norm(hash_join(rd.from_arrow(fact).repartition(8),
+                       rd.from_arrow(dim).repartition(4), "k",
+                       how="inner"))
+    assert len(a) == len(b) == 20_000          # every fact row matched
+    assert (a.k.to_numpy() == b.k.to_numpy()).all()
+    assert (a.v.to_numpy() == b.v.to_numpy()).all()
+    assert (a.w.to_numpy() == b.w.to_numpy()).all()
+
+
+def test_skew_join_left_outer_and_detection(ray_session):
+    import ray.data as rd
+    from warc_ray.stages.exchange import detect_hot_keys, skew_join
+
+    keys = np.concatenate([np.zeros(5_000, np.int64),
+                           np.arange(1, 101).repeat(10)])
+    fact = pa.table({"k": pa.array(keys, type=pa.int64()),
+                     "v": pa.array(np.arange(len(keys)), type=pa.int64())})
+    dim = pa.table({"k": pa.array([0, 1, 2], type=pa.int64()),
+                    "w": pa.array([7, 8, 9], type=pa.int64())})
+    f = rd.from_arrow(fact).repartition(8)
+    hot = detect_hot_keys(f, "k", hot_share_ppm=100_000)
+    assert 0 in hot                            # 5/6 of rows → detected
+    out = skew_join(rd.from_arrow(fact).repartition(8),
+                    rd.from_arrow(dim), "k", how="left outer",
+                    n_salt=4, hot_keys=hot)
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    df = t.to_pandas()
+    assert len(df) == len(keys)                # left outer keeps all
+    assert df[df.k == 0].w.eq(7).all()
+    assert df[df.k > 2].w.isna().all()         # unmatched → null

@@ -1053,6 +1053,92 @@ COMPACT_FILES_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q103: skew-salted join (hot anonymous key)
+# ---------------------------------------------------------------------------
+
+def skewed_user_join(sf_dir: str, n_salt: int = 8):
+    """q103: the null/anonymous-key skew join — ~1/3 of events are
+    anonymized to user 0 (an md5 coin on event_id), so key 0 carries
+    ~5000× a normal user's rows: the single most common production
+    join skew.  ``exchange.skew_join`` spreads hot-key fact rows
+    across ``n_salt`` sub-buckets and replicates the (single) hot dim
+    row to each, so no worker ever holds the whole hot key; cold keys
+    pay nothing.  Value-parity with the unsalted join is pinned by
+    tests/test_exchange.py.
+
+    Join: anonymized events ⋈ customer profile (custkey 0 = the
+    anonymous profile, nation −1), then per-nation event stats in
+    exact integer milli units."""
+    from ..stages.exchange import skew_join
+
+    def fact(b: pa.Table) -> pa.Table:
+        eids = b["event_id"].to_pylist()
+        anon = np.array([h[0] in "01234" for h in
+                         _md5_hex([str(e) for e in eids])])
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        eff = np.where(anon, 0, u)
+        milli = pc.cast(pc.floor(pc.multiply(b["value"], 1000.0)), INT64)
+        return pa.table({"c_custkey": pa.array(eff, type=INT64),
+                         "milli": milli})
+
+    def dim(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(b["c_custkey"], INT64),
+            "c_nationkey": pc.cast(b["c_nationkey"], INT64),
+        })
+
+    facts = rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["event_id", "user_id", "value"]) \
+        .map_batches(fact, batch_format="pyarrow")
+    anon_row = pa.table({"c_custkey": pa.array([0], type=INT64),
+                         "c_nationkey": pa.array([-1], type=INT64)})
+    dims = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(dim, batch_format="pyarrow") \
+        .union(rd.from_arrow(anon_row))
+
+    def finish(j: pa.Table) -> pa.Table:
+        # per-ROW → per-nation partial (hot key 0 spans salts, so this
+        # is a PARTIAL, finished by the global groupby below)
+        t = pa.table({"c_nationkey": j["c_nationkey"],
+                      "milli": j["milli"],
+                      "one": pa.nulls(j.num_rows, INT64).fill_null(1)})
+        p = t.group_by(["c_nationkey"]).aggregate(
+            [("one", "sum"), ("milli", "sum")])
+        return p.rename_columns(["c_nationkey", "n_events", "sum_milli"])
+
+    agg = skew_join(facts, dims, "c_custkey", how="inner",
+                    n_salt=n_salt, bucket_finish=finish) \
+        .groupby("c_nationkey") \
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_milli", alias_name="sum_milli"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "c_nationkey": pc.cast(t["c_nationkey"], INT64),
+        "n_events": pc.cast(t["n_events"], INT64),
+        "sum_milli": pc.cast(t["sum_milli"], INT64),
+    }).sort_by("c_nationkey")
+
+
+SKEWED_USER_JOIN_SQL = """
+    WITH f AS (
+      SELECT CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                       IN ('0','1','2','3','4')
+                  THEN 0 ELSE user_id END AS c_custkey,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS milli
+      FROM events
+    ), d AS (
+      SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+      FROM customer
+      UNION ALL SELECT 0, -1
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(milli) AS BIGINT) AS sum_milli
+    FROM f JOIN d USING (c_custkey)
+    GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+
+# ---------------------------------------------------------------------------
 # Q99: host-graph reciprocity (corpus-backed)
 # ---------------------------------------------------------------------------
 

@@ -257,3 +257,144 @@ def range_sort(ds, key_fn, tiebreak_fn, *, npart: int = 32,
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware join (salted hot keys)
+# ---------------------------------------------------------------------------
+
+_GOLD2 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def detect_hot_keys(ds, key: str, *, hot_share_ppm: int = 20_000,
+                    cand_per_batch: int = 32) -> set:
+    """Heavy-key detection pre-pass: per-batch top-``cand_per_batch``
+    key counts fold driver-side; keys whose summed candidate count is
+    ≥ ``hot_share_ppm`` of total rows are hot.  Approximate (a key
+    missing some batches' top lists undercounts) but DETERMINISTIC for
+    a given block layout — and correctness never depends on it: salted
+    and unsalted joins are value-equal, detection only moves work."""
+    import pyarrow as pa
+
+    def cand(b: pa.Table) -> pa.Table:
+        t = pa.table({"k": b[key]})
+        c = t.group_by(["k"]).aggregate([("k", "count")]) \
+            .rename_columns(["k", "n"])
+        c = c.take(pa.compute.sort_indices(c, sort_keys=[
+            ("n", "descending"), ("k", "ascending")]))
+        c = c.slice(0, cand_per_batch)
+        return c.append_column(
+            "rows", pa.array([b.num_rows] + [0] * (c.num_rows - 1)
+                             if c.num_rows else [],
+                             type=pa.int64()))
+
+    parts = ds.map_batches(cand, batch_format="pyarrow")
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return set()
+    total = int(pa.compute.sum(t["rows"]).as_py() or 0)
+    folded = t.group_by(["k"]).aggregate([("n", "sum")])
+    hot = set()
+    for k, n in zip(folded["k"].to_pylist(), folded["n_sum"].to_pylist()):
+        if n * 1_000_000 >= hot_share_ppm * max(total, 1):
+            hot.add(k)
+    return hot
+
+
+def skew_join(left_ds, right_ds, key: str, how: str = "inner", *,
+              npart: int = 32, n_salt: int = 8,
+              hot_keys: set | None = None, hot_share_ppm: int = 20_000,
+              right_suffix: str = "_r", bucket_finish=None):
+    """Salted hash join for skewed keys — the big×big join where one
+    key (a null/anonymous bucket, a supernode host) would overflow its
+    bucket's worker under plain hashing.
+
+    Hot LEFT rows spread across ``n_salt`` sub-buckets
+    (``salt = row_index % n_salt``); hot RIGHT rows REPLICATE to every
+    salt so each sub-bucket joins completely.  Cold keys pay nothing
+    (salt 0).  ``how`` ∈ {"inner", "left outer"} — replicating the
+    right side would multiply unmatched right rows under right/full
+    outer.  Value-parity with ``hash_join`` is pinned by
+    tests/test_exchange.py.
+
+    ``hot_keys``: pass a precomputed set to skip the detection
+    pre-pass (e.g. from a Misra-Gries sketch over yesterday's run).
+    ``bucket_finish`` fuses a per-key consumer exactly as in
+    ``hash_join`` — valid because a key's rows (left×replicated-right)
+    are complete within each salted sub-bucket only for PER-ROW
+    finishes; per-KEY aggregates of hot keys span salts, so fuse only
+    per-row work when salting is active."""
+    import pyarrow as pa
+
+    assert how in ("inner", "left outer")
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(left_ds, key,
+                                   hot_share_ppm=hot_share_ppm)
+    hot_arr = np.sort(np.array(sorted(hot_keys), dtype=np.int64)) \
+        if hot_keys else np.zeros(0, dtype=np.int64)
+
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_names = list(l_schema.names)
+    r_extra = [n for n in r_schema.names if n != key]
+    r_out = {n: (n + right_suffix if n in l_names else n) for n in r_extra}
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    pad_cols = ([key] + [n for n in l_names if n != key]
+                + [r_out[n] for n in r_extra] + ["side", "part"])
+
+    def _part(kv: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = (kv.astype(np.uint64) ^ (kv.astype(np.uint64)
+                                         >> np.uint64(33))) \
+                * np.uint64(0xFF51AFD7ED558CCD)
+            h = h + salt.astype(np.uint64) * _GOLD2
+        return (h % np.uint64(npart)).astype(np.int32)
+
+    def pad_left(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(kv, hot_arr)
+        salt = np.where(is_hot, np.arange(len(kv)) % n_salt, 0)
+        cols = {key: b[key]}
+        for n in l_names:
+            if n != key:
+                cols[n] = b[n]
+        for n in r_extra:
+            cols[r_out[n]] = pa.nulls(b.num_rows, type=r_types[n])
+        cols["side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        cols["part"] = pa.array(_part(kv, salt))
+        return pa.table({c: cols[c] for c in pad_cols})
+
+    def pad_right(b: pa.Table) -> pa.Table:
+        kv = b[key].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(kv, hot_arr)
+        # replicate hot rows once per salt; cold rows once (salt 0)
+        reps = np.where(is_hot, n_salt, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(kv)), reps)
+        cs = np.concatenate(([0], np.cumsum(reps)[:-1])) \
+            if len(reps) else np.zeros(0, dtype=np.int64)
+        salt = np.arange(int(reps.sum())) - np.repeat(cs, reps)
+        bb = b.take(pa.array(idx))
+        kv2 = kv[idx]
+        cols = {key: bb[key]}
+        for n in l_names:
+            if n != key:
+                cols[n] = pa.nulls(bb.num_rows, type=l_types[n])
+        for n in r_extra:
+            cols[r_out[n]] = bb[n]
+        cols["side"] = pa.array(np.ones(bb.num_rows, dtype=np.int8))
+        cols["part"] = pa.array(_part(kv2, salt))
+        return pa.table({c: cols[c] for c in pad_cols})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)) \
+            .select([key] + [n for n in l_names if n != key])
+        rt = g.filter(pa.array(side == 1)) \
+            .select([key] + [r_out[n] for n in r_extra])
+        j = lt.join(rt, keys=[key], join_type=how)
+        return bucket_finish(j) if bucket_finish is not None else j
+
+    u = left_ds.map_batches(pad_left, batch_format="pyarrow") \
+        .union(right_ds.map_batches(pad_right, batch_format="pyarrow"))
+    return u.groupby("part").map_groups(bucket, batch_format="pyarrow")
