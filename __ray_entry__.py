@@ -654,6 +654,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q101_bucketed_dedup": an.bucketed_dedup,
         "q102_compact_files": an.compact_files,
         "q103_skewed_user_join": an.skewed_user_join,
+        "q104_unpivot_lineitem": an.unpivot_lineitem,
+        "q105_percent_rank": an.percent_rank_orders,
+        "q106_event_mad": an.event_mad,
+        "q107_weighted_avg": an.weighted_avg_chars,
+        "q108_normalized_dedup": an.normalized_dedup,
+        "q109_table_fingerprints": an.table_fingerprints,
+        "q110_zscore_outliers": an.zscore_outliers,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -935,6 +942,15 @@ def oracle_sql() -> dict[str, str]:
         "q100_shipping_priority": _an.SHIPPING_PRIORITY_SQL,
         "q101_bucketed_dedup": _an.BUCKETED_DEDUP_SQL,
         "q103_skewed_user_join": _an.SKEWED_USER_JOIN_SQL,
+        "q104_unpivot_lineitem": _an.UNPIVOT_SQL,
+        "q105_percent_rank": _an.PERCENT_RANK_SQL,
+        "q106_event_mad": _an.EVENT_MAD_SQL,
+        "q107_weighted_avg": _an.WEIGHTED_AVG_SQL,
+        "q108_normalized_dedup": _an.NORMALIZED_DEDUP_SQL,
+        "q109_table_fingerprints": _an.TABLE_FINGERPRINTS_SQL.format(
+            MD5H=_MD5H.format(
+                col="concat(CAST(doc_id AS VARCHAR), ':', text)")),
+        "q110_zscore_outliers": _an.ZSCORE_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

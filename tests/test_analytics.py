@@ -478,3 +478,60 @@ def test_compact_files_preserves_content(ray_session, tmp_path):
     assert len(out_files) == t.n_files_after
     total = sum(pq.read_metadata(f).num_rows for f in out_files)
     assert total == len(docs)
+
+
+# --------------------------------------------------------------------- q106
+
+def test_event_mad_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import event_mad
+
+    t = event_mad(SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["m"] = np.floor(ev.value * 1000).astype("int64")
+
+    def disc_median(a):
+        a = np.sort(np.asarray(a))
+        return int(a[(len(a) + 1) // 2 - 1])   # percentile_disc(0.5)
+
+    for ty, g in ev.groupby("event_type"):
+        med = disc_median(g.m)
+        assert t.loc[ty, "median_milli"] == med
+        assert t.loc[ty, "mad_milli"] == disc_median(np.abs(g.m - med))
+
+
+# --------------------------------------------------------------------- q110
+
+def test_zscore_outliers_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import zscore_outliers
+
+    t = zscore_outliers(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["m"] = np.floor(ev.value * 1000).astype("int64")
+    want = set()
+    for ty, g in ev.groupby("event_type"):
+        n, s, ss = len(g), int(g.m.sum()), int((g.m ** 2).sum())
+        b9 = 9 * (n * ss - s * s)
+        for eid, v in zip(g.event_id, g.m):
+            if (n * int(v) - s) ** 2 > b9:     # exact bigint compare
+                want.add(eid)
+    assert set(t.event_id) == want
+
+
+# --------------------------------------------------------------------- q108
+
+def test_normalized_dedup_catches_variants(ray_session, tmp_path):
+    import pyarrow as _pa
+    import pyarrow.parquet as _pqw
+
+    from warc_ray.pipelines.analytics import normalized_dedup
+
+    docs = _pa.table({
+        "doc_id": _pa.array([1, 2, 3, 4], type=_pa.int64()),
+        "text": _pa.array(["Hello  World", "hello world ",
+                           "HELLO\tWORLD", "different"]),
+    })
+    _pqw.write_table(docs, str(tmp_path / "documents.parquet"))
+    t = normalized_dedup(str(tmp_path)).to_pandas() \
+        .sort_values("keep_doc").reset_index(drop=True)
+    assert list(t.keep_doc) == [1, 4]
+    assert list(t.n_copies) == [3, 1]

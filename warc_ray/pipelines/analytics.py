@@ -1053,6 +1053,438 @@ COMPACT_FILES_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q104: UNPIVOT / melt (wide → long reshape)
+# ---------------------------------------------------------------------------
+
+def unpivot_lineitem(sf_dir: str):
+    """q104: the inverse reshape of q89's PIVOT — melt the per
+    (returnflag, linestatus) wide aggregate into long (group, metric,
+    value) rows, the feed shape for metric stores and plotting layers.
+
+    Scale shape: the wide table is the OUTPUT of q01's tiny reduce
+    (groups × metrics rows total), so the melt is driver arithmetic —
+    the engine cost is the same partials-then-tiny-reduce scan."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(b["l_quantity"]), INT64)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        t = pa.table({"l_returnflag": b["l_returnflag"],
+                      "l_linestatus": b["l_linestatus"],
+                      "qty": qty, "cents": cents,
+                      "one": pa.nulls(b.num_rows, INT64).fill_null(1)})
+        p = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("cents", "sum"), ("one", "sum")])
+        return p.rename_columns(["l_returnflag", "l_linestatus",
+                                 "sum_qty", "sum_cents", "n_rows"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                          columns=["l_returnflag", "l_linestatus",
+                                   "l_quantity", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_cents", alias_name="sum_cents"),
+                   Sum("n_rows", alias_name="n_rows"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    rf, ls, out_m, out_v = [], [], [], []
+    for i in range(t.num_rows):
+        for metric in ("sum_qty", "sum_cents", "n_rows"):
+            rf.append(t["l_returnflag"][i].as_py())
+            ls.append(t["l_linestatus"][i].as_py())
+            out_m.append(metric)
+            out_v.append(int(t[metric][i].as_py()))
+    return pa.table({
+        "l_returnflag": pa.array(rf, type=pa.string()),
+        "l_linestatus": pa.array(ls, type=pa.string()),
+        "metric": pa.array(out_m, type=pa.string()),
+        "value": pa.array(out_v, type=INT64),
+    }).sort_by([("l_returnflag", "ascending"),
+                ("l_linestatus", "ascending"),
+                ("metric", "ascending")])
+
+
+UNPIVOT_SQL = """
+    WITH w AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, metric, value FROM (
+      SELECT l_returnflag, l_linestatus, 'sum_qty' AS metric,
+             sum_qty AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, 'sum_cents', sum_cents FROM w
+      UNION ALL
+      SELECT l_returnflag, l_linestatus, 'n_rows', n_rows FROM w
+    ) ORDER BY l_returnflag, l_linestatus, metric"""
+
+
+# ---------------------------------------------------------------------------
+# Q105: PERCENT_RANK over the distributed global sort
+# ---------------------------------------------------------------------------
+
+def percent_rank_orders(sf_dir: str):
+    """q105: PERCENT_RANK — (rank−1)/(n−1) over the q70 range-sort's
+    exact global ranks: the normalized-rank window every scoring
+    pipeline ends with, and proof the distributed sort's ranks
+    compose into window functions.  ``n`` is a broadcast scalar; the
+    double division is the identical final expression both engines
+    evaluate on exact ints (ties impossible: rank is unique)."""
+    from . import relational as rel
+
+    ranked = rel.global_sort_orders(sf_dir)
+    n = pq_rowcount(_pq(sf_dir, "orders"))
+
+    def add_pct(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        pct = (r - 1).astype(np.float64) / np.float64(n - 1)
+        return b.append_column("pct_rank", pa.array(pct))
+
+    return ranked.map_batches(add_pct, batch_format="pyarrow")
+
+
+def pq_rowcount(path: str) -> int:
+    import pyarrow.parquet as _pq2
+    return _pq2.read_metadata(path).num_rows
+
+
+PERCENT_RANK_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+             AS rank,
+           PERCENT_RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+             AS pct_rank
+    FROM orders"""
+
+
+# ---------------------------------------------------------------------------
+# Q106: median absolute deviation (robust dispersion, two-pass exact)
+# ---------------------------------------------------------------------------
+
+def _bucket_median(g: pa.Table) -> pa.Table:
+    """One group = one type's full (milli, cnt) histogram →
+    percentile_disc(0.5) as a single row."""
+    m = g["milli"].to_numpy(zero_copy_only=False)
+    c = g["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(m)
+    m, c = m[order], c[order]
+    uniq = np.concatenate(([True], m[1:] != m[:-1]))
+    idx = np.flatnonzero(uniq)
+    mu = m[idx]
+    cum = np.add.reduceat(c, idx).cumsum()
+    n = int(cum[-1])
+    i = (n + 1) // 2                            # ceil(0.5 n), 1-based
+    med = int(mu[np.searchsorted(cum, i, side="left")])
+    return pa.table({"event_type": pa.array(
+        [g["event_type"][0].as_py()], type=pa.string()),
+        "median": pa.array([med], type=INT64)})
+
+
+def event_mad(sf_dir: str):
+    """q106: per-type median absolute deviation — the robust
+    dispersion statistic (outlier-insensitive, unlike q110's σ), exact
+    in two histogram passes: pass 1 the q15 value-histogram fabric
+    yields each type's exact median; pass 2 histograms |v − median|
+    with the medians broadcast in the task closure.  Shuffles carry
+    (type × distinct value) histograms, never rows."""
+
+    def hist(b: pa.Table, med: dict | None = None) -> pa.Table:
+        milli = pc.cast(pc.floor(pc.multiply(b["value"], 1000.0)), INT64) \
+            .to_numpy(zero_copy_only=False)
+        et = b["event_type"]
+        if med is not None:
+            base = np.array([med[x] for x in et.to_pylist()],
+                            dtype=np.int64)
+            milli = np.abs(milli - base)
+        t = pa.table({"event_type": et,
+                      "milli": pa.array(milli, type=INT64)})
+        return t.group_by(["event_type", "milli"]) \
+            .aggregate([("milli", "count")]) \
+            .rename_columns(["event_type", "milli", "cnt"])
+
+    ev = lambda: rd.read_parquet(  # noqa: E731
+        _pq(sf_dir, "events"), columns=["event_type", "value"])
+
+    def pass_median(fn) -> dict[str, int]:
+        # q15's per-type histogram EXCHANGE: the shuffle carries the
+        # (type × distinct value) histogram, the driver sees one row
+        # per type
+        out = ev().map_batches(fn, batch_format="pyarrow") \
+            .groupby("event_type") \
+            .map_groups(_bucket_median, batch_format="pyarrow")
+        t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+        return dict(zip(t["event_type"].to_pylist(),
+                        t["median"].to_pylist()))
+
+    med = pass_median(hist)
+    mad = pass_median(lambda b: hist(b, med))
+    keys = sorted(med)
+    return pa.table({
+        "event_type": pa.array(keys, type=pa.string()),
+        "median_milli": pa.array([med[k] for k in keys], type=INT64),
+        "mad_milli": pa.array([mad[k] for k in keys], type=INT64),
+    })
+
+
+EVENT_MAD_SQL = """
+    WITH m AS (
+      SELECT event_type,
+             percentile_disc(0.5) WITHIN GROUP (
+               ORDER BY CAST(FLOOR(value * 1000) AS BIGINT))
+               AS median_milli
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, m.median_milli,
+           percentile_disc(0.5) WITHIN GROUP (
+             ORDER BY ABS(CAST(FLOOR(e.value * 1000) AS BIGINT)
+                          - m.median_milli)) AS mad_milli
+    FROM events e JOIN m USING (event_type)
+    GROUP BY e.event_type, m.median_milli ORDER BY e.event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q107: grouped weighted average (exact rational → one final double)
+# ---------------------------------------------------------------------------
+
+def weighted_avg_chars(sf_dir: str):
+    """q107: per-lang token-weighted mean document length —
+    Σ(chars·tokens)/Σ(tokens): the grouped weighted average, exact
+    integer sums with ONE final double division (q83's exactness
+    recipe applied to the most common reporting aggregate)."""
+    from ..stages import textstats as ts
+
+    def partial(b: pa.Table) -> pa.Table:
+        tc = ts.token_counts(b)
+        x = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = tc["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"lang": b["lang"],
+                      "wx": pa.array(x * w, type=INT64),
+                      "w": pa.array(w, type=INT64)})
+        p = t.group_by(["lang"]).aggregate([("wx", "sum"), ("w", "sum")])
+        return p.rename_columns(["lang", "wx", "w"])
+
+    agg = _docs(sf_dir, columns=["doc_id", "lang", "text", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("wx", alias_name="wx"),
+                                   Sum("w", alias_name="w"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    wx = t["wx"].to_numpy(zero_copy_only=False)
+    w = t["w"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "lang": t["lang"],
+        "sum_weight": pa.array(w, type=INT64),
+        "wavg_chars": pa.array(wx.astype(np.float64)
+                               / w.astype(np.float64)),
+    }).sort_by("lang")
+
+
+WEIGHTED_AVG_SQL = """
+    WITH f AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS w
+      FROM documents
+    )
+    SELECT lang, CAST(SUM(w) AS BIGINT) AS sum_weight,
+           CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             AS wavg_chars
+    FROM f GROUP BY lang ORDER BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# Q108: normalized-text dedup (canonicalize-then-dedup)
+# ---------------------------------------------------------------------------
+
+def normalized_dedup(sf_dir: str, npart: int = 32):
+    """q108: exact dedup AFTER text canonicalization (lowercase +
+    whitespace collapse + trim) — catches the trivial-variant
+    duplicates (case, spacing) q20's byte-exact dedup misses; the
+    cheap normalization pass every dedup stack runs first (CCNet's
+    normalization step before hashing).
+
+    Scale shape: q20's fabric on the normalized key's HASH — the
+    shuffle carries (hash₆₄, doc_id), never the normalized text; the
+    min-doc/count resolve per bucket vectorized."""
+    from ..stages.exchange import hash64_strings
+
+    def partial(b: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(pc.utf8_lower(b["text"]),
+                                       r"\s+", " "))
+        h = hash64_strings(norm).view(np.int64)
+        t = pa.table({"nh": pa.array(h, type=INT64),
+                      "doc_id": pc.cast(b["doc_id"], INT64)})
+        p = t.group_by(["nh"]).aggregate(
+            [("doc_id", "min"), ("doc_id", "count")]) \
+            .rename_columns(["nh", "keep_doc", "n_copies"])
+        part = (p["nh"].to_numpy(zero_copy_only=False)
+                .view(np.uint64) % np.uint64(npart)).astype(np.int32)
+        return p.append_column("part", pa.array(part))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]).combine_chunks()
+        p = t.group_by(["nh"]).aggregate(
+            [("keep_doc", "min"), ("n_copies", "sum")])
+        return pa.table({
+            "keep_doc": pc.cast(p["keep_doc_min"], INT64),
+            "n_copies": pc.cast(p["n_copies_sum"], INT64),
+        })
+
+    return _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+
+NORMALIZED_DEDUP_SQL = r"""
+    SELECT MIN(doc_id) AS keep_doc, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+          FROM documents)
+    GROUP BY nt ORDER BY keep_doc"""
+
+
+# ---------------------------------------------------------------------------
+# Q109: per-group table fingerprints (anti-entropy / replica diff)
+# ---------------------------------------------------------------------------
+
+def table_fingerprints(sf_dir: str):
+    """q109: order-free content fingerprint per partition key — the
+    anti-entropy primitive for replica/table diff: two clusters agree
+    on a partition iff its (n_rows, checksum) pair matches, so a diff
+    localizes to partitions without shipping rows (Merkle-style, one
+    level).  Checksum = Σ md5₆₄(doc_id‖':'‖text) mod 2⁶¹−1 — row
+    order, block layout and cluster size cannot change it; any row
+    edit does."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import hashlib as _h
+        src = b["source"].to_pylist()
+        ck: dict[str, list[int]] = {}
+        for s, d, txt in zip(src, b["doc_id"].to_pylist(),
+                             b["text"].to_pylist()):
+            h = int.from_bytes(
+                _h.md5((str(d) + ":" + txt).encode()).digest()[:8], "big")
+            e = ck.setdefault(s, [0, 0])
+            e[0] += 1
+            e[1] = (e[1] + h) % _MERSENNE61
+        keys = sorted(ck)
+        return pa.table({
+            "source": pa.array(keys, type=pa.string()),
+            "n_rows": pa.array([ck[k][0] for k in keys], type=INT64),
+            "checksum": pa.array([ck[k][1] for k in keys], type=INT64),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        # modular fold with Python ints: Σ of many ≤2⁶¹ partials
+        # overflows int64, so the per-group reduce stays exact here
+        ck = 0
+        for c in g["checksum"].to_pylist():
+            ck = (ck + c) % _MERSENNE61
+        return pa.table({
+            "source": pa.array([g["source"][0].as_py()], type=pa.string()),
+            "n_rows": pa.array([int(pc.sum(g["n_rows"]).as_py())],
+                               type=INT64),
+            "checksum": pa.array([ck], type=INT64),
+        })
+
+    agg = _docs(sf_dir, columns=["doc_id", "source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").map_groups(fold, batch_format="pyarrow")
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return t.sort_by("source")
+
+
+TABLE_FINGERPRINTS_SQL = """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({MD5H}) % 2305843009213693951 AS BIGINT) AS checksum
+    FROM documents GROUP BY source ORDER BY source"""
+
+
+# ---------------------------------------------------------------------------
+# Q110: exact z-score anomaly flags (integer algebra, no float compare)
+# ---------------------------------------------------------------------------
+
+def zscore_outliers(sf_dir: str):
+    """q110: model-based anomaly detection — events beyond 3σ of their
+    type's mean — with the float-free trick that makes the flag
+    EXACT on every engine: (v−μ)² > 9σ² ⇔ (n·v−s)² > 9(n·ss−s²) in
+    integers.  The per-type RHS is a Python bigint (no overflow); the
+    per-row LHS compares |n·v−s| against isqrt(RHS), an int64-safe
+    equivalent (x² > B ⇔ |x| > isqrt(B)).  Complements q77 (order
+    statistic) and q106 (robust MAD) as the σ-based member of the
+    outlier family.
+
+    Scale shape: one tiny moments reduce (n, Σv, Σv²), thresholds
+    broadcast in the closure, one stateless flag scan."""
+    import math
+
+    def moments(b: pa.Table) -> pa.Table:
+        milli = pc.cast(pc.floor(pc.multiply(b["value"], 1000.0)), INT64) \
+            .to_numpy(zero_copy_only=False)
+        et = b["event_type"]
+        t = pa.table({"event_type": et,
+                      "v": pa.array(milli, type=INT64),
+                      "vv": pa.array(milli * milli, type=INT64),
+                      "one": pa.nulls(len(milli), INT64).fill_null(1)})
+        p = t.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("v", "sum"), ("vv", "sum")])
+        return p.rename_columns(["event_type", "n", "s", "ss"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_type", "value"]) \
+        .map_batches(moments, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("n", alias_name="n"),
+                                         Sum("s", alias_name="s"),
+                                         Sum("ss", alias_name="ss"))
+    mt = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    thr: dict[str, tuple[int, int, int]] = {}
+    for i in range(mt.num_rows):
+        n, s, ss = (int(mt[c][i].as_py()) for c in ("n", "s", "ss"))
+        b9 = 9 * (n * ss - s * s)               # exact Python bigint
+        thr[mt["event_type"][i].as_py()] = (n, s, math.isqrt(max(b9, 0)))
+
+    def flag(b: pa.Table) -> pa.Table:
+        milli = pc.cast(pc.floor(pc.multiply(b["value"], 1000.0)), INT64) \
+            .to_numpy(zero_copy_only=False)
+        codes = b["event_type"].combine_chunks().dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False)
+        lut = [thr[x] for x in codes.dictionary.to_pylist()]
+        n = np.array([x[0] for x in lut], dtype=np.int64)[idx]
+        s = np.array([x[1] for x in lut], dtype=np.int64)[idx]
+        t3 = np.array([x[2] for x in lut], dtype=np.int64)[idx]
+        keep = np.abs(n * milli - s) > t3
+        return pa.table({
+            "event_id": b["event_id"].filter(pa.array(keep)),
+            "event_type": b["event_type"].filter(pa.array(keep)),
+            "value": b["value"].filter(pa.array(keep)),
+        })
+
+    return rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["event_id", "event_type", "value"]) \
+        .map_batches(flag, batch_format="pyarrow")
+
+
+ZSCORE_SQL = """
+    WITH f AS (
+      SELECT event_id, event_type, value,
+             CAST(FLOOR(value * 1000) AS HUGEINT) AS v
+      FROM events
+    ), m AS (
+      SELECT event_type, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss
+      FROM f GROUP BY event_type
+    )
+    SELECT event_id, f.event_type, value
+    FROM f JOIN m USING (event_type)
+    WHERE (n * v - s) * (n * v - s) > 9 * (n * ss - s * s)
+    ORDER BY event_id"""
+
+
+# ---------------------------------------------------------------------------
 # Q103: skew-salted join (hot anonymous key)
 # ---------------------------------------------------------------------------
 
