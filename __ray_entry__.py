@@ -661,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q108_normalized_dedup": an.normalized_dedup,
         "q109_table_fingerprints": an.table_fingerprints,
         "q110_zscore_outliers": an.zscore_outliers,
+        "q111_streaming_windows": an.streaming_windows,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -951,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
             MD5H=_MD5H.format(
                 col="concat(CAST(doc_id AS VARCHAR), ':', text)")),
         "q110_zscore_outliers": _an.ZSCORE_SQL,
+        "q111_streaming_windows": _an.STREAMING_WINDOWS_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

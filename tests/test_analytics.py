@@ -535,3 +535,34 @@ def test_normalized_dedup_catches_variants(ray_session, tmp_path):
         .sort_values("keep_doc").reset_index(drop=True)
     assert list(t.keep_doc) == [1, 4]
     assert list(t.n_copies) == [3, 1]
+
+
+# --------------------------------------------------------------------- q111
+
+def test_streaming_windows_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import streaming_windows
+
+    t = streaming_windows(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas() \
+        .sort_values("event_id")
+    us = ev.ts.astype("int64").to_numpy()
+    coin = np.array([hashlib.md5(str(e).encode()).hexdigest()[0] == "0"
+                     for e in ev.event_id])
+    eff = us - coin * 2_700_000_000
+    run = np.maximum.accumulate(eff)
+    before = np.concatenate(([np.int64(-(1 << 62))], run[:-1]))
+    win = eff // 3_600_000_000
+    late = (win + 1) * 3_600_000_000 <= before - 600_000_000
+    assert late.sum() > 0                       # non-vacuous fixture
+    assert t.n_late.sum() == late.sum()
+    assert t.n_on_time.sum() == (~late).sum()
+    # sequential replay agrees pane by pane
+    import collections
+    panes = collections.Counter()
+    for w, ty, lt in zip(win, ev.event_type, late):
+        panes[(int(w), ty, bool(lt))] += 1
+    for _, r in t.iterrows():
+        w = int(np.datetime64(r.window_start).astype("datetime64[s]")
+                .astype("int64")) // 3600
+        assert panes[(w, r.event_type, False)] == r.n_on_time
+        assert panes[(w, r.event_type, True)] == r.n_late

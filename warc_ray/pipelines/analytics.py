@@ -1485,6 +1485,154 @@ ZSCORE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q111: streaming tumbling windows with watermark (late-event handling)
+# ---------------------------------------------------------------------------
+
+def streaming_windows(sf_dir: str, window_s: int = 3600,
+                      lateness_s: int = 600, nparts: int = 16):
+    """q111: the streaming-window semantic evaluated deterministically
+    over a replayable log — tumbling event-time windows with a
+    watermark: as events ARRIVE (arrival = log order = event_id), the
+    watermark is the running max event time minus the allowed
+    lateness; an event whose window already closed (window end ≤
+    watermark at its arrival) is LATE and dropped from the pane.
+    This is the Flink/Beam watermark contract, the operator the brief
+    lists under custom streaming windows — made exact by replaying
+    the same arrival order in both engines.
+
+    Scale shape: the running max is a classic two-phase parallel scan
+    on q64's explicit-row-range fabric: pass 1 reads only ``ts`` per
+    range and emits each range's max; the driver takes an EXCLUSIVE
+    prefix max over ranges (tiny); pass 2 re-reads each range with
+    its carry-in, computes the strictly-before running max vectorized
+    (shifted ``np.maximum.accumulate``), flags lateness, and reduces
+    to (window, type) pane counts.  No global sort, no sequential
+    pass over the log."""
+    import pyarrow.parquet as _pq2
+
+    path = _pq(sf_dir, "events")
+    meta = _pq2.read_metadata(path)
+    rg_rows = [meta.row_group(i).num_rows
+               for i in range(meta.num_row_groups)]
+    offs = np.concatenate([[0], np.cumsum(rg_rows)]).astype(np.int64)
+    n = int(offs[-1])
+    nparts = max(1, min(nparts, n // 1024 or 1))
+    lo = [p * n // nparts for p in range(nparts)]
+    hi = [(p + 1) * n // nparts for p in range(nparts)]
+    desc = pa.table({"part": pa.array(range(nparts), type=pa.int32()),
+                     "lo": pa.array(lo, type=INT64),
+                     "hi": pa.array(hi, type=INT64)})
+
+    def read_range(l: int, h: int, cols: list[str]) -> pa.Table:
+        pf = _pq2.ParquetFile(path)
+        rgs = [i for i in range(len(rg_rows))
+               if offs[i + 1] > l and offs[i] < h]
+        t = pf.read_row_groups(rgs, columns=cols)
+        return t.slice(l - int(offs[rgs[0]]), h - l)
+
+    _DELAY_US = np.int64(2_700_000_000)       # 45 min replay lag
+
+    def eff_ts(t: pa.Table) -> np.ndarray:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        coin = np.array([h[0] == "0" for h in _md5_hex(
+            [str(e) for e in t["event_id"].to_pylist()])])
+        return us - coin * _DELAY_US
+
+    def part_max(b: pa.Table) -> pa.Table:
+        out_p, out_m = [], []
+        for p, l, h in zip(b["part"].to_pylist(), b["lo"].to_pylist(),
+                           b["hi"].to_pylist()):
+            t = read_range(l, h, ["event_id", "ts"])
+            out_p.append(p)
+            out_m.append(int(eff_ts(t).max()))
+        return pa.table({"part": pa.array(out_p, type=pa.int32()),
+                         "mx": pa.array(out_m, type=INT64)})
+
+    maxima = pa.concat_tables(
+        rd.from_arrow(desc)
+        .map_batches(part_max, batch_format="pyarrow", batch_size=1)
+        .iter_batches(batch_format="pyarrow")).sort_by("part")
+    mx = maxima["mx"].to_numpy(zero_copy_only=False)
+    # sentinel far below any timestamp but with headroom: iinfo.min
+    # would wrap under the later ``- late_us`` subtraction
+    carry = np.concatenate(([np.int64(-(1 << 62))],
+                            np.maximum.accumulate(mx)[:-1]))
+    carry_in = {int(p): int(c) for p, c in
+                zip(maxima["part"].to_pylist(), carry)}
+
+    win_us = np.int64(window_s) * 1_000_000
+    late_us = np.int64(lateness_s) * 1_000_000
+
+    def panes(b: pa.Table) -> pa.Table:
+        out = []
+        for p, l, h in zip(b["part"].to_pylist(), b["lo"].to_pylist(),
+                           b["hi"].to_pylist()):
+            t = read_range(l, h, ["event_id", "ts", "event_type"])
+            ts = eff_ts(t)
+            run = np.maximum.accumulate(ts)
+            before = np.concatenate(([carry_in[int(p)]], run[:-1]))
+            wm = before - late_us               # watermark at arrival
+            win = ts // win_us
+            late = (win + 1) * win_us <= wm
+            tt = pa.table({
+                "window": pa.array(win, type=INT64),
+                "event_type": t["event_type"],
+                "on_time": pa.array((~late).astype(np.int64), type=INT64),
+                "late": pa.array(late.astype(np.int64), type=INT64),
+            })
+            out.append(tt.group_by(["window", "event_type"]).aggregate(
+                [("on_time", "sum"), ("late", "sum")]).rename_columns(
+                ["window", "event_type", "n_on_time", "n_late"]))
+        return pa.concat_tables(out)
+
+    agg = rd.from_arrow(desc) \
+        .map_batches(panes, batch_format="pyarrow", batch_size=1) \
+        .groupby(["window", "event_type"]) \
+        .aggregate(Sum("n_on_time", alias_name="n_on_time"),
+                   Sum("n_late", alias_name="n_late"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    w = t["window"].to_numpy(zero_copy_only=False)
+    iso = [str(np.datetime64(int(x) * window_s, "s")) for x in w]
+    return pa.table({
+        "window_start": pa.array(iso, type=pa.string()),
+        "event_type": t["event_type"],
+        "n_on_time": pc.cast(t["n_on_time"], INT64),
+        "n_late": pc.cast(t["n_late"], INT64),
+    }).sort_by([("window_start", "ascending"),
+                ("event_type", "ascending")])
+
+
+STREAMING_WINDOWS_SQL = """
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT)
+               - CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                           = '0'
+                      THEN 2700000000 ELSE 0 END AS us
+      FROM events
+    ), a AS (
+      SELECT event_type, us,
+             MAX(us) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS before_max
+      FROM e
+    ), f AS (
+      SELECT event_type, us // 3600000000 AS win,
+             CASE WHEN before_max IS NOT NULL
+                       AND (us // 3600000000 + 1) * 3600000000
+                           <= before_max - 600000000
+                  THEN 1 ELSE 0 END AS late
+      FROM a
+    )
+    SELECT strftime(to_timestamp(win * 3600), '%Y-%m-%dT%H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(SUM(1 - late) AS BIGINT) AS n_on_time,
+           CAST(SUM(late) AS BIGINT) AS n_late
+    FROM f GROUP BY win, event_type ORDER BY window_start, event_type"""
+
+
+# ---------------------------------------------------------------------------
 # Q103: skew-salted join (hot anonymous key)
 # ---------------------------------------------------------------------------
 
