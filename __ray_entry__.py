@@ -75,6 +75,15 @@ def _degree_histogram_q(sf_dir: str):
     return degree_histogram(corpus_mod.docs_path(cdir))
 
 
+def _seed_distance_q(sf_dir: str):
+    from warc_ray.pipelines.analytics import seed_distance_histogram
+
+    cdir = _corpus_for(sf_dir)
+    return seed_distance_histogram(
+        corpus_mod.docs_path(cdir),
+        os.path.join(cdir, "seeds.parquet"))
+
+
 def _host_reciprocity_q(sf_dir: str):
     from warc_ray.pipelines.analytics import host_reciprocity
 
@@ -662,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q109_table_fingerprints": an.table_fingerprints,
         "q110_zscore_outliers": an.zscore_outliers,
         "q111_streaming_windows": an.streaming_windows,
+        "q113_last_touch": an.last_touch_attribution,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -756,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q78_arc_to_warc": _arc_to_warc_q,
         "q96_revisit_dedup": _revisit_dedup_q,
         "q99_host_reciprocity": _host_reciprocity_q,
+        "q112_seed_distance": _seed_distance_q,
     }
 
 
@@ -953,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
                 col="concat(CAST(doc_id AS VARCHAR), ':', text)")),
         "q110_zscore_outliers": _an.ZSCORE_SQL,
         "q111_streaming_windows": _an.STREAMING_WINDOWS_SQL,
+        "q113_last_touch": _an.LAST_TOUCH_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct
@@ -1998,6 +2010,40 @@ def oracle_sql() -> dict[str, str]:
                         THEN 2 * n_recip_pairs * 1000000 // n_edges
                         ELSE 0 END AS BIGINT) AS reciprocity_ppm
             FROM stats""",
+        # q112: multi-source BFS — recursive-CTE shortest undirected
+        # link distance from the seed set over the doc link graph
+        # (priority=5 marks kind='link' rows of links_src); histogram
+        # over GRAPH NODES (docs with ≥1 link edge), -1 = unreachable
+        "q112_seed_distance": f"""
+            WITH RECURSIVE links AS ({links_src}),
+            e0 AS (
+              SELECT CAST(regexp_extract(src_doc, '(\\d+)$', 1) AS BIGINT)
+                       AS s,
+                     CAST(regexp_extract(url, '/doc/(\\d+)$', 1) AS BIGINT)
+                       AS d
+              FROM links
+              WHERE priority = 5 AND regexp_matches(url, '/doc/\\d+$')
+            ),
+            e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+            nodes AS (SELECT DISTINCT s AS n FROM e),
+            sd AS (
+              SELECT DISTINCT CAST(regexp_extract(
+                       replace(url, '%64', 'd'), '/doc/(\\d+)', 1)
+                     AS BIGINT) AS n
+              FROM read_parquet('{t2}/seeds.parquet')
+            ),
+            walk(n, dist) AS (
+              SELECT n, 0 FROM sd WHERE n IN (SELECT n FROM nodes)
+              UNION
+              SELECT e.d, walk.dist + 1
+              FROM walk JOIN e ON e.s = walk.n
+              WHERE walk.dist < 64
+            ),
+            best AS (SELECT n, MIN(dist) AS dist FROM walk GROUP BY n)
+            SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+              SELECT COALESCE(b.dist, -1) AS dist
+              FROM nodes LEFT JOIN best b ON b.n = nodes.n
+            ) GROUP BY dist ORDER BY dist""",
         # q96: revisit-dedup decisions — expected values from the
         # corpus body-length model (q58/q78) + the q71 re-crawl coin
         # rules: i%101==7 gone, i%89==5 mutated (+1 byte); response

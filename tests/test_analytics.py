@@ -566,3 +566,71 @@ def test_streaming_windows_bruteforce(ray_session):
                 .astype("int64")) // 3600
         assert panes[(w, r.event_type, False)] == r.n_on_time
         assert panes[(w, r.event_type, True)] == r.n_late
+
+
+# --------------------------------------------------------------------- q112
+
+def test_seed_distance_bruteforce(ray_session):
+    import collections
+    import re
+
+    from warc_ray import corpus as corpus_mod
+    from warc_ray.pipelines.analytics import seed_distance_histogram
+
+    cdir = corpus_mod.ensure_corpus("t1")
+    t = seed_distance_histogram(
+        corpus_mod.docs_path(cdir),
+        f"{cdir}/seeds.parquet").to_pandas()
+    docs = pq.read_table(corpus_mod.docs_path(cdir)).to_pylist()
+    adj = collections.defaultdict(set)
+    nodes = set()
+    for d in docs:
+        i = int(d["doc_id"].rsplit("-", 1)[1])
+        for s in d["spans"]:
+            if s["kind"] == "link":
+                m = re.search(r"/doc/(\d+)$", s["media_ref"])
+                if m:
+                    j = int(m.group(1))
+                    adj[i].add(j)
+                    adj[j].add(i)
+                    nodes.update((i, j))
+    seeds = set()
+    for r in pq.read_table(f"{cdir}/seeds.parquet").to_pylist():
+        m = re.search(r"/doc/(\d+)", r["url"].replace("%64", "d"))
+        seeds.add(int(m.group(1)))
+    dist = {n: -1 for n in nodes}
+    frontier = [s for s in seeds if s in nodes]
+    for s in frontier:
+        dist[s] = 0
+    d = 0
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if dist[v] == -1:
+                    dist[v] = d + 1
+                    nxt.append(v)
+        frontier, d = nxt, d + 1
+    want = collections.Counter(dist.values())
+    got = dict(zip(t.dist, t.n_docs))
+    assert got == dict(want)
+
+
+# --------------------------------------------------------------------- q113
+
+def test_last_touch_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import last_touch_attribution
+
+    t = last_touch_attribution(SF).to_pandas().set_index("channel")
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["us"] = ev.ts.astype("int64")
+    want: dict = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["us", "event_id"])
+        last = "none"
+        for _, r in g.iterrows():
+            if r.event_type == "purchase":
+                want[last] = want.get(last, 0) + 1
+            if r.event_type in ("view", "click", "signup"):
+                last = r.event_type
+    assert dict(zip(t.index, t.n_purchases)) == want

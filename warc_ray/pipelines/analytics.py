@@ -1633,6 +1633,154 @@ STREAMING_WINDOWS_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q112: multi-source BFS seed distance (iterative graph primitive)
+# ---------------------------------------------------------------------------
+
+def seed_distance_histogram(docs_path: str, seeds_path: str,
+                            nparts: int = 8):
+    """q112: undirected link-distance from the seed set — multi-source
+    BFS over the doc link graph on the q27/q29 BSP fabric
+    (graph.bfs_distance): edges shard once, each round ships O(nodes)
+    min-distance partials, fixpoint in eccentricity rounds.  The
+    frontier-depth structure of the crawl WITHOUT its politeness
+    coupling — i.e. the lower bound any crawl schedule can reach.
+
+    Output is the distance histogram (dist → n_docs, −1 = unreachable
+    from every seed), exact against a recursive-CTE oracle."""
+    import pyarrow.parquet as _pq2
+
+    from .graph import bfs_distance
+
+    def edges(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        m = pc.equal(flat.field("kind"), "link")
+        urls = pc.filter(flat.field("media_ref"), m)
+        par = pc.filter(parents, m).to_numpy(zero_copy_only=False)
+        dst = pc.cast(pc.struct_field(pc.extract_regex(
+            urls, r"/doc/(?P<i>\d+)$"), "i"), INT64) \
+            .to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_pylist()
+        src = np.array([int(d.rsplit("-", 1)[1]) for d in ids],
+                       dtype=np.int64)[par]
+        # symmetrize (undirected distance) — the BSP builder expects it
+        return pa.table({
+            "src": pa.array(np.concatenate((src, dst)), type=INT64),
+            "dst": pa.array(np.concatenate((dst, src)), type=INT64),
+        })
+
+    seeds_t = _pq2.read_table(seeds_path, columns=["url"])
+    su = pc.replace_substring(seeds_t["url"], "%64", "d")
+    # unanchored: seed urls may carry #fragments (RFC-3986 variants)
+    seeds = pc.cast(pc.struct_field(pc.extract_regex(
+        su, r"/doc/(?P<i>\d+)"), "i"), INT64).to_numpy(
+        zero_copy_only=False)
+
+    edge_ds = rd.read_parquet(docs_path, columns=["doc_id", "spans"]) \
+        .map_batches(edges, batch_format="pyarrow")
+    t = bfs_distance(edge_ds, np.unique(seeds), nparts=nparts)
+    d = t["dist"].to_numpy(zero_copy_only=False)
+    uniq, cnt = np.unique(d, return_counts=True)
+    return pa.table({
+        "dist": pa.array(uniq, type=INT64),
+        "n_docs": pa.array(cnt.astype(np.int64), type=INT64),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Q113: last-touch attribution (segmented forward-fill window)
+# ---------------------------------------------------------------------------
+
+_CHANNELS = ("click", "signup", "view")
+
+
+def last_touch_attribution(sf_dir: str, npart: int = 32):
+    """q113: marketing last-touch attribution — each purchase credits
+    the same user's most recent PRECEDING channel event (view / click
+    / signup), 'none' if the purchase is the user's first touch: the
+    ``LAST_VALUE(... IGNORE NULLS) OVER (... 1 PRECEDING)`` segmented
+    forward-fill window, the remaining big window-function family.
+
+    Scale shape: one user-hash exchange, then per bucket a single
+    vectorized pass — segmented forward-fill as one
+    ``np.maximum.accumulate`` over segment-offset position indices
+    (no per-user Python, no per-row loop)."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({"user_id": pa.array(u, type=INT64),
+                      "event_id": b["event_id"],
+                      "event_type": b["event_type"],
+                      "ts": pc.cast(b["ts"], INT64)})
+        return t.append_column(
+            "part", pa.array((u % npart).astype(np.int32)))
+
+    BIG = np.int64(1) << 33
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        ty = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((eid, ts, u))
+        u, ty = u[order], ty[order]
+        n = len(u)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        seg = np.cumsum(new_user) - 1
+        is_ch = np.isin(ty, _CHANNELS)
+        # segmented forward-fill of the last channel POSITION: offset
+        # each segment by BIG so the running max cannot leak across
+        pos = np.where(is_ch, np.arange(n), -1) + seg * BIG
+        ffill = np.maximum.accumulate(pos)
+        before = np.concatenate(([np.int64(-1)], ffill[:-1]))
+        last_pos = before - seg * BIG           # strictly-before touch
+        is_p = ty == "purchase"
+        lp = last_pos[is_p]
+        ch = np.where(lp >= 0, ty[np.maximum(lp, 0)], "none")
+        t = pa.table({"channel": pa.array(ch.astype(object).tolist(),
+                                          type=pa.string())})
+        return t.group_by(["channel"]).aggregate([("channel", "count")]) \
+            .rename_columns(["channel", "n_purchases"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_id", "user_id", "ts",
+                                   "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("channel").aggregate(
+            Sum("n_purchases", alias_name="n_purchases"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "channel": t["channel"],
+        "n_purchases": pc.cast(t["n_purchases"], INT64),
+    }).sort_by("channel")
+
+
+LAST_TOUCH_SQL = """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IN ('view', 'click', 'signup')
+                  THEN event_type END AS ch
+      FROM events
+    ), a AS (
+      SELECT event_type,
+             LAST_VALUE(ch IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+      FROM s
+    )
+    SELECT COALESCE(attr, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM a WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # Q103: skew-salted join (hot anonymous key)
 # ---------------------------------------------------------------------------
 

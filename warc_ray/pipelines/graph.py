@@ -38,6 +38,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+BFS_INF = np.int64(1) << 40      # unreachable sentinel (+1-safe)
 SCALE = 1_000_000_000_000  # PageRank unit: 1e-12 of total mass
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
@@ -97,10 +98,16 @@ class GraphShard:
     def n_nodes(self) -> int:
         return len(self.nodes)
 
-    def init_values(self, mode: str, n_total: int) -> None:
+    def init_values(self, mode: str, n_total: int,
+                    seeds: np.ndarray | None = None) -> None:
         if mode == "pagerank":
             self.val = np.full(len(self.nodes), SCALE // n_total,
                                dtype=np.int64)
+        elif mode == "bfs":                    # dist 0 at seeds, "inf" else
+            self.val = np.full(len(self.nodes), BFS_INF, dtype=np.int64)
+            mine = np.intersect1d(self.nodes, np.asarray(seeds,
+                                                         dtype=np.int64))
+            self.val[np.searchsorted(self.nodes, mine)] = 0
         else:  # cc: label = own id
             self.val = self.nodes.copy()
 
@@ -110,8 +117,12 @@ class GraphShard:
     # apply_*(): fold the partials addressed to this shard into val.
 
     def partials(self, op: str):
-        contrib = (self.val[self.src_idx] // self.outdeg[self.src_idx]
-                   if op == "sum" else self.val[self.src_idx])
+        if op == "sum":
+            contrib = self.val[self.src_idx] // self.outdeg[self.src_idx]
+        elif op == "min1":                     # BFS relax: dist(u) + 1
+            contrib = np.minimum(self.val[self.src_idx] + 1, BFS_INF)
+        else:
+            contrib = self.val[self.src_idx]
         out = []
         for p in range(self.nparts):
             m = self.dst_part == p
@@ -244,3 +255,28 @@ def connected_components(edges_ds, *, nparts: int = 8,
             break
     return pa.concat_tables(
         ray.get([s.values_table.remote("node_id", "cluster") for s in shards]))
+
+
+def bfs_distance(edges_ds, seeds: np.ndarray, *, nparts: int = 8,
+                 max_iters: int = 64) -> pa.Table:
+    """Multi-source BFS (min-distance label propagation to fixpoint):
+    dist(v) = min over in-neighbors u of dist(u)+1, seeds at 0 — the
+    frontier-depth primitive without the crawl's politeness coupling.
+    Same BSP shape as connected_components: edges sharded once, each
+    round ships only O(nodes) (dst, candidate-dist) partials, reduced
+    min-wise shard-side; converges in graph-eccentricity rounds.
+    Unreached nodes keep the BFS_INF sentinel (reported as -1)."""
+    shards, _ = _build(edges_ds, nparts)
+    ray.get([s.init_values.remote("bfs", 0, np.asarray(seeds, np.int64))
+             for s in shards])
+    for _ in range(max_iters):
+        inbox = _exchange(shards, "min1")
+        changed = ray.get([s.apply_min.remote(inbox[p])
+                           for p, s in enumerate(shards)])
+        if sum(changed) == 0:
+            break
+    t = pa.concat_tables(
+        ray.get([s.values_table.remote("node_id", "dist") for s in shards]))
+    d = t["dist"].to_numpy(zero_copy_only=False)
+    return t.set_column(1, "dist",
+                        pa.array(np.where(d >= BFS_INF, -1, d)))
