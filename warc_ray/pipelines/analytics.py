@@ -42,6 +42,18 @@ def _md5_hex(strs: list[str]) -> list[str]:
     return [md5(s.encode()).hexdigest() for s in strs]
 
 
+def _read_capped(path: str, columns=None):
+    """read_parquet with block count capped to ~2× cluster CPUs: many-
+    file corpus dirs otherwise make every downstream all-to-all inherit
+    hundreds of partitions (the q53 reader lesson — task overhead
+    dwarfs the 32-way exchanges these scans feed)."""
+    import ray as _ray
+
+    nblocks = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=nblocks)
+
+
 # ---------------------------------------------------------------------------
 # Q89: PIVOT (rows → typed count columns per day)
 # ---------------------------------------------------------------------------
@@ -777,7 +789,7 @@ def degree_histogram(docs_path: str, npart: int = 32):
             "side": pa.array(["in"] * len(hd), type=pa.string()),
         })
 
-    agg = rd.read_parquet(docs_path, columns=["doc_id", "spans"]) \
+    agg = _read_capped(docs_path, columns=["doc_id", "spans"]) \
         .map_batches(scan, batch_format="pyarrow") \
         .groupby("part").map_groups(bucket, batch_format="pyarrow") \
         .groupby(["side", "degree"]).aggregate(Sum("n", alias_name="n"))
@@ -1679,7 +1691,7 @@ def seed_distance_histogram(docs_path: str, seeds_path: str,
         su, r"/doc/(?P<i>\d+)"), "i"), INT64).to_numpy(
         zero_copy_only=False)
 
-    edge_ds = rd.read_parquet(docs_path, columns=["doc_id", "spans"]) \
+    edge_ds = _read_capped(docs_path, columns=["doc_id", "spans"]) \
         .map_batches(edges, batch_format="pyarrow")
     t = bfs_distance(edge_ds, np.unique(seeds), nparts=nparts)
     d = t["dist"].to_numpy(zero_copy_only=False)
@@ -1917,7 +1929,7 @@ def host_reciprocity(docs_path: str, n_hosts: int):
         return g.drop_columns(["part"]) \
             .group_by(["h_src", "h_dst"]).aggregate([])
 
-    parts = rd.read_parquet(docs_path, columns=["doc_id", "spans"]) \
+    parts = _read_capped(docs_path, columns=["doc_id", "spans"]) \
         .map_batches(edges, batch_format="pyarrow") \
         .groupby("part").map_groups(bucket, batch_format="pyarrow")
     t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))

@@ -179,10 +179,18 @@ def revisit_decisions(archive_dir: str, corpus_docs_path: str,
             [("one", "sum"), ("body_len", "sum")])
         return p.rename_columns(["decision", "n_records", "payload_bytes"])
 
-    cdx = rd.read_parquet(archive_dir + "-cdx") \
+    # cap read block counts: Ray sizes blocks from file counts here
+    # (200 cdx files + 256 doc splits), and the downstream all-to-all
+    # inherits that as its partition count — ~450 sort partitions cost
+    # ~10x the 32-way exchange they feed (the q53 reader lesson)
+    import ray as _ray
+    nblocks = max(8, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+    cdx = rd.read_parquet(archive_dir + "-cdx",
+                          override_num_blocks=nblocks) \
         .map_batches(cdx_side, batch_format="pyarrow")
     snap = rd.read_parquet(corpus_docs_path,
-                           columns=["doc_id", "spans"]) \
+                           columns=["doc_id", "spans"],
+                           override_num_blocks=nblocks) \
         .map_batches(recrawl_side, batch_format="pyarrow")
     import pyarrow as _pa
 
