@@ -634,3 +634,45 @@ def test_last_touch_bruteforce(ray_session):
             if r.event_type in ("view", "click", "signup"):
                 last = r.event_type
     assert dict(zip(t.index, t.n_purchases)) == want
+
+
+# --------------------------------------------------------------------- q114
+
+def test_ivf_recall_floor(ray_session):
+    from warc_ray.pipelines.analytics import ivf_recall
+
+    t = ivf_recall(SF).to_pandas()
+    mean = t[t.query_id == -1].recall_ppm.iloc[0]
+    assert mean >= 800_000                     # the approximate-path bar
+    assert (t.recall_ppm <= 1_000_000).all()
+
+
+# --------------------------------------------------------------------- q115
+
+def test_integrity_audit_detects_orphans(ray_session, tmp_path):
+    import pyarrow as _pa
+    import pyarrow.parquet as _pqw
+
+    from warc_ray.pipelines.analytics import integrity_audit
+
+    # minimal star schema with planted violations
+    _pqw.write_table(_pa.table({
+        "n_nationkey": _pa.array([0, 1], type=_pa.int32()),
+        "n_name": _pa.array(["A", "B"])}), str(tmp_path / "nation.parquet"))
+    _pqw.write_table(_pa.table({
+        "c_custkey": _pa.array([10, 11, 12], type=_pa.int64()),
+        "c_nationkey": _pa.array([0, 1, 9], type=_pa.int32())}),  # 9 orphan
+        str(tmp_path / "customer.parquet"))
+    _pqw.write_table(_pa.table({
+        "o_orderkey": _pa.array([100, 101], type=_pa.int64()),
+        "o_custkey": _pa.array([10, 99], type=_pa.int64())}),  # 99 orphan
+        str(tmp_path / "orders.parquet"))
+    _pqw.write_table(_pa.table({
+        "l_orderkey": _pa.array([100, 100, 555], type=_pa.int64())}),
+        str(tmp_path / "lineitem.parquet"))                    # 555 orphan
+    t = integrity_audit(str(tmp_path)).to_pandas().set_index("relation")
+    assert t.loc["customer->nation", "n_orphans"] == 1
+    assert t.loc["orders->customer", "n_orphans"] == 1
+    assert t.loc["lineitem->orders", "n_orphans"] == 1
+    assert t.loc["lineitem->orders", "n_childless_parents"] == 1  # 101
+    assert t.loc["orders->customer", "n_childless_parents"] == 2  # 11,12

@@ -1793,6 +1793,153 @@ LAST_TOUCH_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q114: ANN recall report (IVF vs exact, per query)
+# ---------------------------------------------------------------------------
+
+def ivf_recall(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """q114: quantified recall of the approximate path — per query the
+    |IVF∩exact|·10⁶//k overlap of q31's IVF top-k against q30's exact
+    top-k, plus a summary row (query_id −1): the measurement that
+    turns "approximate" into a number, run as a first-class pipeline
+    so every build records its recall.
+
+    No SQL oracle BY DESIGN: the quantity compares two Ray pipelines
+    (a SQL twin could only re-verify q30, which q30 already does);
+    the ≥0.8 floor is pytest-pinned instead."""
+    from . import training as tr
+
+    exact = tr.knn_topk(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    approx = tr.knn_topk_ivf(sf_dir, n_queries=n_queries, k=k).to_pandas()
+    qids = sorted(set(exact.query_id))
+    rows_q, rows_r = [], []
+    for q in qids:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        rows_q.append(int(q))
+        rows_r.append(len(e & a) * 1_000_000 // k)
+    rows_q.append(-1)                           # summary row: mean recall
+    rows_r.append(sum(rows_r) // len(qids))
+    return pa.table({"query_id": pa.array(rows_q, type=INT64),
+                     "recall_ppm": pa.array(rows_r, type=INT64)})
+
+
+# ---------------------------------------------------------------------------
+# Q115: referential-integrity audit (FK orphan counts)
+# ---------------------------------------------------------------------------
+
+def integrity_audit(sf_dir: str):
+    """q115: the data-quality audit every warehouse load runs — for
+    each FK relation, how many child rows reference a missing parent
+    (orphans) and how many parents have no children (childless):
+    lineitem→orders, orders→customer, customer→nation.
+
+    Scale shape: per-relation both sides reduce scan-side to DISTINCT
+    keys per batch; parent key sets of dimension tables broadcast
+    (np.isin); the one fact-fact relation (lineitem→orders) folds
+    through a key-hash exchange of distinct-key partials — rows never
+    shuffle, keys do."""
+    import pyarrow.parquet as _pq2
+
+    rows = []
+
+    # dimension-parent relations: broadcast the parent key set
+    for child, ckey, parent, pkey in (
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey")):
+        pk = np.sort(_pq2.read_table(_pq(sf_dir, parent), columns=[pkey])
+                     [pkey].to_numpy(zero_copy_only=False).astype(np.int64))
+
+        def part(b: pa.Table, _pk=pk, _ck=ckey) -> pa.Table:
+            ck = np.unique(b[_ck].to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+            orphan = ck[~np.isin(ck, _pk)]
+            used = ck[np.isin(ck, _pk)]
+            return pa.table({"k": pa.array(
+                np.concatenate((orphan, used)), type=INT64),
+                "is_orphan": pa.array(np.concatenate(
+                    (np.ones(len(orphan), np.int8),
+                     np.zeros(len(used), np.int8))))})
+
+        parts = rd.read_parquet(_pq(sf_dir, child), columns=[ckey]) \
+            .map_batches(part, batch_format="pyarrow")
+        t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+        t = t.group_by(["k", "is_orphan"]).aggregate([])
+        orphans = int(pc.sum(pc.cast(t["is_orphan"], INT64)).as_py() or 0)
+        used_keys = t.filter(pc.equal(t["is_orphan"], 0))["k"] \
+            .to_numpy(zero_copy_only=False)
+        childless = int((~np.isin(pk, used_keys)).sum())
+        rows.append((f"{child}->{parent}", orphans, childless))
+
+    # fact→fact: distinct-key partials meet in one hash exchange
+    from ..stages.exchange import hash_join
+
+    lkeys = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey"]) \
+        .map_batches(lambda b: pa.table({"k": pc.unique(
+            pc.cast(b["l_orderkey"], INT64)),
+            "child": pa.nulls(len(pc.unique(b["l_orderkey"])), INT64)
+            .fill_null(1)}), batch_format="pyarrow")
+    okeys = rd.read_parquet(_pq(sf_dir, "orders"),
+                            columns=["o_orderkey"]) \
+        .map_batches(lambda b: pa.table({"k": pc.cast(
+            b["o_orderkey"], INT64),
+            "parent": pa.nulls(b.num_rows, INT64).fill_null(1)}),
+            batch_format="pyarrow")
+
+    def finish(j: pa.Table) -> pa.Table:
+        g = j.group_by(["k"]).aggregate(
+            [("child", "max"), ("parent", "max")])
+        c = pc.fill_null(g["child_max"], 0).to_numpy(zero_copy_only=False)
+        p = pc.fill_null(g["parent_max"], 0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "orphans": pa.array([int(((c == 1) & (p == 0)).sum())],
+                                type=INT64),
+            "childless": pa.array([int(((p == 1) & (c == 0)).sum())],
+                                  type=INT64)})
+
+    parts = hash_join(lkeys, okeys, "k", how="full outer",
+                      bucket_finish=finish)
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    rows.insert(0, ("lineitem->orders",
+                    int(pc.sum(t["orphans"]).as_py() or 0),
+                    int(pc.sum(t["childless"]).as_py() or 0)))
+    rows.sort()
+    return pa.table({
+        "relation": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_orphans": pa.array([r[1] for r in rows], type=INT64),
+        "n_childless_parents": pa.array([r[2] for r in rows], type=INT64),
+    })
+
+
+INTEGRITY_AUDIT_SQL = """
+    SELECT 'customer->nation' AS relation,
+           CAST((SELECT COUNT(DISTINCT c_nationkey) FROM customer
+                 WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM nation
+                 WHERE n_nationkey NOT IN
+                   (SELECT c_nationkey FROM customer)) AS BIGINT)
+             AS n_childless_parents
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey NOT IN
+                   (SELECT l_orderkey FROM lineitem)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+                AS BIGINT)
+    ORDER BY relation"""
+
+
+# ---------------------------------------------------------------------------
 # Q103: skew-salted join (hot anonymous key)
 # ---------------------------------------------------------------------------
 
