@@ -674,6 +674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q113_last_touch": an.last_touch_attribution,
         "q114_ivf_recall": an.ivf_recall,
         "q115_integrity_audit": an.integrity_audit,
+        "q116_point_lookup": an.point_lookup,
+        "q117_dense_event_grid": an.dense_event_grid,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -968,6 +970,9 @@ def oracle_sql() -> dict[str, str]:
         "q111_streaming_windows": _an.STREAMING_WINDOWS_SQL,
         "q113_last_touch": _an.LAST_TOUCH_SQL,
         "q115_integrity_audit": _an.INTEGRITY_AUDIT_SQL,
+        "q116_point_lookup": _an.POINT_LOOKUP_SQL.format(
+            MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
+        "q117_dense_event_grid": _an.DENSE_GRID_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -1940,6 +1940,162 @@ INTEGRITY_AUDIT_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q116: secondary index + point lookups (parquet random access)
+# ---------------------------------------------------------------------------
+
+def point_lookup(sf_dir: str, sample_mod: int = 23,
+                 index_dir: str | None = None):
+    """q116: build a (key → row-group, row-offset) secondary index over
+    the documents table, then serve a sampled set of point lookups by
+    reading ONLY the row groups that hold them — the q65 CDX
+    random-access surface for the parquet side: training loaders and
+    debuggers need single-record access without a scan.
+
+    Index build is one metadata-ordered scan of just the key column
+    (q64's explicit-row-range discipline gives (row-group, offset)
+    for free); the index is written sorted-by-key parquet (reusable,
+    DONE-stamped).  Lookups group by row-group so each group is read
+    once; bytes read scale with hits, not table size.  The oracle is a
+    direct filtered SELECT — equality proves the index maps every
+    sampled key to the right physical row."""
+    import pyarrow.parquet as _pq2
+
+    path = _pq(sf_dir, "documents")
+    meta = _pq2.read_metadata(path)
+    rg_rows = [meta.row_group(i).num_rows
+               for i in range(meta.num_row_groups)]
+    idx_dir = index_dir or os.path.join(
+        "/tmp/warc_ray_bench",
+        f"docidx-{os.path.basename(sf_dir.rstrip('/'))}")
+    done = idx_dir + ".DONE"
+
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        os.makedirs(idx_dir, exist_ok=True)
+
+        def build(b: pa.Table) -> pa.Table:
+            pf = _pq2.ParquetFile(path)
+            out = []
+            for rg in b["rg"].to_pylist():
+                t = pf.read_row_group(rg, columns=["doc_id"])
+                out.append(pa.table({
+                    "doc_id": pc.cast(t["doc_id"], INT64),
+                    "rg": pa.array(np.full(t.num_rows, rg, np.int32)),
+                    "row": pa.array(np.arange(t.num_rows,
+                                              dtype=np.int64)),
+                }))
+            return pa.concat_tables(out)
+
+        idx = rd.from_items([{"rg": i} for i in range(len(rg_rows))]) \
+            .repartition(len(rg_rows)) \
+            .map_batches(build, batch_format="pyarrow", batch_size=1)
+        t = pa.concat_tables(idx.iter_batches(batch_format="pyarrow"))
+        _pq2.write_table(t.sort_by("doc_id"),
+                         os.path.join(idx_dir, "index.parquet"))
+        open(done, "w").write("ok")
+
+    idx_t = _pq2.read_table(os.path.join(idx_dir, "index.parquet"))
+    h = np.array([int.from_bytes(
+        hashlib.md5(str(d).encode()).digest()[:8], "big")
+        for d in idx_t["doc_id"].to_pylist()], dtype=np.uint64)
+    hit = idx_t.filter(pa.array(h % np.uint64(sample_mod) == 0))
+
+    def fetch_one(b: pa.Table) -> pa.Table:
+        # one task per row group: one read serves all of its hits
+        rg = int(b["rg"][0].as_py())
+        sel = hit.filter(pc.equal(hit["rg"], rg))
+        pf = _pq2.ParquetFile(path)
+        t = pf.read_row_group(rg, columns=["doc_id", "text", "n_chars"])
+        rows = t.take(pa.array(sel["row"].to_numpy(zero_copy_only=False)))
+        return pa.table({
+            "doc_id": pc.cast(rows["doc_id"], INT64),
+            "n_chars": pc.cast(rows["n_chars"], INT64),
+            "text_md5": pa.array(_md5_hex(rows["text"].to_pylist()),
+                                 type=pa.string()),
+        })
+
+    rgs = sorted(set(hit["rg"].to_pylist()))
+    out = rd.from_items([{"rg": int(r)} for r in rgs]) \
+        .repartition(max(len(rgs), 1)) \
+        .map_batches(fetch_one, batch_format="pyarrow", batch_size=1)
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
+POINT_LOOKUP_SQL = """
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    WHERE {MD5H} % 23 = 0
+    ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Q117: dense report grid (zero-filled day × type matrix, long form)
+# ---------------------------------------------------------------------------
+
+def dense_event_grid(sf_dir: str):
+    """q117: gap-free reporting grid — every (day, event_type) cell of
+    the observed calendar span, zero-filled where no events occurred:
+    the "fill the gaps" step dashboards need (a groupby only emits
+    observed keys; monitoring needs explicit zeros).
+
+    Scale shape: q89's tiny (day × type) partials reduce; the dense
+    grid is driver arithmetic over the spanned calendar — its size is
+    the REPORT's, independent of row count."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor(pc.divide(
+            pc.cast(b["ts"], INT64), 86_400_000_000)), INT64)
+        t = pa.table({"day": days, "event_type": b["event_type"]})
+        return t.group_by(["day", "event_type"]).aggregate(
+            [("event_type", "count")]) \
+            .rename_columns(["day", "event_type", "n"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "event_type"]).aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    d = t["day"].to_numpy(zero_copy_only=False)
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    days = np.arange(d.min(), d.max() + 1)
+    types = sorted(set(et))
+    grid = {(int(dd), ty): 0 for dd in days for ty in types}
+    for dd, ty, nn in zip(d, et, n):
+        grid[(int(dd), ty)] = int(nn)
+    keys = sorted(grid)
+    iso = [str(np.datetime64(k[0] * 86_400, "s"))[:10] for k in keys]
+    return pa.table({
+        "day": pa.array(iso, type=pa.string()),
+        "event_type": pa.array([k[1] for k in keys], type=pa.string()),
+        "n": pa.array([grid[k] for k in keys], type=INT64),
+    })
+
+
+DENSE_GRID_SQL = """
+    WITH bounds AS (
+      SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi
+      FROM events
+    ), days AS (
+      SELECT CAST(UNNEST(generate_series(lo, hi,
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    obs AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day, types.event_type,
+           CAST(COALESCE(obs.n, 0) AS BIGINT) AS n
+    FROM days CROSS JOIN types
+    LEFT JOIN obs ON obs.d = days.d AND obs.event_type = types.event_type
+    ORDER BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
 # Q103: skew-salted join (hot anonymous key)
 # ---------------------------------------------------------------------------
 
