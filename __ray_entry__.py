@@ -676,6 +676,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q115_integrity_audit": an.integrity_audit,
         "q116_point_lookup": an.point_lookup,
         "q117_dense_event_grid": an.dense_event_grid,
+        "q118_charclass_entropy": an.charclass_entropy,
+        "q119_median_interarrival": an.median_interarrival,
+        "q120_audience_overlap": an.audience_overlap,
+        "q121_top_user_per_type": an.top_user_per_type,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -973,6 +977,10 @@ def oracle_sql() -> dict[str, str]:
         "q116_point_lookup": _an.POINT_LOOKUP_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         "q117_dense_event_grid": _an.DENSE_GRID_SQL,
+        "q118_charclass_entropy": _an.CHARCLASS_ENTROPY_SQL,
+        "q119_median_interarrival": _an.MEDIAN_INTERARRIVAL_SQL,
+        "q120_audience_overlap": _an.AUDIENCE_OVERLAP_SQL,
+        "q121_top_user_per_type": _an.TOP_USER_PER_TYPE_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct
