@@ -680,6 +680,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q119_median_interarrival": an.median_interarrival,
         "q120_audience_overlap": an.audience_overlap,
         "q121_top_user_per_type": an.top_user_per_type,
+        "q122_bm25_topk": an.bm25_topk,
+        "q123_event_transitions": an.event_transitions,
+        "q124_sliding_distinct": an.sliding_distinct_users,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -981,6 +984,9 @@ def oracle_sql() -> dict[str, str]:
         "q119_median_interarrival": _an.MEDIAN_INTERARRIVAL_SQL,
         "q120_audience_overlap": _an.AUDIENCE_OVERLAP_SQL,
         "q121_top_user_per_type": _an.TOP_USER_PER_TYPE_SQL,
+        "q122_bm25_topk": _an.BM25_SQL,
+        "q123_event_transitions": _an.EVENT_TRANSITIONS_SQL,
+        "q124_sliding_distinct": _an.SLIDING_DISTINCT_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

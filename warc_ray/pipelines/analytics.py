@@ -2230,6 +2230,273 @@ TOP_USER_PER_TYPE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q122: BM25 top-k retrieval (two-pass corpus stats + streamed scoring)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "merge", "vector")
+BM25_K1, BM25_B, BM25_TOPK = 1.2, 0.75, 20
+
+
+def bm25_topk(sf_dir: str):
+    """q122: classic BM25 ranking of the document corpus for a fixed
+    term query — the retrieval scorer behind search-indexing pipelines
+    (q32's inverted index gives the postings; this is the ranking).
+
+    Two passes, both streaming: pass 1 folds the corpus statistics
+    (N, Σdl, df per term) to a handful of exact integers; pass 2
+    re-scans, scores each batch vectorized (tf via padded-substring
+    counting — each token gets dedicated spaces so non-overlapping
+    substring count is exact), and emits only its per-batch top-k, so
+    the driver merge sees k × blocks rows.  The score is one fixed
+    double expression over exact integers (q83's discipline), so it
+    bit-matches the SQL twin; ties break on doc_id."""
+    import math
+
+    def tf_cols(b: pa.Table):
+        txt = b["text"]
+        padded = pc.binary_join_element_wise(
+            " ", pc.replace_substring(txt, " ", "  "), " ", "")
+        tfs = [pc.cast(pc.count_substring(padded, f" {t} "), INT64)
+               for t in BM25_TERMS]
+        dl = pc.cast(pc.add(pc.count_substring(txt, " "), 1), INT64)
+        return tfs, dl
+
+    def stats(b: pa.Table) -> pa.Table:
+        tfs, dl = tf_cols(b)
+        row = {"n": [b.num_rows],
+               "sdl": [int(pc.sum(dl).as_py() or 0)]}
+        for i, tf in enumerate(tfs):
+            row[f"df{i}"] = [int(pc.sum(pc.cast(pc.greater(tf, 0),
+                                                INT64)).as_py() or 0)]
+        return pa.table({k: pa.array(v, type=INT64)
+                         for k, v in row.items()})
+
+    g = _docs(sf_dir, columns=["text"]) \
+        .map_batches(stats, batch_format="pyarrow") \
+        .sum(["n", "sdl"] + [f"df{i}" for i in range(len(BM25_TERMS))])
+    n, sdl = int(g["sum(n)"]), int(g["sum(sdl)"])
+    dfs = [int(g[f"sum(df{i})"]) for i in range(len(BM25_TERMS))]
+    avgdl = float(sdl) / float(n)
+    idfs = [math.log(1.0 + (n - df + 0.5) / (df + 0.5)) for df in dfs]
+
+    def score(b: pa.Table) -> pa.Table:
+        tfs, dl = tf_cols(b)
+        dln = dl.to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = BM25_K1 * (0.25 + 0.75 * (dln / avgdl))
+        total = np.zeros(b.num_rows)
+        for idf, tf in zip(idfs, tfs):
+            tfn = tf.to_numpy(zero_copy_only=False).astype(np.float64)
+            # literal 2.2, not (k1 + 1.0): the latter rounds differently
+            total = total + idf * ((2.2 * tfn) / (tfn + norm))
+        keep = total > 0.0
+        t = pa.table({"doc_id": pc.cast(b["doc_id"], INT64),
+                      "score": pa.array(total)}).filter(pa.array(keep))
+        idx = np.lexsort((t["doc_id"].to_numpy(zero_copy_only=False),
+                          -t["score"].to_numpy(zero_copy_only=False)))
+        return t.take(pa.array(idx[:BM25_TOPK]))
+
+    cand = _docs(sf_dir, columns=["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+    t = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
+    idx = np.lexsort((t["doc_id"].to_numpy(zero_copy_only=False),
+                      -t["score"].to_numpy(zero_copy_only=False)))
+    return t.take(pa.array(idx[:BM25_TOPK]))
+
+
+BM25_SQL = """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             len(list_filter(string_split(text, ' '),
+                             x -> x = 'hash')) AS tf0,
+             len(list_filter(string_split(text, ' '),
+                             x -> x = 'merge')) AS tf1,
+             len(list_filter(string_split(text, ' '),
+                             x -> x = 'vector')) AS tf2
+      FROM documents
+    ), g AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl,
+             CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df0,
+             CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df1,
+             CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS df2
+      FROM t
+    )
+    SELECT doc_id,
+           ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+             * ((2.2 * tf0) / (tf0 + 1.2 * (0.25 + 0.75 *
+                 (dl / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+           + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+             * ((2.2 * tf1) / (tf1 + 1.2 * (0.25 + 0.75 *
+                 (dl / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+           + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+             * ((2.2 * tf2) / (tf2 + 1.2 * (0.25 + 0.75 *
+                 (dl / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))))
+           AS score
+    FROM t, g
+    WHERE score > 0
+    ORDER BY score DESC, doc_id LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# Q123: Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+def event_transitions(sf_dir: str, npart: int = 32):
+    """q123: first-order Markov transition counts and probabilities
+    between consecutive event types per user (ordered by ts, event_id)
+    — the behavioral model table session-analysis and anomaly scoring
+    read.
+
+    The bucket exchange co-locates users; each bucket emits a TINY
+    (prev, next, n) partial (|types|² rows max), one groupby folds
+    them, and p = n / Σ_prev n is a single exact-int division."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = (b["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return pa.table({"user_id": b["user_id"], "event_id": b["event_id"],
+                         "ts_us": pc.cast(b["ts"], INT64),
+                         "event_type": b["event_type"],
+                         "part": pa.array(part)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((e, ts, u))
+        u_s, et_s = u[order], et[order]
+        same = u_s[1:] == u_s[:-1]
+        prev, nxt = et_s[:-1][same], et_s[1:][same]
+        t = pa.table({"prev_type": pa.array(prev, type=pa.string()),
+                      "next_type": pa.array(nxt, type=pa.string()),
+                      "one": pa.array(np.ones(len(prev), np.int64))})
+        return t.group_by(["prev_type", "next_type"]).aggregate(
+            [("one", "sum")]).rename_columns(
+                ["prev_type", "next_type", "n"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "event_id", "ts",
+                                   "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby(["prev_type", "next_type"]).aggregate(
+            Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    n = t["n"].to_numpy(zero_copy_only=False)
+    prev = np.asarray(t["prev_type"].to_pylist(), dtype=object)
+    tot = {}
+    for p_, n_ in zip(prev, n):
+        tot[p_] = tot.get(p_, 0) + int(n_)
+    p = np.array([float(int(nn)) / float(tot[pp])
+                  for pp, nn in zip(prev, n)])
+    return pa.table({
+        "prev_type": t["prev_type"], "next_type": t["next_type"],
+        "n": pc.cast(t["n"], INT64), "p": pa.array(p),
+    }).sort_by([("prev_type", "ascending"), ("next_type", "ascending")])
+
+
+EVENT_TRANSITIONS_SQL = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), c AS (
+      SELECT prev AS prev_type, event_type AS next_type,
+             COUNT(*) AS n
+      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM c ORDER BY prev_type, next_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q124: sliding 7-day distinct users (windowed COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+def sliding_distinct_users(sf_dir: str, window_days: int = 7,
+                           npart: int = 32):
+    """q124: for every observed day, how many distinct users were
+    active in the trailing 7 days — the WAU metric, i.e. a sliding
+    windowed COUNT(DISTINCT) that a plain groupby cannot express.
+
+    Distributed shape: bucket by user; per user expand each active day
+    into the window days it covers and dedup (user, window) pairs
+    INSIDE the bucket — so the global shuffle carries (window, 1)
+    partials, at most |users| × span rows, never raw events; one
+    groupby sums.  Windows are then restricted to observed days (the
+    tiny day set rides the driver)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor(pc.divide(
+            pc.cast(b["ts"], INT64), 86_400_000_000)), INT64)
+        part = (b["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        t = pa.table({"user_id": b["user_id"], "day": day,
+                      "part": pa.array(part)})
+        return t.group_by(["part", "user_id", "day"]).aggregate([]) \
+            .select(["part", "user_id", "day"])
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        # each active day covers windows d .. d+6; dedup (user, window)
+        w = (d[:, None] + np.arange(window_days)[None, :]).ravel()
+        uu = np.repeat(u, window_days)
+        key = np.unique(uu * np.int64(1 << 20) + w)
+        win = key % np.int64(1 << 20)
+        t = pa.table({"window_day": pa.array(win.astype(np.int64)),
+                      "one": pa.array(np.ones(len(win), np.int64))})
+        return t.group_by("window_day").aggregate([("one", "sum")]) \
+            .rename_columns(["window_day", "u7"])
+
+    ev = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    agg = ev.groupby("part").map_groups(
+        lambda g: bucket(g.drop_columns(["part"])),
+        batch_format="pyarrow") \
+        .groupby("window_day").aggregate(Sum("u7", alias_name="u7"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+
+    days = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"]) \
+        .map_batches(lambda b: pa.table({
+            "day": pc.unique(pc.cast(pc.floor(pc.divide(
+                pc.cast(b["ts"], INT64), 86_400_000_000)), INT64))}),
+            batch_format="pyarrow")
+    observed = sorted({d for batch in
+                       days.iter_batches(batch_format="pyarrow")
+                       for d in batch["day"].to_pylist()})
+    obs = pa.array(observed, type=INT64)
+    t = t.filter(pc.is_in(t["window_day"], value_set=obs)) \
+        .sort_by("window_day")
+    iso = [str(np.datetime64(int(d) * 86_400, "s"))[:10]
+           for d in t["window_day"].to_pylist()]
+    return pa.table({
+        "day": pa.array(iso, type=pa.string()),
+        "u7": pc.cast(t["u7"], INT64),
+    })
+
+
+SLIDING_DISTINCT_SQL = """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (SELECT DISTINCT d FROM du)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS u7
+    FROM days JOIN du
+      ON du.d BETWEEN days.d - 6 AND days.d
+    GROUP BY days.d ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # Q116: secondary index + point lookups (parquet random access)
 # ---------------------------------------------------------------------------
 
