@@ -683,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q122_bm25_topk": an.bm25_topk,
         "q123_event_transitions": an.event_transitions,
         "q124_sliding_distinct": an.sliding_distinct_users,
+        "q125_pruned_join": an.pruned_join_revenue,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -987,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "q122_bm25_topk": _an.BM25_SQL,
         "q123_event_transitions": _an.EVENT_TRANSITIONS_SQL,
         "q124_sliding_distinct": _an.SLIDING_DISTINCT_SQL,
+        "q125_pruned_join": _an.PRUNED_JOIN_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -277,3 +277,48 @@ def test_skew_join_left_outer_and_detection(ray_session):
     assert len(df) == len(keys)                # left outer keeps all
     assert df[df.k == 0].w.eq(7).all()
     assert df[df.k > 2].w.isna().all()         # unmatched → null
+
+
+def test_clustered_join_parity_and_pruning(ray_session, tmp_path):
+    """clustered_join == plain inner join, over a multi-row-group
+    sorted dimension; out-of-range fact keys drop; >1 part is real."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from warc_ray.stages.exchange import clustered_join
+
+    rng = np.arange(1000, dtype=np.int64)
+    dim = pa.table({"k": pa.array(rng), "w": pa.array(rng * 7)})
+    path = str(tmp_path / "dim.parquet")
+    pq.write_table(dim, path, row_group_size=100)      # 10 row groups
+    assert pq.read_metadata(path).num_row_groups == 10
+
+    keys = np.array([5, 105, 205, 999, 1500, -3, 0, 205], np.int64)
+    fact = pa.table({"k": pa.array(keys),
+                     "v": pa.array(np.arange(len(keys), dtype=np.int64))})
+    out = clustered_join(rd.from_arrow(fact).repartition(4), path,
+                         fact_key="k", dim_key="k", dim_columns=["w"],
+                         npart=8)
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow")) \
+        .sort_by([("k", "ascending"), ("v", "ascending")])
+    want = fact.join(dim, keys="k", join_type="inner") \
+        .sort_by([("k", "ascending"), ("v", "ascending")])
+    assert got.select(["k", "v", "w"]).equals(want.select(["k", "v", "w"]))
+    assert 1500 not in got["k"].to_pylist()            # beyond range: dropped
+    # negative key dropped at route time (part < 0)
+    assert -3 not in got["k"].to_pylist()
+
+
+def test_clustered_join_rejects_unsorted(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data as rd
+    from warc_ray.stages.exchange import clustered_join
+
+    dim = pa.table({"k": pa.array([50, 10, 99], type=pa.int64())})
+    path = str(tmp_path / "bad.parquet")
+    pq.write_table(dim, path, row_group_size=1)
+    fact = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
+    with pytest.raises(ValueError, match="not sorted"):
+        clustered_join(fact, path, fact_key="k", dim_key="k")

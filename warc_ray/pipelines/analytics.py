@@ -2497,6 +2497,92 @@ SLIDING_DISTINCT_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q125: storage-clustered join (range-pruned, dimension never shuffles)
+# ---------------------------------------------------------------------------
+
+def pruned_join_revenue(sf_dir: str, npart: int = 32):
+    """q125: revenue per order priority via ``exchange.clustered_join``
+    — the lineitem fact stream is range-routed straight to the orders
+    row groups that hold its keys; orders (sorted by o_orderkey) is
+    read row-group-aligned and NEVER shuffled.  The third join
+    execution strategy in the engine, alongside the broadcast dict
+    (q02) and the hash exchange (q68/q100): the right choice when one
+    side is a big key-sorted table.
+
+    Test-scale inputs are written as a single row group, so the query
+    first lays orders out as a sorted multi-row-group copy (8 Ki rows
+    per group, DONE-stamped, derived purely from the input — the q101
+    layout step); at real scale the store is already written this way.
+    Revenue uses the house integer-units form (cents × percent) with
+    ONE final double division."""
+    import shutil
+
+    import pyarrow.parquet as _pq2
+
+    from ..stages.exchange import clustered_join
+
+    lay_dir = os.path.join(
+        "/tmp/warc_ray_bench",
+        f"orders_clustered-{os.path.basename(sf_dir.rstrip('/'))}")
+    lay = os.path.join(lay_dir, "orders.parquet")
+    done = lay_dir + ".DONE"
+    if not os.path.exists(done):
+        shutil.rmtree(lay_dir, ignore_errors=True)
+        os.makedirs(lay_dir, exist_ok=True)
+        t = _pq2.read_table(_pq(sf_dir, "orders"),
+                            columns=["o_orderkey", "o_orderpriority"])
+        _pq2.write_table(t.sort_by("o_orderkey"), lay,
+                         row_group_size=8192)
+        open(done, "w").write("ok")
+
+    def to_units(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), INT64)
+        disc = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], 100.0)), INT64)
+        rev = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, type=INT64), disc))
+        return pa.table({"o_orderkey": b["l_orderkey"], "rev": rev})
+
+    def finish(j: pa.Table) -> pa.Table:
+        one = pa.array(np.ones(j.num_rows, np.int64))
+        return j.append_column("one", one) \
+            .group_by("o_orderpriority").aggregate(
+                [("one", "sum"), ("rev", "sum")]) \
+            .rename_columns(["o_orderpriority", "n_items", "rev"])
+
+    fact = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(to_units, batch_format="pyarrow")
+    agg = clustered_join(fact, lay, fact_key="o_orderkey",
+                         dim_key="o_orderkey",
+                         dim_columns=["o_orderpriority"],
+                         npart=npart, bucket_finish=finish) \
+        .groupby("o_orderpriority").aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("rev", alias_name="rev"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "o_orderpriority": t["o_orderpriority"],
+        "n_items": pc.cast(t["n_items"], INT64),
+        "revenue": pa.array([float(int(v)) / 10000.0
+                             for v in t["rev"].to_pylist()],
+                            type=pa.float64()),
+    }).sort_by("o_orderpriority")
+
+
+PRUNED_JOIN_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # Q116: secondary index + point lookups (parquet random access)
 # ---------------------------------------------------------------------------
 

@@ -398,3 +398,79 @@ def skew_join(left_ds, right_ds, key: str, how: str = "inner", *,
     u = left_ds.map_batches(pad_left, batch_format="pyarrow") \
         .union(right_ds.map_batches(pad_right, batch_format="pyarrow"))
     return u.groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Storage-clustered join (range-pruned, one-sided exchange)
+# ---------------------------------------------------------------------------
+
+def clustered_join(fact_ds, dim_path: str, *, fact_key: str,
+                   dim_key: str, dim_columns=None, npart: int = 32,
+                   bucket_finish=None):
+    """Join a fact Dataset against a parquet table SORTED on the join
+    key, moving only the fact side — the dimension is never shuffled.
+
+    At 100-TB scale this is the join you want against any big sorted /
+    clustered table (a doc store keyed by doc_id, a CDX index keyed by
+    url hash): the driver reads only parquet FOOTER metadata, derives
+    each partition's key range from row-group min statistics, and each
+    bucket task reads exactly its own row groups — dimension bytes
+    read equal the dimension's size once, split across tasks, with no
+    all-to-all for it.  The fact side takes ONE range exchange
+    (np.searchsorted against the partition bounds — no hash, no
+    sample pass, because the storage layout already fixes the ranges).
+
+    Partitioning assumption: the dimension file's ``dim_key`` is
+    globally non-decreasing across row groups (writer contract, e.g.
+    the q101 bucketed layout or any sorted export).  ``bucket_finish``
+    fuses a per-key consumer exactly like ``hash_join``'s.  Inner
+    join only (fact rows outside the dimension's key range are
+    dropped, as they have no match by construction).
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(dim_path)
+    ncols = md.row_group(0).num_columns if md.num_row_groups else 0
+    key_idx = next(j for j in range(ncols)
+                   if md.row_group(0).column(j).path_in_schema == dim_key)
+    mins, rows = [], []
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(key_idx).statistics
+        mins.append(st.min)
+        rows.append(md.row_group(i).num_rows)
+    if any(mins[i] > mins[i + 1] for i in range(len(mins) - 1)):
+        raise ValueError(f"{dim_path} is not sorted by {dim_key}")
+
+    # contiguous row-group runs, balanced by rows, at most npart parts
+    target = max(1, -(-sum(rows) // npart))
+    parts, start, acc = [], 0, 0
+    for i, r in enumerate(rows):
+        acc += r
+        if acc >= target or i == len(rows) - 1:
+            parts.append((start, i + 1, mins[start]))
+            start, acc = i + 1, 0
+    los = np.array([p[2] for p in parts], dtype=np.int64)
+
+    def route(b: pa.Table) -> pa.Table:
+        k = b[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        part = (np.searchsorted(los, k, side="right") - 1).astype(np.int32)
+        t = b.append_column("part", pa.array(part))
+        return t.filter(pa.array(part >= 0))
+
+    cols = ([dim_key] + [c for c in (dim_columns or [])
+                         if c != dim_key])
+
+    def bucket(g: pa.Table) -> pa.Table:
+        pid = int(g["part"][0].as_py())
+        s, e, _ = parts[pid]
+        dim = pq.ParquetFile(dim_path).read_row_groups(
+            list(range(s, e)), columns=cols)
+        if dim_key != fact_key:
+            dim = dim.rename_columns(
+                [fact_key if c == dim_key else c for c in dim.column_names])
+        j = g.drop_columns(["part"]).join(dim, keys=fact_key,
+                                          join_type="inner")
+        return bucket_finish(j) if bucket_finish is not None else j
+
+    return fact_ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow")
