@@ -684,6 +684,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_event_transitions": an.event_transitions,
         "q124_sliding_distinct": an.sliding_distinct_users,
         "q125_pruned_join": an.pruned_join_revenue,
+        "q126_above_avg_orders": an.above_avg_orders,
+        "q127_discount_revenue": an.discount_revenue,
+        "q128_source_lang_lift": an.source_lang_lift,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -989,6 +992,9 @@ def oracle_sql() -> dict[str, str]:
         "q123_event_transitions": _an.EVENT_TRANSITIONS_SQL,
         "q124_sliding_distinct": _an.SLIDING_DISTINCT_SQL,
         "q125_pruned_join": _an.PRUNED_JOIN_SQL,
+        "q126_above_avg_orders": _an.ABOVE_AVG_SQL,
+        "q127_discount_revenue": _an.DISCOUNT_REVENUE_SQL,
+        "q128_source_lang_lift": _an.SOURCE_LANG_LIFT_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -2583,6 +2583,228 @@ PRUNED_JOIN_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Q126: decorrelated above-average filter (correlated subquery shape)
+# ---------------------------------------------------------------------------
+
+def above_avg_orders(sf_dir: str):
+    """q126: orders strictly above their own customer's average order
+    value — the classic correlated subquery (``WHERE o_totalprice >
+    (SELECT AVG(..) .. WHERE same customer)``), decorrelated into the
+    two-phase shape a distributed engine wants: one groupby builds
+    (customer → n, Σcents), one broadcast-dict pass re-scans orders
+    and filters.
+
+    Exactness: the predicate ``price > Σ/n`` is evaluated as the
+    integer cross-multiplication ``cents·n > Σcents`` — no float
+    average ever exists, so both engines agree on every boundary case.
+    Output is per-mktsegment counts, so a second small join brings in
+    the customer dimension as a broadcast dict too."""
+    import ray as _ray
+
+    def part_sums(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], 100.0)), INT64)
+        t = pa.table({"o_custkey": b["o_custkey"], "cents": cents})
+        return t.group_by("o_custkey").aggregate(
+            [("cents", "sum"), ("cents", "count")]) \
+            .rename_columns(["o_custkey", "s", "n"])
+
+    per_cust = rd.read_parquet(_pq(sf_dir, "orders"),
+                               columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(part_sums, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(Sum("s", alias_name="s"),
+                                        Sum("n", alias_name="n"))
+    pc_t = pa.concat_tables(per_cust.iter_batches(batch_format="pyarrow"))
+    stats_ref = _ray.put({int(k): (int(s), int(n)) for k, s, n in
+                          zip(pc_t["o_custkey"].to_pylist(),
+                              pc_t["s"].to_pylist(),
+                              pc_t["n"].to_pylist())})
+    cust = pa.concat_tables(
+        rd.read_parquet(_pq(sf_dir, "customer"),
+                        columns=["c_custkey", "c_mktsegment"])
+        .iter_batches(batch_format="pyarrow"))
+    seg_ref = _ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                                cust["c_mktsegment"].to_pylist())))
+
+    class Filt:
+        def __init__(self):
+            self.stats = _ray.get(stats_ref)
+            self.seg = _ray.get(seg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_pylist()
+            cents = pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), INT64).to_numpy()
+            sn = [self.stats[k] for k in ck]
+            s = np.array([x[0] for x in sn], np.int64)
+            n = np.array([x[1] for x in sn], np.int64)
+            keep = cents * n > s          # cents > s/n, exact
+            seg = np.asarray([self.seg[k] for k in ck], dtype=object)
+            t = pa.table({
+                "c_mktsegment": pa.array(seg[keep], type=pa.string()),
+                "cents": pa.array(cents[keep]),
+            })
+            return t.group_by("c_mktsegment").aggregate(
+                [("cents", "count"), ("cents", "sum")]) \
+                .rename_columns(["c_mktsegment", "n_orders", "cents"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "orders"),
+                          columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(Filt, batch_format="pyarrow", concurrency=4) \
+        .groupby("c_mktsegment").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("cents", alias_name="cents"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    return pa.table({
+        "c_mktsegment": t["c_mktsegment"],
+        "n_orders": pc.cast(t["n_orders"], INT64),
+        "total": pa.array([float(int(v)) / 100.0
+                           for v in t["cents"].to_pylist()],
+                          type=pa.float64()),
+    }).sort_by("c_mktsegment")
+
+
+ABOVE_AVG_SQL = """
+    WITH st AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ), kept AS (
+      SELECT o.o_custkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN st ON o.o_custkey = st.o_custkey
+      WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) * st.n > st.s
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total
+    FROM kept JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Q127: predicate-pushdown filter-sum (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+def discount_revenue(sf_dir: str):
+    """q127: the forecasting-revenue-change scan (TPC-H Q6's shape):
+    one filtered pass over lineitem — shipdate year, discount band,
+    quantity cap — summing ``price × discount`` in exact integer
+    units (cents × percent).  No shuffle at all: per-batch partials
+    reduce through a single global sum; the read prunes to the four
+    columns the predicate and measure touch."""
+
+    lo = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"], INT64)
+        disc = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], 100.0)), INT64)
+        qty = pc.cast(pc.round(b["l_quantity"]), INT64)
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), INT64)
+        keep = pc.and_(pc.and_(
+            pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)),
+            pc.and_(pc.greater_equal(disc, 5), pc.less_equal(disc, 7))),
+            pc.less(qty, 24))
+        amt = pc.multiply(cents, disc).filter(keep)
+        return pa.table({
+            "units": pa.array([int(pc.sum(amt).as_py() or 0)],
+                              type=INT64),
+            "n": pa.array([len(amt)], type=INT64),
+        })
+
+    g = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_shipdate", "l_discount",
+                                 "l_quantity", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .sum(["units", "n"])
+    return pa.table({
+        "n_items": pa.array([int(g["sum(n)"])], type=INT64),
+        "revenue_effect": pa.array(
+            [float(int(g["sum(units)"])) / 10000.0], type=pa.float64()),
+    })
+
+
+DISCOUNT_REVENUE_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS DOUBLE) / 10000.0 AS revenue_effect
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND CAST(round(l_quantity) AS BIGINT) < 24"""
+
+
+# ---------------------------------------------------------------------------
+# Q128: contingency / lift table (source × lang association strength)
+# ---------------------------------------------------------------------------
+
+def source_lang_lift(sf_dir: str):
+    """q128: the (source × lang) contingency table with expected
+    counts and lift — "does source s over-produce language l?" is the
+    corpus-balance diagnostic mixing policies read before sampling.
+
+    All marginals are exact int64 folds of one partial-count pass;
+    expected = row·col/total and lift = obs/expected are PER-ROW final
+    double expressions over exact integers (no float aggregation), so
+    every cell bit-matches the SQL twin."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b["source"], "lang": b["lang"]})
+        t = t.append_column("one", pa.array(
+            np.ones(t.num_rows, np.int64)))
+        return t.group_by(["source", "lang"]).aggregate(
+            [("one", "sum")]).rename_columns(["source", "lang", "n"])
+
+    agg = _docs(sf_dir, columns=["source", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    src = np.asarray(t["source"].to_pylist(), dtype=object)
+    lng = np.asarray(t["lang"].to_pylist(), dtype=object)
+    n = t["n"].to_numpy(zero_copy_only=False)
+    row_tot, col_tot, total = {}, {}, 0
+    for s_, l_, n_ in zip(src, lng, n):
+        row_tot[s_] = row_tot.get(s_, 0) + int(n_)
+        col_tot[l_] = col_tot.get(l_, 0) + int(n_)
+        total += int(n_)
+    expected = [float(row_tot[s_]) * float(col_tot[l_]) / float(total)
+                for s_, l_ in zip(src, lng)]
+    lift = [float(int(n_)) / e for n_, e in zip(n, expected)]
+    return pa.table({
+        "source": t["source"], "lang": t["lang"],
+        "n": pc.cast(t["n"], INT64),
+        "expected": pa.array(expected, type=pa.float64()),
+        "lift": pa.array(lift, type=pa.float64()),
+    }).sort_by([("source", "ascending"), ("lang", "ascending")])
+
+
+SOURCE_LANG_LIFT_SQL = """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ), rt AS (SELECT source, CAST(SUM(n) AS BIGINT) AS r FROM c
+              GROUP BY 1),
+       ct AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS col FROM c
+              GROUP BY 1),
+       g AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.source, c.lang, c.n,
+           CAST(rt.r AS DOUBLE) * CAST(ct.col AS DOUBLE)
+             / CAST(g.total AS DOUBLE) AS expected,
+           CAST(c.n AS DOUBLE) /
+             (CAST(rt.r AS DOUBLE) * CAST(ct.col AS DOUBLE)
+              / CAST(g.total AS DOUBLE)) AS lift
+    FROM c JOIN rt USING (source) JOIN ct USING (lang)
+         CROSS JOIN g
+    ORDER BY c.source, c.lang"""
+
+
+# ---------------------------------------------------------------------------
 # Q116: secondary index + point lookups (parquet random access)
 # ---------------------------------------------------------------------------
 
