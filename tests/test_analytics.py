@@ -676,3 +676,154 @@ def test_integrity_audit_detects_orphans(ray_session, tmp_path):
     assert t.loc["lineitem->orders", "n_orphans"] == 1
     assert t.loc["lineitem->orders", "n_childless_parents"] == 1  # 101
     assert t.loc["orders->customer", "n_childless_parents"] == 2  # 11,12
+
+
+# --------------------------------------------------------------------- q118
+
+def test_charclass_entropy_reference(ray_session):
+    from warc_ray.pipelines.analytics import charclass_entropy
+    import math
+
+    t = charclass_entropy(SF).to_pandas().set_index("lang")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang", "text"]).to_pandas()
+    for lang, grp in docs.groupby("lang"):
+        txt = "".join(grp.text)
+        cl = sum(c.isalpha() for c in txt)
+        cd = sum(c.isdigit() for c in txt)
+        cs = txt.count(" ")
+        co = len(txt) - cl - cd - cs
+        n = len(txt)
+        h = math.log(n) - sum(c * math.log(c) for c in
+                              (cl, cd, cs, co) if c > 0) / n
+        assert abs(t.loc[lang, "entropy"] - h) < 1e-12
+        assert t.loc[lang, "n_chars"] == n
+    assert (t.entropy >= 0).all() and (t.entropy <= math.log(4) + 1e-12).all()
+
+
+# --------------------------------------------------------------------- q119
+
+def test_median_interarrival_matches_pandas(ray_session):
+    from warc_ray.pipelines.analytics import median_interarrival
+
+    t = median_interarrival(SF).to_pandas().set_index("user_id")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts"]).to_pandas()
+    ev["ts_us"] = ev.ts.astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    ref = ev.groupby("user_id").ts_us.apply(
+        lambda s: s.diff().dropna().median())
+    ref = ref.dropna()
+    assert set(t.index) == set(ref.index)
+    for u in ref.index:
+        assert t.loc[u, "median_gap_us"] == ref.loc[u]
+
+
+# --------------------------------------------------------------------- q122
+
+def test_bm25_matches_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import (BM25_TERMS, BM25_TOPK,
+                                              bm25_topk)
+    import math
+
+    t = bm25_topk(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    toks = docs.text.str.split(" ")
+    n = len(docs)
+    dls = toks.map(len)
+    avgdl = float(dls.sum()) / float(n)
+    scores = {}
+    for term in BM25_TERMS:
+        tf = toks.map(lambda ws, term=term: sum(w == term for w in ws))
+        df = int((tf > 0).sum())
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d, f, dl in zip(docs.doc_id, tf, dls):
+            norm = 1.2 * (0.25 + 0.75 * (float(dl) / avgdl))
+            scores[d] = scores.get(d, 0.0) + idf * (
+                (2.2 * float(f)) / (float(f) + norm))
+    ranked = sorted(((s, d) for d, s in scores.items() if s > 0),
+                    key=lambda x: (-x[0], x[1]))[:BM25_TOPK]
+    assert list(t.doc_id) == [d for _, d in ranked]
+    for got, (s, _) in zip(t.score, ranked):
+        assert abs(got - s) < 1e-9
+
+
+# --------------------------------------------------------------------- q123
+
+def test_event_transitions_probabilities(ray_session):
+    from warc_ray.pipelines.analytics import event_transitions
+
+    t = event_transitions(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts",
+                                "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    prev = ev.groupby("user_id").event_type.shift()
+    ref = pd.DataFrame({"prev_type": prev, "next_type": ev.event_type}) \
+        .dropna().value_counts().rename("n").reset_index()
+    m = t.merge(ref, on=["prev_type", "next_type"], suffixes=("", "_ref"))
+    assert len(m) == len(t) == len(ref)
+    assert (m.n == m.n_ref).all()
+    # rows of the transition matrix sum to 1 exactly in count space
+    g = t.groupby("prev_type")
+    assert np.allclose(g.p.sum(), 1.0)
+
+
+# --------------------------------------------------------------------- q124
+
+def test_sliding_distinct_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import sliding_distinct_users
+
+    t = sliding_distinct_users(SF).to_pandas().set_index("day")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["day"] = ev.ts.astype("int64") // 86_400_000_000
+    observed = sorted(ev.day.unique())
+    for d in observed:
+        users = ev[(ev.day >= d - 6) & (ev.day <= d)].user_id.nunique()
+        iso = str(np.datetime64(int(d) * 86_400, "s"))[:10]
+        assert t.loc[iso, "u7"] == users
+    assert len(t) == len(observed)
+
+
+# --------------------------------------------------------------------- q126
+
+def test_above_avg_orders_reference(ray_session):
+    from warc_ray.pipelines.analytics import above_avg_orders
+
+    t = above_avg_orders(SF).to_pandas().set_index("c_mktsegment")
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]) \
+        .to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders["cents"] = (orders.o_totalprice * 100).round().astype("int64")
+    st = orders.groupby("o_custkey").cents.agg(["sum", "count"])
+    j = orders.join(st, on="o_custkey")
+    kept = j[j.cents * j["count"] > j["sum"]]
+    kept = kept.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    ref = kept.groupby("c_mktsegment").agg(
+        n_orders=("cents", "size"), total_cents=("cents", "sum"))
+    assert set(t.index) == set(ref.index)
+    for seg in ref.index:
+        assert t.loc[seg, "n_orders"] == ref.loc[seg, "n_orders"]
+        assert t.loc[seg, "total"] == ref.loc[seg, "total_cents"] / 100.0
+
+
+# --------------------------------------------------------------------- q128
+
+def test_source_lang_lift_marginals(ray_session):
+    from warc_ray.pipelines.analytics import source_lang_lift
+
+    t = source_lang_lift(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "lang"]).to_pandas()
+    assert t.n.sum() == len(docs)
+    # expected = row_total * col_total / grand_total, cell by cell
+    row = docs.groupby("source").size()
+    col = docs.groupby("lang").size()
+    for _, r in t.iterrows():
+        exp = float(row[r.source]) * float(col[r.lang]) / float(len(docs))
+        assert abs(r.expected - exp) < 1e-12
+    assert np.allclose(t.lift * t.expected, t.n)

@@ -2650,7 +2650,7 @@ def above_avg_orders(sf_dir: str):
 
     agg = rd.read_parquet(_pq(sf_dir, "orders"),
                           columns=["o_custkey", "o_totalprice"]) \
-        .map_batches(Filt, batch_format="pyarrow", concurrency=4) \
+        .map_batches(Filt, batch_format="pyarrow", concurrency=(1, 2)) \
         .groupby("c_mktsegment").aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("cents", alias_name="cents"))
