@@ -687,6 +687,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q126_above_avg_orders": an.above_avg_orders,
         "q127_discount_revenue": an.discount_revenue,
         "q128_source_lang_lift": an.source_lang_lift,
+        "q129_part_skyline": an.part_skyline,
+        "q130_lineitem_regression": an.lineitem_regression,
+        "q131_scd2_user_state": an.scd2_user_state,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -995,6 +998,9 @@ def oracle_sql() -> dict[str, str]:
         "q126_above_avg_orders": _an.ABOVE_AVG_SQL,
         "q127_discount_revenue": _an.DISCOUNT_REVENUE_SQL,
         "q128_source_lang_lift": _an.SOURCE_LANG_LIFT_SQL,
+        "q129_part_skyline": _an.PART_SKYLINE_SQL,
+        "q130_lineitem_regression": _an.LINEITEM_REGRESSION_SQL,
+        "q131_scd2_user_state": _an.SCD2_USER_STATE_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

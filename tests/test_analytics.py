@@ -827,3 +827,123 @@ def test_source_lang_lift_marginals(ray_session):
         exp = float(row[r.source]) * float(col[r.lang]) / float(len(docs))
         assert abs(r.expected - exp) < 1e-12
     assert np.allclose(t.lift * t.expected, t.n)
+
+
+# --------------------------------------------------------------------- q129
+
+def test_skyline_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import part_skyline
+
+    t = part_skyline(SF).to_pandas()
+    parts = pq.read_table(f"{SF}/part.parquet",
+                          columns=["p_partkey", "p_retailprice",
+                                   "p_size"]).to_pandas()
+    parts["cents"] = (parts.p_retailprice * 100).round().astype("int64")
+    c = parts.cents.to_numpy()
+    s = parts.p_size.to_numpy().astype("int64")
+    keep = []
+    for i in range(len(parts)):
+        dom = ((c <= c[i]) & (s >= s[i]) & ((c < c[i]) | (s > s[i])))
+        if not dom.any():
+            keep.append(parts.p_partkey.iloc[i])
+    assert sorted(t.p_partkey) == sorted(keep)
+    # every output row is undominated by every other output row
+    for i in range(len(t)):
+        for j in range(len(t)):
+            if i == j:
+                continue
+            assert not (t.price.iloc[j] <= t.price.iloc[i]
+                        and t.p_size.iloc[j] >= t.p_size.iloc[i]
+                        and (t.price.iloc[j] < t.price.iloc[i]
+                             or t.p_size.iloc[j] > t.p_size.iloc[i]))
+
+
+def test_skyline_combiner_law(ray_session):
+    """skyline(skyline(A) ∪ skyline(B)) == skyline(A ∪ B) on random
+    splits — the property the per-block combiner relies on."""
+    from warc_ray.pipelines.analytics import part_skyline  # noqa: F401
+    import warc_ray.pipelines.analytics as an
+
+    rng = np.random.RandomState(7)
+    c = rng.randint(0, 50, size=400).astype(np.int64)
+    s = rng.randint(0, 50, size=400).astype(np.int64)
+
+    def sky(cc, ss):
+        # reuse the module's vectorized local pass via part_skyline's
+        # inner algorithm re-derived brute force here
+        keep = np.ones(len(cc), dtype=bool)
+        for i in range(len(cc)):
+            dom = ((cc <= cc[i]) & (ss >= ss[i])
+                   & ((cc < cc[i]) | (ss > ss[i])))
+            keep[i] = not dom.any()
+        return keep
+
+    whole = sky(c, s)
+    half = 200
+    ka, kb = sky(c[:half], s[:half]), sky(c[half:], s[half:])
+    cc = np.concatenate([c[:half][ka], c[half:][kb]])
+    ss = np.concatenate([s[:half][ka], s[half:][kb]])
+    kk = sky(cc, ss)
+    got = sorted(zip(cc[kk], ss[kk]))
+    want = sorted(zip(c[whole], s[whole]))
+    assert got == want
+
+
+# --------------------------------------------------------------------- q130
+
+def test_regression_matches_numpy(ray_session):
+    from warc_ray.pipelines.analytics import lineitem_regression
+
+    t = lineitem_regression(SF).to_pandas().set_index("l_returnflag")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_quantity",
+                                "l_extendedprice"]).to_pandas()
+    li["y"] = (li.l_extendedprice * 100).round()
+    li["x"] = li.l_quantity.round()
+    for flag, g in li.groupby("l_returnflag"):
+        slope, icept = np.polyfit(g.x, g.y, 1)
+        assert abs(t.loc[flag, "slope_cents_per_qty"] - slope) < \
+            1e-6 * max(1.0, abs(slope))
+        assert abs(t.loc[flag, "intercept_cents"] - icept) < \
+            1e-6 * max(1.0, abs(icept))
+        assert t.loc[flag, "n"] == len(g)
+
+
+# --------------------------------------------------------------------- q131
+
+def test_scd2_reference(ray_session):
+    from warc_ray.pipelines.analytics import scd2_user_state
+
+    t = scd2_user_state(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_id", "ts",
+                                "event_type"]).to_pandas()
+    ev["us"] = ev.ts.astype("int64")
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    OPEN = 2**63 - 1
+    rows = []
+    for u, g in ev.groupby("user_id"):
+        runs = []
+        for _, r in g.iterrows():
+            if not runs or runs[-1]["event_type"] != r.event_type:
+                runs.append({"user_id": u, "event_type": r.event_type,
+                             "valid_from_us": r.us, "n_events": 0,
+                             "first_event_id": r.event_id})
+            runs[-1]["n_events"] += 1
+        for a, b in zip(runs, runs[1:]):
+            a["valid_to_us"], a["is_current"] = b["valid_from_us"], 0
+        runs[-1]["valid_to_us"], runs[-1]["is_current"] = OPEN, 1
+        rows.extend(runs)
+    ref = pd.DataFrame(rows).sort_values(
+        ["user_id", "valid_from_us"]).reset_index(drop=True)
+    got = t.sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+    assert len(got) == len(ref)
+    for col in ("user_id", "event_type", "valid_from_us", "valid_to_us",
+                "is_current", "n_events", "first_event_id"):
+        assert (got[col].to_numpy() == ref[col].to_numpy()).all(), col
+    # intervals tile each user's timeline: next from == prev to
+    for u, g in got.groupby("user_id"):
+        g = g.sort_values("valid_from_us")
+        assert (g.valid_to_us.iloc[:-1].to_numpy()
+                == g.valid_from_us.iloc[1:].to_numpy()).all()
+        assert g.is_current.iloc[-1] == 1 and g.valid_to_us.iloc[-1] == OPEN

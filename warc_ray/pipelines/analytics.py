@@ -3779,3 +3779,290 @@ MERGE_UPSERT_SQL = """
     SELECT o_orderkey, o_orderstatus, price_cents, version
     FROM ranked WHERE rn = 1 AND op <> 'D'
     ORDER BY o_orderkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q129: skyline / Pareto frontier (preference query)
+# ---------------------------------------------------------------------------
+
+def part_skyline(sf_dir: str):
+    """q129: the Pareto frontier of the part catalog — parts for which
+    no other part is at-most-as-expensive AND at-least-as-large with at
+    least one strict inequality (minimize retail price, maximize size).
+    The preference-query shape ("best tradeoffs") no groupby expresses.
+
+    Distributed shape: the skyline operator has a PERFECT combiner —
+    skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B), and dominance is
+    transitive, so per-block local skylines are a lossless candidate
+    reduction and one final pass over the (tiny) candidate union is
+    exact.  Each local pass is one lexsort + segment prefix-max —
+    no Python per row, no shuffle at all.  Worst case (perfectly
+    anti-correlated dims) candidates = all rows; typical catalogs
+    reduce blocks to a handful of rows.
+
+    Exactness: price compared in integer cents; ties (equal price AND
+    equal size) are mutually non-dominating, so all tie rows survive —
+    matching the strict-dominance NOT EXISTS SQL twin row-for-row."""
+
+    NEG = np.iinfo(np.int64).min
+
+    def local_skyline(cents: np.ndarray, size: np.ndarray) -> np.ndarray:
+        """Boolean keep-mask of the strict-dominance skyline
+        (minimize cents, maximize size), vectorized."""
+        n = len(cents)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.lexsort((-size, cents))      # price asc, size desc
+        c, s = cents[order], size[order]
+        new_seg = np.concatenate(([True], c[1:] != c[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        runmax = np.maximum.accumulate(s)
+        # max size among STRICTLY cheaper rows = running max at the end
+        # of the previous price segment (-inf for the cheapest segment)
+        prev_end = seg_start[seg_id] - 1
+        prev_max = np.where(prev_end >= 0, runmax[np.maximum(prev_end, 0)],
+                            NEG)
+        seg_max = s[seg_start][seg_id]           # within-segment max
+        keep_sorted = (s == seg_max) & (s > prev_max)
+        keep = np.zeros(n, dtype=bool)
+        keep[order] = keep_sorted
+        return keep
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["p_retailprice"], 100.0)), INT64).to_numpy()
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = local_skyline(cents, size)
+        return pa.table({
+            "p_partkey": pc.cast(b["p_partkey"], INT64).take(
+                pa.array(np.flatnonzero(keep))),
+            "cents": pa.array(cents[keep]),
+            "p_size": pa.array(size[keep]),
+        })
+
+    cand = pa.concat_tables(
+        rd.read_parquet(_pq(sf_dir, "part"),
+                        columns=["p_partkey", "p_retailprice", "p_size"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    keep = local_skyline(cand["cents"].to_numpy(),
+                         cand["p_size"].to_numpy())
+    idx = pa.array(np.flatnonzero(keep))
+    return pa.table({
+        "p_partkey": cand["p_partkey"].take(idx),
+        "price": pa.array([float(int(v)) / 100.0 for v in
+                           cand["cents"].take(idx).to_pylist()],
+                          type=pa.float64()),
+        "p_size": cand["p_size"].take(idx),
+    }).sort_by("p_partkey")
+
+
+PART_SKYLINE_SQL = """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT p_partkey, CAST(cents AS DOUBLE) / 100.0 AS price, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+        AND (b.cents < a.cents OR b.p_size > a.p_size))
+    ORDER BY p_partkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q130: grouped linear regression (exact integer moments)
+# ---------------------------------------------------------------------------
+
+def lineitem_regression(sf_dir: str):
+    """q130: per-returnflag least-squares fit of extended price (cents)
+    on quantity — slope and intercept from the closed form over exact
+    integer moments (n, Σx, Σy, Σxy, Σx²), the q83 Pearson discipline
+    extended to model fitting: each batch folds integer partials, one
+    tiny groupby reduces them, and slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²) /
+    intercept = (ΣyB − AΣx)/(nB) are single double divisions computed
+    from exact Python ints — bit-reproducible at any row order or
+    cluster size, and bit-matching the HUGEINT SQL twin.
+
+    Overflow headroom: x ≤ 64, y ≤ 2e7 → per-row xy ≤ 1.3e9, so int64
+    partials hold ~7e9 rows per (batch, flag); the driver-side closed
+    form uses unbounded Python ints (the q109 fold discipline), the SQL
+    twin HUGEINT."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(b["l_quantity"]), INT64).to_numpy()
+        y = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), INT64).to_numpy()
+        flag = np.asarray(b["l_returnflag"].to_pylist(), dtype=object)
+        order = np.argsort(flag)
+        flag, x, y = flag[order], x[order], y[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], flag[1:] != flag[:-1], [True])))
+        segs = list(zip(starts[:-1], starts[1:]))
+        return pa.table({
+            "flag": pa.array([flag[s] for s, _ in segs], type=pa.string()),
+            "n": pa.array([e - s for s, e in segs], type=INT64),
+            "sx": pa.array([x[s:e].sum() for s, e in segs], type=INT64),
+            "sy": pa.array([y[s:e].sum() for s, e in segs], type=INT64),
+            "sxy": pa.array([(x[s:e] * y[s:e]).sum() for s, e in segs],
+                            type=INT64),
+            "sxx": pa.array([(x[s:e] * x[s:e]).sum() for s, e in segs],
+                            type=INT64),
+        })
+
+    agg = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                          columns=["l_returnflag", "l_quantity",
+                                   "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("flag").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    slope, icept = [], []
+    for i in range(t.num_rows):
+        n, sx, sy, sxy, sxx = (int(t[c][i].as_py()) for c in
+                               ("n", "sx", "sy", "sxy", "sxx"))
+        A = n * sxy - sx * sy                    # exact Python ints
+        B = n * sxx - sx * sx
+        slope.append(float(A) / float(B) if B != 0 else None)
+        icept.append(float(sy * B - A * sx) / float(n * B)
+                     if B != 0 else None)
+    return pa.table({
+        "l_returnflag": t["flag"],
+        "n": pc.cast(t["n"], INT64),
+        "slope_cents_per_qty": pa.array(slope, type=pa.float64()),
+        "intercept_cents": pa.array(icept, type=pa.float64()),
+    }).sort_by("l_returnflag")
+
+
+LINEITEM_REGRESSION_SQL = """
+    WITH f AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS HUGEINT) AS x,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM f GROUP BY 1
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN n*sxx - sx*sx <> 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE)
+               / CAST(n*sxx - sx*sx AS DOUBLE)
+           END AS slope_cents_per_qty,
+           CASE WHEN n*sxx - sx*sx <> 0 THEN
+             CAST(sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx AS DOUBLE)
+               / CAST(n*(n*sxx - sx*sx) AS DOUBLE)
+           END AS intercept_cents
+    FROM s ORDER BY l_returnflag"""
+
+
+# ---------------------------------------------------------------------------
+# Q131: SCD2 history build (type-2 slowly-changing dimension)
+# ---------------------------------------------------------------------------
+
+def scd2_user_state(sf_dir: str, npart: int = 32):
+    """q131: collapse each user's event stream into type-2
+    slowly-changing-dimension history — one validity interval per RUN
+    of consecutive equal event types (ordered by ts, event_id), with
+    ``valid_to`` = the next run's start and an open (max-int64)
+    sentinel + ``is_current`` flag on the last run.  The
+    snapshot→interval build every warehouse dimension load runs.
+
+    Distributed shape: the q123 bucket fabric — hash-partition by user
+    so each user's stream co-locates, then ONE vectorized pass per
+    bucket (lexsort, run boundaries by shifted compare, interval edges
+    by shifted gather).  No per-user Python; output rows = number of
+    state changes, never events².  Timestamps travel as exact epoch-µs
+    int64 so the interval edges hash-match the SQL twin."""
+
+    OPEN = np.int64(2**63 - 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = (b["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return pa.table({"user_id": b["user_id"], "event_id": b["event_id"],
+                         "ts_us": pc.cast(b["ts"], INT64),
+                         "event_type": b["event_type"],
+                         "part": pa.array(part)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((e, ts, u))
+        u, e, ts, et = u[order], e[order], ts[order], et[order]
+        n = len(u)
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        starts = np.flatnonzero(new_run)
+        ru, rt, rts, re = u[starts], et[starts], ts[starts], e[starts]
+        # valid_to = next run's start ts when same user, else open
+        nxt_user = np.append(ru[1:], np.int64(-1))
+        nxt_from = np.append(rts[1:], OPEN)
+        is_cur = nxt_user != ru
+        valid_to = np.where(is_cur, OPEN, nxt_from)
+        run_len = np.diff(np.append(starts, n)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(ru.astype(np.int64)),
+            "event_type": pa.array(rt, type=pa.string()),
+            "valid_from_us": pa.array(rts),
+            "valid_to_us": pa.array(valid_to),
+            "is_current": pa.array(is_cur.astype(np.int64)),
+            "n_events": pa.array(run_len),
+            "first_event_id": pa.array(re.astype(np.int64)),
+        })
+
+    return rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["user_id", "event_id", "ts",
+                                    "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .sort(["user_id", "valid_from_us"])
+
+
+SCD2_USER_STATE_SQL = """
+    WITH s AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS is_start
+      FROM s
+    ), grp AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS run_id
+      FROM runs
+    ), iv AS (
+      SELECT user_id, run_id,
+             MIN(event_type) AS event_type,
+             MIN(us) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(CASE WHEN is_start = 1 THEN event_id END)
+               AS first_event_id
+      FROM grp GROUP BY user_id, run_id
+    )
+    SELECT user_id, event_type, valid_from_us,
+           COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+                                              ORDER BY run_id),
+                    9223372036854775807) AS valid_to_us,
+           CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+                                               ORDER BY run_id) IS NULL
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           END AS is_current,
+           n_events, first_event_id
+    FROM iv ORDER BY user_id, valid_from_us"""
