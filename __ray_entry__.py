@@ -690,6 +690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q129_part_skyline": an.part_skyline,
         "q130_lineitem_regression": an.lineitem_regression,
         "q131_scd2_user_state": an.scd2_user_state,
+        "q132_embedding_covariance": an.embedding_covariance,
+        "q133_lineitem_profile": an.lineitem_profile,
+        "q134_trimmed_mean": an.trimmed_mean_value,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1001,6 +1004,9 @@ def oracle_sql() -> dict[str, str]:
         "q129_part_skyline": _an.PART_SKYLINE_SQL,
         "q130_lineitem_regression": _an.LINEITEM_REGRESSION_SQL,
         "q131_scd2_user_state": _an.SCD2_USER_STATE_SQL,
+        "q132_embedding_covariance": _an.EMBEDDING_COVARIANCE_SQL,
+        "q133_lineitem_profile": _an.LINEITEM_PROFILE_SQL,
+        "q134_trimmed_mean": _an.TRIMMED_MEAN_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

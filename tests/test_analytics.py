@@ -947,3 +947,65 @@ def test_scd2_reference(ray_session):
         assert (g.valid_to_us.iloc[:-1].to_numpy()
                 == g.valid_from_us.iloc[1:].to_numpy()).all()
         assert g.is_current.iloc[-1] == 1 and g.valid_to_us.iloc[-1] == OPEN
+
+
+# --------------------------------------------------------------------- q132
+
+def test_embedding_covariance_matches_numpy(ray_session):
+    from warc_ray.pipelines.analytics import embedding_covariance
+
+    t = embedding_covariance(SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["embedding"]).to_pandas()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in emb.embedding])
+    xm = np.floor(x * 1000.0)
+    cov = np.cov(xm, rowvar=False, bias=True)      # population covariance
+    d = xm.shape[1]
+    assert len(t) == d * (d + 1) // 2
+    for _, r in t.iterrows():
+        want = cov[int(r.i) - 1, int(r.j) - 1]
+        assert abs(r.cov_milli2 - want) < 1e-6 * max(1.0, abs(want))
+    # diagonal is a variance: non-negative
+    diag = t[t.i == t.j]
+    assert (diag.cov_milli2 >= 0).all() and len(diag) == d
+
+
+# --------------------------------------------------------------------- q133
+
+def test_lineitem_profile_matches_pandas(ray_session):
+    from warc_ray.pipelines.analytics import lineitem_profile
+
+    t = lineitem_profile(SF).to_pandas().set_index("col_name")
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        assert t.loc[c, "n"] == len(li)
+        assert t.loc[c, "n_null"] == li[c].isna().sum()
+        assert t.loc[c, "n_distinct"] == li[c].nunique()
+        assert t.loc[c, "min_num"] == li[c].min()
+        assert t.loc[c, "max_num"] == li[c].max()
+    for c in ("l_returnflag", "l_linestatus"):
+        assert t.loc[c, "n_distinct"] == li[c].nunique()
+        assert t.loc[c, "min_str"] == li[c].min()
+        assert t.loc[c, "max_str"] == li[c].max()
+
+
+# --------------------------------------------------------------------- q134
+
+def test_trimmed_mean_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import trimmed_mean_value
+
+    t = trimmed_mean_value(SF).to_pandas().set_index("event_type")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "value"]).to_pandas()
+    ev["milli"] = np.floor(ev.value * 1000.0).astype("int64")
+    for ty, g in ev.groupby("event_type"):
+        v = np.sort(g.milli.to_numpy())
+        n = len(v)
+        lo = n * 5 // 100
+        mid = v[lo:n - lo]
+        want = mid.sum() / (1000.0 * len(mid))
+        assert t.loc[ty, "n"] == n
+        assert t.loc[ty, "n_kept"] == len(mid)
+        assert abs(t.loc[ty, "trimmed_mean"] - want) < 1e-12
+    # trimmed mean is between min and max of the kept values
+    assert (t.n_kept <= t.n).all()

@@ -4066,3 +4066,347 @@ SCD2_USER_STATE_SQL = """
            END AS is_current,
            n_events, first_event_id
     FROM iv ORDER BY user_id, valid_from_us"""
+
+
+# ---------------------------------------------------------------------------
+# Q132: exact fixed-point covariance matrix (distributed Gram reduction)
+# ---------------------------------------------------------------------------
+
+def embedding_covariance(sf_dir: str):
+    """q132: the d×d population covariance matrix of the embedding
+    table in EXACT fixed-point — the PCA/whitening precursor every
+    embedding pipeline runs, as a distributed linear-algebra reduction.
+
+    Embeddings quantize to integer milli-units (floor(x·1000), the q15
+    discipline — float32→float64→·1000.0→floor is bit-identical in
+    both engines), each batch folds the d×d Gram (Xᵀ X) and the column
+    sums with int64 matmuls, one tiny groupby reduces the d² partials,
+    and cov_ij = (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ)/n² is a single double division
+    over unbounded Python ints — bit-reproducible and value-exact vs
+    the HUGEINT SQL twin.
+
+    Scale shape: the shuffle carries d²-sized partials (one per block),
+    never vectors; 100 TB of embeddings reduce to blocks × d² int64s.
+    Overflow headroom: |xm| ≤ ~4e3 → per-row products ≤ 1.6e7, so an
+    int64 cell folds ~5.7e11 rows per block; the global fold is exact
+    Python ints (q109 discipline)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b["embedding"]
+        flat = arr.combine_chunks() if isinstance(
+            arr, pa.ChunkedArray) else arr
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.chunk(0)
+        d = len(flat[0])
+        x = np.asarray(flat.values.to_numpy(zero_copy_only=False),
+                       dtype=np.float64).reshape(-1, d)
+        xm = np.floor(x * 1000.0).astype(np.int64)
+        gram = xm.T @ xm                          # (d, d) int64, exact
+        sx = xm.sum(axis=0)                       # (d,) int64
+        ii, jj = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1),
+                             indexing="ij")
+        mask = ii <= jj                           # upper triangle
+        return pa.table({
+            "i": pa.array(ii[mask].astype(np.int64)),
+            "j": pa.array(jj[mask].astype(np.int64)),
+            "sxy": pa.array(gram[mask]),
+            "sxi": pa.array(np.broadcast_to(sx[:, None],
+                                            (d, d))[mask]),
+            "sxj": pa.array(np.broadcast_to(sx[None, :],
+                                            (d, d))[mask]),
+            "n": pa.array(np.full(mask.sum(), len(xm), np.int64)),
+        })
+
+    agg = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                          columns=["embedding"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["i", "j"]).aggregate(
+            Sum("sxy", alias_name="sxy"), Sum("sxi", alias_name="sxi"),
+            Sum("sxj", alias_name="sxj"), Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    cov = []
+    for k in range(t.num_rows):
+        n, sxy, sxi, sxj = (int(t[c][k].as_py()) for c in
+                            ("n", "sxy", "sxi", "sxj"))
+        cov.append(float(n * sxy - sxi * sxj) / float(n * n))
+    return pa.table({
+        "i": pc.cast(t["i"], INT64), "j": pc.cast(t["j"], INT64),
+        "cov_milli2": pa.array(cov, type=pa.float64()),
+    }).sort_by([("i", "ascending"), ("j", "ascending")])
+
+
+EMBEDDING_COVARIANCE_SQL = """
+    WITH v AS (
+      SELECT vec_id,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS HUGEINT) AS xm,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ), n_t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j,
+             SUM(a.xm * b.xm) AS sxy
+      FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ), marg AS (
+      SELECT i, SUM(xm) AS sx FROM v GROUP BY 1
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           CAST(n.n * p.sxy - mi.sx * mj.sx AS DOUBLE)
+             / CAST(n.n * n.n AS DOUBLE) AS cov_milli2
+    FROM pairs p, n_t n
+    JOIN marg mi ON mi.i = p.i
+    JOIN marg mj ON mj.i = p.j
+    ORDER BY i, j"""
+
+
+# ---------------------------------------------------------------------------
+# Q133: column profiler (ANALYZE-style table statistics)
+# ---------------------------------------------------------------------------
+
+_PROFILE_NUM = [("l_quantity", 1000), ("l_extendedprice", 100),
+                ("l_discount", 1000)]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+
+def lineitem_profile(sf_dir: str):
+    """q133: per-column table statistics (row count, nulls, EXACT
+    distinct count, min/max) for a lineitem column set — the ANALYZE /
+    stats-collection pass every query optimizer and data-quality gate
+    runs over a new table.
+
+    Two bounded passes: (1) per-batch min/max/null partials fold
+    driver-side (tiny); (2) per-batch DISTINCT (column, value) partials
+    — the exchange carries each block's unique values only, never rows
+    — then one groupby dedups globally and a count per column lands.
+    Numeric values travel as injective fixed-point int64 (the columns
+    carry ≤3 decimals), so the distinct count equals the native one and
+    the whole report is value-exact vs the UNION-ALL SQL twin."""
+
+    cols = [c for c, _ in _PROFILE_NUM] + _PROFILE_STR
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for name in cols:
+            col = b[name]
+            rows.append({
+                "col_name": name, "n": len(col),
+                "n_null": col.null_count,
+                "min_num": pc.min(col).as_py() if name not in
+                _PROFILE_STR else None,
+                "max_num": pc.max(col).as_py() if name not in
+                _PROFILE_STR else None,
+                "min_str": pc.min(col).as_py() if name in
+                _PROFILE_STR else None,
+                "max_str": pc.max(col).as_py() if name in
+                _PROFILE_STR else None,
+            })
+        return pa.table({
+            "col_name": pa.array([r["col_name"] for r in rows]),
+            "n": pa.array([r["n"] for r in rows], type=INT64),
+            "n_null": pa.array([r["n_null"] for r in rows], type=INT64),
+            "min_num": pa.array([r["min_num"] for r in rows],
+                                type=pa.float64()),
+            "max_num": pa.array([r["max_num"] for r in rows],
+                                type=pa.float64()),
+            "min_str": pa.array([r["min_str"] for r in rows],
+                                type=pa.string()),
+            "max_str": pa.array([r["max_str"] for r in rows],
+                                type=pa.string()),
+        })
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        parts = []
+        for name, scale in _PROFILE_NUM:
+            vk = pc.cast(pc.round(pc.multiply(
+                b[name], float(scale))), INT64)
+            u = pc.unique(vk)
+            parts.append(pa.table({
+                "col_name": pa.array([name] * len(u)),
+                "vkey": pc.cast(u, pa.string())}))
+        for name in _PROFILE_STR:
+            u = pc.unique(b[name])
+            parts.append(pa.table({
+                "col_name": pa.array([name] * len(u)),
+                "vkey": u}))
+        return pa.concat_tables(parts)
+
+    from ray.data.aggregate import Count
+
+    # pass 1: min/max/null fold (tiny driver reduce)
+    st = pa.concat_tables(
+        rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")).to_pandas()
+    folded = {}
+    for name, g in st.groupby("col_name"):
+        folded[name] = {
+            "n": int(g.n.sum()), "n_null": int(g.n_null.sum()),
+            "min_num": (None if g.min_num.isna().all()
+                        else float(g.min_num.min())),
+            "max_num": (None if g.max_num.isna().all()
+                        else float(g.max_num.max())),
+            "min_str": (None if g.min_str.isna().all()
+                        else g.min_str.dropna().min()),
+            "max_str": (None if g.max_str.isna().all()
+                        else g.max_str.dropna().max()),
+        }
+
+    # pass 2: exact distinct via the value exchange
+    dist = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols) \
+        .map_batches(distinct_partial, batch_format="pyarrow") \
+        .groupby(["col_name", "vkey"]).aggregate(
+            Count(alias_name="c")) \
+        .groupby("col_name").aggregate(Count(alias_name="n_distinct"))
+    dd = pa.concat_tables(dist.iter_batches(
+        batch_format="pyarrow")).to_pandas().set_index("col_name")
+
+    names = sorted(cols)
+    return pa.table({
+        "col_name": pa.array(names),
+        "n": pa.array([folded[c]["n"] for c in names], type=INT64),
+        "n_null": pa.array([folded[c]["n_null"] for c in names],
+                           type=INT64),
+        "n_distinct": pa.array([int(dd.loc[c, "n_distinct"])
+                                for c in names], type=INT64),
+        "min_num": pa.array([folded[c]["min_num"] for c in names],
+                            type=pa.float64()),
+        "max_num": pa.array([folded[c]["max_num"] for c in names],
+                            type=pa.float64()),
+        "min_str": pa.array([folded[c]["min_str"] for c in names],
+                            type=pa.string()),
+        "max_str": pa.array([folded[c]["max_str"] for c in names],
+                            type=pa.string()),
+    })
+
+
+LINEITEM_PROFILE_SQL = """
+    SELECT * FROM (
+      SELECT 'l_discount' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct,
+             CAST(MIN(l_discount) AS DOUBLE) AS min_num,
+             CAST(MAX(l_discount) AS DOUBLE) AS max_num,
+             CAST(NULL AS VARCHAR) AS min_str,
+             CAST(NULL AS VARCHAR) AS max_str
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(*),
+             SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT l_extendedprice),
+             CAST(MIN(l_extendedprice) AS DOUBLE),
+             CAST(MAX(l_extendedprice) AS DOUBLE), NULL, NULL
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', COUNT(*),
+             SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT l_linestatus), NULL, NULL,
+             MIN(l_linestatus), MAX(l_linestatus)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', COUNT(*),
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT l_quantity),
+             CAST(MIN(l_quantity) AS DOUBLE),
+             CAST(MAX(l_quantity) AS DOUBLE), NULL, NULL
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag', COUNT(*),
+             SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+             COUNT(DISTINCT l_returnflag), NULL, NULL,
+             MIN(l_returnflag), MAX(l_returnflag)
+      FROM lineitem
+    ) ORDER BY col_name"""
+
+
+# ---------------------------------------------------------------------------
+# Q134: trimmed (winsorized-tail) mean — robust aggregate
+# ---------------------------------------------------------------------------
+
+def trimmed_mean_value(sf_dir: str, trim_pct: int = 5):
+    """q134: per-event-type mean of ``value`` after dropping the lowest
+    and highest ``trim_pct``% of rows — the robust location estimate
+    quality gates use where outliers poison a plain mean.
+
+    Rides q15's value-histogram fabric: the shuffle carries distinct
+    (type, milli) COUNTS, never rows; the per-type pass computes the
+    exact trimmed sum from cumulative counts (boundary ties contribute
+    value × remaining-count, which is sum-invariant under any
+    tie-breaking), and the mean is ONE final double division — so the
+    result bit-matches the SQL twin's row_number formulation."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        milli = pc.cast(pc.floor(pc.multiply(b["value"], 1000.0)), INT64)
+        t = pa.table({"event_type": b["event_type"], "milli": milli})
+        return t.group_by(["event_type", "milli"]).aggregate(
+            [("milli", "count")]).rename_columns(
+                ["event_type", "milli", "cnt"])
+
+    def combine(g: pa.Table) -> pa.Table:
+        m = g["milli"].to_numpy(zero_copy_only=False)
+        c = g["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(m)
+        m_s, c_s = m[order], c[order]
+        new = np.concatenate(([True], m_s[1:] != m_s[:-1]))
+        seg = np.cumsum(new) - 1
+        m_u = m_s[new]
+        c_u = np.zeros(len(m_u), np.int64)
+        np.add.at(c_u, seg, c_s)
+        n = int(c_u.sum())
+        lo = n * trim_pct // 100
+        kept = n - 2 * lo
+        # exact trimmed sum: total − low tail − high tail, boundary
+        # ties pro-rated by remaining count (Python ints, exact)
+        total = int((m_u * c_u).sum())
+        cum = np.cumsum(c_u)
+
+        def tail_sum(vals, cnts, k):
+            s, need = 0, k
+            for v, ct in zip(vals, cnts):
+                take = min(int(ct), need)
+                s += int(v) * take
+                need -= take
+                if need == 0:
+                    break
+            return s
+
+        low = tail_sum(m_u, c_u, lo)
+        high = tail_sum(m_u[::-1], c_u[::-1], lo)
+        mid = total - low - high
+        mean = float(mid) / (1000.0 * float(kept)) if kept > 0 else None
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()]),
+            "n": pa.array([n], type=INT64),
+            "n_kept": pa.array([kept], type=INT64),
+            "trimmed_mean": pa.array([mean], type=pa.float64()),
+        })
+
+    return rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(combine,
+                                          batch_format="pyarrow") \
+        .sort("event_type")
+
+
+TRIMMED_MEAN_SQL = """
+    WITH m AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS milli
+      FROM events
+    ), r AS (
+      SELECT event_type, milli,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY milli) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM m
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(n) - 2 * (MAX(n) * 5 // 100) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > n * 5 // 100
+                          AND rn <= n - n * 5 // 100
+                         THEN milli ELSE 0 END) AS DOUBLE)
+             / (1000.0 * (MAX(n) - 2 * (MAX(n) * 5 // 100)))
+             AS trimmed_mean
+    FROM r GROUP BY event_type ORDER BY event_type"""
