@@ -75,6 +75,13 @@ def _degree_histogram_q(sf_dir: str):
     return degree_histogram(corpus_mod.docs_path(cdir))
 
 
+def _triangle_count_q(sf_dir: str):
+    from warc_ray.pipelines.analytics import triangle_count
+
+    cdir = _corpus_for(sf_dir)
+    return triangle_count(corpus_mod.docs_path(cdir))
+
+
 def _seed_distance_q(sf_dir: str):
     from warc_ray.pipelines.analytics import seed_distance_histogram
 
@@ -693,6 +700,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q132_embedding_covariance": an.embedding_covariance,
         "q133_lineitem_profile": an.lineitem_profile,
         "q134_trimmed_mean": an.trimmed_mean_value,
+        "q136_equidepth_histogram": an.equidepth_histogram,
+        "q137_time_travel": an.time_travel_orders,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -788,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q96_revisit_dedup": _revisit_dedup_q,
         "q99_host_reciprocity": _host_reciprocity_q,
         "q112_seed_distance": _seed_distance_q,
+        "q135_triangle_count": _triangle_count_q,
     }
 
 
@@ -1007,6 +1017,8 @@ def oracle_sql() -> dict[str, str]:
         "q132_embedding_covariance": _an.EMBEDDING_COVARIANCE_SQL,
         "q133_lineitem_profile": _an.LINEITEM_PROFILE_SQL,
         "q134_trimmed_mean": _an.TRIMMED_MEAN_SQL,
+        "q136_equidepth_histogram": _an.EQUIDEPTH_SQL,
+        "q137_time_travel": _an.TIME_TRAVEL_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct
@@ -2086,6 +2098,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT COALESCE(b.dist, -1) AS dist
               FROM nodes LEFT JOIN best b ON b.n = nodes.n
             ) GROUP BY dist ORDER BY dist""",
+        # q135: exact triangles over the same distinct-edge CTE; a<b<c
+        # ordering makes each triangle one join row
+        "q135_triangle_count": f"""
+            WITH links AS ({links_src}),
+            p AS (
+              SELECT TRY_CAST(regexp_extract(src_doc, '(\\d+)$', 1)
+                       AS BIGINT) AS u,
+                     TRY_CAST(regexp_extract(url, '/doc/(\\d+)$', 1)
+                       AS BIGINT) AS v
+              FROM links
+              WHERE priority = 5 AND regexp_matches(url, '/doc/\\d+$')
+            ),
+            e AS (SELECT DISTINCT LEAST(u, v) AS lo, GREATEST(u, v) AS hi
+                  FROM p WHERE u <> v AND u IS NOT NULL
+                    AND v IS NOT NULL),
+            deg AS (
+              SELECT node, COUNT(*) AS d FROM (
+                SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+              ) GROUP BY node
+            ),
+            w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n
+                  FROM deg),
+            tri AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n
+              FROM e e1
+              JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+              JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   w.n AS n_wedges, tri.n AS n_triangles,
+                   CASE WHEN w.n > 0 THEN (3.0 * tri.n) / w.n
+                   END AS clustering
+            FROM w, tri""",
         # q96: revisit-dedup decisions — expected values from the
         # corpus body-length model (q58/q78) + the q71 re-crawl coin
         # rules: i%101==7 gone, i%89==5 mutated (+1 byte); response

@@ -1009,3 +1009,91 @@ def test_trimmed_mean_bruteforce(ray_session):
         assert abs(t.loc[ty, "trimmed_mean"] - want) < 1e-12
     # trimmed mean is between min and max of the kept values
     assert (t.n_kept <= t.n).all()
+
+
+# --------------------------------------------------------------------- q135
+
+def test_triangle_count_known_graph(ray_session, tmp_path):
+    from warc_ray.pipelines.analytics import triangle_count
+
+    # two triangles sharing node 2 plus a pendant edge; includes a
+    # reversed duplicate, a repeated link, and a self-loop that the
+    # canonicalization must drop
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (2, 4), (4, 5),
+             (1, 0), (2, 3), (3, 3)]
+    by_src: dict = {}
+    for s, d in edges:
+        by_src.setdefault(s, []).append(d)
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    rows = {"doc_id": [], "spans": [], "bucket": []}
+    for s in range(6):
+        rows["doc_id"].append(f"doc-{s}")
+        rows["spans"].append([
+            {"kind": "link", "text": "t",
+             "media_ref": f"http://h.example/doc/{d}", "offset": i}
+            for i, d in enumerate(by_src.get(s, []))])
+        rows["bucket"].append(0)
+    t = pa.table({"doc_id": pa.array(rows["doc_id"]),
+                  "spans": pa.array(rows["spans"], type=pa.list_(span_t)),
+                  "bucket": pa.array(rows["bucket"], type=pa.int32())})
+    import pyarrow.parquet as pqw
+    d = tmp_path / "docs"
+    d.mkdir()
+    pqw.write_table(t, str(d / "part-0.parquet"))
+
+    out = triangle_count(str(d)).to_pandas().iloc[0]
+    assert out.n_edges == 7
+    assert out.n_triangles == 2
+    assert out.n_wedges == 12          # sum C(deg,2): 1+1+6+1+3+0
+    assert out.clustering == 3.0 * 2 / 12
+
+
+# --------------------------------------------------------------------- q136
+
+def test_equidepth_histogram_laws(ray_session):
+    from warc_ray.pipelines.analytics import equidepth_histogram
+
+    t = equidepth_histogram(SF).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_extendedprice"]).to_pandas()
+    cents = np.sort((li.l_extendedprice * 100).round().astype("int64"))
+    n, k = len(cents), len(t)
+    assert t.n.sum() == n
+    # NTILE size rule: first n%k buckets one bigger
+    base, extra = divmod(n, k)
+    assert list(t.n) == [base + (1 if b < extra else 0) for b in range(k)]
+    # boundaries are the exact order statistics of the rank ranges
+    r0 = 0
+    for _, r in t.iterrows():
+        seg = cents[r0:r0 + r.n]
+        assert r.lo_cents == seg[0] and r.hi_cents == seg[-1]
+        assert r.sum_cents == seg.sum()
+        r0 += r.n
+    # buckets are non-decreasing in value
+    assert (t.lo_cents.to_numpy()[1:] >= t.hi_cents.to_numpy()[:-1] - 0).all()
+
+
+# --------------------------------------------------------------------- q137
+
+def test_time_travel_consistency(ray_session):
+    from warc_ray.pipelines.analytics import merge_upsert, time_travel_orders
+    import hashlib
+
+    now = merge_upsert(SF).to_pandas().set_index("o_orderkey")
+    asof = time_travel_orders(SF, version=2).to_pandas() \
+        .set_index("o_orderkey")
+    base = pq.read_table(f"{SF}/orders.parquet",
+                         columns=["o_orderkey"]).to_pandas()
+    # as-of v2 sees every key (deletes are v3), latest state ≤ v2
+    assert len(asof) == len(base)
+    for k in base.o_orderkey:
+        h = hashlib.md5(str(int(k)).encode()).hexdigest()
+        want_v = 2 if h[0] in "0123" else 1
+        assert asof.loc[k, "version"] == want_v
+        if h[1] in "01":
+            assert k not in now.index          # deleted at head
+        else:
+            # un-deleted keys agree between head and as-of reads
+            assert now.loc[k, "version"] == asof.loc[k, "version"]
+            assert now.loc[k, "price_cents"] == asof.loc[k, "price_cents"]

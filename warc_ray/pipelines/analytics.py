@@ -3386,7 +3386,8 @@ SOURCE_MIXTURE_SQL = f"""
 # Q81: CDC MERGE / upsert — apply a keyed changelog, latest version wins
 # ---------------------------------------------------------------------------
 
-def merge_upsert(sf_dir: str, npart: int = 32):
+def merge_upsert(sf_dir: str, npart: int = 32,
+                 as_of_version: int | None = None):
     """q81: lakehouse MERGE — base snapshot + CDC changelog → merged
     snapshot.  Per key the highest-version row wins; a winning ``D``
     tombstone drops the key.  This is the Delta/Iceberg ``MERGE INTO``
@@ -3446,11 +3447,28 @@ def merge_upsert(sf_dir: str, npart: int = 32):
             .select(["o_orderkey", "o_orderstatus", "price_cents",
                      "version"])
 
-    return rd.read_parquet(
+    ds = rd.read_parquet(
         _pq(sf_dir, "orders"),
         columns=["o_orderkey", "o_totalprice", "o_orderstatus"]) \
-        .map_batches(explode, batch_format="pyarrow") \
-        .groupby("part").map_groups(bucket, batch_format="pyarrow")
+        .map_batches(explode, batch_format="pyarrow")
+    if as_of_version is not None:
+        # q137 time travel: replay the changelog only up to a version —
+        # the Delta/Iceberg "VERSION AS OF" read, one vectorized filter
+        # on the identical fabric
+        v = int(as_of_version)
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.less_equal(b["version"], v)),
+            batch_format="pyarrow")
+    return ds.groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+
+def time_travel_orders(sf_dir: str, version: int = 2):
+    """q137: versioned (time-travel) read of the q81 MERGE table —
+    the snapshot AS OF changelog version ``version``: updates applied,
+    the later deletes invisible.  Identical exchange fabric; the
+    version cap is a stateless pre-filter, which is exactly how
+    snapshot isolation falls out of a versioned changelog."""
+    return merge_upsert(sf_dir, as_of_version=version)
 
 
 # ---------------------------------------------------------------------------
@@ -4410,3 +4428,285 @@ TRIMMED_MEAN_SQL = """
              / (1000.0 * (MAX(n) - 2 * (MAX(n) * 5 // 100)))
              AS trimmed_mean
     FROM r GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q135: triangle counting (degree-oriented wedge enumeration)
+# ---------------------------------------------------------------------------
+
+def triangle_count(docs_path: str, nparts: int = 16):
+    """q135: exact triangle count + global clustering coefficient of
+    the undirected doc link graph — the graph-analytics complement to
+    q27 components / q29 PageRank / q112 BFS.
+
+    Distributed shape (standard node-iterator with DEGREE ORIENTATION):
+    (1) distinct canonical edges via per-batch unique + one key
+    groupby; (2) degrees fold to a small table, broadcast; (3) each
+    edge orients low-degree → high-degree endpoint, so per-source
+    out-neighborhoods are O(√m) and wedge generation is quadratic only
+    in that bound; (4) wedges and edges co-route by key hash and one
+    vectorized ``np.isin`` per bucket closes triangles — each triangle
+    counted exactly once.  Wedge generation is grouped BY SEGMENT
+    LENGTH (reshape + one `triu_indices` gather per distinct
+    out-degree): no per-node Python anywhere.
+
+    Oracle: the 3-way self-join SQL twin over the same distinct-edge
+    CTE, value-exact including the clustering double."""
+    import ray as _ray
+
+    def edge_partial(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        m = pc.equal(flat.field("kind"), "link")
+        urls = pc.filter(flat.field("media_ref"), m)
+        par = pc.filter(parents, m).to_numpy(zero_copy_only=False)
+        ex = pc.cast(pc.struct_field(pc.extract_regex(
+            urls, r"/doc/(?P<i>\d+)$"), "i"), INT64)
+        ok = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+        dst = pc.fill_null(ex, -1).to_numpy(zero_copy_only=False)
+        ids = b["doc_id"].to_pylist()
+        src = np.array([int(d.rsplit("-", 1)[1]) for d in ids],
+                       dtype=np.int64)[par]
+        keep = ok & (src != dst)
+        s, d = src[keep], dst[keep]
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        key = np.unique((lo << np.int64(32)) | hi)
+        return pa.table({"key": pa.array(key)})
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        k = np.unique(g["key"].to_numpy())
+        return pa.table({
+            "key": pa.array(k),
+            "kpart": pa.array(((k % nparts)).astype(np.int32))})
+
+    # ONE part exchange dedups (16 buckets — far cheaper than a
+    # per-key sort-aggregate over millions of distinct edges) and the
+    # kpart column is reused verbatim for the closure routing below
+    edges = _read_capped(docs_path, columns=["doc_id", "spans"]) \
+        .map_batches(edge_partial, batch_format="pyarrow") \
+        .map_batches(lambda b: b.append_column(
+            "kpart", pc.cast(pc.bit_wise_and(
+                b["key"], np.int64(nparts - 1)), pa.int32())),
+            batch_format="pyarrow") \
+        .groupby("kpart").map_groups(
+            lambda g: dedup_bucket(g.drop_columns(["kpart"])),
+            batch_format="pyarrow").materialize()
+
+    # degrees: O(edges) driver fold (2 bincounts per streamed block) —
+    # the edge list is already the reduced small side that the
+    # orientation broadcast needs, so no second exchange
+    n_edges = 0
+    deg_arr = np.zeros(1, np.int64)
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        k = b["key"].to_numpy()
+        n_edges += len(k)
+        lo, hi = k >> np.int64(32), k & np.int64(0xFFFFFFFF)
+        top = int(max(lo.max(initial=0), hi.max(initial=0)))
+        if top >= len(deg_arr):
+            deg_arr = np.concatenate(
+                (deg_arr, np.zeros(top + 1 - len(deg_arr), np.int64)))
+        np.add.at(deg_arr, lo, 1)
+        np.add.at(deg_arr, hi, 1)
+    n_wedges = int(sum(int(d_) * (int(d_) - 1) // 2
+                       for d_ in deg_arr[deg_arr > 1]))
+    deg_ref = _ray.put(deg_arr)
+
+    class OrientAndPart:
+        def __init__(self):
+            self.deg = _ray.get(deg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            k = b["key"].to_numpy()
+            lo, hi = k >> np.int64(32), k & np.int64(0xFFFFFFFF)
+            dl, dh = self.deg[lo], self.deg[hi]
+            # orient low-(degree, id) → high-(degree, id)
+            fwd = (dl < dh) | ((dl == dh) & (lo < hi))
+            src = np.where(fwd, lo, hi)
+            dst = np.where(fwd, hi, lo)
+            return pa.table({
+                "src": pa.array(src), "dst": pa.array(dst),
+                "part": pa.array((src % nparts).astype(np.int32))})
+
+    def wedges(g: pa.Table) -> pa.Table:
+        s = g["src"].to_numpy()
+        d = g["dst"].to_numpy()
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        new = np.concatenate(([True], s[1:] != s[:-1]))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(s)))
+        outs = []
+        for L in np.unique(lens[lens >= 2]):
+            idx = starts[lens == L]
+            block = d[idx[:, None] + np.arange(L)]
+            iu, ju = np.triu_indices(int(L), 1)
+            a = block[:, iu].ravel()
+            b_ = block[:, ju].ravel()
+            outs.append(((np.minimum(a, b_) << np.int64(32))
+                         | np.maximum(a, b_)))
+        if not outs:
+            return pa.table({"key": pa.array([], type=INT64),
+                             "cnt": pa.array([], type=INT64),
+                             "is_edge": pa.array([], type=INT64)})
+        wk = np.concatenate(outs)
+        u, c = np.unique(wk, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64)),
+                         "is_edge": pa.array(np.zeros(len(u), np.int64))})
+
+    wedge_ds = edges.map_batches(OrientAndPart, batch_format="pyarrow",
+                                 concurrency=(1, 2)) \
+        .groupby("part").map_groups(
+            lambda g: wedges(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["key"],
+            "cnt": pa.array(np.zeros(b.num_rows, np.int64)),
+            "is_edge": pa.array(np.ones(b.num_rows, np.int64))})
+
+    def close_bucket(g: pa.Table) -> pa.Table:
+        k = g["key"].to_numpy()
+        c = g["cnt"].to_numpy()
+        ie = g["is_edge"].to_numpy().astype(bool)
+        ek = k[ie]
+        closed = np.isin(k[~ie], ek)
+        return pa.table({"tri": pa.array(
+            [int(c[~ie][closed].sum())], type=INT64)})
+
+    both = wedge_ds.union(edges.map_batches(tag_edges,
+                                            batch_format="pyarrow"))
+    closed = both.map_batches(
+        lambda b: b.append_column("kpart", pc.cast(pc.bit_wise_and(
+            b["key"], np.int64(nparts - 1)), pa.int32())),
+        batch_format="pyarrow") \
+        .groupby("kpart").map_groups(
+            lambda g: close_bucket(g.drop_columns(["kpart"])),
+            batch_format="pyarrow")
+    n_tri = 0
+    for b in closed.iter_batches(batch_format="pyarrow"):
+        n_tri += int(pc.sum(b["tri"]).as_py() or 0)
+    clustering = (3.0 * float(n_tri)) / float(n_wedges) \
+        if n_wedges > 0 else None
+    return pa.table({
+        "n_edges": pa.array([n_edges], type=INT64),
+        "n_wedges": pa.array([n_wedges], type=INT64),
+        "n_triangles": pa.array([n_tri], type=INT64),
+        "clustering": pa.array([clustering], type=pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Q136: equi-depth histogram (optimizer statistics build)
+# ---------------------------------------------------------------------------
+
+def equidepth_histogram(sf_dir: str, k: int = 8):
+    """q136: the k-bucket equi-depth histogram of ``l_extendedprice``
+    — the optimizer statistic selectivity estimation reads (q133's
+    profile gives min/max/distinct; this gives the distribution).
+
+    Rides q15's value-histogram fabric: the exchange carries distinct
+    (cents, count) pairs, never rows; bucket boundaries are exact
+    order statistics from cumulative counts with NTILE's size rule
+    (first n mod k buckets one row bigger), and per-bucket count /
+    min / max / sum are all rank-range arithmetic over the histogram —
+    deterministic even when a tied value spans buckets (the multiset
+    of values per rank range is tie-order-invariant, so the SQL twin's
+    arbitrary NTILE tie placement lands on identical stats)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), INT64)
+        t = pa.table({"cents": cents})
+        return t.group_by("cents").aggregate([("cents", "count")]) \
+            .rename_columns(["cents", "cnt"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                          columns=["l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("cents").aggregate(Sum("cnt", alias_name="cnt"))
+    h = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    m = h["cents"].to_numpy()
+    c = h["cnt"].to_numpy()
+    order = np.argsort(m)
+    m, c = m[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    base, extra = divmod(n, k)
+    sizes = [base + (1 if b < extra else 0) for b in range(k)]
+    # prefix sums of values for exact per-bucket sums
+    vsum = np.cumsum(m.astype(object) * c.astype(object))
+
+    def rank_value(r):                       # value at 1-based rank r
+        return int(m[np.searchsorted(cum, r, side="left")])
+
+    def prefix_sum(r):                       # Σ values at ranks 1..r
+        if r == 0:
+            return 0
+        i = int(np.searchsorted(cum, r, side="left"))
+        below = int(vsum[i - 1]) if i > 0 else 0
+        part = int(m[i]) * (r - (int(cum[i - 1]) if i > 0 else 0))
+        return below + part
+
+    rows = {"bucket": [], "n": [], "lo_cents": [], "hi_cents": [],
+            "sum_cents": []}
+    r0 = 0
+    for b, sz in enumerate(sizes, start=1):
+        r1 = r0 + sz
+        rows["bucket"].append(b)
+        rows["n"].append(sz)
+        rows["lo_cents"].append(rank_value(r0 + 1))
+        rows["hi_cents"].append(rank_value(r1))
+        rows["sum_cents"].append(prefix_sum(r1) - prefix_sum(r0))
+        r0 = r1
+    return pa.table({
+        "bucket": pa.array(rows["bucket"], type=INT64),
+        "n": pa.array(rows["n"], type=INT64),
+        "lo_cents": pa.array(rows["lo_cents"], type=INT64),
+        "hi_cents": pa.array(rows["hi_cents"], type=INT64),
+        "sum_cents": pa.array(rows["sum_cents"], type=INT64),
+    })
+
+
+EQUIDEPTH_SQL = """
+    WITH m AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), r AS (
+      SELECT cents, ntile(8) OVER (ORDER BY cents) AS bucket FROM m
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM r GROUP BY bucket ORDER BY bucket"""
+
+
+TIME_TRAVEL_SQL = """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             o_orderstatus,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders
+    ), changelog AS (
+      SELECT o_orderkey, CAST(1 AS BIGINT) AS version, 'I' AS op,
+             price_cents, o_orderstatus FROM base
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', price_cents + 500, 'X'
+      FROM base WHERE substr(h, 1, 1) IN ('0','1','2','3')
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', 0, ''
+      FROM base WHERE substr(h, 2, 1) IN ('0','1')
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC) AS rn
+      FROM changelog WHERE version <= 2
+    )
+    SELECT o_orderkey, o_orderstatus, price_cents, version
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    ORDER BY o_orderkey"""
