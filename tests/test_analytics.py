@@ -1097,3 +1097,23 @@ def test_time_travel_consistency(ray_session):
             # un-deleted keys agree between head and as-of reads
             assert now.loc[k, "version"] == asof.loc[k, "version"]
             assert now.loc[k, "price_cents"] == asof.loc[k, "price_cents"]
+
+
+# --------------------------------------------------------------------- q138
+
+def test_join_cardinality_bounds(ray_session):
+    from warc_ray.pipelines.analytics import join_cardinality
+
+    t = join_cardinality(SF).to_pandas().iloc[0]
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey"]).to_pandas()
+    vc = li.l_partkey.value_counts()
+    assert t.n_keys == len(vc)
+    assert t.exact_join_size == int((vc.astype("int64") ** 2).sum())
+    # CMS inner product never under-estimates a self-join size
+    assert t.cms_estimate >= t.exact_join_size
+    assert t.err_ppm >= 0
+    # error bound: E[excess] <= F1^2 / W per row; min over D rows
+    # stays within a loose 10x of that at this scale
+    f1 = len(li)
+    assert t.cms_estimate - t.exact_join_size <= 10 * f1 * f1 // 8192 + 1

@@ -4710,3 +4710,98 @@ TIME_TRAVEL_SQL = """
     SELECT o_orderkey, o_orderstatus, price_cents, version
     FROM ranked WHERE rn = 1 AND op <> 'D'
     ORDER BY o_orderkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q138: join-cardinality estimation (CMS inner product vs exact)
+# ---------------------------------------------------------------------------
+
+def join_cardinality(sf_dir: str):
+    """q138: optimizer cardinality estimation — the self-equi-join size
+    |lineitem ⋈ lineitem on l_partkey| = Σ_k n(k)² (the F2 frequency
+    moment) two ways: EXACT via one key exchange, and ESTIMATED from
+    the q49 count-min sketch's inner product with itself (min over
+    rows of Σ_b cell² — the AMS-style join-size estimator planners use
+    when the key stream is too large to shuffle).  The report carries
+    both plus the signed error ppm, which is what makes an estimator
+    auditable.
+
+    Scale shape: the sketch path ships ONE 256 KiB cell block per
+    input block (linearity: cms(ΣS) = Σ cms(S)) and folds driver-side
+    (q19/q49 pattern); the exact path shuffles per-block (key, count)
+    partials — keys, never rows.  Both numbers are deterministic, so
+    the SQL twin (same md5-chunk cells in HUGEINT) is value-exact."""
+    from ..stages.sketch import CMS_D, CMS_W, cms_partial, md5_chunks_u32
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["l_partkey"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        chunks = md5_chunks_u32([str(int(x)) for x in u])
+        cells = cms_partial(chunks, c.astype(np.float64))
+        # one dense cell blob rides the batch's first row; the (key, c)
+        # partials fill the rest
+        blob = [cells.tobytes()] + [None] * (len(u) - 1)
+        return pa.table({
+            "key": pa.array(u.astype(np.int64)),
+            "c": pa.array(c.astype(np.int64)),
+            "cells": pa.array(blob, type=pa.binary()),
+        })
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_partkey"]) \
+        .map_batches(partial, batch_format="pyarrow").materialize()
+
+    # sketch fold: one dense cell block per input block, driver stream
+    sketch = np.zeros((CMS_D, CMS_W), np.int64)
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for v in b["cells"]:
+            if v.is_valid:
+                sketch += np.frombuffer(v.as_py(),
+                                        dtype=np.int64).reshape(CMS_D,
+                                                                CMS_W)
+
+    # exact Σ n(k)²: one key exchange over (key, count) partials
+    agg = ds.select_columns(["key", "c"]) \
+        .groupby("key").aggregate(Sum("c", alias_name="c"))
+    n_keys, exact = 0, 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        c = b["c"].to_numpy()
+        n_keys += len(c)
+        exact += int((c.astype(object) ** 2).sum())
+
+    est = min(int((row.astype(object) ** 2).sum()) for row in sketch)
+    err_ppm = (est - exact) * 1_000_000 // exact if exact else None
+    return pa.table({
+        "n_keys": pa.array([n_keys], type=INT64),
+        "exact_join_size": pa.array([exact], type=INT64),
+        "cms_estimate": pa.array([est], type=INT64),
+        "err_ppm": pa.array([err_ppm], type=INT64),
+    })
+
+
+JOIN_CARDINALITY_SQL = """
+    WITH k AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS key,
+             CAST(COUNT(*) AS HUGEINT) AS c
+      FROM lineitem GROUP BY 1
+    ), rs AS (SELECT * FROM (VALUES (0),(1),(2),(3)) t(r)),
+    hb AS (
+      SELECT key, r,
+             list_sum(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef',
+                    substr(md5(key), CAST(8*r + i AS INTEGER), 1))
+                    - 1 AS HUGEINT) << (4 * (8 - i)))) AS hv
+      FROM k CROSS JOIN rs
+    ),
+    cells AS (
+      SELECT hb.r, hb.hv % 8192 AS b, SUM(k.c) AS tot
+      FROM hb JOIN k USING (key) GROUP BY 1, 2
+    ),
+    f2 AS (SELECT r, SUM(tot * tot) AS s FROM cells GROUP BY r),
+    ex AS (SELECT SUM(c * c) AS x, CAST(COUNT(*) AS BIGINT) AS nk FROM k)
+    SELECT ex.nk AS n_keys,
+           CAST(ex.x AS BIGINT) AS exact_join_size,
+           CAST((SELECT MIN(s) FROM f2) AS BIGINT) AS cms_estimate,
+           CAST(((SELECT MIN(s) FROM f2) - ex.x) * 1000000 // ex.x
+                AS BIGINT) AS err_ppm
+    FROM ex"""
