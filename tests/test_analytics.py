@@ -1117,3 +1117,44 @@ def test_join_cardinality_bounds(ray_session):
     # stays within a loose 10x of that at this scale
     f1 = len(li)
     assert t.cms_estimate - t.exact_join_size <= 10 * f1 * f1 // 8192 + 1
+
+
+# ------------------------------------------------------- partition laws
+
+def test_scd2_partition_invariance(ray_session):
+    from warc_ray.pipelines.analytics import scd2_user_state
+
+    a = scd2_user_state(SF, npart=4).to_pandas()
+    b = scd2_user_state(SF, npart=32).to_pandas()
+    key = ["user_id", "valid_from_us"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_triangle_partition_invariance(ray_session, tmp_path):
+    from warc_ray.pipelines.analytics import triangle_count
+
+    rng = np.random.RandomState(11)
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    rows = {"doc_id": [], "spans": [], "bucket": []}
+    for s in range(40):
+        dsts = rng.choice(40, size=rng.randint(0, 6), replace=False)
+        rows["doc_id"].append(f"doc-{s}")
+        rows["spans"].append([
+            {"kind": "link", "text": "t",
+             "media_ref": f"http://h.example/doc/{d}", "offset": i}
+            for i, d in enumerate(dsts)])
+        rows["bucket"].append(0)
+    t = pa.table({"doc_id": pa.array(rows["doc_id"]),
+                  "spans": pa.array(rows["spans"], type=pa.list_(span_t)),
+                  "bucket": pa.array(rows["bucket"], type=pa.int32())})
+    import pyarrow.parquet as pqw
+    d = tmp_path / "docs"
+    d.mkdir()
+    pqw.write_table(t, str(d / "part-0.parquet"))
+
+    a = triangle_count(str(d), nparts=2).to_pandas()
+    b = triangle_count(str(d), nparts=16).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
