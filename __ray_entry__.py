@@ -703,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q136_equidepth_histogram": an.equidepth_histogram,
         "q137_time_travel": an.time_travel_orders,
         "q138_join_cardinality": an.join_cardinality,
+        "q139_zorder_range": an.zorder_range_scan,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1021,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "q136_equidepth_histogram": _an.EQUIDEPTH_SQL,
         "q137_time_travel": _an.TIME_TRAVEL_SQL,
         "q138_join_cardinality": _an.JOIN_CARDINALITY_SQL,
+        "q139_zorder_range": _an.ZORDER_RANGE_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

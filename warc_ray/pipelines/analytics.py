@@ -4805,3 +4805,138 @@ JOIN_CARDINALITY_SQL = """
            CAST(((SELECT MIN(s) FROM f2) - ex.x) * 1000000 // ex.x
                 AS BIGINT) AS err_ppm
     FROM ex"""
+
+
+# ---------------------------------------------------------------------------
+# Q139: Z-order clustered layout + 2-D range-pruned scan
+# ---------------------------------------------------------------------------
+
+_EPOCH_DAY0 = 19723           # 2024-01-01, the corpus event epoch
+
+
+def _interleave16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton-interleave two uint16 arrays into uint32 z-values
+    (bit i of a → bit 2i, bit i of b → bit 2i+1), vectorized."""
+    z = np.zeros(len(a), np.uint32)
+    for i in range(16):
+        z |= ((a >> np.uint32(i)) & np.uint32(1)) << np.uint32(2 * i)
+        z |= ((b >> np.uint32(i)) & np.uint32(1)) << np.uint32(2 * i + 1)
+    return z
+
+
+def zorder_range_scan(sf_dir: str, day_lo: int = 19728,
+                      day_hi: int = 19732, user_lo: int = 3,
+                      user_hi: int = 9):
+    """q139: 2-D range query (day × user band) against a Z-ORDER
+    clustered copy of the event table — the multi-dimensional layout
+    (Delta OPTIMIZE ZORDER BY) that makes row-group min/max stats
+    prune BOTH dimensions at once, where a single-column sort prunes
+    only its own.  Complements q101 (bucketed layout), q116 (secondary
+    index) and q125 (clustered join) as the 4th storage-layout op.
+
+    Build (cached, DONE-stamped): day and user interleave bit-by-bit
+    into a Morton z-value, rows sort by z, parquet lands in small row
+    groups so each holds a z-contiguous square-ish tile.  Query: the
+    driver reads ONLY footer metadata, keeps row groups whose per-
+    column [min,max] intersect the box (correct for ANY layout;
+    z-order is what makes the kept set small on both dims), tasks fan
+    out per kept row group, and the exact in-group filter + integer
+    partials aggregate as usual.  Value-exact vs the plain SQL filter
+    — pruning changes bytes read, never results."""
+    import pyarrow.parquet as _pq2
+
+    lay_dir = os.path.join(
+        "/tmp/warc_ray_bench",
+        f"events_zorder-{os.path.basename(sf_dir.rstrip('/'))}")
+    lay = os.path.join(lay_dir, "events.parquet")
+    done = lay_dir + ".DONE"
+    if not os.path.exists(done):
+        import shutil
+        shutil.rmtree(lay_dir, ignore_errors=True)
+        os.makedirs(lay_dir, exist_ok=True)
+        t = _pq2.read_table(_pq(sf_dir, "events"),
+                            columns=["user_id", "ts", "event_type",
+                                     "value"])
+        us = pc.cast(t["ts"], INT64).to_numpy()
+        day = (us // 86_400_000_000).astype(np.int64)
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        z = _interleave16((day - _EPOCH_DAY0).astype(np.uint16),
+                          user.astype(np.uint16))
+        t = t.append_column("day", pa.array(day)) \
+            .append_column("z", pa.array(z.astype(np.int64)))
+        # test-scale single-node build; at real scale this is
+        # ds.sort("z").write_parquet with the same row-group size
+        _pq2.write_table(
+            t.take(pa.array(np.argsort(z, kind="stable"))), lay,
+            row_group_size=2048)
+        open(done, "w").write("ok")
+
+    pf = _pq2.ParquetFile(lay)
+    meta = pf.metadata
+    names = {meta.schema.column(i).name: i
+             for i in range(meta.num_columns)}
+    keep = []
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        d = g.column(names["day"]).statistics
+        u = g.column(names["user_id"]).statistics
+        if d.min <= day_hi and d.max >= day_lo \
+                and u.min <= user_hi and u.max >= user_lo:
+            keep.append(rg)
+
+    def read_groups(b: pa.Table) -> pa.Table:
+        f = _pq2.ParquetFile(lay)
+        parts = []
+        for rg in b["rg"].to_pylist():
+            t = f.read_row_group(rg, columns=["user_id", "day",
+                                              "event_type", "value"])
+            m = pc.and_(
+                pc.and_(pc.greater_equal(t["day"], day_lo),
+                        pc.less_equal(t["day"], day_hi)),
+                pc.and_(pc.greater_equal(t["user_id"], user_lo),
+                        pc.less_equal(t["user_id"], user_hi)))
+            t = t.filter(m)
+            milli = pc.cast(pc.floor(pc.multiply(
+                t["value"], 1000.0)), INT64)
+            parts.append(pa.table({"event_type": t["event_type"],
+                                   "milli": milli})
+                         .group_by("event_type")
+                         .aggregate([("milli", "count"),
+                                     ("milli", "sum")])
+                         .rename_columns(["event_type", "n", "s"]))
+        return pa.concat_tables(parts) if parts else pa.table(
+            {"event_type": pa.array([], type=pa.string()),
+             "n": pa.array([], type=INT64),
+             "s": pa.array([], type=INT64)})
+
+    empty = pa.table({"event_type": pa.array([], type=pa.string()),
+                      "n": pa.array([], type=INT64),
+                      "s": pa.array([], type=INT64)})
+    if keep:
+        agg = rd.from_items([{"rg": r} for r in keep]) \
+            .map_batches(read_groups, batch_format="pyarrow",
+                         batch_size=4) \
+            .groupby("event_type").aggregate(Sum("n", alias_name="n"),
+                                             Sum("s", alias_name="s"))
+        t = pa.concat_tables(
+            list(agg.iter_batches(batch_format="pyarrow")) or [empty])
+    else:
+        t = empty
+    out = pa.table({
+        "event_type": t["event_type"],
+        "n": pc.cast(t["n"], INT64),
+        "sum_milli": pc.cast(t["s"], INT64),
+    }).sort_by("event_type")
+    # pruning effectiveness is observable (not part of the oracle rows)
+    zorder_range_scan.last_pruning = (len(keep), meta.num_row_groups)
+    return out
+
+
+ZORDER_RANGE_SQL = """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_milli
+    FROM events
+    WHERE epoch_us(ts) // 86400000000 BETWEEN 19728 AND 19732
+      AND user_id BETWEEN 3 AND 9
+    GROUP BY event_type ORDER BY event_type"""
