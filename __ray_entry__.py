@@ -704,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q137_time_travel": an.time_travel_orders,
         "q138_join_cardinality": an.join_cardinality,
         "q139_zorder_range": an.zorder_range_scan,
+        "q140_private_count": an.private_purchase_count,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1023,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "q137_time_travel": _an.TIME_TRAVEL_SQL,
         "q138_join_cardinality": _an.JOIN_CARDINALITY_SQL,
         "q139_zorder_range": _an.ZORDER_RANGE_SQL,
+        "q140_private_count": _an.PRIVATE_COUNT_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

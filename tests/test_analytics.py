@@ -1184,3 +1184,28 @@ def test_zorder_range_parity_and_pruning(ray_session):
     zorder_range_scan("/root/testdata/sf0.01")
     kept, total = zorder_range_scan.last_pruning
     assert total > 1 and kept < total
+
+
+# --------------------------------------------------------------------- q140
+
+def test_private_count_debiasing(ray_session):
+    from warc_ray.pipelines.analytics import private_purchase_count
+    import hashlib
+
+    t = private_purchase_count(SF).to_pandas().iloc[0]
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type"]).to_pandas()
+    true_n = int((ev.event_type == "purchase").sum())
+    assert t.n == len(ev) and t.true_n == true_n
+    # reconstruct the reports with the same md5 coins
+    obs = 0
+    for eid, ty in zip(ev.event_id, ev.event_type):
+        truth = ty == "purchase"
+        coin = hashlib.md5(str(eid).encode()).hexdigest()[0] <= "b"
+        obs += int(truth if coin else not truth)
+    assert t.observed == obs
+    assert t.estimate == (4 * obs - len(ev)) / 2.0
+    assert t.err == t.estimate - true_n
+    # debiasing is plausible: error within 5 binomial sigmas
+    sigma = np.sqrt(len(ev) * 0.25 * 0.75) / 0.5
+    assert abs(t.err) <= 5 * sigma

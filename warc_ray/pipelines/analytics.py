@@ -4251,10 +4251,29 @@ def lineitem_profile(sf_dir: str):
 
     from ray.data.aggregate import Count
 
-    # pass 1: min/max/null fold (tiny driver reduce)
+    def fused_partial(b: pa.Table) -> pa.Table:
+        """ONE scan emits both partial kinds (stats rows carry a null
+        vkey; distinct rows carry nulls in the stat columns) so the
+        table is read once, not twice."""
+        st = stats_partial(b)
+        st = st.append_column("vkey", pa.nulls(st.num_rows, pa.string()))
+        di = distinct_partial(b)
+        for name, typ in (("n", INT64), ("n_null", INT64),
+                          ("min_num", pa.float64()),
+                          ("max_num", pa.float64()),
+                          ("min_str", pa.string()),
+                          ("max_str", pa.string())):
+            di = di.append_column(name, pa.nulls(di.num_rows, typ))
+        return pa.concat_tables([st, di.select(st.column_names)])
+
+    partials = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols) \
+        .map_batches(fused_partial, batch_format="pyarrow").materialize()
+
+    # stats fold (tiny driver reduce over the null-vkey rows)
     st = pa.concat_tables(
-        rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols)
-        .map_batches(stats_partial, batch_format="pyarrow")
+        partials.map_batches(
+            lambda b: b.filter(pc.is_null(b["vkey"]))
+            .drop_columns(["vkey"]), batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")).to_pandas()
     folded = {}
     for name, g in st.groupby("col_name"):
@@ -4270,9 +4289,10 @@ def lineitem_profile(sf_dir: str):
                         else g.max_str.dropna().max()),
         }
 
-    # pass 2: exact distinct via the value exchange
-    dist = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols) \
-        .map_batches(distinct_partial, batch_format="pyarrow") \
+    # exact distinct via the value exchange over the vkey rows
+    dist = partials.map_batches(
+        lambda b: b.filter(pc.is_valid(b["vkey"]))
+        .select(["col_name", "vkey"]), batch_format="pyarrow") \
         .groupby(["col_name", "vkey"]).aggregate(
             Count(alias_name="c")) \
         .groupby("col_name").aggregate(Count(alias_name="n_distinct"))
@@ -4940,3 +4960,73 @@ ZORDER_RANGE_SQL = """
     WHERE epoch_us(ts) // 86400000000 BETWEEN 19728 AND 19732
       AND user_id BETWEEN 3 AND 9
     GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q140: randomized-response private counts (local differential privacy)
+# ---------------------------------------------------------------------------
+
+def private_purchase_count(sf_dir: str, truth_hex: str = "b"):
+    """q140: the purchase count estimated from RANDOMIZED-RESPONSE
+    reports — each event reports its true "is a purchase" bit with
+    probability p = 3/4 and the flipped bit otherwise, and the
+    aggregate debiases with T̂ = (O − (1−p)·N)/(2p−1): the classic
+    local-DP collection loop a compliance-bound telemetry pipeline
+    runs, where the engine must aggregate reports it cannot trust
+    individually.
+
+    The coin is an md5 hex digit per event id (`0-b` = truth, 3/4),
+    so both engines toss IDENTICAL coins and the whole report —
+    observed count, debiased estimate, true count, signed error —
+    is value-exact.  Scale shape: stateless scan, integer partials,
+    one global fold; the estimate is ONE final double expression
+    ((4·O − N)/2 exact in ints, halved)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_pylist()
+        truth = pc.equal(b["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        coin = np.array([h[0] <= truth_hex for h in
+                         _md5_hex([str(i) for i in ids])])
+        report = np.where(coin, truth, ~truth)
+        return pa.table({
+            "n": pa.array([len(ids)], type=INT64),
+            "observed": pa.array([int(report.sum())], type=INT64),
+            "true_n": pa.array([int(truth.sum())], type=INT64),
+        })
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .sum(["n", "observed", "true_n"])
+    n, obs, tru = (int(agg[f"sum({c})"]) for c in
+                   ("n", "observed", "true_n"))
+    est = float(4 * obs - n) / 2.0           # (O − N/4) / (1/2), exact
+    return pa.table({
+        "n": pa.array([n], type=INT64),
+        "observed": pa.array([obs], type=INT64),
+        "estimate": pa.array([est], type=pa.float64()),
+        "true_n": pa.array([tru], type=INT64),
+        "err": pa.array([est - float(tru)], type=pa.float64()),
+    })
+
+
+PRIVATE_COUNT_SQL = """
+    WITH r AS (
+      SELECT CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+                       <= 'b'
+                  THEN CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END
+                  ELSE CASE WHEN event_type = 'purchase' THEN 0 ELSE 1
+                       END
+             END AS report,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t
+      FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(report) AS BIGINT) AS observed,
+           CAST(4 * SUM(report) - COUNT(*) AS DOUBLE) / 2.0 AS estimate,
+           CAST(SUM(t) AS BIGINT) AS true_n,
+           CAST(4 * SUM(report) - COUNT(*) AS DOUBLE) / 2.0
+             - CAST(SUM(t) AS DOUBLE) AS err
+    FROM r"""
