@@ -4110,14 +4110,10 @@ def embedding_covariance(sf_dir: str):
     Python ints (q109 discipline)."""
 
     def partial(b: pa.Table) -> pa.Table:
-        arr = b["embedding"]
-        flat = arr.combine_chunks() if isinstance(
-            arr, pa.ChunkedArray) else arr
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.chunk(0)
-        d = len(flat[0])
-        x = np.asarray(flat.values.to_numpy(zero_copy_only=False),
-                       dtype=np.float64).reshape(-1, d)
+        from ..stages.similarity import _matrix
+
+        x = _matrix(b)                 # offset-safe (n, d) float64
+        d = x.shape[1]
         xm = np.floor(x * 1000.0).astype(np.int64)
         gram = xm.T @ xm                          # (d, d) int64, exact
         sx = xm.sum(axis=0)                       # (d,) int64
