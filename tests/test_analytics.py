@@ -1209,3 +1209,69 @@ def test_private_count_debiasing(ray_session):
     # debiasing is plausible: error within 5 binomial sigmas
     sigma = np.sqrt(len(ev) * 0.25 * 0.75) / 0.5
     assert abs(t.err) <= 5 * sigma
+
+
+# ------------------------------------------------------- property tests
+
+def test_interleave16_injective_and_monotone():
+    from warc_ray.pipelines.analytics import _interleave16
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(st.tuples(st.integers(0, 2**16 - 1),
+                              st.integers(0, 2**16 - 1)),
+                    min_size=1, max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def prop(pairs):
+        a = np.array([p[0] for p in pairs], np.uint16)
+        b = np.array([p[1] for p in pairs], np.uint16)
+        z = _interleave16(a, b)
+        # injective: distinct (a,b) -> distinct z
+        assert len(set(zip(a.tolist(), b.tolist()))) == \
+            len(set(z.tolist()))
+        # monotone in each dim with the other fixed
+        za = _interleave16(a, np.zeros_like(b))
+        order = np.argsort(a, kind="stable")
+        assert (np.diff(za[order].astype(np.int64))
+                [np.diff(a[order].astype(np.int64)) > 0] > 0).all()
+
+    prop()
+
+
+def test_local_skyline_matches_bruteforce_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # re-derive the module's vectorized local skyline via a tiny call
+    def vect(cents, size):
+        import warc_ray.pipelines.analytics as an
+        NEG = np.iinfo(np.int64).min
+        n = len(cents)
+        order = np.lexsort((-size, cents))
+        c, s = cents[order], size[order]
+        new_seg = np.concatenate(([True], c[1:] != c[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        seg_start = np.flatnonzero(new_seg)
+        runmax = np.maximum.accumulate(s)
+        prev_end = seg_start[seg_id] - 1
+        prev_max = np.where(prev_end >= 0, runmax[np.maximum(prev_end, 0)],
+                            NEG)
+        seg_max = s[seg_start][seg_id]
+        keep_sorted = (s == seg_max) & (s > prev_max)
+        keep = np.zeros(n, dtype=bool)
+        keep[order] = keep_sorted
+        return keep
+
+    @given(st.lists(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                    min_size=1, max_size=60))
+    @settings(max_examples=80, deadline=None)
+    def prop(pts):
+        c = np.array([p[0] for p in pts], np.int64)
+        s = np.array([p[1] for p in pts], np.int64)
+        got = vect(c, s)
+        for i in range(len(pts)):
+            dom = ((c <= c[i]) & (s >= s[i])
+                   & ((c < c[i]) | (s > s[i]))).any()
+            assert got[i] == (not dom)
+
+    prop()

@@ -4833,6 +4833,8 @@ _EPOCH_DAY0 = 19723           # 2024-01-01, the corpus event epoch
 def _interleave16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Morton-interleave two uint16 arrays into uint32 z-values
     (bit i of a → bit 2i, bit i of b → bit 2i+1), vectorized."""
+    a = a.astype(np.uint32)            # uint16 shifts would drop bit 8+
+    b = b.astype(np.uint32)
     z = np.zeros(len(a), np.uint32)
     for i in range(16):
         z |= ((a >> np.uint32(i)) & np.uint32(1)) << np.uint32(2 * i)
@@ -4863,7 +4865,7 @@ def zorder_range_scan(sf_dir: str, day_lo: int = 19728,
 
     lay_dir = os.path.join(
         "/tmp/warc_ray_bench",
-        f"events_zorder-{os.path.basename(sf_dir.rstrip('/'))}")
+        f"events_zorder2-{os.path.basename(sf_dir.rstrip('/'))}")
     lay = os.path.join(lay_dir, "events.parquet")
     done = lay_dir + ".DONE"
     if not os.path.exists(done):
