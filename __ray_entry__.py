@@ -705,6 +705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q138_join_cardinality": an.join_cardinality,
         "q139_zorder_range": an.zorder_range_scan,
         "q140_private_count": an.private_purchase_count,
+        "q141_big_spenders": an.big_spenders,
+        "q142_replica_repair": an.replica_repair,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1025,6 +1027,8 @@ def oracle_sql() -> dict[str, str]:
         "q138_join_cardinality": _an.JOIN_CARDINALITY_SQL,
         "q139_zorder_range": _an.ZORDER_RANGE_SQL,
         "q140_private_count": _an.PRIVATE_COUNT_SQL,
+        "q141_big_spenders": _an.BIG_SPENDERS_SQL,
+        "q142_replica_repair": _an.REPLICA_REPAIR_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

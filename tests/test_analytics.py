@@ -1275,3 +1275,59 @@ def test_local_skyline_matches_bruteforce_property():
             assert got[i] == (not dom)
 
     prop()
+
+
+# --------------------------------------------------------------------- q141
+
+def test_big_spenders_reference(ray_session):
+    from warc_ray.pipelines.analytics import big_spenders
+
+    t = big_spenders(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]) \
+        .to_pandas()
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    orders["cents"] = (orders.o_totalprice * 100).round().astype("int64")
+    spend = orders.groupby("o_custkey").cents.sum()
+    cust["total"] = cust.c_custkey.map(spend).fillna(0).astype("int64")
+    keep = []
+    for n_, g in cust.groupby("c_nationkey"):
+        s, n = g.total.sum(), len(g)
+        keep.extend(g[g.total * n > 2 * s].c_custkey)
+    assert sorted(t.c_custkey) == sorted(keep)
+    assert len(t) > 0
+
+
+# --------------------------------------------------------------------- q142
+
+def test_replica_repair_majority(ray_session):
+    from warc_ray.pipelines.analytics import replica_repair
+    import hashlib
+
+    t = replica_repair(SF).to_pandas().iloc[0]
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey"]).to_pandas()
+    bad = {r: 0 for r in range(3)}
+    all_diff = 0
+    for k in orders.o_orderkey:
+        vals = []
+        for r in range(3):
+            flag = hashlib.md5(
+                f"{int(k)}:{r}".encode()).hexdigest()[0] in "01"
+            vals.append((r + 1) * 777 if flag else 0)  # offset only
+        a, b, c = vals
+        if a == b or a == c:
+            rep = a
+        elif b == c:
+            rep = b
+        else:
+            rep = min(vals)
+        if a != b and b != c and a != c:
+            all_diff += 1
+        for r in range(3):
+            bad[r] += int(vals[r] != rep)
+    assert t.n_keys == len(orders)
+    for r in range(3):
+        assert t[f"bad_r{r}"] == bad[r]
+    assert t.n_all_diff == all_diff

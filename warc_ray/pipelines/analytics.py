@@ -5028,3 +5028,199 @@ PRIVATE_COUNT_SQL = """
            CAST(4 * SUM(report) - COUNT(*) AS DOUBLE) / 2.0
              - CAST(SUM(t) AS DOUBLE) AS err
     FROM r"""
+
+
+# ---------------------------------------------------------------------------
+# Q141: nested decorrelated aggregate-of-aggregate (big spenders)
+# ---------------------------------------------------------------------------
+
+def big_spenders(sf_dir: str):
+    """q141: customers whose lifetime order total strictly exceeds
+    TWICE the average lifetime total of their nation's customers — the
+    two-level correlated subquery (an aggregate over an aggregate,
+    correlated on a dimension attribute) that q126's one-level
+    decorrelation doesn't cover.
+
+    Decorrelation: (1) per-customer totals — ONE key exchange of
+    integer partials; (2) nation roll-up of those totals — tiny
+    (customers → nations) driver fold, because level-2 aggregates over
+    level-1 results are already reduced; (3) the filter re-reads only
+    the level-1 table with a broadcast nation dict, predicate as the
+    integer cross-multiply ``spend·n_nation > 2·Σ_nation`` — no float
+    average exists in either engine.  Customers with no orders count
+    into their nation's average with total 0 (LEFT semantics), exactly
+    as the SQL twin does."""
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], 100.0)), INT64)
+        t = pa.table({"c": b["o_custkey"], "cents": cents})
+        return t.group_by("c").aggregate([("cents", "sum")]) \
+            .rename_columns(["c", "cents"])
+
+    per_cust = rd.read_parquet(_pq(sf_dir, "orders"),
+                               columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(order_partial, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("cents", alias_name="cents"))
+    pc_t = pa.concat_tables(per_cust.iter_batches(batch_format="pyarrow"))
+    spend = dict(zip((int(x) for x in pc_t["c"].to_pylist()),
+                     (int(x) for x in pc_t["cents"].to_pylist())))
+
+    cust = pa.concat_tables(
+        rd.read_parquet(_pq(sf_dir, "customer"),
+                        columns=["c_custkey", "c_name", "c_nationkey"])
+        .iter_batches(batch_format="pyarrow"))
+    ck = [int(x) for x in cust["c_custkey"].to_pylist()]
+    nk = [int(x) for x in cust["c_nationkey"].to_pylist()]
+    names = cust["c_name"].to_pylist()
+    # level 2: nation Σ and n over the (already tiny) level-1 totals,
+    # zero-spend customers included
+    nat_sum: dict = {}
+    nat_n: dict = {}
+    for c_, n_ in zip(ck, nk):
+        nat_sum[n_] = nat_sum.get(n_, 0) + spend.get(c_, 0)
+        nat_n[n_] = nat_n.get(n_, 0) + 1
+    rows = [(c_, nm, n_, spend.get(c_, 0)) for c_, nm, n_ in
+            zip(ck, names, nk)
+            if spend.get(c_, 0) * nat_n[n_] > 2 * nat_sum[n_]]
+    rows.sort()
+    return pa.table({
+        "c_custkey": pa.array([r[0] for r in rows], type=INT64),
+        "c_name": pa.array([r[1] for r in rows], type=pa.string()),
+        "c_nationkey": pa.array([r[2] for r in rows], type=INT64),
+        "total": pa.array([float(r[3]) / 100.0 for r in rows],
+                          type=pa.float64()),
+    })
+
+
+BIG_SPENDERS_SQL = """
+    WITH t AS (
+      SELECT c.c_custkey, c.c_name, c.c_nationkey,
+             COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                      0) AS cents
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2, 3
+    ), nat AS (
+      SELECT c_nationkey, SUM(cents) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1
+    )
+    SELECT t.c_custkey, t.c_name, CAST(t.c_nationkey AS BIGINT)
+             AS c_nationkey,
+           CAST(t.cents AS DOUBLE) / 100.0 AS total
+    FROM t JOIN nat USING (c_nationkey)
+    WHERE t.cents * nat.n > 2 * nat.s
+    ORDER BY t.c_custkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q142: three-replica majority repair (consistency reconciliation)
+# ---------------------------------------------------------------------------
+
+def replica_repair(sf_dir: str, npart: int = 32):
+    """q142: reconcile three replicas of the orders table by per-key
+    MAJORITY VOTE — the anti-entropy repair loop a replicated store
+    runs (read-repair / Merkle sync's row-level endgame).  Each replica
+    r corrupts a key's price iff ``md5(key:r)`` opens with ``0|1``
+    (~1/8, independent per replica), adding a replica-distinct offset
+    so two corrupt replicas never agree; repair takes the value two
+    replicas share, else (all three distinct — ≥2 corrupt) the
+    deterministic MIN fallback.
+
+    Distributed shape: the three replica streams derive inside ONE
+    scan (in production: three unions), one key exchange co-locates a
+    key's 3 rows, and each bucket resolves with a reshape + vectorized
+    3-way compare — no per-key Python.  The summary (key count,
+    per-replica deviation counts, unresolvable count) is value-exact
+    vs the 3-CTE SQL twin tossing identical coins."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], 100.0)), INT64).to_numpy()
+        ks, rs, vs = [], [], []
+        for r in range(3):
+            bad = np.array([h[0] in "01" for h in _md5_hex(
+                [f"{int(k)}:{r}" for k in keys])])
+            ks.append(keys)
+            rs.append(np.full(len(keys), r, np.int64))
+            vs.append(cents + np.where(bad, (r + 1) * 777, 0))
+        k = np.concatenate(ks)
+        t = pa.table({
+            "k": pa.array(k.astype(np.int64)),
+            "r": pa.array(np.concatenate(rs)),
+            "v": pa.array(np.concatenate(vs).astype(np.int64)),
+            "part": pa.array((k % npart).astype(np.int32)),
+        })
+        return t
+
+    def bucket(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy()
+        r = g["r"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((r, k))
+        k, v = k[order], v[order]
+        a, b_, c = v[0::3], v[1::3], v[2::3]     # exactly 3 rows/key
+        rep = np.where((a == b_) | (a == c), a,
+                       np.where(b_ == c, b_,
+                                np.minimum(np.minimum(a, b_), c)))
+        all_diff = (a != b_) & (b_ != c) & (a != c)
+        return pa.table({
+            "n_keys": pa.array([len(rep)], type=INT64),
+            "bad_r0": pa.array([int((a != rep).sum())], type=INT64),
+            "bad_r1": pa.array([int((b_ != rep).sum())], type=INT64),
+            "bad_r2": pa.array([int((c != rep).sum())], type=INT64),
+            "n_all_diff": pa.array([int(all_diff.sum())], type=INT64),
+        })
+
+    agg = rd.read_parquet(_pq(sf_dir, "orders"),
+                          columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .sum(["n_keys", "bad_r0", "bad_r1", "bad_r2", "n_all_diff"])
+    return pa.table({
+        "n_keys": pa.array([int(agg["sum(n_keys)"])], type=INT64),
+        "bad_r0": pa.array([int(agg["sum(bad_r0)"])], type=INT64),
+        "bad_r1": pa.array([int(agg["sum(bad_r1)"])], type=INT64),
+        "bad_r2": pa.array([int(agg["sum(bad_r2)"])], type=INT64),
+        "n_all_diff": pa.array([int(agg["sum(n_all_diff)"])],
+                               type=INT64),
+    })
+
+
+REPLICA_REPAIR_SQL = """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), j AS (
+      SELECT k,
+             cents + CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':0'),
+                                      1, 1) IN ('0','1')
+                          THEN 777 ELSE 0 END AS a,
+             cents + CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':1'),
+                                      1, 1) IN ('0','1')
+                          THEN 1554 ELSE 0 END AS b,
+             cents + CASE WHEN substr(md5(CAST(k AS VARCHAR) || ':2'),
+                                      1, 1) IN ('0','1')
+                          THEN 2331 ELSE 0 END AS c
+      FROM base
+    ), rep AS (
+      SELECT k, a, b, c,
+             CASE WHEN a = b OR a = c THEN a
+                  WHEN b = c THEN b
+                  ELSE LEAST(a, b, c) END AS r
+      FROM j
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN a <> r THEN 1 ELSE 0 END) AS BIGINT)
+             AS bad_r0,
+           CAST(SUM(CASE WHEN b <> r THEN 1 ELSE 0 END) AS BIGINT)
+             AS bad_r1,
+           CAST(SUM(CASE WHEN c <> r THEN 1 ELSE 0 END) AS BIGINT)
+             AS bad_r2,
+           CAST(SUM(CASE WHEN a <> b AND b <> c AND a <> c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_all_diff
+    FROM rep"""
