@@ -1331,3 +1331,25 @@ def test_replica_repair_majority(ray_session):
     for r in range(3):
         assert t[f"bad_r{r}"] == bad[r]
     assert t.n_all_diff == all_diff
+
+
+# --------------------------------------------------------------------- q143
+
+def test_revenue_rollup_geo_levels(ray_session):
+    from warc_ray.pipelines.analytics import revenue_rollup_geo
+
+    t = revenue_rollup_geo(SF).to_pandas()
+    leaf = t[(t.r_name != "ALL") & (t.n_name != "ALL")]
+    subs = t[(t.r_name != "ALL") & (t.n_name == "ALL")].set_index("r_name")
+    grand = t[(t.r_name == "ALL")]
+    assert len(grand) == 1
+    # every region subtotal equals the sum of its leaves
+    for r, g in leaf.groupby("r_name"):
+        assert abs(subs.loc[r, "total"] - g.total.sum()) < 1e-6
+        assert subs.loc[r, "n_orders"] == g.n_orders.sum()
+    # the grand total equals the sum of region subtotals
+    assert abs(grand.total.iloc[0] - subs.total.sum()) < 1e-6
+    assert grand.n_orders.iloc[0] == subs.n_orders.sum()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey"]).num_rows
+    assert grand.n_orders.iloc[0] == orders

@@ -5224,3 +5224,106 @@ REPLICA_REPAIR_SQL = """
            CAST(SUM(CASE WHEN a <> b AND b <> c AND a <> c
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_all_diff
     FROM rep"""
+
+
+# ---------------------------------------------------------------------------
+# Q143: snowflake hierarchy ROLLUP (region → nation subtotals)
+# ---------------------------------------------------------------------------
+
+def revenue_rollup_geo(sf_dir: str):
+    """q143: order revenue ROLLUP over the snowflake geography
+    hierarchy customer→nation→region — q66's subtotal discipline
+    applied across a DIMENSION CHAIN rather than one table's columns:
+    the (region, nation) leaf level is the only thing that ever
+    shuffles (tiny), every coarser level (region subtotal, grand
+    total) derives from those partials driver-side, and the two
+    dimension hops are broadcast dicts (q02's join strategy — nation
+    and region are catalog-sized at any corpus scale).
+
+    NULL subtotal keys coalesce to 'ALL' for engine-independent
+    ordering, exactly as q66/q69 do."""
+    import pyarrow.parquet as _pq2
+
+    cust = _pq2.read_table(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    nation = _pq2.read_table(_pq(sf_dir, "nation"))
+    region = _pq2.read_table(_pq(sf_dir, "region"))
+    c2n = dict(zip(cust["c_custkey"].to_pylist(),
+                   cust["c_nationkey"].to_pylist()))
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    import ray as _ray
+    maps_ref = _ray.put((c2n, n2name, n2r, r2name))
+
+    class Leaf:
+        def __init__(self):
+            self.c2n, self.n2name, self.n2r, self.r2name = \
+                _ray.get(maps_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keys = b["o_custkey"].to_pylist()
+            cents = pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), INT64)
+            nk = [self.c2n[k] for k in keys]
+            t = pa.table({
+                "r_name": pa.array(
+                    [self.r2name[self.n2r[n]] for n in nk],
+                    type=pa.string()),
+                "n_name": pa.array([self.n2name[n] for n in nk],
+                                   type=pa.string()),
+                "cents": cents,
+            })
+            return t.group_by(["r_name", "n_name"]).aggregate(
+                [("cents", "sum"), ("cents", "count")]) \
+                .rename_columns(["r_name", "n_name", "cents", "n"])
+
+    leaf = rd.read_parquet(_pq(sf_dir, "orders"),
+                           columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(Leaf, batch_format="pyarrow",
+                     concurrency=(1, 2)) \
+        .groupby(["r_name", "n_name"]).aggregate(
+            Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+    t = pa.concat_tables(leaf.iter_batches(batch_format="pyarrow"))
+    rows = []
+    for i in range(t.num_rows):
+        rows.append((t["r_name"][i].as_py(), t["n_name"][i].as_py(),
+                     int(t["cents"][i].as_py()), int(t["n"][i].as_py())))
+    # derive coarser levels from the leaf partials (q66 discipline)
+    agg_r: dict = {}
+    for r, _, c, n in rows:
+        s = agg_r.setdefault(r, [0, 0])
+        s[0] += c
+        s[1] += n
+    out = [(r, n_, c, cnt) for r, n_, c, cnt in rows]
+    out += [(r, "ALL", s[0], s[1]) for r, s in agg_r.items()]
+    out += [("ALL", "ALL", sum(s[0] for s in agg_r.values()),
+             sum(s[1] for s in agg_r.values()))]
+    out.sort()
+    return pa.table({
+        "r_name": pa.array([o[0] for o in out], type=pa.string()),
+        "n_name": pa.array([o[1] for o in out], type=pa.string()),
+        "total": pa.array([float(o[2]) / 100.0 for o in out],
+                          type=pa.float64()),
+        "n_orders": pa.array([o[3] for o in out], type=INT64),
+    })
+
+
+REVENUE_ROLLUP_GEO_SQL = """
+    WITH leaf AS (
+      SELECT r.r_name, n.n_name,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    SELECT COALESCE(r_name, 'ALL') AS r_name,
+           COALESCE(n_name, 'ALL') AS n_name,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM leaf GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name, n_name"""
