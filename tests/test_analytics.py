@@ -1353,3 +1353,49 @@ def test_revenue_rollup_geo_levels(ray_session):
     orders = pq.read_table(f"{SF}/orders.parquet",
                            columns=["o_orderkey"]).num_rows
     assert grand.n_orders.iloc[0] == orders
+
+
+# --------------------------------------------------------------------- q144
+
+def test_max_concurrent_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import max_concurrent_sessions
+
+    t = max_concurrent_sessions(SF).to_pandas().set_index("day")
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["us"] = ev.ts.astype("int64")
+    gap = 30 * 60_000_000
+    ivs = []
+    for _, g in ev.sort_values(["user_id", "us"]).groupby("user_id"):
+        us = g.us.to_numpy()
+        start = us[0]
+        prev = us[0]
+        for x in us[1:]:
+            if x - prev > gap:
+                ivs.append((start, prev))
+                start = x
+            prev = x
+        ivs.append((start, prev))
+    DAY = 86_400_000_000
+    pts = []
+    for s, e in ivs:
+        pts.append((s, 1))
+        pts.append((e + 1, -1))
+        for d in range(int(s // DAY) + 1, int((e + 1) // DAY) + 1):
+            pts.append((d * DAY, 0))
+    # group by us then prefix
+    from collections import defaultdict
+    net = defaultdict(int)
+    for us_, n_ in pts:
+        net[us_] += n_
+    run = 0
+    best = {}
+    for us_ in sorted(net):
+        run += net[us_]
+        d = int(us_ // DAY)
+        best[d] = max(best.get(d, 0), run)
+    for d, m in best.items():
+        iso = str(np.datetime64(d * 86_400, "s"))[:10]
+        assert t.loc[iso, "max_concurrent"] == m
+    assert len(t) == len(best)
+    assert (t.max_concurrent >= 1).any()

@@ -5327,3 +5327,105 @@ REVENUE_ROLLUP_GEO_SQL = """
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM leaf GROUP BY ROLLUP (r_name, n_name)
     ORDER BY r_name, n_name"""
+
+
+# ---------------------------------------------------------------------------
+# Q144: sweep-line max concurrency (interval algebra)
+# ---------------------------------------------------------------------------
+
+def max_concurrent_sessions(sf_dir: str, gap_minutes: int = 30):
+    """q144: the maximum number of SIMULTANEOUSLY active sessions per
+    day — capacity planning's load-envelope question, i.e. a sweep-line
+    over the q08 session intervals (inclusive [start, end]).
+
+    Sweep encoding kills the tie rules: +1 at start, −1 at end+1µs
+    makes inclusive overlap a pure prefix sum; zero-delta PROBE points
+    at every day boundary fold the carry-in (sessions spanning
+    midnight) into the same per-day max.  Distributed shape: q08's
+    bucket fabric emits per-session (start,end) rows, deltas reduce to
+    a distinct-timestamp net histogram via one groupby — the driver
+    folds the TIMES-sized histogram (2·sessions points; at extreme
+    scale the q111 two-phase block-prefix replaces this fold, same
+    semantics)."""
+    from .relational import sessionize
+
+    sess = sessionize(sf_dir, gap_minutes=gap_minutes)
+
+    DAY = 86_400_000_000
+
+    def deltas(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["start_ts"], INT64).to_numpy()
+        e = pc.cast(b["end_ts"], INT64).to_numpy()
+        # zero-delta probes at every midnight an interval crosses —
+        # the carry-in points; a day nothing crosses carries zero
+        sd, ed = s // DAY, (e + 1) // DAY
+        nb = (ed - sd).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), nb)
+        within = np.arange(int(nb.sum())) - np.repeat(
+            np.concatenate(([0], np.cumsum(nb)[:-1])), nb)
+        probes = (sd[idx] + 1 + within) * DAY
+        us = np.concatenate((s, e + 1, probes))
+        net = np.concatenate((np.ones(len(s), np.int64),
+                              np.full(len(e), -1, np.int64),
+                              np.zeros(len(probes), np.int64)))
+        t = pa.table({"us": pa.array(us), "net": pa.array(net)})
+        return t.group_by("us").aggregate([("net", "sum")]) \
+            .rename_columns(["us", "net"])
+
+    agg = sess.map_batches(deltas, batch_format="pyarrow") \
+        .groupby("us").aggregate(Sum("net", alias_name="net"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    us = t["us"].to_numpy()
+    net = t["net"].to_numpy()
+    order = np.argsort(us, kind="stable")
+    us_u, net_u = us[order], net[order]
+    run = np.cumsum(net_u)
+    day = us_u // DAY
+    rows = {}
+    for d_, r_ in zip(day, run):
+        rows[int(d_)] = max(rows.get(int(d_), 0), int(r_))
+    days = sorted(rows)
+    iso = [str(np.datetime64(d_ * 86_400, "s"))[:10] for d_ in days]
+    return pa.table({
+        "day": pa.array(iso, type=pa.string()),
+        "max_concurrent": pa.array([rows[d_] for d_ in days],
+                                   type=INT64),
+    })
+
+
+MAX_CONCURRENT_SQL = """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+             ts FROM e
+    ), iv AS (
+      SELECT epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+      FROM s GROUP BY user_id, session_id
+    ), pts AS (
+      SELECT s_us AS us, 1 AS net FROM iv
+      UNION ALL SELECT e_us + 1, -1 FROM iv
+      UNION ALL
+      SELECT unnest(generate_series(s_us // 86400000000 + 1,
+                                    (e_us + 1) // 86400000000))
+               * 86400000000, 0
+      FROM iv
+      WHERE (e_us + 1) // 86400000000 > s_us // 86400000000
+    ), g AS (
+      SELECT us, SUM(net) AS net FROM pts GROUP BY us
+    ), r AS (
+      SELECT us, SUM(net) OVER (ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS run
+      FROM g
+    )
+    SELECT strftime(CAST(to_timestamp((us // 86400000000) * 86400)
+                         AS TIMESTAMP), '%Y-%m-%d') AS day,
+           CAST(MAX(run) AS BIGINT) AS max_concurrent
+    FROM r GROUP BY us // 86400000000 ORDER BY day"""
