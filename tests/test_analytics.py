@@ -1399,3 +1399,50 @@ def test_max_concurrent_bruteforce(ray_session):
         assert t.loc[iso, "max_concurrent"] == m
     assert len(t) == len(best)
     assert (t.max_concurrent >= 1).any()
+
+
+# --------------------------------------------------------------------- q145
+
+def test_weighted_median_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import weighted_median_price
+
+    t = weighted_median_price(SF).to_pandas().set_index("l_returnflag")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_extendedprice",
+                                "l_quantity"]).to_pandas()
+    li["cents"] = (li.l_extendedprice * 100).round().astype("int64")
+    li["w"] = li.l_quantity.round().astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        g = g.sort_values("cents")
+        cum = g.w.cumsum()
+        total = int(g.w.sum())
+        med = int(g.cents[2 * cum >= total].iloc[0])
+        assert t.loc[flag, "wmedian_cents"] == med
+        assert t.loc[flag, "total_qty"] == total
+        # the weighted median carries at least half the weight below+at
+        assert int(g[g.cents <= med].w.sum()) * 2 >= total
+
+
+# --------------------------------------------------------------------- q146
+
+def test_drift_psi_laws(ray_session):
+    from warc_ray.pipelines.analytics import drift_psi
+    import math
+
+    t = drift_psi(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    assert t.n_before.sum() + t.n_after.sum() == len(ev)
+    # PSI total is the fixed-order sum of the terms
+    assert t.psi_total.iloc[0] == sum(t.term.tolist())
+    assert (t.psi_total == t.psi_total.iloc[0]).all()
+    # identical halves would give PSI 0; a same-process split stays low
+    assert 0 <= t.psi_total.iloc[0] < 0.25
+    # smoothing: every term finite
+    assert np.isfinite(t.term).all()
+    # identity check of one term
+    r = t.iloc[0]
+    t0, t1 = t.n_before.sum(), t.n_after.sum()
+    p = (2 * r.n_before + 1) / (2 * t0 + 10)
+    q = (2 * r.n_after + 1) / (2 * t1 + 10)
+    assert abs(r.term - (p - q) * math.log(p / q)) < 1e-15

@@ -5429,3 +5429,198 @@ MAX_CONCURRENT_SQL = """
                          AS TIMESTAMP), '%Y-%m-%d') AS day,
            CAST(MAX(run) AS BIGINT) AS max_concurrent
     FROM r GROUP BY us // 86400000000 ORDER BY day"""
+
+
+# ---------------------------------------------------------------------------
+# Q145: exact weighted median (weighted order statistic)
+# ---------------------------------------------------------------------------
+
+def weighted_median_price(sf_dir: str):
+    """q145: per returnflag the QUANTITY-WEIGHTED lower median of the
+    extended price — the weighted order statistic ("the price at which
+    half the shipped units are cheaper") that plain percentiles can't
+    express and no engine ships as a builtin.
+
+    Rides the q15 histogram fabric with WEIGHTS: the exchange carries
+    distinct (flag, cents) → Σquantity partials, and the per-flag pass
+    picks the smallest value whose cumulative weight reaches half the
+    total — evaluated in integer arithmetic (2·cum ≥ W, no float
+    half), so it bit-matches the SQL window twin."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), INT64)
+        qty = pc.cast(pc.round(b["l_quantity"]), INT64)
+        t = pa.table({"flag": b["l_returnflag"], "cents": cents,
+                      "w": qty})
+        return t.group_by(["flag", "cents"]).aggregate([("w", "sum")]) \
+            .rename_columns(["flag", "cents", "w"])
+
+    def combine(g: pa.Table) -> pa.Table:
+        c = g["cents"].to_numpy()
+        w = g["w"].to_numpy()
+        order = np.argsort(c)
+        c, w = c[order], w[order]
+        new = np.concatenate(([True], c[1:] != c[:-1]))
+        seg = np.cumsum(new) - 1
+        c_u = c[new]
+        w_u = np.zeros(len(c_u), np.int64)
+        np.add.at(w_u, seg, w)
+        cum = np.cumsum(w_u)
+        total = int(cum[-1])
+        pos = int(np.searchsorted(2 * cum, total, side="left"))
+        return pa.table({
+            "l_returnflag": pa.array([g["flag"][0].as_py()]),
+            "total_qty": pa.array([total], type=INT64),
+            "wmedian_cents": pa.array([int(c_u[pos])], type=INT64),
+        })
+
+    return rd.read_parquet(_pq(sf_dir, "lineitem"),
+                           columns=["l_returnflag", "l_extendedprice",
+                                    "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("flag").map_groups(combine, batch_format="pyarrow") \
+        .sort("l_returnflag")
+
+
+WEIGHTED_MEDIAN_SQL = """
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ), h AS (
+      SELECT flag, cents, SUM(w) AS w FROM m GROUP BY 1, 2
+    ), c AS (
+      SELECT flag, cents,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS total
+      FROM h
+    )
+    SELECT flag AS l_returnflag,
+           CAST(MAX(total) AS BIGINT) AS total_qty,
+           CAST(MIN(CASE WHEN 2 * cum >= total THEN cents END)
+                AS BIGINT) AS wmedian_cents
+    FROM c GROUP BY flag ORDER BY flag"""
+
+
+# ---------------------------------------------------------------------------
+# Q146: distribution-drift report (PSI between event-stream halves)
+# ---------------------------------------------------------------------------
+
+def drift_psi(sf_dir: str, split_day: int = 19738, nbins: int = 10):
+    """q146: Population Stability Index of the event ``value``
+    distribution between the first and second half of the stream — the
+    drift monitor every production feature pipeline runs before
+    retraining.  Bins are FIXED equal-width milli-ranges over the
+    observed min/max (fixed bins make the report reproducible across
+    engines; equi-depth bins would need a quantile pre-pass — q136).
+
+    Exactness: per-(half, bin) counts are integer partials; p/q ppm
+    and each bin's PSI term are per-row double expressions over exact
+    ints; the TOTAL folds in fixed bin order via ``list_sum(list(term
+    ORDER BY bin))`` on the SQL side and the identical left-to-right
+    Python fold here — double addition isn't associative, so the fold
+    order is pinned.  Zero bins take the standard +0.5-count smoothing
+    (in exact half-count units: ppm uses 2n+1 / 2N+nbins)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        milli = pc.cast(pc.floor(pc.multiply(b["value"], 1000.0)), INT64)
+        day = pc.divide(pc.cast(b["ts"], INT64),
+                        np.int64(86_400_000_000))
+        half = pc.cast(pc.greater_equal(day, split_day), INT64)
+        t = pa.table({"half": half, "milli": milli})
+        return t.group_by(["half", "milli"]).aggregate(
+            [("milli", "count")]) \
+            .rename_columns(["half", "milli", "n"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["half", "milli"]).aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    half = t["half"].to_numpy()
+    milli = t["milli"].to_numpy()
+    n = t["n"].to_numpy()
+    lo, hi = int(milli.min()), int(milli.max())
+    width = (hi - lo) // nbins + 1                 # integer bin width
+    bins = np.minimum((milli - lo) // width, nbins - 1).astype(np.int64)
+    cnt = np.zeros((2, nbins), dtype=object)
+    for h_, b_, n_ in zip(half, bins, n):
+        cnt[int(h_), int(b_)] += int(n_)
+    tot = [int(sum(cnt[0])), int(sum(cnt[1]))]
+    import math
+    rows = {"bin": [], "lo_milli": [], "hi_milli": [], "n_before": [],
+            "n_after": [], "term": []}
+    terms = []
+    for b_ in range(nbins):
+        p = (2 * int(cnt[0][b_]) + 1) / float(2 * tot[0] + nbins)
+        q = (2 * int(cnt[1][b_]) + 1) / float(2 * tot[1] + nbins)
+        term = (p - q) * math.log(p / q)
+        rows["bin"].append(b_)
+        rows["lo_milli"].append(lo + b_ * width)
+        rows["hi_milli"].append(lo + (b_ + 1) * width - 1)
+        rows["n_before"].append(int(cnt[0][b_]))
+        rows["n_after"].append(int(cnt[1][b_]))
+        rows["term"].append(term)
+        terms.append(term)
+    psi = 0.0
+    for x in terms:                                # fixed fold order
+        psi += x
+    out = pa.table({
+        "bin": pa.array(rows["bin"], type=INT64),
+        "lo_milli": pa.array(rows["lo_milli"], type=INT64),
+        "hi_milli": pa.array(rows["hi_milli"], type=INT64),
+        "n_before": pa.array(rows["n_before"], type=INT64),
+        "n_after": pa.array(rows["n_after"], type=INT64),
+        "term": pa.array(rows["term"], type=pa.float64()),
+        "psi_total": pa.array([psi] * nbins, type=pa.float64()),
+    })
+    return out
+
+
+DRIFT_PSI_SQL = """
+    WITH m AS (
+      SELECT CAST(floor(value * 1000) AS BIGINT) AS milli,
+             CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+                  THEN 1 ELSE 0 END AS half
+      FROM events
+    ), ext AS (
+      SELECT MIN(milli) AS lo,
+             (MAX(milli) - MIN(milli)) // 10 + 1 AS width
+      FROM m
+    ), binned AS (
+      SELECT half,
+             LEAST((milli - ext.lo) // ext.width, 9) AS bin
+      FROM m, ext
+    ), c AS (
+      SELECT bin,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT SUM(n0) AS t0, SUM(n1) AS t1 FROM c
+    ), grid AS (
+      SELECT g.bin, COALESCE(c.n0, 0) AS n0, COALESCE(c.n1, 0) AS n1
+      FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+      LEFT JOIN c ON c.bin = g.bin
+    ), terms AS (
+      SELECT grid.bin,
+             CAST(grid.n0 AS BIGINT) AS n_before,
+             CAST(grid.n1 AS BIGINT) AS n_after,
+             ((2.0 * grid.n0 + 1) / (2.0 * tot.t0 + 10)
+              - (2.0 * grid.n1 + 1) / (2.0 * tot.t1 + 10))
+             * ln(((2.0 * grid.n0 + 1) / (2.0 * tot.t0 + 10))
+                  / ((2.0 * grid.n1 + 1) / (2.0 * tot.t1 + 10)))
+               AS term
+      FROM grid, tot
+    )
+    SELECT CAST(t.bin AS BIGINT) AS bin,
+           CAST(ext.lo + t.bin * ext.width AS BIGINT) AS lo_milli,
+           CAST(ext.lo + (t.bin + 1) * ext.width - 1 AS BIGINT)
+             AS hi_milli,
+           t.n_before, t.n_after, t.term,
+           (SELECT list_sum(list(term ORDER BY bin)) FROM terms)
+             AS psi_total
+    FROM terms t, ext ORDER BY bin"""
