@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Sum
 
 from ..stages.exchange import with_part
 
@@ -5624,3 +5624,97 @@ DRIFT_PSI_SQL = """
            (SELECT list_sum(list(term ORDER BY bin)) FROM terms)
              AS psi_total
     FROM terms t, ext ORDER BY bin"""
+
+
+# ---------------------------------------------------------------------------
+# Q147: A/B experiment readout (deterministic assignment + z-statistic)
+# ---------------------------------------------------------------------------
+
+def ab_experiment(sf_dir: str):
+    """q147: the experimentation readout — users hash-assigned to
+    control/treatment (md5 first hex < '8', the standard sticky
+    bucketing), per-arm users and converters (≥1 purchase), conversion
+    rates, lift, and the pooled two-proportion z-statistic.  The
+    readout every product experiment pipeline computes; deterministic
+    assignment makes it reproducible across engines.
+
+    Scale shape: per-(user) conversion folds through ONE user exchange
+    (distinct-user partials, never events); the per-arm counts are a
+    4-integer report and every rate/z is a final double expression
+    over exact ints in pinned order."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        conv = pc.equal(b["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"user_id": pa.array(u), "conv": pa.array(conv)})
+        return t.group_by("user_id").aggregate([("conv", "max")]) \
+            .rename_columns(["user_id", "conv"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Max("conv", alias_name="conv"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    users = t["user_id"].to_pylist()
+    conv = t["conv"].to_numpy()
+    arm = np.array([_md5_hex([str(int(u))])[0][0] < "8"
+                    for u in users])             # True = treatment
+    n_c, n_t = int((~arm).sum()), int(arm.sum())
+    x_c = int(conv[~arm].sum())
+    x_t = int(conv[arm].sum())
+    # IEEE semantics to match DuckDB's double division: 0/0 -> NaN
+    # (e.g. every user converts -> pooled variance 0 -> z_stat NaN).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p_c = float(np.float64(x_c) / np.float64(n_c))
+        p_t = float(np.float64(x_t) / np.float64(n_t))
+        pool = float(np.float64(x_c + x_t) / np.float64(n_c + n_t))
+        z = float((np.float64(p_t) - np.float64(p_c))
+                  / np.sqrt(np.float64(pool) * (1.0 - pool)
+                            * (1.0 / np.float64(n_c)
+                               + 1.0 / np.float64(n_t))))
+    return pa.table({
+        "n_control": pa.array([n_c], type=INT64),
+        "n_treatment": pa.array([n_t], type=INT64),
+        "conv_control": pa.array([x_c], type=INT64),
+        "conv_treatment": pa.array([x_t], type=INT64),
+        "rate_control": pa.array([p_c], type=pa.float64()),
+        "rate_treatment": pa.array([p_t], type=pa.float64()),
+        "lift": pa.array([p_t - p_c], type=pa.float64()),
+        "z_stat": pa.array([z], type=pa.float64()),
+    })
+
+
+AB_EXPERIMENT_SQL = """
+    WITH u AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS arm
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                  AS BIGINT) AS x_c,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                  AS BIGINT) AS x_t
+      FROM u
+    )
+    SELECT n_c AS n_control, n_t AS n_treatment,
+           x_c AS conv_control, x_t AS conv_treatment,
+           CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS rate_control,
+           CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS rate_treatment,
+           CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+             - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS lift,
+           (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+            - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+           / sqrt((CAST(x_c + x_t AS DOUBLE) / CAST(n_c + n_t AS DOUBLE))
+                  * (1.0 - CAST(x_c + x_t AS DOUBLE)
+                           / CAST(n_c + n_t AS DOUBLE))
+                  * (1.0 / n_c + 1.0 / n_t)) AS z_stat
+    FROM s"""
