@@ -712,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q145_weighted_median": an.weighted_median_price,
         "q146_drift_psi": an.drift_psi,
         "q147_ab_experiment": an.ab_experiment,
+        "q148_basket_pairs": an.basket_pairs,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1039,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
         "q145_weighted_median": _an.WEIGHTED_MEDIAN_SQL,
         "q146_drift_psi": _an.DRIFT_PSI_SQL,
         "q147_ab_experiment": _an.AB_EXPERIMENT_SQL,
+        "q148_basket_pairs": _an.BASKET_PAIRS_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -5718,3 +5718,141 @@ AB_EXPERIMENT_SQL = """
                            / CAST(n_c + n_t AS DOUBLE))
                   * (1.0 / n_c + 1.0 / n_t)) AS z_stat
     FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# Q148: market-basket frequent pairs (association mining with lift)
+# ---------------------------------------------------------------------------
+
+def basket_pairs(sf_dir: str, k: int = 50, npart: int = 16):
+    """q148: the top-``k`` co-ordered part pairs — support (orders
+    containing both parts), each part's own support, and the exact
+    integer lift (``n_pair·n_orders·1e6 // (n_a·n_b)`` ppm) — the
+    association-mining readout (Apriori's frequent-2-itemset stage)
+    every recommendations pipeline starts from.
+
+    Scale shape: two bounded exchanges.  (1) per-batch DISTINCT
+    (order, part) rows hash-exchange on the ORDER so each basket is
+    whole in one bucket; pair generation there is vectorized (sorted
+    offsets + shift-``j`` equality masks, j ≤ basket width — TPC-H
+    baskets are ≤ 7 items) and pre-counted per bucket, alongside
+    per-part support partials and the bucket's basket count (union
+    schema, kind-tagged, the q133 fuse trick).  (2) partials exchange
+    on the PAIR key; each pair resolves whole in one bucket, so
+    bucket top-``k`` is a superset of the global top-``k`` and the
+    driver merges ≤ k·npart tiny rows.  Shuffle volume is distinct
+    (order, part) then per-bucket pair partials — never raw lineitem."""
+
+    def op_distinct(b: pa.Table) -> pa.Table:
+        t = pa.table({"o": b["l_orderkey"], "p": b["l_partkey"]})
+        t = t.group_by(["o", "p"]).aggregate([])
+        return with_part(t, "o", npart)
+
+    def baskets(g: pa.Table) -> pa.Table:
+        o = g["o"].to_numpy(zero_copy_only=False)
+        p = g["p"].to_numpy(zero_copy_only=False)
+        # cross-batch duplicates of (o, p) resolve here (basket-local)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        dup = np.zeros(len(o), dtype=bool)
+        dup[1:] = (o[1:] == o[:-1]) & (p[1:] == p[:-1])
+        o, p = o[~dup], p[~dup]
+        pa_l, pb_l = [], []
+        jmax = 1
+        n = len(o)
+        while True:
+            if jmax >= n:
+                break
+            same = o[:-jmax] == o[jmax:]
+            if not same.any():
+                break
+            pa_l.append(p[:-jmax][same])
+            pb_l.append(p[jmax:][same])
+            jmax += 1
+        if pa_l:
+            A = np.concatenate(pa_l)
+            B = np.concatenate(pb_l)
+        else:
+            A = B = np.empty(0, dtype=np.int64)
+        # sorted within basket => A < B always
+        pairs = pa.table({"pa": pa.array(A, type=INT64),
+                          "pb": pa.array(B, type=INT64)})
+        pairs = pairs.group_by(["pa", "pb"]).aggregate([("pa", "count")]) \
+            .rename_columns(["pa", "pb", "n"])
+        supp = pa.table({"pa": pa.array(p, type=INT64)}) \
+            .group_by("pa").aggregate([("pa", "count")]) \
+            .rename_columns(["pa", "n"])
+        n_orders = int(len(np.unique(o)))
+        out = pa.table({
+            "kind": pa.array([0] * pairs.num_rows + [1] * supp.num_rows
+                             + [2], type=pa.int32()),
+            "pa": pa.concat_arrays([pairs["pa"].combine_chunks(),
+                                    supp["pa"].combine_chunks(),
+                                    pa.array([-1], type=INT64)]),
+            "pb": pa.concat_arrays([pairs["pb"].combine_chunks(),
+                                    pa.array([-1] * supp.num_rows, type=INT64),
+                                    pa.array([-1], type=INT64)]),
+            "n": pa.concat_arrays([pc.cast(pairs["n"], INT64).combine_chunks(),
+                                   pc.cast(supp["n"], INT64).combine_chunks(),
+                                   pa.array([n_orders], type=INT64)]),
+        })
+        h = (out["pa"].to_numpy(zero_copy_only=False) * np.int64(1_000_003)
+             + out["pb"].to_numpy(zero_copy_only=False))
+        return out.append_column(
+            "part2", pa.array((h % npart).astype(np.int32)))
+
+    def pair_totals(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part2"]).combine_chunks()
+        t = t.group_by(["kind", "pa", "pb"]).aggregate([("n", "sum")]) \
+            .rename_columns(["kind", "pa", "pb", "n"])
+        m = pc.equal(t["kind"], 0)
+        pairs, rest = t.filter(m), t.filter(pc.invert(m))
+        pairs = pairs.take(pc.sort_indices(pairs, sort_keys=[
+            ("n", "descending"), ("pa", "ascending"),
+            ("pb", "ascending")])).slice(0, k)
+        return pa.concat_tables([pairs, rest])
+
+    parts = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(op_distinct, batch_format="pyarrow") \
+        .groupby("part").map_groups(baskets, batch_format="pyarrow") \
+        .groupby("part2").map_groups(pair_totals, batch_format="pyarrow")
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    A = t["pa"].to_numpy(zero_copy_only=False)
+    B = t["pb"].to_numpy(zero_copy_only=False)
+    N = t["n"].to_numpy(zero_copy_only=False)
+    n_orders = int(N[kind == 2].sum())
+    supp = dict(zip(A[kind == 1].tolist(), N[kind == 1].tolist()))
+    pm = kind == 0
+    rows = sorted(zip((-N[pm]).tolist(), A[pm].tolist(), B[pm].tolist()))[:k]
+    p1 = np.array([r[1] for r in rows], dtype=np.int64)
+    p2 = np.array([r[2] for r in rows], dtype=np.int64)
+    n_pair = np.array([-r[0] for r in rows], dtype=np.int64)
+    n_a = np.array([supp[int(x)] for x in p1], dtype=np.int64)
+    n_b = np.array([supp[int(x)] for x in p2], dtype=np.int64)
+    lift = n_pair * np.int64(n_orders) * np.int64(1_000_000) // (n_a * n_b)
+    return pa.table({
+        "p1": pa.array(p1), "p2": pa.array(p2),
+        "n_pair": pa.array(n_pair),
+        "n_a": pa.array(n_a), "n_b": pa.array(n_b),
+        "lift_ppm": pa.array(lift),
+    })
+
+
+BASKET_PAIRS_SQL = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    pr AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_pair
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    ps AS (SELECT p, COUNT(*) AS n FROM op GROUP BY p),
+    tot AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op)
+    SELECT pr.p1, pr.p2, CAST(pr.n_pair AS BIGINT) AS n_pair,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(pr.n_pair * tot.n_orders * 1000000
+                // (sa.n * sb.n) AS BIGINT) AS lift_ppm
+    FROM pr JOIN ps sa ON sa.p = pr.p1 JOIN ps sb ON sb.p = pr.p2, tot
+    ORDER BY n_pair DESC, p1, p2 LIMIT 50"""
