@@ -5856,3 +5856,136 @@ BASKET_PAIRS_SQL = """
                 // (sa.n * sb.n) AS BIGINT) AS lift_ppm
     FROM pr JOIN ps sa ON sa.p = pr.p1 JOIN ps sb ON sb.p = pr.p2, tot
     ORDER BY n_pair DESC, p1, p2 LIMIT 50"""
+
+
+# ---------------------------------------------------------------------------
+# Q149: grid-bucketed spatial radius self-join
+# ---------------------------------------------------------------------------
+
+def spatial_radius_join(sf_dir: str, npart: int = 16):
+    """q149: all customer pairs within radius R on a synthetic integer
+    plane — coordinates are md5-derived (first/second 8 hex digits of
+    the custkey digest, mod 1e6, so both engines place IDENTICAL
+    points), R = 10_000_000 // n_customers keeps the expected pair
+    count density-invariant across scale factors.  The geospatial
+    radius join (geofencing, store-overlap, contact-graph) expressed
+    with the standard uniform-grid pruning.
+
+    Scale shape: cell size = R, so matching pairs live in the same or
+    an adjacent cell; each point is exchanged once as OWNER of its
+    cell plus four GHOST copies to the forward half-plane neighbors
+    ((+1,0),(-1,+1),(0,+1),(+1,+1)) — every adjacent cell pair is
+    examined in exactly one bucket, so no pair dedup pass is needed.
+    In-bucket pairing is fully vectorized: same-cell owner pairs via
+    the sorted shift-j mask, owner×ghost via searchsorted range
+    expansion; the distance test is exact int64 (dx²+dy² ≤ R²).
+    Shuffle volume is 5 rows per point — never a cross join."""
+    import duckdb
+
+    n_cust = duckdb.sql(
+        "SELECT COUNT(*) FROM read_parquet('%s')"
+        % _pq(sf_dir, "customer")).fetchone()[0]
+    R = 10_000_000 // int(n_cust)
+    C = np.int64(4_000_003)
+    FWD = [(1, 0), (-1, 1), (0, 1), (1, 1)]
+
+    def scatter(b: pa.Table) -> pa.Table:
+        ids = b["c_custkey"].to_numpy(zero_copy_only=False)
+        hx = _md5_hex([str(int(i)) for i in ids])
+        x = np.array([int(h[:8], 16) % 1_000_000 for h in hx],
+                     dtype=np.int64)
+        y = np.array([int(h[8:16], 16) % 1_000_000 for h in hx],
+                     dtype=np.int64)
+        cx, cy = x // R, y // R
+        cells = [cx * C + cy]
+        flags = [np.zeros(len(ids), dtype=np.int8)]
+        for dx, dy in FWD:
+            cells.append((cx + dx) * C + (cy + dy))
+            flags.append(np.ones(len(ids), dtype=np.int8))
+        ck = np.concatenate(cells)
+        t = pa.table({
+            "cell": pa.array(ck),
+            "ghost": pa.array(np.concatenate(flags)),
+            "id": pa.array(np.tile(ids, 5)),
+            "x": pa.array(np.tile(x, 5)),
+            "y": pa.array(np.tile(y, 5)),
+        })
+        return t.append_column(
+            "part", pa.array((ck % npart).astype(np.int32)))
+
+    def pair_cells(g: pa.Table) -> pa.Table:
+        cell = g["cell"].to_numpy(zero_copy_only=False)
+        ghost = g["ghost"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        x = g["x"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        om = ghost == 0
+        oc, oi, ox, oy = cell[om], ids[om], x[om], y[om]
+        o_ord = np.lexsort((oi, oc))
+        oc, oi, ox, oy = oc[o_ord], oi[o_ord], ox[o_ord], oy[o_ord]
+        A_l, B_l, D_l = [], [], []
+
+        def keep(ia, ib, xa, ya, xb, yb):
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            m = d2 <= R * R
+            lo = np.minimum(ia[m], ib[m])
+            hi = np.maximum(ia[m], ib[m])
+            A_l.append(lo); B_l.append(hi); D_l.append(d2[m])
+
+        j, n = 1, len(oc)
+        while j < n:
+            same = oc[:-j] == oc[j:]
+            if not same.any():
+                break
+            keep(oi[:-j][same], oi[j:][same], ox[:-j][same],
+                 oy[:-j][same], ox[j:][same], oy[j:][same])
+            j += 1
+        gm = ~om
+        gc, gi, gx, gy = cell[gm], ids[gm], x[gm], y[gm]
+        lo = np.searchsorted(oc, gc, side="left")
+        hi = np.searchsorted(oc, gc, side="right")
+        cnt = hi - lo
+        gsel = np.repeat(np.arange(len(gc)), cnt)
+        osel = np.repeat(lo, cnt) + (np.arange(int(cnt.sum()))
+                                     - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        keep(gi[gsel], oi[osel], gx[gsel], gy[gsel], ox[osel], oy[osel])
+        if A_l:
+            A = np.concatenate(A_l); B = np.concatenate(B_l)
+            D = np.concatenate(D_l)
+        else:
+            A = B = D = np.empty(0, dtype=np.int64)
+        return pa.table({"c1": pa.array(A, type=INT64),
+                         "c2": pa.array(B, type=INT64),
+                         "dist2": pa.array(D, type=INT64)})
+
+    pairs = rd.read_parquet(_pq(sf_dir, "customer"),
+                            columns=["c_custkey"]) \
+        .map_batches(scatter, batch_format="pyarrow") \
+        .groupby("part").map_groups(pair_cells, batch_format="pyarrow")
+    t = pa.concat_tables(pairs.iter_batches(batch_format="pyarrow"))
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("c1", "ascending"), ("c2", "ascending")]))
+
+
+_HEX8 = ("list_sum(list_transform(range(1, 9), "
+         "i -> CAST(strpos('0123456789abcdef', "
+         "substr({h}, CAST(i{off} AS INTEGER), 1)) - 1 AS BIGINT) "
+         "<< (4 * (8 - i))))")
+
+SPATIAL_JOIN_SQL = f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_HEX8.format(h="md5(CAST(c_custkey AS VARCHAR))", off="")}
+               % 1000000 AS x,
+             {_HEX8.format(h="md5(CAST(c_custkey AS VARCHAR))", off=" + 8")}
+               % 1000000 AS y
+      FROM customer
+    ), r AS (SELECT 10000000 // COUNT(*) AS R FROM customer)
+    SELECT a.id AS c1, b.id AS c2,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             AS dist2
+    FROM pts a, pts b, r
+    WHERE a.id < b.id
+      AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= r.R * r.R
+    ORDER BY c1, c2"""
