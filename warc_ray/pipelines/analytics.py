@@ -5989,3 +5989,60 @@ SPATIAL_JOIN_SQL = f"""
       AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
             <= r.R * r.R
     ORDER BY c1, c2"""
+
+
+# ---------------------------------------------------------------------------
+# Q150: customer order-count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+def custdist(sf_dir: str):
+    """q150: the distribution of per-customer order counts including
+    the zero bin — TPC-H Q13's LEFT JOIN + double aggregation, the
+    canonical "how engaged is the customer base" histogram.
+
+    Scale shape: orders fold to per-customer counts through ONE
+    custkey exchange of integer partials; each bucket then reduces its
+    customers to (c_count, n) histogram partials, so the driver merge
+    is O(distinct counts · buckets) tiny rows.  The LEFT semantics
+    (customers with no orders) need no join at all: the zero bin is
+    ``n_customers − Σ custdist``, one extra metadata-count scan."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"c": b["o_custkey"]}) \
+            .group_by("c").aggregate([("c", "count")]) \
+            .rename_columns(["c", "n"])
+
+    def hist(b: pa.Table) -> pa.Table:
+        return pa.table({"c_count": b["n"]}) \
+            .group_by("c_count").aggregate([("c_count", "count")]) \
+            .rename_columns(["c_count", "custdist"])
+
+    per_cust = rd.read_parquet(_pq(sf_dir, "orders"),
+                               columns=["o_custkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("c").aggregate(Sum("n", alias_name="n")) \
+        .map_batches(hist, batch_format="pyarrow")
+    t = pa.concat_tables(per_cust.iter_batches(batch_format="pyarrow"))
+    t = t.group_by("c_count").aggregate([("custdist", "sum")]) \
+        .rename_columns(["c_count", "custdist"])
+    import duckdb
+    n_cust = duckdb.sql("SELECT COUNT(*) FROM read_parquet('%s')"
+                        % _pq(sf_dir, "customer")).fetchone()[0]
+    zero = int(n_cust) - int(pc.sum(t["custdist"]).as_py())
+    if zero > 0:
+        t = pa.concat_tables([t, pa.table(
+            {"c_count": pa.array([0], type=t["c_count"].type),
+             "custdist": pa.array([zero], type=t["custdist"].type)})])
+    t = pa.table({"c_count": pc.cast(t["c_count"], INT64),
+                  "custdist": pc.cast(t["custdist"], INT64)})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("custdist", "descending"), ("c_count", "descending")]))
+
+
+CUSTDIST_SQL = """
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY 1)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
