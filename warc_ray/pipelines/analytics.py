@@ -6046,3 +6046,153 @@ CUSTDIST_SQL = """
           FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
           GROUP BY 1)
     GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+
+# ---------------------------------------------------------------------------
+# Q151: multinomial naive Bayes (train + classify + confusion matrix)
+# ---------------------------------------------------------------------------
+
+NB_TERMS = ["join", "sort", "table", "stream", "vector", "batch"]
+NB_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def naive_bayes(sf_dir: str):
+    """q151: train a multinomial naive-Bayes language classifier on
+    the corpus itself (Laplace-smoothed, vocab restricted to the fixed
+    ``NB_TERMS``) and report the confusion matrix — the supervised
+    text-classification loop (train → score → evaluate) as one exact
+    pipeline.
+
+    Scale shape: pass 1 folds per-class stats (doc count + per-term
+    occurrence sums) to 5 rows of exact integers through per-batch
+    combiners; pass 2 re-scans and scores each batch vectorized.  The
+    score is a FIXED left-associated double expression over exact
+    integer stats (q122's bit-exact discipline: identical literal
+    order in both engines), argmax ties break on class order, and the
+    confusion matrix folds as tiny integer partials."""
+    import math
+
+    def tf_cols(b: pa.Table):
+        txt = b["text"]
+        padded = pc.binary_join_element_wise(
+            " ", pc.replace_substring(txt, " ", "  "), " ", "")
+        return [pc.cast(pc.count_substring(padded, f" {t} "), INT64)
+                for t in NB_TERMS]
+
+    def train_partial(b: pa.Table) -> pa.Table:
+        tfs = tf_cols(b)
+        cols = {"lang": b["lang"]}
+        for i, tf in enumerate(tfs):
+            cols[f"c{i}"] = tf
+        t = pa.table(cols)
+        return t.group_by("lang").aggregate(
+            [(f"c{i}", "sum") for i in range(len(NB_TERMS))]
+            + [("lang", "count")]) \
+            .rename_columns(["lang"] + [f"c{i}" for i in
+                                        range(len(NB_TERMS))] + ["nd"])
+
+    g = _docs(sf_dir, columns=["lang", "text"]) \
+        .map_batches(train_partial, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            *([Sum(f"c{i}", alias_name=f"c{i}")
+               for i in range(len(NB_TERMS))]
+              + [Sum("nd", alias_name="nd")]))
+    gt = pa.concat_tables(g.iter_batches(batch_format="pyarrow"))
+    stats = {gt["lang"][i].as_py():
+             {"nd": int(gt["nd"][i].as_py()),
+              **{f"c{j}": int(gt[f"c{j}"][i].as_py())
+                 for j in range(len(NB_TERMS))}}
+             for i in range(gt.num_rows)}
+    N = sum(s["nd"] for s in stats.values())
+    V = float(len(NB_TERMS))
+    prior = {}
+    logp = {}
+    for lg in NB_LANGS:
+        s = stats[lg]
+        tot = sum(s[f"c{j}"] for j in range(len(NB_TERMS)))
+        prior[lg] = math.log(float(s["nd"]) / float(N))
+        logp[lg] = [math.log((s[f"c{j}"] + 1.0) / (tot + V))
+                    for j in range(len(NB_TERMS))]
+
+    def classify(b: pa.Table) -> pa.Table:
+        tfs = [tf.to_numpy(zero_copy_only=False).astype(np.float64)
+               for tf in tf_cols(b)]
+        scores = []
+        for lg in NB_LANGS:
+            total = np.full(b.num_rows, prior[lg])
+            for j in range(len(NB_TERMS)):
+                total = total + tfs[j] * logp[lg][j]
+            scores.append(total)
+        pred_i = np.argmax(np.stack(scores, axis=1), axis=1)
+        pred = np.array(NB_LANGS, dtype=object)[pred_i]
+        t = pa.table({"lang": b["lang"],
+                      "pred": pa.array(pred, type=pa.string())})
+        return t.group_by(["lang", "pred"]).aggregate([("lang", "count")]) \
+            .rename_columns(["lang", "pred", "n"])
+
+    conf = _docs(sf_dir, columns=["lang", "text"]) \
+        .map_batches(classify, batch_format="pyarrow")
+    t = pa.concat_tables(conf.iter_batches(batch_format="pyarrow"))
+    t = t.group_by(["lang", "pred"]).aggregate([("n", "sum")]) \
+        .rename_columns(["lang", "pred", "n"])
+    t = pa.table({"lang": t["lang"], "pred": t["pred"],
+                  "n": pc.cast(t["n"], INT64)})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("lang", "ascending"), ("pred", "ascending")]))
+
+
+def _nb_sql() -> str:
+    """The SQL twin, generated so both engines share one literal
+    score expression per class (left-associated, identical order)."""
+    nt = len(NB_TERMS)
+    tf_defs = ",\n             ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) "
+        f"AS tf{j}" for j, t in enumerate(NB_TERMS))
+    agg = ",\n             ".join(
+        [f"CAST(SUM(tf{j}) AS BIGINT) AS c{j}" for j in range(nt)]
+        + ["CAST(COUNT(*) AS BIGINT) AS nd"])
+    piv = ",\n             ".join(
+        f"MAX(CASE WHEN lang = '{lg}' THEN {c} END) AS {c}_{lg}"
+        for lg in NB_LANGS
+        for c in [f"c{j}" for j in range(nt)] + ["nd"])
+    tot = {lg: "(" + " + ".join(f"g.c{j}_{lg}" for j in range(nt)) + ")"
+           for lg in NB_LANGS}
+
+    def score(lg: str) -> str:
+        e = (f"ln(CAST(g.nd_{lg} AS DOUBLE) / CAST(g.n_all AS DOUBLE))")
+        for j in range(nt):
+            e += (f"\n             + t.tf{j} * ln((g.c{j}_{lg} + 1.0)"
+                  f" / ({tot[lg]} + {float(nt):.1f}))")
+        return e
+
+    scores = ",\n           ".join(f"{score(lg)} AS s_{lg}"
+                                   for lg in NB_LANGS)
+    pred = "CASE "
+    for lg in NB_LANGS:
+        others = [o for o in NB_LANGS if o != lg]
+        cond = " AND ".join(f"s_{lg} >= s_{o}" for o in others)
+        pred += f"WHEN {cond} THEN '{lg}' "
+    pred += "END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {tf_defs}
+      FROM documents
+    ), cl AS (
+      SELECT lang,
+             {agg}
+      FROM t GROUP BY lang
+    ), g AS (
+      SELECT {piv},
+             CAST(SUM(nd) AS BIGINT) AS n_all
+      FROM cl
+    ), sc AS (
+      SELECT t.lang,
+           {scores}
+      FROM t, g
+    )
+    SELECT lang, {pred} AS pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM sc GROUP BY 1, 2 ORDER BY lang, pred"""
+
+
+NAIVE_BAYES_SQL = _nb_sql()
