@@ -716,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q149_spatial_join": an.spatial_radius_join,
         "q150_custdist": an.custdist,
         "q151_naive_bayes": an.naive_bayes,
+        "q152_rle_advisor": an.rle_advisor,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1047,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "q149_spatial_join": _an.SPATIAL_JOIN_SQL,
         "q150_custdist": _an.CUSTDIST_SQL,
         "q151_naive_bayes": _an.NAIVE_BAYES_SQL,
+        "q152_rle_advisor": _an.RLE_ADVISOR_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

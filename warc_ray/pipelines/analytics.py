@@ -6196,3 +6196,143 @@ def _nb_sql() -> str:
 
 
 NAIVE_BAYES_SQL = _nb_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q152: columnar RLE/encoding advisor (distributed run-length stats)
+# ---------------------------------------------------------------------------
+
+RLE_COLS = ["l_linestatus", "l_partkey", "l_returnflag", "l_shipdate"]
+
+
+def rle_advisor(sf_dir: str, npart: int = 16):
+    """q152: run-length structure of lineitem columns in primary-key
+    order ((l_orderkey, l_linenumber)) — run count, longest run and
+    runs-per-row ppm per column: the storage-layout advisor every
+    columnar writer consults when choosing RLE/dictionary encodings
+    (runs ≪ rows ⇒ RLE wins; this is also Parquet's own decision).
+
+    Scale shape: rows exchange ONCE into contiguous orderkey ranges
+    (range partitioning, not hash — runs are order-defined); each
+    bucket sorts locally and reduces every column to a constant-size
+    partial (first/last run value+length, interior run count and max).
+    The driver stitches ≤ npart·|cols| partials by walking buckets in
+    range order and merging boundary runs — the classic distributed
+    RLE merge, with run-spanning-many-buckets handled by carrying the
+    open run forward."""
+    import duckdb
+    maxk = int(duckdb.sql(
+        "SELECT MAX(l_orderkey) FROM read_parquet('%s')"
+        % _pq(sf_dir, "lineitem")).fetchone()[0])
+
+    def scatter(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        part = (k * npart // (maxk + 1)).astype(np.int32)
+        t = pa.table({
+            "k": b["l_orderkey"],
+            "ln": pc.cast(b["l_linenumber"], INT64),
+            "l_linestatus": b["l_linestatus"],
+            "l_partkey": b["l_partkey"],
+            "l_returnflag": b["l_returnflag"],
+            "l_shipdate": pc.cast(b["l_shipdate"], INT64),
+        })
+        return t.append_column("part", pa.array(part))
+
+    def runs(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        k = g["k"].to_numpy(zero_copy_only=False)
+        ln = g["ln"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, k))
+        rows = []
+        for col in RLE_COLS:
+            v = g[col].to_numpy(zero_copy_only=False)[order]
+            n = len(v)
+            chg = np.flatnonzero(v[1:] != v[:-1]) + 1
+            bounds = np.concatenate([[0], chg, [n]])
+            lens = np.diff(bounds)
+            rows.append({
+                "part": part, "col": col, "n": n,
+                "nruns": len(lens),
+                "first_len": int(lens[0]), "last_len": int(lens[-1]),
+                "first_val": str(v[0]), "last_val": str(v[-1]),
+                # interior max (first/last runs may extend across the
+                # bucket boundary; driver accounts for them merged)
+                "max_interior": int(lens[1:-1].max()) if len(lens) > 2
+                                else 0,
+            })
+        return pa.table({k2: pa.array([r[k2] for r in rows])
+                         for k2 in rows[0]})
+
+    parts = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber"] + RLE_COLS) \
+        .map_batches(scatter, batch_format="pyarrow") \
+        .groupby("part").map_groups(runs, batch_format="pyarrow")
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
+    out = []
+    for col in RLE_COLS:
+        sub = t.filter(pc.equal(t["col"], col))
+        sub = sub.take(pc.sort_indices(sub, sort_keys=[("part",
+                                                        "ascending")]))
+        rs = sub.to_pylist()
+        n_rows = sum(r["n"] for r in rs)
+        total_runs, max_run = 0, 0
+        open_val, open_len = None, 0
+        for r in rs:
+            if open_val is not None and r["first_val"] == open_val:
+                open_len += r["first_len"]
+            else:
+                if open_val is not None:
+                    total_runs += 1
+                    max_run = max(max_run, open_len)
+                open_len = r["first_len"]
+                open_val = r["first_val"]
+            if r["nruns"] > 1:
+                total_runs += 1                   # the merged first run
+                max_run = max(max_run, open_len, r["max_interior"])
+                total_runs += r["nruns"] - 2      # interior runs
+                open_val, open_len = r["last_val"], r["last_len"]
+        if open_val is not None:
+            total_runs += 1
+            max_run = max(max_run, open_len)
+        out.append({"col": col, "n_rows": n_rows, "n_runs": total_runs,
+                    "max_run": max_run,
+                    "runs_ppm": total_runs * 1_000_000 // n_rows})
+    return pa.table({
+        "col": pa.array([r["col"] for r in out]),
+        "n_rows": pa.array([r["n_rows"] for r in out], type=INT64),
+        "n_runs": pa.array([r["n_runs"] for r in out], type=INT64),
+        "max_run": pa.array([r["max_run"] for r in out], type=INT64),
+        "runs_ppm": pa.array([r["runs_ppm"] for r in out], type=INT64),
+    })
+
+
+def _rle_sql() -> str:
+    def one(col: str, expr: str) -> str:
+        return f"""
+      SELECT '{col}' AS col,
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_runs,
+             CAST(MAX(len) AS BIGINT) AS max_run,
+             CAST(COUNT(*) * 1000000
+                  // (SELECT COUNT(*) FROM lineitem) AS BIGINT)
+               AS runs_ppm
+      FROM (
+        SELECT r, COUNT(*) AS len FROM (
+          SELECT SUM(chg) OVER (ORDER BY k, ln
+                                ROWS UNBOUNDED PRECEDING) AS r
+          FROM (
+            SELECT l_orderkey AS k, l_linenumber AS ln,
+                   CASE WHEN LAG({expr}) OVER (ORDER BY l_orderkey,
+                                               l_linenumber)
+                        IS DISTINCT FROM {expr} THEN 1 ELSE 0 END AS chg
+            FROM lineitem)
+        ) GROUP BY r)"""
+    parts = [one("l_linestatus", "l_linestatus"),
+             one("l_partkey", "l_partkey"),
+             one("l_returnflag", "l_returnflag"),
+             one("l_shipdate", "epoch_us(l_shipdate)")]
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
+RLE_ADVISOR_SQL = _rle_sql()
