@@ -6336,3 +6336,112 @@ def _rle_sql() -> str:
 
 
 RLE_ADVISOR_SQL = _rle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q153: distributed logistic regression (full-batch GD, exact fold)
+# ---------------------------------------------------------------------------
+
+LOGREG_ITERS = 5
+
+
+def logreg_train(sf_dir: str):
+    """q153: train a logistic-regression model (is the lineitem a
+    return? features: bias, quantity/50, discount·10) with
+    ``LOGREG_ITERS`` full-batch gradient-descent sweeps, then report
+    the weights and training accuracy — iterative distributed ML
+    training as an engine primitive (the shape SGD/L-BFGS data
+    pipelines run: per-iteration scan → gradient partials → tiny
+    all-reduce → driver update).
+
+    Exactness: per-row gradient contributions are floored to 1e-9
+    fixed point and summed as int64 (order-free), the per-row doubles
+    are bit-identical in both engines (raw parquet doubles, one pinned
+    left-associated expression), and each weight update is a single
+    pinned double expression — so five chained iterations stay
+    bit-exact against the SQL twin's chained CTEs."""
+
+    import duckdb
+    n = int(duckdb.sql("SELECT COUNT(*) FROM read_parquet('%s')"
+                       % _pq(sf_dir, "lineitem")).fetchone()[0])
+    n_d = float(n)
+    w = [0.0, 0.0, 0.0]
+
+    def grad_partial(b: pa.Table) -> pa.Table:
+        a, bb, c = w
+        q = b["l_quantity"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        y = pc.equal(b["l_returnflag"], "R") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        x1 = q / 50.0
+        x2 = dc * 10.0
+        z = a + bb * x1 + c * x2
+        sig = 1.0 / (1.0 + np.exp(-z))
+        d = sig - y
+        g0 = np.floor(d * 1000000000.0).astype(np.int64)
+        g1 = np.floor((d * x1) * 1000000000.0).astype(np.int64)
+        g2 = np.floor((d * x2) * 1000000000.0).astype(np.int64)
+        ok = ((sig >= 0.5) == (y == 1.0)).astype(np.int64)
+        return pa.table({
+            "g0": pa.array([int(g0.sum())], type=INT64),
+            "g1": pa.array([int(g1.sum())], type=INT64),
+            "g2": pa.array([int(g2.sum())], type=INT64),
+            "ok": pa.array([int(ok.sum())], type=INT64),
+        })
+
+    cols = ["l_quantity", "l_discount", "l_returnflag"]
+    ok = 0
+    for _ in range(LOGREG_ITERS):
+        s = rd.read_parquet(_pq(sf_dir, "lineitem"), columns=cols) \
+            .map_batches(grad_partial, batch_format="pyarrow") \
+            .sum(["g0", "g1", "g2", "ok"])
+        G = [int(s["sum(g0)"]), int(s["sum(g1)"]), int(s["sum(g2)"])]
+        ok = int(s["sum(ok)"])     # accuracy of the PRE-update weights
+        w = [w[j] - ((float(G[j]) / 1000000000.0) / n_d)
+             for j in range(3)]
+    return pa.table({
+        "w_bias": pa.array([w[0]], type=pa.float64()),
+        "w_qty": pa.array([w[1]], type=pa.float64()),
+        "w_disc": pa.array([w[2]], type=pa.float64()),
+        "n_rows": pa.array([n], type=INT64),
+        "n_correct": pa.array([ok], type=INT64),
+    })
+
+
+def _logreg_sql() -> str:
+    f = ("SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END "
+         "AS y, l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2 "
+         "FROM lineitem")
+    ctes = [f"f AS ({f})",
+            "cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM f)",
+            "w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)"]
+    for i in range(LOGREG_ITERS):
+        sig = (f"1.0 / (1.0 + exp(-(w.a + w.b * f.x1 + w.c * f.x2)))")
+        ctes.append(
+            f"g{i} AS (SELECT "
+            f"CAST(SUM(CAST(FLOOR(({sig} - f.y) * 1000000000.0) "
+            f"AS BIGINT)) AS BIGINT) AS g0, "
+            f"CAST(SUM(CAST(FLOOR((({sig} - f.y) * f.x1) "
+            f"* 1000000000.0) AS BIGINT)) AS BIGINT) AS g1, "
+            f"CAST(SUM(CAST(FLOOR((({sig} - f.y) * f.x2) "
+            f"* 1000000000.0) AS BIGINT)) AS BIGINT) AS g2, "
+            f"CAST(SUM(CASE WHEN ({sig} >= 0.5) = (f.y = 1.0) "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS ok "
+            f"FROM f, w{i} w)")
+        ctes.append(
+            f"w{i+1} AS (SELECT "
+            f"w.a - ((CAST(g.g0 AS DOUBLE) / 1000000000.0) / cnt.nd) "
+            f"AS a, "
+            f"w.b - ((CAST(g.g1 AS DOUBLE) / 1000000000.0) / cnt.nd) "
+            f"AS b, "
+            f"w.c - ((CAST(g.g2 AS DOUBLE) / 1000000000.0) / cnt.nd) "
+            f"AS c FROM w{i} w, g{i} g, cnt)")
+    k = LOGREG_ITERS
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT w.a AS w_bias, w.b AS w_qty, w.c AS w_disc, "
+            f"cnt.n AS n_rows, g{k-1}.ok AS n_correct "
+            f"FROM w{k} w, g{k-1}, cnt")
+
+
+LOGREG_SQL = _logreg_sql()
