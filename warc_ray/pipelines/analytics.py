@@ -6445,3 +6445,102 @@ def _logreg_sql() -> str:
 
 
 LOGREG_SQL = _logreg_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q154: BPE-style tokenizer merge training (iterative pair merges)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 4
+
+
+def bpe_merges(sf_dir: str, npart: int = 32):
+    """q154: the first ``BPE_ROUNDS`` merge rules of a BPE-style
+    tokenizer trained on the corpus — per round, the most frequent
+    adjacent token pair (ties: lexicographically smallest) and its
+    count, with the merge applied before the next round — the
+    tokenizer-training loop (the merge-table prefix) every LLM data
+    stack runs before anything else.
+
+    Merge semantics are the TWO-PASS greedy non-overlapping string
+    replace (`' a b '`→`' a_b '` twice) — deterministic and identical
+    in both engines (Python ``str.replace`` ≡ DuckDB ``replace``,
+    leftmost non-overlapping), a documented approximation of the
+    textbook leftmost walk for runs longer than 4 of one token.
+
+    Scale shape: each round is one corpus scan (previous merges
+    re-applied on the fly — the intermediate corpus is never
+    materialized), per-batch pair-count combiners, ONE bucket exchange
+    on the pair, per-bucket top-1 partials (a pair lives in exactly
+    one bucket, so bucket winners are a superset), driver top-1 over
+    ≤ npart rows."""
+
+    merges: list[str] = []
+
+    def pair_counts(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt: Counter = Counter()
+        for txt in b["text"].to_pylist():
+            s = " " + txt + " "
+            for p in merges:
+                pat, rep = " %s " % p, " %s " % p.replace(" ", "_")
+                s = s.replace(pat, rep).replace(pat, rep)
+            toks = s.strip(" ").split(" ")
+            cnt.update(toks[i] + " " + toks[i + 1]
+                       for i in range(len(toks) - 1))
+        t = pa.table({"pair": pa.array(list(cnt.keys()),
+                                       type=pa.string()),
+                      "n": pa.array(list(cnt.values()), type=INT64)})
+        return with_part(t, "pair", npart)
+
+    def bucket_top(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]).combine_chunks() \
+            .group_by("pair").aggregate([("n", "sum")]) \
+            .rename_columns(["pair", "n"])
+        return t.take(pc.sort_indices(t, sort_keys=[
+            ("n", "descending"), ("pair", "ascending")])).slice(0, 1)
+
+    out = []
+    for rnd in range(BPE_ROUNDS):
+        cand = _docs(sf_dir, columns=["text"]) \
+            .map_batches(pair_counts, batch_format="pyarrow") \
+            .groupby("part").map_groups(bucket_top,
+                                        batch_format="pyarrow")
+        t = pa.concat_tables(cand.iter_batches(batch_format="pyarrow"))
+        rows = sorted(zip((-x for x in t["n"].to_pylist()),
+                          t["pair"].to_pylist()))
+        n, pair = -rows[0][0], rows[0][1]
+        out.append({"round": rnd, "pair": pair, "n": int(n)})
+        merges.append(pair)
+    return pa.table({
+        "round": pa.array([r["round"] for r in out], type=INT64),
+        "pair": pa.array([r["pair"] for r in out], type=pa.string()),
+        "n": pa.array([r["n"] for r in out], type=INT64),
+    })
+
+
+def _bpe_sql() -> str:
+    ctes = ["d0 AS (SELECT ' ' || text || ' ' AS cur FROM documents)"]
+    sel = []
+    for r in range(BPE_ROUNDS):
+        ctes.append(f"""p{r} AS (
+          SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT tk[CAST(i AS BIGINT)] || ' '
+                   || tk[CAST(i AS BIGINT) + 1] AS pair
+            FROM (SELECT string_split(trim(cur, ' '), ' ') AS tk
+                  FROM d{r}),
+                 UNNEST(range(1, len(tk))) AS u(i))
+          GROUP BY pair ORDER BY n DESC, pair LIMIT 1)""")
+        ctes.append(
+            f"d{r+1} AS (SELECT replace(replace(d.cur, "
+            f"' ' || p.pair || ' ', "
+            f"' ' || replace(p.pair, ' ', '_') || ' '), "
+            f"' ' || p.pair || ' ', "
+            f"' ' || replace(p.pair, ' ', '_') || ' ') AS cur "
+            f"FROM d{r} d, p{r} p)")
+        sel.append(f"SELECT {r} AS round, pair, n FROM p{r}")
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(sel) + " ORDER BY round")
+
+
+BPE_MERGES_SQL = _bpe_sql()
