@@ -6544,3 +6544,179 @@ def _bpe_sql() -> str:
 
 
 BPE_MERGES_SQL = _bpe_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q155: Benford's-law forensic audit on order totals
+# ---------------------------------------------------------------------------
+
+def benford_audit(sf_dir: str):
+    """q155: leading-digit distribution of o_totalprice (in cents)
+    against Benford's law, with the chi-square statistic — the
+    forensic data-quality screen auditors run over financial columns
+    (synthetic uniform-ish data SHOULD fail it; the audit's job is to
+    measure, not to pass).
+
+    Scale shape: the leading digit is integer arithmetic per row
+    (repeated /10 via log-free digit peel on the cents int), folded as
+    9-bin per-batch partials through one tiny sum; expected counts
+    and chi² are FINAL pinned double expressions over (N, obs_d) —
+    digit order fixed, both engines the identical literal."""
+    import math
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            b["o_totalprice"], 100.0)), INT64) \
+            .to_numpy(zero_copy_only=False)
+        lead = cents.copy()
+        while (lead >= 10).any():
+            lead = np.where(lead >= 10, lead // 10, lead)
+        binc = np.bincount(lead, minlength=10)[1:10]
+        return pa.table({f"d{d}": pa.array([int(binc[d - 1])],
+                                           type=INT64)
+                         for d in range(1, 10)})
+
+    s = rd.read_parquet(_pq(sf_dir, "orders"),
+                        columns=["o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .sum([f"d{d}" for d in range(1, 10)])
+    obs = [int(s[f"sum(d{d})"]) for d in range(1, 10)]
+    n = sum(obs)
+    rows = []
+    for d in range(1, 10):
+        exp = float(n) * (math.log10(1.0 + 1.0 / float(d)))
+        chi = ((float(obs[d - 1]) - exp) * (float(obs[d - 1]) - exp)) / exp
+        rows.append({"digit": d, "n_obs": obs[d - 1], "expected": exp,
+                     "chi2_term": chi})
+    return pa.table({
+        "digit": pa.array([r["digit"] for r in rows], type=INT64),
+        "n_obs": pa.array([r["n_obs"] for r in rows], type=INT64),
+        "expected": pa.array([r["expected"] for r in rows],
+                             type=pa.float64()),
+        "chi2_term": pa.array([r["chi2_term"] for r in rows],
+                              type=pa.float64()),
+    })
+
+
+BENFORD_SQL = """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0, 0)
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+    ), o AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM c GROUP BY digit
+    ), t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM o)
+    SELECT d.digit, COALESCE(o.n_obs, 0) AS n_obs,
+           CAST(t.n AS DOUBLE) * log10(1.0 + 1.0 / CAST(d.digit
+                                                        AS DOUBLE))
+             AS expected,
+           ((CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+             - CAST(t.n AS DOUBLE) * log10(1.0 + 1.0
+                                           / CAST(d.digit AS DOUBLE)))
+            * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+               - CAST(t.n AS DOUBLE) * log10(1.0 + 1.0
+                                             / CAST(d.digit
+                                                    AS DOUBLE))))
+           / (CAST(t.n AS DOUBLE) * log10(1.0 + 1.0
+                                          / CAST(d.digit AS DOUBLE)))
+             AS chi2_term
+    FROM (SELECT UNNEST(range(1, 10)) AS digit) d
+    LEFT JOIN o ON o.digit = d.digit, t
+    ORDER BY d.digit"""
+
+
+# ---------------------------------------------------------------------------
+# Q156: GDPR cascade-delete audit (broadcast delete set, 3 tables)
+# ---------------------------------------------------------------------------
+
+def gdpr_cascade(sf_dir: str):
+    """q156: the right-to-erasure dry run — customers whose md5 coin
+    lands in the delete cohort (first hex digit '0', ~1/16), cascaded
+    through orders and lineitem, reporting per-table total / purged /
+    retained counts — the compliance pipeline every data platform runs
+    before a hard delete.
+
+    Scale shape: the delete frontier at each level is the SMALL side
+    (a keyset, shrinking fractions of each dimension) and broadcasts
+    via ``ray.put`` into the next table's scan as a vectorized
+    ``np.isin`` filter with integer count partials — the fact tables
+    never shuffle and nothing but keys ever reaches the driver."""
+    import ray
+
+    cust = pa.concat_tables(
+        rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+        .iter_batches(batch_format="pyarrow"))
+    ckeys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    dmask = np.array([h[0] == "0" for h in
+                      _md5_hex([str(int(k)) for k in ckeys])])
+    del_cust = np.sort(ckeys[dmask])
+    n_cust, p_cust = len(ckeys), int(dmask.sum())
+    del_cust_ref = ray.put(del_cust)
+
+    import duckdb
+    n_ord = int(duckdb.sql("SELECT COUNT(*) FROM read_parquet('%s')"
+                           % _pq(sf_dir, "orders")).fetchone()[0])
+
+    def orders_partial(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(ck, np.asarray(ray.get(del_cust_ref)))
+        return pa.table({"key": pa.array(ok[m], type=INT64)})
+
+    od = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_partial, batch_format="pyarrow")
+    ot = pa.concat_tables(od.iter_batches(batch_format="pyarrow"))
+    del_ord = np.sort(ot["key"].to_numpy(zero_copy_only=False))
+    p_ord = len(del_ord)
+    del_ord_ref = ray.put(del_ord)
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        m = np.isin(ok, np.asarray(ray.get(del_ord_ref)))
+        return pa.table({"n": pa.array([len(ok)], type=INT64),
+                         "p": pa.array([int(m.sum())], type=INT64)})
+
+    s = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_orderkey"]) \
+        .map_batches(li_partial, batch_format="pyarrow").sum(["n", "p"])
+    n_li, p_li = int(s["sum(n)"]), int(s["sum(p)"])
+    return pa.table({
+        "tbl": pa.array(["customer", "lineitem", "orders"]),
+        "n_total": pa.array([n_cust, n_li, n_ord], type=INT64),
+        "n_purged": pa.array([p_cust, p_li, p_ord], type=INT64),
+        "n_retained": pa.array([n_cust - p_cust, n_li - p_li,
+                                n_ord - p_ord], type=INT64),
+    })
+
+
+GDPR_CASCADE_SQL = """
+    WITH dc AS (
+      SELECT c_custkey FROM customer
+      WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'
+    ), do_ AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM dc)
+    )
+    SELECT 'customer' AS tbl,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_purged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_retained
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM do_)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM do_),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM do_)
+    ORDER BY tbl"""
