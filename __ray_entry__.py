@@ -445,6 +445,15 @@ def _warc_roundtrip_q(sf_dir: str):
     return out_ds.sort("rec_type")
 
 
+def _wet_extract_q(sf_dir: str):
+    """WET-style text-extraction derivative over the WARC archive
+    (pipelines/archive.py:wet_extraction) — oracle reconstructs the
+    expected per-doc plain text (and its md5) from the corpus spans."""
+    from warc_ray.pipelines.archive import wet_extraction
+
+    return wet_extraction(_ensure_archive(sf_dir))
+
+
 def _ensure_arc_src(sf_dir: str) -> str:
     """Fetched docs → .arc.gz shards ONCE per profile (stamped) — the
     migration fixture q78 reads; q58 keeps its own unstamped dir (it
@@ -803,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q52_crawl_frontier": _crawl_q,
         "q53_warc_roundtrip": _warc_roundtrip_q,
         "q65_cdx_lookup": _cdx_lookup_q,
+        "q157_wet_extract": _wet_extract_q,
         # reports (G17) + metrics (G15) over the crawl fetch log
         "q54_hottest_hosts": _hottest_hosts_q,
         "q55_crawl_metrics": _crawl_metrics_q,
@@ -2045,6 +2055,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.rec_type, n.c AS n_records, n.c AS n_digest_ok
             FROM (VALUES ('metadata'), ('response')) t(rec_type), n
             ORDER BY t.rec_type""",
+        # q157: WET text extraction — expected plain text per doc
+        # rebuilt from the corpus spans (text + anchor text in span
+        # order, media spans dropped), md5 compared byte-for-byte, so
+        # any defect in archive framing, HTTP-head split, or the RE2
+        # tag-strip passes hash-mismatches; all-media docs surface via
+        # the LEFT JOIN with md5('')
+        "q157_wet_extract": f"""
+            WITH spans AS (
+              SELECT doc_id, UNNEST(spans) AS s
+              FROM read_parquet('{docs_glob}')
+            ),
+            txt AS (
+              SELECT doc_id,
+                     STRING_AGG(s.text, chr(10) ORDER BY s."offset") AS wet,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM spans WHERE s.kind IN ('text', 'link')
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(t.n_lines, 0) AS n_lines,
+                   CAST(COALESCE(strlen(t.wet), 0) AS BIGINT) AS text_len,
+                   md5(COALESCE(t.wet, '')) AS text_md5
+            FROM (SELECT doc_id FROM read_parquet('{docs_glob}')) d
+            LEFT JOIN txt t USING (doc_id)
+            ORDER BY d.doc_id""",
         # q99: host-graph reciprocity — src host recomputed via the
         # corpus host function (i%5==0 -> hot host 0, else 1 + splitmix64(i)
         # % (n_hosts-1), the exact q35 HUGEINT chain), dst host parsed

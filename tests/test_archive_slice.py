@@ -388,3 +388,34 @@ def test_cdx_replay_random_access_and_corruption(archive_out):
     got2 = cdx_replay_batch(pa.Table.from_pylist([bad_row]))
     assert got2["digest_ok"].to_pylist() == [False]
     os.remove(bad_shard)
+
+
+def test_wet_extraction(archive_out):
+    """q157 WET derivative: per-doc extracted text must equal the
+    corpus's text+anchor spans in span order (media spans dropped),
+    md5-exact; docs whose spans are ALL media come back with empty
+    text and n_lines == 0 rather than vanishing."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from warc_ray.pipelines.archive import wet_extraction
+
+    cdir, out, _cdx = archive_out
+    got = {r["doc_id"]: r for b in
+           wet_extraction(out).iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+    docs = pq.read_table(corpus.docs_path(cdir), columns=["doc_id", "spans"])
+    n_all_media = 0
+    assert len(got) == docs.num_rows
+    for doc_id, spans in zip(docs["doc_id"].to_pylist(),
+                             docs["spans"].to_pylist()):
+        wet = "\n".join(s["text"] for s in spans
+                        if s["kind"] in ("text", "link"))
+        r = got[doc_id]
+        assert r["n_lines"] == sum(
+            s["kind"] in ("text", "link") for s in spans)
+        assert r["text_len"] == len(wet)
+        assert r["text_md5"] == hashlib.md5(wet.encode()).hexdigest()
+        n_all_media += not wet
+    assert n_all_media > 0  # the edge case is actually exercised at t1

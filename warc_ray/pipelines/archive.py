@@ -208,6 +208,60 @@ def revisit_decisions(archive_dir: str, corpus_docs_path: str,
     }).sort_by("decision")
 
 
+def wet_extraction(archive_dir: str) -> "rd.Dataset":
+    """q157: WET-style text-extraction derivative — the classic
+    Common-Crawl companion pipeline (WARC → WET "conversion" records):
+    read the archive's ``response`` records, strip the HTTP head, strip
+    markup from the HTML body, and emit per-document plain text with a
+    line count, byte length, and md5 (the digest a real WET conversion
+    record would carry).
+
+    Extraction rules (mirrored exactly by the DuckDB oracle over the
+    corpus spans): anchor tags keep their anchor TEXT, ``<img>`` /
+    ``<video>`` tags contribute nothing, blank lines are dropped.  The
+    whole strip is three RE2 passes + a trim over the payload column —
+    no per-row Python except the md5 loop (one C call per record, like
+    the digest checks in q53).
+
+    Scale shape: embarrassingly parallel over gzip members — one pass,
+    zero shuffles; per-record output is O(text), never materialized
+    driver-side.  Reference parity: payload framing per
+    warc/warc.py:269-272 (member-per-record), HTTP-head split per
+    warc/utils.py FilePart semantics."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources import read_warc
+
+    def extract(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["rec_type"], "response"))
+        pay = pc.cast(pc.cast(b["payload"], pa.binary()), pa.string())
+        body = pc.list_element(
+            pc.split_pattern(pay, "\r\n\r\n", max_splits=1), 1)
+        t = pc.replace_substring_regex(
+            body, r'<a href="[^"]*">([^<]*)</a>', r"\1")
+        t = pc.replace_substring_regex(t, r'<(?:img|video) src="[^"]*">', "")
+        t = pc.replace_substring_regex(t, r"\n{2,}", "\n")
+        t = pc.utf8_trim(t, "\n")
+        nonempty = pc.cast(pc.not_equal(t, ""), pa.int64())
+        n_lines = pc.add(
+            pc.cast(pc.count_substring(t, "\n"), pa.int64()), nonempty)
+        md5 = hashlib.md5
+        digs = [md5(s.encode()).hexdigest() for s in t.to_pylist()]
+        return pa.table({
+            "doc_id": pc.replace_substring(b["target_uri"], "urn:doc:", ""),
+            "n_lines": n_lines,
+            "text_len": pc.cast(pc.utf8_length(t), pa.int64()),
+            "text_md5": pa.array(digs, type=pa.string()),
+        })
+
+    return read_warc(archive_dir) \
+        .map_batches(extract, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
 def serialize_revisit_records(uris: list[str], refers_to: list[str],
                               digests: list[str],
                               date: str = "2026-01-01T00:00:00Z") -> "pa.Table":
