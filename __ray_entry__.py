@@ -454,6 +454,31 @@ def _wet_extract_q(sf_dir: str):
     return wet_extraction(_ensure_archive(sf_dir))
 
 
+def _ensure_jsonl(sf_dir: str) -> str:
+    """events.parquet → nested .jsonl shards ONCE per sf dir (stamped)
+    — the q158 text-ingestion fixture (pipelines/logs.py)."""
+    from warc_ray.pipelines.logs import export_events_jsonl
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CRAWL_OUT, f"jsonl-{tag}")
+    done = out + ".DONE"
+    stamp = "fmt=1|src=%s" % os.path.join(sf_dir, "events.parquet")
+    if not (os.path.exists(done) and open(done).read() == stamp):
+        export_events_jsonl(sf_dir, out)
+        with open(done, "w") as f:
+            f.write(stamp)
+    return out
+
+
+def _jsonl_ingest_q(sf_dir: str):
+    """JSONL log ingestion (q158): export events as nested NDJSON
+    shards, read back distributed, flatten, aggregate — value-exact
+    against DuckDB over the ORIGINAL parquet."""
+    from warc_ray.pipelines.logs import ingest_events_jsonl
+
+    return ingest_events_jsonl(_ensure_jsonl(sf_dir))
+
+
 def _ensure_arc_src(sf_dir: str) -> str:
     """Fetched docs → .arc.gz shards ONCE per profile (stamped) — the
     migration fixture q78 reads; q58 keeps its own unstamped dir (it
@@ -813,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_warc_roundtrip": _warc_roundtrip_q,
         "q65_cdx_lookup": _cdx_lookup_q,
         "q157_wet_extract": _wet_extract_q,
+        "q158_jsonl_ingest": _jsonl_ingest_q,
         # reports (G17) + metrics (G15) over the crawl fetch log
         "q54_hottest_hosts": _hottest_hosts_q,
         "q55_crawl_metrics": _crawl_metrics_q,
@@ -2080,6 +2106,21 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM read_parquet('{docs_glob}')) d
             LEFT JOIN txt t USING (doc_id)
             ORDER BY d.doc_id""",
+        # q158: JSONL ingestion — oracle aggregates the ORIGINAL
+        # parquet; the Ray side must round-trip every value through
+        # the text format (ints, µs timestamps, cents, nested props)
+        # and fold the exact distinct-user count to match
+        "q158_jsonl_ingest": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+                   CAST(SUM(TRY_CAST(regexp_extract(props, '(\\d+)', 1)
+                                     AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
         # q99: host-graph reciprocity — src host recomputed via the
         # corpus host function (i%5==0 -> hot host 0, else 1 + splitmix64(i)
         # % (n_hosts-1), the exact q35 HUGEINT chain), dst host parsed

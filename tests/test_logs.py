@@ -1,0 +1,74 @@
+"""JSONL log ingestion (q158, pipelines/logs.py): export → read-back
+→ aggregate must be value-exact against a pandas ground truth, with
+the text-format edge cases a real log pipeline hits."""
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from warc_ray.pipelines.logs import export_events_jsonl, ingest_events_jsonl
+
+
+def _mk_events(path: str) -> pa.Table:
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # negative cents, zero value, repeated users across types,
+        # multi-digit props, µs-precision timestamps
+        (0, base, 7, "click", 9.64, '{"k": 12}'),
+        (1, base + dt.timedelta(microseconds=1), 7, "click", -3.21, '{"k": 0}'),
+        (2, base + dt.timedelta(days=400), 8, "click", 0.0, '{"k": 987654}'),
+        (3, base, 7, "view", 185.22, '{"k": 87}'),
+        (4, base + dt.timedelta(seconds=59, microseconds=999999),
+         9, "view", 1e7 - 0.01, '{"k": 1}'),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], type=pa.float64()),
+        "props": pa.array([r[5] for r in rows]),
+    })
+    pq.write_table(t, os.path.join(path, "events.parquet"))
+    return t
+
+
+def test_jsonl_roundtrip_aggregate(ray_session, tmp_path):
+    sf_dir = str(tmp_path / "sf")
+    out = str(tmp_path / "jsonl")
+    os.makedirs(sf_dir)
+    _mk_events(sf_dir)
+    assert export_events_jsonl(sf_dir, out, batch_size=2) == 5
+    shards = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(shards) >= 2          # really sharded, not one file
+    got = {r["event_type"]: r for b in
+           ingest_events_jsonl(out).iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+    assert set(got) == {"click", "view"}
+    c = got["click"]
+    assert (c["n_events"], c["n_users"]) == (3, 2)
+    assert c["sum_cents"] == 964 - 321 + 0
+    assert c["min_ts_us"] == 1704067200000000
+    assert c["max_ts_us"] == 1704067200000000 + 400 * 86400_000000
+    assert c["sum_k"] == 12 + 0 + 987654
+    v = got["view"]
+    assert (v["n_events"], v["n_users"]) == (2, 2)
+    assert v["sum_cents"] == 18522 + 999999999
+    assert v["max_ts_us"] == 1704067200000000 + 59_999999
+
+
+def test_jsonl_export_idempotent(ray_session, tmp_path):
+    """Re-export with a different batch size must replace stale shards
+    (the sink owns the dir) — read-back rows never double."""
+    sf_dir = str(tmp_path / "sf")
+    out = str(tmp_path / "jsonl")
+    os.makedirs(sf_dir)
+    _mk_events(sf_dir)
+    export_events_jsonl(sf_dir, out, batch_size=2)
+    export_events_jsonl(sf_dir, out, batch_size=5)
+    total = sum(r["n_events"] for b in
+                ingest_events_jsonl(out).iter_batches(batch_format="pyarrow")
+                for r in b.to_pylist())
+    assert total == 5

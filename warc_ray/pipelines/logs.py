@@ -1,0 +1,150 @@
+"""JSONL log ingestion: the text-format landing zone → Arrow path.
+
+Real pipelines land event logs as newline-delimited JSON (the
+universal log-interchange format) long before anything is parquet —
+a complete engine needs the text-ingestion leg, not just columnar
+sources.  q158 exercises the full loop:
+
+  events.parquet → NESTED .jsonl shards (vectorized string assembly,
+  no per-row json.dumps) → distributed JSON read-back (one Arrow
+  block-parse per shard, schema inferred from the nested objects) →
+  struct flatten → grouped aggregate
+
+value-exact against DuckDB over the ORIGINAL parquet, so any defect
+in serialization, framing, parse, flatten, or the two-level distinct
+fold shifts a value and breaks the hash.
+
+Scale shape: export and ingest are embarrassingly parallel per shard;
+floats cross the text format as integer cents (ppm discipline — JSON
+round-trips of doubles are locale/precision hazards); the aggregate
+ships (type,user) partials, never events.  Shard files are
+content-hash named and tmp+renamed (idempotent rerun), matching the
+WARC/ARC sinks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["export_events_jsonl", "ingest_events_jsonl"]
+
+
+class _WriteJsonlShard:
+    """map_batches callable: one batch → one .jsonl shard file.
+
+    Returns a one-row manifest (path, n_rows, bytes) per shard."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_rows": pa.array([], type=pa.int64()),
+                             "bytes": pa.array([], type=pa.int64())})
+        s = pa.string()
+        eid = pc.cast(b["event_id"], s)
+        ts = pc.cast(pc.cast(b["ts"], pa.int64()), s)          # epoch µs
+        uid = pc.cast(b["user_id"], s)
+        cents = pc.cast(pa.array(
+            np.rint(b["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)), s)
+        lines = pc.binary_join_element_wise(
+            '{"event_id":', eid, ',"ts_us":', ts,
+            ',"user":{"id":', uid, '},"event":{"type":"', b["event_type"],
+            '","value_cents":', cents, '},"props":', b["props"], "}", "")
+        blob = ("\n".join(lines.to_pylist()) + "\n").encode("utf-8")
+        name_h = hashlib.sha1(
+            ("%s|%s|%d" % (eid[0], eid[-1], b.num_rows)).encode()
+        ).hexdigest()[:16]
+        path = os.path.join(self.out_dir, f"part-{name_h}.jsonl")
+        tmp = path + ".tmp-%s" % uuid.uuid4().hex[:8]
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "n_rows": [b.num_rows],
+                         "bytes": [len(blob)]})
+
+
+def export_events_jsonl(sf_dir: str, out_dir: str, *,
+                        batch_size: int = 4096) -> int:
+    """Export ``events.parquet`` as nested .jsonl shards; returns the
+    total row count written.  The sink owns ``out_dir`` (stale shards
+    from a differently-batched run are removed first)."""
+    import ray.data as rd
+
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.endswith(".jsonl") or ".tmp-" in name:
+                os.remove(os.path.join(out_dir, name))
+    man = rd.read_parquet(os.path.join(sf_dir, "events.parquet")) \
+        .map_batches(_WriteJsonlShard(out_dir), batch_format="pyarrow",
+                     batch_size=batch_size)
+    return sum(r["n_rows"] for b in man.iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist())
+
+
+def ingest_events_jsonl(jsonl_dir: str):
+    """Distributed JSONL ingestion + per-type aggregate (q158).
+
+    Flattens the nested structs and folds in two grouped exchanges:
+    (type,user) partials first (exact COUNT DISTINCT users at any
+    scale — the exchange carries one row per (type,user) per block,
+    never events), then the per-type roll-up."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_json(jsonl_dir)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": pc.struct_field(b["event"], "type"),
+            "user_id": pc.struct_field(b["user"], "id"),
+            "cents": pc.struct_field(b["event"], "value_cents"),
+            "ts_us": b["ts_us"],
+            "k": pc.struct_field(b["props"], "k"),
+            "one": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+        })
+        # per-batch (type,user) combiner: the global exchange sees
+        # bounded partials, not raw events
+        p = t.group_by(["event_type", "user_id"]).aggregate(
+            [("one", "sum"), ("cents", "sum"), ("ts_us", "min"),
+             ("ts_us", "max"), ("k", "sum")])
+        return p.rename_columns(
+            ["event_type", "user_id", "n", "cents", "ts_min", "ts_max", "k"])
+
+    per_user = ds.map_batches(flatten, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]) \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("cents", alias_name="cents"),
+                   Min("ts_min", alias_name="ts_min"),
+                   Max("ts_max", alias_name="ts_max"),
+                   Sum("k", alias_name="k"))
+    out = per_user.groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Count(alias_name="n_users"),
+                   Sum("cents", alias_name="sum_cents"),
+                   Min("ts_min", alias_name="min_ts_us"),
+                   Max("ts_max", alias_name="max_ts_us"),
+                   Sum("k", alias_name="sum_k"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "n_users": pc.cast(b["n_users"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            "min_ts_us": pc.cast(b["min_ts_us"], pa.int64()),
+            "max_ts_us": pc.cast(b["max_ts_us"], pa.int64()),
+            "sum_k": pc.cast(b["sum_k"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("event_type")
