@@ -755,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q154_bpe_merges": an.bpe_merges,
         "q155_benford": an.benford_audit,
         "q156_gdpr_cascade": an.gdpr_cascade,
+        "q159_hierarchy_rollup": an.hierarchy_rollup,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1093,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
         "q154_bpe_merges": _an.BPE_MERGES_SQL,
         "q155_benford": _an.BENFORD_SQL,
         "q156_gdpr_cascade": _an.GDPR_CASCADE_SQL,
+        "q159_hierarchy_rollup": _an.HIERARCHY_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -1446,3 +1446,39 @@ def test_drift_psi_laws(ray_session):
     p = (2 * r.n_before + 1) / (2 * t0 + 10)
     q = (2 * r.n_after + 1) / (2 * t1 + 10)
     assert abs(r.term - (p - q) * math.log(p / q)) < 1e-15
+
+
+def test_hierarchy_rollup_matches_sequential_walk(ray_session):
+    """q159 pointer doubling == a driver-side sequential parent walk
+    (root, depth, subtree aggregates), and is npart-invariant."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from warc_ray.pipelines.analytics import hierarchy_rollup
+
+    t = pq.read_table(SF + "/part.parquet",
+                      columns=["p_partkey", "p_retailprice"])
+    keys = t["p_partkey"].to_numpy()
+    cents = np.rint(t["p_retailprice"].to_numpy() * 100).astype(np.int64)
+
+    def parent(k: int) -> int:
+        h = int.from_bytes(
+            hashlib.md5(str(k).encode()).digest()[:8], "big")
+        return h % k
+
+    exp = {}
+    for k, c in zip(keys, cents):
+        node, depth = int(k), 0
+        while node >= 16:
+            node, depth = parent(node), depth + 1
+        n, s, d = exp.get(node, (0, 0, 0))
+        exp[node] = (n + 1, s + int(c), max(d, depth))
+
+    for npart in (4, 16):
+        got = {r["root"]: (r["n_nodes"], r["sum_cents"], r["max_depth"])
+               for b in hierarchy_rollup(SF, npart=npart)
+               .iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()}
+        assert got == exp

@@ -6720,3 +6720,171 @@ GDPR_CASCADE_SQL = """
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
              - (SELECT CAST(COUNT(*) AS BIGINT) FROM do_)
     ORDER BY tbl"""
+
+
+def hierarchy_rollup(sf_dir: str, npart: int = 16):
+    """q159: forest resolution via POINTER DOUBLING + per-root rollup.
+
+    A planted md5 forest over the part table (k < 16 are roots;
+    parent(k) = md5h64(k) % k otherwise -- strictly decreasing, so
+    acyclic with data-dependent O(log n) depth).  Every node's (root,
+    depth) resolves by path doubling (ptr[k] <- ptr[ptr[k]], dist
+    accumulates) -- the tree-contraction primitive a recursive CTE
+    serializes: O(log depth) exchanges of O(n) pointer rows instead of
+    depth sequential steps.
+
+    Each round is EXACTLY ONE hash exchange: every node emits a lookup
+    row (keyed by its own id) and active nodes emit a query row (keyed
+    by their ptr); resolved nodes ride the same exchange as
+    passengers, so a round is one union -> one groupby -> one
+    vectorized per-bucket gather, with the state re-materialized
+    between rounds (bounded O(n) object-store footprint, nothing
+    driver-side but the 16-row report).  The round count is the
+    doubling bound for the whp max depth of a random recursive tree
+    (4*ln n + 16), followed by a hard convergence check that keeps
+    iterating if the bound was ever too tight.  Oracle: DuckDB
+    recursive-CTE walk of the same md5 parent function (value-exact).
+    """
+    import math
+
+    from ..stages.sketch import md5_prefix64
+
+    def init(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b["p_retailprice"], 100.0)), INT64)
+        h = md5_prefix64([str(int(x)) for x in k])
+        root = k < 16
+        par = np.where(root, k, (h % np.maximum(
+            k.astype(np.uint64), np.uint64(1)).astype(np.uint64))
+            .astype(np.int64))
+        return pa.table({
+            "key": pa.array(k, type=INT64),
+            "ptr": pa.array(par, type=INT64),
+            "dist": pa.array((~root).astype(np.int64), type=INT64),
+            "cents": cents,
+        })
+
+    state = _read_capped(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_retailprice"]) \
+        .map_batches(init, batch_format="pyarrow").materialize()
+    n_total = state.count()          # metadata on a materialized ds
+
+    P32 = pa.int32()
+
+    def pad(b: pa.Table) -> pa.Table:
+        # side 0: active query rows routed by ptr; side 1: lookup rows
+        # routed by own key (every node is a potential jump target);
+        # side 2: resolved passengers (any bucket -- key-routed).
+        key = b["key"].to_numpy(zero_copy_only=False)
+        ptr = b["ptr"].to_numpy(zero_copy_only=False)
+        act = ptr >= 16
+        a = b.filter(pa.array(act))
+        d = b.filter(pa.array(~act))
+        route = np.concatenate([
+            ptr[act], key, key[~act]]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            route = (route ^ (route >> np.uint64(33))) \
+                * np.uint64(0xFF51AFD7ED558CCD)
+        side = np.concatenate([
+            np.zeros(int(act.sum()), dtype=np.int8),
+            np.ones(len(key), dtype=np.int8),
+            np.full(int((~act).sum()), 2, dtype=np.int8)])
+        t = pa.concat_tables([a, b, d])
+        return pa.table({
+            "key": t["key"], "ptr": t["ptr"], "dist": t["dist"],
+            "cents": t["cents"], "side": pa.array(side),
+            "part": pa.array((route % np.uint64(npart)).astype(np.int32),
+                             type=P32),
+        })
+
+    def bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        out = g.filter(pa.array(side == 2)) \
+            .select(["key", "ptr", "dist", "cents"])
+        a = g.filter(pa.array(side == 0))
+        if a.num_rows == 0:
+            return out
+        lk = g.filter(pa.array(side == 1))
+        lk_key = lk["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lk_key)
+        pos = np.searchsorted(lk_key, a["ptr"].to_numpy(zero_copy_only=False),
+                              sorter=order)
+        idx = order[pos]             # a's ptr row inside lk (always hits)
+        lk_ptr = lk["ptr"].to_numpy(zero_copy_only=False)[idx]
+        lk_dist = lk["dist"].to_numpy(zero_copy_only=False)[idx]
+        jumped = pa.table({
+            "key": a["key"],
+            "ptr": pa.array(lk_ptr, type=INT64),
+            "dist": pa.array(a["dist"].to_numpy(zero_copy_only=False)
+                             + lk_dist, type=INT64),
+            "cents": a["cents"],
+        })
+        return pa.concat_tables([out, jumped])
+
+    # doubling bound for the whp max depth of a random recursive tree,
+    # then keep going (1 exchange per extra check) if data beat the odds
+    depth_bound = 4.0 * math.log(n_total + 2) + 16
+    rounds = max(1, math.ceil(math.log2(depth_bound)))
+    done = False
+    for r in range(rounds + 64):
+        state = state.map_batches(pad, batch_format="pyarrow") \
+            .groupby("part") \
+            .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                        batch_format="pyarrow").materialize()
+        if r + 1 >= rounds:
+            n_active = int(state.map_batches(
+                lambda b: pa.table({"n": pa.array(
+                    [int((b["ptr"].to_numpy(zero_copy_only=False) >= 16)
+                         .sum())], type=INT64)}),
+                batch_format="pyarrow").sum("n") or 0)
+            if n_active == 0:
+                done = True
+                break
+    if not done:
+        raise RuntimeError("pointer doubling failed to converge")
+
+    out = state.map_batches(
+        lambda b: pa.table({"root": b["ptr"], "one": b["dist"],
+                            "dist": b["dist"], "cents": b["cents"]})
+        .group_by(["root"]).aggregate(
+            [("one", "count"), ("cents", "sum"), ("dist", "max")])
+        .rename_columns(["root", "n_nodes", "sum_cents", "max_depth"]),
+        batch_format="pyarrow") \
+        .groupby("root") \
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"),
+                   Sum("sum_cents", alias_name="sum_cents"),
+                   Max("max_depth", alias_name="max_depth"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "root": pc.cast(b["root"], INT64),
+            "n_nodes": pc.cast(b["n_nodes"], INT64),
+            "sum_cents": pc.cast(b["sum_cents"], INT64),
+            "max_depth": pc.cast(b["max_depth"], INT64),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("root")
+
+
+_MD5H_NODE = ("list_sum(list_transform(range(1, 17), "
+              "i -> CAST(strpos('0123456789abcdef', "
+              "substr(md5(CAST(node AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 "
+              "AS HUGEINT) << (4 * (16 - i))))")
+
+HIERARCHY_SQL = f"""
+    WITH RECURSIVE w AS (
+      SELECT p_partkey AS key, p_partkey AS node, 0 AS depth
+      FROM part
+      UNION ALL
+      SELECT key, CAST({_MD5H_NODE} % node AS BIGINT), depth + 1
+      FROM w WHERE node >= 16
+    ),
+    term AS (SELECT key, node AS root, depth FROM w WHERE node < 16)
+    SELECT t.root,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CAST(round(p.p_retailprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(MAX(t.depth) AS BIGINT) AS max_depth
+    FROM term t JOIN part p ON t.key = p.p_partkey
+    GROUP BY t.root ORDER BY t.root"""
