@@ -1482,3 +1482,37 @@ def test_hierarchy_rollup_matches_sequential_walk(ray_session):
                .iter_batches(batch_format="pyarrow")
                for r in b.to_pylist()}
         assert got == exp
+
+
+def test_bloom_join_prune_invariance(ray_session):
+    """q160: the Bloom prefilter must not change the join result —
+    prune=True and prune=False byte-match (false positives survive to
+    the exact join; false negatives are impossible)."""
+    import pyarrow as pa
+
+    from warc_ray.pipelines.analytics import bloom_pruned_join
+
+    def run(**kw):
+        return pa.concat_tables(
+            bloom_pruned_join(SF, **kw).iter_batches(
+                batch_format="pyarrow")).to_pylist()
+
+    assert run(prune=True) == run(prune=False)
+    assert run(prune=True, npart=4) == run(prune=True, npart=16)
+
+
+def test_bloom_prefilter_drops_nonmembers(ray_session):
+    """The bitmap really prunes: on disjoint keyspaces the probe keeps
+    (almost) nothing, and members are never dropped."""
+    import numpy as np
+
+    from warc_ray.stages.sketch import (bloom_contains, bloom_merge,
+                                        bloom_partial)
+
+    members = np.arange(0, 50_000, dtype=np.int64)
+    bits = bloom_merge([bloom_partial(members[:25_000]),
+                        bloom_partial(members[25_000:])])
+    assert bloom_contains(bits, members).all()          # no false negatives
+    probe = np.arange(1_000_000, 1_050_000, dtype=np.int64)
+    fpr = bloom_contains(bits, probe).mean()
+    assert fpr < 0.05                                   # 128 KiB @ 50k keys
