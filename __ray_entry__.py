@@ -757,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q156_gdpr_cascade": an.gdpr_cascade,
         "q159_hierarchy_rollup": an.hierarchy_rollup,
         "q160_bloom_join": an.bloom_pruned_join,
+        "q161_lpm_enrich": an.lpm_enrich,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1097,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "q156_gdpr_cascade": _an.GDPR_CASCADE_SQL,
         "q159_hierarchy_rollup": _an.HIERARCHY_SQL,
         "q160_bloom_join": _an.BLOOM_JOIN_SQL,
+        "q161_lpm_enrich": _an.LPM_ENRICH_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

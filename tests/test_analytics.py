@@ -1516,3 +1516,48 @@ def test_bloom_prefilter_drops_nonmembers(ray_session):
     probe = np.arange(1_000_000, 1_050_000, dtype=np.int64)
     fpr = bloom_contains(bits, probe).mean()
     assert fpr < 0.05                                   # 128 KiB @ 50k keys
+
+
+def test_lpm_enrich_matches_bruteforce(ray_session):
+    """q161 vectorized level-probe LPM == a per-user brute-force scan
+    of all 64 rules (max plen, then min rule id), aggregated in pandas."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from warc_ray.pipelines.analytics import lpm_enrich
+
+    def h64(s: str) -> int:
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+    rules = [(jj, 4 + (jj % 5) * 2, h64("rule-%d" % jj) & 0xFFFFFFFF)
+             for jj in range(64)]
+
+    def region_of(u: int) -> str:
+        ip = h64(str(u)) & 0xFFFFFFFF
+        best = None
+        for jj, plen, pb in rules:
+            if ip >> (32 - plen) == pb >> (32 - plen):
+                cand = (-plen, jj)
+                if best is None or cand < best:
+                    best = cand
+        return "none" if best is None else "r%d" % best[1]
+
+    ev = pq.read_table(SF + "/events.parquet", columns=["user_id", "value"])
+    users = ev["user_id"].to_numpy()
+    cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    exp = {}
+    seen = {}
+    for u, c in zip(users, cents):
+        r = seen.setdefault(int(u), region_of(int(u)))
+        n_u, n_e, s = exp.get(r, (set(), 0, 0))
+        n_u.add(int(u))
+        exp[r] = (n_u, n_e + 1, s + int(c))
+    exp = {r: (len(us), n, s) for r, (us, n, s) in exp.items()}
+
+    got = {row["region"]: (row["n_users"], row["n_events"], row["sum_cents"])
+           for b in lpm_enrich(SF).iter_batches(batch_format="pyarrow")
+           for row in b.to_pylist()}
+    assert got == exp
+    assert len(got) > 1            # rules actually match someone at t1

@@ -6996,3 +6996,133 @@ BLOOM_JOIN_SQL = """
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY month ORDER BY month"""
+
+
+def lpm_enrich(sf_dir: str):
+    """q161: longest-prefix-match enrichment — the geo-IP / CIDR
+    lookup every log pipeline runs: each user maps to a deterministic
+    IPv4 (md5 of the user id), a 64-rule CIDR table (planted md5
+    prefixes at lengths 4/6/8/10/12, nested and overlapping) is the
+    broadcast small side, and each event's user resolves to the rule
+    with the LONGEST matching prefix (ties: smallest rule id), else
+    'none'.  Matching is hierarchical — not an equi-join — so neither
+    a hash nor a range exchange expresses it: the rule table is
+    preprocessed driver-side into per-length sorted prefix arrays
+    (duplicate prefixes collapse to their min rule id, which encodes
+    the tie rule), and each batch probes levels longest-first with
+    ONE searchsorted per level over its not-yet-matched rows.
+
+    Scale shape: rules broadcast once (real CIDR DBs are MBs); events
+    never shuffle raw — the (region,user) exchange carries bounded
+    partials for the exact distinct-user count (q158's two-level
+    fold)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sketch import md5_prefix64
+
+    U32 = np.uint64(0xFFFFFFFF)
+    # rule table: plen = 4 + (j % 5) * 2, prefix bits = md5h64('rule-j')
+    j = np.arange(64, dtype=np.int64)
+    plens = 4 + (j % 5) * 2
+    pbits = md5_prefix64(["rule-%d" % x for x in j]) & U32
+    levels = []                    # (plen, sorted_prefixes, min_rule_id)
+    for plen in sorted(set(plens.tolist()), reverse=True):
+        m = plens == plen
+        pref = (pbits[m] >> np.uint64(32 - plen)).astype(np.uint64)
+        rid = j[m]
+        order = np.lexsort((rid, pref))
+        pref, rid = pref[order], rid[order]
+        first = np.concatenate([[True], pref[1:] != pref[:-1]])
+        levels.append((plen, pref[first], rid[first]))
+
+    def enrich(b: pa.Table) -> pa.Table:
+        users = b["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(users, return_inverse=True)
+        ip = md5_prefix64([str(int(u)) for u in uniq]) & U32
+        region = np.full(len(uniq), -1, dtype=np.int64)
+        for plen, pref, rid in levels:
+            todo = region < 0
+            if not todo.any():
+                break
+            probe = ip[todo] >> np.uint64(32 - plen)
+            pos = np.searchsorted(pref, probe)
+            pos_c = np.minimum(pos, len(pref) - 1)
+            hit = pref[pos_c] == probe
+            upd = np.where(todo)[0][hit]
+            region[upd] = rid[pos_c[hit]]
+        labels = np.array(["none"] + ["r%d" % x for x in range(64)])
+        t = pa.table({
+            "region": pa.array(labels[region + 1][inv]),
+            "user_id": b["user_id"],
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                             INT64),
+            "one": pa.nulls(b.num_rows, INT64).fill_null(1),
+        })
+        return t.group_by(["region", "user_id"]).aggregate(
+            [("one", "sum"), ("cents", "sum")]) \
+            .rename_columns(["region", "user_id", "n", "cents"])
+
+    per_user = rd.read_parquet(_pq(sf_dir, "events"),
+                               columns=["user_id", "value"]) \
+        .map_batches(enrich, batch_format="pyarrow") \
+        .groupby(["region", "user_id"]) \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("cents", alias_name="cents"))
+    out = per_user.groupby("region") \
+        .aggregate(Count(alias_name="n_users"),
+                   Sum("n", alias_name="n_events"),
+                   Sum("cents", alias_name="sum_cents"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "region": b["region"],
+            "n_users": pc.cast(b["n_users"], INT64),
+            "n_events": pc.cast(b["n_events"], INT64),
+            "sum_cents": pc.cast(b["sum_cents"], INT64),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("region")
+
+
+_MD5H_USER = ("list_sum(list_transform(range(1, 17), "
+              "i -> CAST(strpos('0123456789abcdef', "
+              "substr(md5(CAST(user_id AS VARCHAR)), CAST(i AS INTEGER), 1)) "
+              "- 1 AS HUGEINT) << (4 * (16 - i))))")
+_MD5H_RULE = ("list_sum(list_transform(range(1, 17), "
+              "i -> CAST(strpos('0123456789abcdef', "
+              "substr(md5('rule-' || CAST(j AS VARCHAR)), "
+              "CAST(i AS INTEGER), 1)) - 1 AS HUGEINT) << (4 * (16 - i))))")
+
+LPM_ENRICH_SQL = f"""
+    WITH rules AS (
+      SELECT CAST(j AS BIGINT) AS j,
+             CAST(4 + (j % 5) * 2 AS BIGINT) AS plen,
+             CAST(({_MD5H_RULE}) % 4294967296 AS BIGINT) AS pbits
+      FROM range(64) t(j)
+    ),
+    users AS (
+      SELECT DISTINCT user_id,
+             CAST(({_MD5H_USER}) % 4294967296 AS BIGINT) AS ip
+      FROM events
+    ),
+    matched AS (
+      SELECT u.user_id, r.j, r.plen,
+             ROW_NUMBER() OVER (PARTITION BY u.user_id
+                                ORDER BY r.plen DESC, r.j) AS rk
+      FROM users u JOIN rules r
+        ON (u.ip // CAST(POWER(2, 32 - r.plen) AS BIGINT))
+         = (r.pbits // CAST(POWER(2, 32 - r.plen) AS BIGINT))
+    ),
+    reg AS (
+      SELECT u.user_id,
+             COALESCE('r' || CAST(m.j AS VARCHAR), 'none') AS region
+      FROM users u LEFT JOIN (SELECT * FROM matched WHERE rk = 1) m
+        USING (user_id)
+    )
+    SELECT reg.region,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events e JOIN reg ON e.user_id = reg.user_id
+    GROUP BY reg.region ORDER BY reg.region"""
