@@ -479,6 +479,32 @@ def _jsonl_ingest_q(sf_dir: str):
     return ingest_events_jsonl(_ensure_jsonl(sf_dir))
 
 
+def _ensure_evolved(sf_dir: str) -> str:
+    """events.parquet → two mixed-schema parquet generations ONCE per
+    sf dir (stamped) — the q162 schema-evolution fixture."""
+    from warc_ray.pipelines.logs import export_events_evolved
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CRAWL_OUT, f"evolved-{tag}")
+    done = out + ".DONE"
+    stamp = "fmt=1|src=%s" % os.path.join(sf_dir, "events.parquet")
+    if not (os.path.exists(done) and open(done).read() == stamp):
+        export_events_evolved(sf_dir, out)
+        with open(done, "w") as f:
+            f.write(stamp)
+    return out
+
+
+def _evolved_scan_q(sf_dir: str):
+    """Schema-evolution read (q162): union-by-name + type widening
+    inside the scan task (io.read_evolved), aggregated across
+    generations — oracle replays the generation rules on the
+    original table."""
+    from warc_ray.pipelines.logs import evolved_scan
+
+    return evolved_scan(_ensure_evolved(sf_dir))
+
+
 def _ensure_arc_src(sf_dir: str) -> str:
     """Fetched docs → .arc.gz shards ONCE per profile (stamped) — the
     migration fixture q78 reads; q58 keeps its own unstamped dir (it
@@ -842,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_cdx_lookup": _cdx_lookup_q,
         "q157_wet_extract": _wet_extract_q,
         "q158_jsonl_ingest": _jsonl_ingest_q,
+        "q162_evolved_scan": _evolved_scan_q,
         # reports (G17) + metrics (G15) over the crawl fetch log
         "q54_hottest_hosts": _hottest_hosts_q,
         "q55_crawl_metrics": _crawl_metrics_q,
@@ -2127,6 +2154,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(TRY_CAST(regexp_extract(props, '(\\d+)', 1)
                                      AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type""",
+        # q162: schema-evolution read — oracle replays the generation
+        # split (even ids = gen-1 legacy, odd ids = gen-2 with source)
+        # on the original table; any defect in union-by-name, null
+        # materialization, or int32→int64 widening shifts a value
+        "q162_evolved_scan": """
+            SELECT event_type,
+                   CASE WHEN event_id % 2 = 1 THEN
+                     (CASE WHEN event_id % 3 = 0 THEN 'mobile'
+                           ELSE 'web' END)
+                   ELSE 'legacy' END AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY event_type, source
+            ORDER BY event_type, source""",
         # q99: host-graph reciprocity — src host recomputed via the
         # corpus host function (i%5==0 -> hot host 0, else 1 + splitmix64(i)
         # % (n_hosts-1), the exact q35 HUGEINT chain), dst host parsed

@@ -72,3 +72,32 @@ def test_jsonl_export_idempotent(ray_session, tmp_path):
                 ingest_events_jsonl(out).iter_batches(batch_format="pyarrow")
                 for r in b.to_pylist())
     assert total == 5
+
+
+def test_read_evolved_union_by_name_and_widening(ray_session, tmp_path):
+    """io.read_evolved: a gen-1 file (missing column, int32 ids) and a
+    gen-2 file must surface as ONE stable schema with nulls filled and
+    types widened — per batch, inside the scan."""
+    import pyarrow.parquet as pq2
+
+    from warc_ray import io as wio
+
+    d = str(tmp_path / "evo")
+    os.makedirs(d)
+    pq2.write_table(pa.table({
+        "id": pa.array([1, 2], type=pa.int32()),
+        "v": pa.array([10.0, 20.0])}), d + "/gen1.parquet")
+    pq2.write_table(pa.table({
+        "id": pa.array([3], type=pa.int64()),
+        "v": pa.array([30.0]),
+        "src": pa.array(["web"])}), d + "/gen2.parquet")
+    schema = pa.schema([("id", pa.int64()), ("v", pa.float64()),
+                        ("src", pa.string())])
+    rows = sorted((r["id"], r["v"], r["src"]) for b in
+                  wio.read_evolved(d, schema)
+                  .iter_batches(batch_format="pyarrow")
+                  for r in b.to_pylist())
+    assert rows == [(1, 10.0, None), (2, 20.0, None), (3, 30.0, "web")]
+    assert all(b.schema == schema for b in
+               wio.read_evolved(d, schema)
+               .iter_batches(batch_format="pyarrow"))

@@ -42,3 +42,29 @@ def write_table(ds: "rd.Dataset", path: str, **kwargs) -> None:
         ds.write_lance(path, **kwargs)
     else:
         ds.write_parquet(path, **kwargs)
+
+
+def read_evolved(path: str, target_schema, **kwargs) -> "rd.Dataset":
+    """Schema-evolution read: union-by-name over parquet files written
+    across table generations (the additive-column / type-widening
+    lakehouse contract).  Each batch normalizes to ``target_schema``
+    INSIDE the scan task — columns a generation lacks materialize as
+    nulls, narrower physical types widen via cast — so every
+    downstream stage sees one stable schema regardless of which
+    fragment a block came from (a driver-side concat can't fix this:
+    blocks flow to consumers without passing through the driver)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def norm(b: "pa.Table") -> "pa.Table":
+        cols = []
+        for f in target_schema:
+            if f.name in b.column_names:
+                c = b[f.name]
+                cols.append(c if c.type == f.type else pc.cast(c, f.type))
+            else:
+                cols.append(pa.nulls(b.num_rows, f.type))
+        return pa.table(cols, schema=target_schema)
+
+    return rd.read_parquet(path, **kwargs) \
+        .map_batches(norm, batch_format="pyarrow")

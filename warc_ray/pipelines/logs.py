@@ -148,3 +148,99 @@ def ingest_events_jsonl(jsonl_dir: str):
 
     return out.map_batches(finish, batch_format="pyarrow") \
         .sort("event_type")
+
+
+def export_events_evolved(sf_dir: str, out_dir: str) -> None:
+    """Write the events table as TWO parquet generations into one
+    directory (the q162 schema-evolution fixture): gen-1 files hold
+    even event_ids with the original 5 columns and a NARROW
+    ``user_id`` (int32); gen-2 files hold odd event_ids plus the
+    additive ``source`` column ('mobile' when event_id % 3 == 0,
+    else 'web')."""
+    import shutil
+
+    import ray.data as rd
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    base = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+    def gen1(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.bit_wise_and(b["event_id"], 1), 0))
+        return pa.table({
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "user_id": pc.cast(b["user_id"], pa.int32()),
+            "event_type": b["event_type"],
+            "value": b["value"],
+        })
+
+    def gen2(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.bit_wise_and(b["event_id"], 1), 1))
+        three = pc.equal(
+            pc.subtract(b["event_id"],
+                        pc.multiply(pc.divide(b["event_id"], 3),
+                                    pa.scalar(3, type=pa.int64()))), 0)
+        return pa.table({
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "value": b["value"],
+            "source": pc.if_else(three, "mobile", "web"),
+        })
+
+    base.map_batches(gen1, batch_format="pyarrow").write_parquet(out_dir)
+    base.map_batches(gen2, batch_format="pyarrow").write_parquet(out_dir)
+
+
+def evolved_scan(evo_dir: str):
+    """q162: aggregate across parquet generations through the
+    schema-evolution reader (io.read_evolved — per-batch union-by-name
+    + int32→int64 widening inside the scan task).  gen-1 rows surface
+    with source = 'legacy' (the null fill a real migration applies);
+    result is value-exact against DuckDB over the ORIGINAL table with
+    the generation rules replayed."""
+    import pyarrow as pa
+    import ray.data as rd  # noqa: F401  (read via io.read_evolved)
+    from ray.data.aggregate import Sum
+
+    from .. import io as wio
+
+    schema = pa.schema([
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("source", pa.string()),
+    ])
+    ds = wio.read_evolved(evo_dir, schema)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": b["event_type"],
+            "source": pc.fill_null(b["source"], "legacy"),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                             pa.int64()),
+            "one": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+        })
+        return t.group_by(["event_type", "source"]).aggregate(
+            [("one", "sum"), ("cents", "sum")]) \
+            .rename_columns(["event_type", "source", "n", "cents"])
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "source"]) \
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("cents", alias_name="sum_cents"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "source": b["source"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["event_type", "source"])
