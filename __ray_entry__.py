@@ -784,6 +784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q159_hierarchy_rollup": an.hierarchy_rollup,
         "q160_bloom_join": an.bloom_pruned_join,
         "q161_lpm_enrich": an.lpm_enrich,
+        "q163_tpch_q5": an.local_supplier_revenue,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1126,6 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         "q159_hierarchy_rollup": _an.HIERARCHY_SQL,
         "q160_bloom_join": _an.BLOOM_JOIN_SQL,
         "q161_lpm_enrich": _an.LPM_ENRICH_SQL,
+        "q163_tpch_q5": _an.Q5_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -7126,3 +7126,133 @@ LPM_ENRICH_SQL = f"""
                AS sum_cents
     FROM events e JOIN reg ON e.user_id = reg.user_id
     GROUP BY reg.region ORDER BY reg.region"""
+
+
+_Q5_LO_US = 789_004_800_000_000        # 1995-01-01T00:00:00Z epoch µs
+_Q5_HI_US = 820_454_400_000_000        # 1996-01-01T00:00:00Z
+
+
+def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
+                           npart: int = 16):
+    """q163: the canonical TPC-H Q5 composition — revenue per nation
+    where the SUPPLIER and the CUSTOMER share the nation (the non-star
+    twist: two independent paths to nationkey must AGREE per row, so
+    no single dimension broadcast resolves it).
+
+    Plan: nation/region and supplier→nationkey broadcast as dicts
+    (catalog-sized at any scale); orders (date-range filtered, column
+    pruned) exchange-joins customer on custkey to pick up
+    c_nationkey; the result exchange-joins lineitem on orderkey with
+    the supplier-nation equality CHECK and the per-nation revenue
+    partial FUSED into the join bucket (bucket_finish), so the second
+    exchange emits nation-sized partials, never joined rows.  Revenue
+    in exact cents×percent ints, one double division per output row
+    (q100's discipline)."""
+    import pyarrow.parquet as _pq2
+
+    from ..stages.exchange import hash_join
+
+    nat = _pq2.read_table(_pq(sf_dir, "nation"))
+    reg = _pq2.read_table(_pq(sf_dir, "region"))
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][0]
+    nat = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    nat_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()))
+    nat_keys = np.sort(np.array(list(nat_name), dtype=np.int64))
+
+    sup = _pq2.read_table(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False)
+    # dense suppkey → nationkey map (-1 outside the region)
+    sup_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    m = np.isin(sn, nat_keys)
+    sup_nat[sk[m]] = sn[m]
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], INT64)
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(_Q5_LO_US, type=INT64)),
+            pc.less(d, pa.scalar(_Q5_HI_US, type=INT64))))
+        return pa.table({"c_custkey": b["o_custkey"],
+                         "o_orderkey": b["o_orderkey"]})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_finish(j: pa.Table) -> pa.Table:
+        # orders outside the region's customer base still join (inner)
+        # but can never match a supplier nation outside the region —
+        # drop them here so the second exchange moves less
+        keep = np.isin(j["c_nationkey"].to_numpy(zero_copy_only=False),
+                       nat_keys)
+        j = j.filter(pa.array(keep))
+        return pa.table({"l_orderkey": j["o_orderkey"],
+                         "c_nationkey": j["c_nationkey"]})
+
+    # materialize the (orderkey, nationkey) intermediate: it's 2 ints
+    # per in-range order (bounded), and the second hash_join probes
+    # schema() + unions it — left lazy it would execute twice
+    ord_nat = hash_join(orders, cust, "c_custkey", npart=npart,
+                        bucket_finish=cust_finish).materialize()
+
+    def line_side(b: pa.Table) -> pa.Table:
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = np.where(s < len(sup_nat), sup_nat[np.minimum(
+            s, len(sup_nat) - 1)], -1)
+        keep = s_nat >= 0
+        b = b.filter(pa.array(keep))
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "s_nationkey": pa.array(s_nat[keep], type=INT64),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc)),
+        })
+
+    lines = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice", "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    def q5_finish(j: pa.Table) -> pa.Table:
+        same = pc.equal(j["s_nationkey"], j["c_nationkey"])
+        j = j.filter(same)
+        return pa.table({"n_nationkey": j["s_nationkey"], "rev": j["rev"]}) \
+            .group_by(["n_nationkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["n_nationkey", "rev"])
+
+    agg = hash_join(lines, ord_nat, "l_orderkey", npart=npart,
+                    bucket_finish=q5_finish) \
+        .groupby("n_nationkey").aggregate(Sum("rev", alias_name="rev"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        names = [nat_name[int(k)] for k in b["n_nationkey"].to_pylist()]
+        return pa.table({
+            "n_name": pa.array(names, type=pa.string()),
+            "revenue": pc.divide(pc.cast(b["rev"], pa.float64()), 10_000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("revenue", descending=True)
+
+
+Q5_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY n_name ORDER BY revenue DESC"""
