@@ -785,6 +785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q160_bloom_join": an.bloom_pruned_join,
         "q161_lpm_enrich": an.lpm_enrich,
         "q163_tpch_q5": an.local_supplier_revenue,
+        "q164_pit_snapshot": an.pit_state_snapshot,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1128,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "q160_bloom_join": _an.BLOOM_JOIN_SQL,
         "q161_lpm_enrich": _an.LPM_ENRICH_SQL,
         "q163_tpch_q5": _an.Q5_SQL,
+        "q164_pit_snapshot": _an.PIT_SNAPSHOT_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

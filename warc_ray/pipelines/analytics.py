@@ -7256,3 +7256,106 @@ Q5_SQL = """
       AND o_orderdate >= TIMESTAMP '1995-01-01'
       AND o_orderdate < TIMESTAMP '1996-01-01'
     GROUP BY n_name ORDER BY revenue DESC"""
+
+
+def pit_state_snapshot(sf_dir: str, npart: int = 32,
+                       day_lo: int = 19723, n_days: int = 31):
+    """q164: point-in-time (AS-OF) dimension snapshots against the
+    q131 SCD2 history — "how many users were in each state at
+    midnight on day D" for every day in the observed band: the
+    snapshot-reconstruction read every type-2 dimension exists to
+    serve.
+
+    Because a user's validity intervals TILE [first_event, ∞) without
+    overlap, the instant-lookup needs no join at all downstream of the
+    history build: an interval is the user's state at probe t iff
+    valid_from <= t < valid_to — a pure per-row predicate.  So the
+    whole snapshot grid folds as map_batches count partials over the
+    interval table (31 vectorized masks per batch) + one tiny
+    (day,state) groupby; the only exchange is the user-hash bucket
+    q131 already pays to build runs.  Oracle: the q131 runs CTE joined
+    to the day grid with BETWEEN (value-exact)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    hist = scd2_user_state(sf_dir, npart=npart)
+    US_DAY = np.int64(86_400_000_000)
+    probes = (day_lo + np.arange(n_days, dtype=np.int64)) * US_DAY
+
+    def partial(b: pa.Table) -> pa.Table:
+        vf = b["valid_from_us"].to_numpy(zero_copy_only=False)
+        vt = b["valid_to_us"].to_numpy(zero_copy_only=False)
+        et = b["event_type"]
+        codes, uniq = None, None
+        enc = pc.dictionary_encode(et)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        days, states, ns = [], [], []
+        for d in range(n_days):
+            t = probes[d]
+            m = (vf <= t) & (t < vt)
+            if not m.any():
+                continue
+            cnt = np.bincount(codes[m], minlength=len(uniq))
+            nz = np.flatnonzero(cnt)
+            days.extend([day_lo + d] * len(nz))
+            states.extend(uniq[i] for i in nz)
+            ns.extend(cnt[nz].tolist())
+        return pa.table({
+            "day": pa.array(days, type=INT64),
+            "state": pa.array(states, type=pa.string()),
+            "n_users": pa.array(ns, type=INT64),
+        })
+
+    out = hist.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "state"]) \
+        .aggregate(_Sum("n_users", alias_name="n_users"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.cast(b["day"], INT64),
+            "state": b["state"],
+            "n_users": pc.cast(b["n_users"], INT64),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["day", "state"])
+
+
+PIT_SNAPSHOT_SQL = """
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, us,
+             CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END AS is_start,
+             event_id
+      FROM s
+    ), grp AS (
+      SELECT *, SUM(is_start) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS run_id
+      FROM runs
+    ), iv AS (
+      SELECT user_id, run_id, MIN(event_type) AS event_type,
+             MIN(us) AS valid_from_us
+      FROM grp GROUP BY user_id, run_id
+    ), hist AS (
+      SELECT user_id, event_type, valid_from_us,
+             COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+                                                ORDER BY run_id),
+                      9223372036854775807) AS valid_to_us
+      FROM iv
+    ), days AS (
+      SELECT (19723 + d) AS day,
+             (19723 + d) * 86400000000 AS t_us
+      FROM range(31) g(d)
+    )
+    SELECT CAST(d.day AS BIGINT) AS day, h.event_type AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM days d JOIN hist h
+      ON h.valid_from_us <= d.t_us AND d.t_us < h.valid_to_us
+    GROUP BY d.day, h.event_type ORDER BY day, state"""
