@@ -1561,3 +1561,35 @@ def test_lpm_enrich_matches_bruteforce(ray_session):
            for row in b.to_pylist()}
     assert got == exp
     assert len(got) > 1            # rules actually match someone at t1
+
+
+def test_windowed_pairs_matches_bruteforce(ray_session):
+    """q165 searchsorted pairing == the O(n²) per-user brute force,
+    and npart-invariant."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from warc_ray.pipelines.analytics import windowed_pair_join
+
+    ev = pq.read_table(SF + "/events.parquet",
+                       columns=["user_id", "ts", "event_type"])
+    u = ev["user_id"].to_numpy()
+    ts = ev["ts"].cast("int64").to_numpy()
+    et = np.asarray(ev["event_type"].to_pylist(), dtype=object)
+    exp = {}
+    clicks = [(int(a), int(b)) for a, b, t in zip(u, ts, et) if t == "click"]
+    purch = [(int(a), int(b)) for a, b, t in zip(u, ts, et)
+             if t == "purchase"]
+    for cu, cts in clicks:
+        for pu, pts in purch:
+            if pu == cu and cts < pts <= cts + 3_600_000_000:
+                d = cts // 86_400_000_000
+                n, s = exp.get(d, (0, 0))
+                exp[d] = (n + 1, s + (pts - cts))
+    for npart in (3, 32):
+        got = {r["day"]: (r["n_pairs"], r["sum_lag_us"]) for b in
+               windowed_pair_join(SF, npart=npart)
+               .iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()}
+        assert got == exp
+    assert sum(n for n, _ in exp.values()) > 0

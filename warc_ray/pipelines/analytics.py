@@ -7359,3 +7359,101 @@ PIT_SNAPSHOT_SQL = """
     FROM days d JOIN hist h
       ON h.valid_from_us <= d.t_us AND d.t_us < h.valid_to_us
     GROUP BY d.day, h.event_type ORDER BY day, state"""
+
+
+def windowed_pair_join(sf_dir: str, npart: int = 32,
+                       lag_max_us: int = 3_600_000_000):
+    """q165: stream-stream windowed join — every (click, purchase)
+    pair of the SAME user with 0 < purchase.ts - click.ts <= 1h, the
+    conversion-pairing join streaming engines bound with watermarks.
+    Reported per click day: pair count and exact lag sum.
+
+    Scale shape: the scan prunes to the two event types and ships only
+    (user, ts) rows through ONE user-hash exchange; each bucket pairs
+    via composite-key searchsorted (user_rank·2^43 + ts-offset — the
+    1h window can never cross a user boundary) with a prefix-sum over
+    purchase timestamps turning per-click lag sums into two gathers —
+    no pair list ever materializes, output is O(days) partials.
+    Oracle: the quadratic self-join (value-exact)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    US_DAY = np.int64(86_400_000_000)
+
+    def scan(b: pa.Table) -> pa.Table:
+        m = pc.or_(pc.equal(b["event_type"], "click"),
+                   pc.equal(b["event_type"], "purchase"))
+        b = b.filter(m)
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], INT64),
+            "is_click": pc.equal(b["event_type"], "click"),
+            "part": pa.array((u % npart).astype(np.int32)),
+        })
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        isc = g["is_click"].to_numpy(zero_copy_only=False)
+        lo_ts = ts.min()
+        _, rank = np.unique(u, return_inverse=True)
+        comp = rank.astype(np.int64) * np.int64(1 << 43) + (ts - lo_ts)
+        ck, cts = np.sort(comp[isc]), None
+        order_c = np.argsort(comp[isc], kind="stable")
+        cts = ts[isc][order_c]
+        pk_order = np.argsort(comp[~isc], kind="stable")
+        pk = comp[~isc][pk_order]
+        pts = ts[~isc][pk_order].astype(np.int64)
+        psum = np.concatenate([[0], np.cumsum(pts)])
+        lo = np.searchsorted(pk, ck, side="right")
+        hi = np.searchsorted(pk, ck + np.int64(lag_max_us), side="right")
+        n = (hi - lo).astype(np.int64)
+        lag = (psum[hi] - psum[lo]) - n * cts
+        day = (cts // US_DAY).astype(np.int64)
+        m = n > 0
+        dmin = int(day[m].min()) if m.any() else 0
+        span = (int(day[m].max()) - dmin + 1) if m.any() else 0
+        # int64 add.at, not float-weighted bincount: bucket lag sums
+        # must stay exact past 2^53 at scale
+        cnt = np.zeros(span, dtype=np.int64)
+        lsum = np.zeros(span, dtype=np.int64)
+        np.add.at(cnt, day[m] - dmin, n[m])
+        np.add.at(lsum, day[m] - dmin, lag[m])
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "day": pa.array(nz + dmin, type=INT64),
+            "n_pairs": pa.array(cnt[nz], type=INT64),
+            "sum_lag_us": pa.array(lsum[nz], type=INT64),
+        })
+
+    out = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts", "event_type"]) \
+        .map_batches(scan, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("day") \
+        .aggregate(_Sum("n_pairs", alias_name="n_pairs"),
+                   _Sum("sum_lag_us", alias_name="sum_lag_us"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.cast(b["day"], INT64),
+            "n_pairs": pc.cast(b["n_pairs"], INT64),
+            "sum_lag_us": pc.cast(b["sum_lag_us"], INT64),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+WINDOWED_PAIR_SQL = """
+    WITH c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'purchase')
+    SELECT CAST(c.us // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(p.us - c.us) AS BIGINT) AS sum_lag_us
+    FROM c JOIN p ON p.user_id = c.user_id
+      AND p.us > c.us AND p.us <= c.us + 3600000000
+    GROUP BY day ORDER BY day"""
