@@ -1593,3 +1593,24 @@ def test_windowed_pairs_matches_bruteforce(ray_session):
                for r in b.to_pylist()}
         assert got == exp
     assert sum(n for n, _ in exp.values()) > 0
+
+
+def test_bootstrap_weights_and_ci(ray_session):
+    """q166: pinned-threshold Poisson weights have the right first two
+    moments, and the replicate CI brackets the point mean at t1."""
+    import numpy as np
+
+    from warc_ray.pipelines.analytics import _POIS_T, bootstrap_ci
+    from warc_ray.stages.sketch import md5_prefix64
+
+    h = md5_prefix64(["k|%d" % i for i in range(20000)])
+    w = np.zeros(len(h), dtype=np.int64)
+    for t in _POIS_T:
+        w += h >= np.uint64(t)
+    assert abs(w.mean() - 1.0) < 0.03          # E[w] = 1
+    assert abs(w.var() - 1.0) < 0.05           # Var[w] = 1
+    assert abs((w == 0).mean() - np.exp(-1)) < 0.01
+
+    row = bootstrap_ci(SF).to_pylist()[0]
+    assert row["boot_lo"] < row["mean_cents"] < row["boot_hi"]
+    assert row["n_events"] == 1000

@@ -7457,3 +7457,89 @@ WINDOWED_PAIR_SQL = """
     FROM c JOIN p ON p.user_id = c.user_id
       AND p.us > c.us AND p.us <= c.us + 3600000000
     GROUP BY day ORDER BY day"""
+
+
+# Poisson(1) CDF thresholds scaled to 2^64, truncated at k=8 — PINNED
+# integer literals so the Ray and SQL replicate weights are identical
+# by construction (no float expression ever evaluated at runtime)
+_POIS_T = (6786177901268885504, 13572355802537771008,
+           16965444753172213760, 18096474403383695360,
+           18379231815936565248, 18435783298447138816,
+           18445208545532233728, 18446555009401532416)
+_BOOT_B = 32
+
+
+def bootstrap_ci(sf_dir: str):
+    """q166: Poisson bootstrap — THE resampling scheme that works on a
+    stream (Owen & Eckles 2012-style): classical bootstrap needs n
+    draws from n rows (impossible distributed), but multinomial counts
+    converge to independent Poisson(1) weights per row, so replicate
+    r's weight for a row derives from md5(event_id|r) compared against
+    PINNED integer CDF thresholds — one pass, no resample shuffle,
+    bit-identical in both engines.  B=32 replicate (Σw·cents, Σw)
+    partials fold per batch; the driver sorts the 32 replicate means
+    and reports the pinned 1st/30th order statistics as the CI around
+    the exact point mean."""
+    from ..stages.sketch import md5_prefix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = [str(i) for i in b["event_id"].to_pylist()]
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                        INT64).to_numpy(zero_copy_only=False)
+        rs, ss, ns = [-1], [int(cents.sum())], [len(cents)]
+        for r in range(_BOOT_B):
+            h = md5_prefix64(["%s|%d" % (i, r) for i in ids])
+            w = np.zeros(len(ids), dtype=np.int64)
+            for t in _POIS_T:
+                w += h >= np.uint64(t)
+            rs.append(r)
+            ss.append(int((w * cents).sum()))
+            ns.append(int(w.sum()))
+        return pa.table({"r": pa.array(rs, type=INT64),
+                         "s": pa.array(ss, type=INT64),
+                         "n": pa.array(ns, type=INT64)})
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_id", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("r").aggregate(Sum("s", alias_name="s"),
+                                Sum("n", alias_name="n"))
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    rows = {int(r): (int(s), int(n)) for r, s, n in
+            zip(t["r"].to_pylist(), t["s"].to_pylist(),
+                t["n"].to_pylist())}
+    s0, n0 = rows[-1]
+    means = sorted(float(rows[r][0]) / rows[r][1] for r in range(_BOOT_B))
+    return pa.table({
+        "n_events": pa.array([n0], type=INT64),
+        "mean_cents": pa.array([float(s0) / n0], type=pa.float64()),
+        "boot_lo": pa.array([means[1]], type=pa.float64()),
+        "boot_hi": pa.array([means[_BOOT_B - 2]], type=pa.float64()),
+    })
+
+
+_MD5H_BOOT = ("list_sum(list_transform(range(1, 17), "
+              "i -> CAST(strpos('0123456789abcdef', "
+              "substr(md5(CAST(event_id AS VARCHAR) || '|' || "
+              "CAST(r AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 "
+              "AS HUGEINT) << (4 * (16 - i))))")
+
+BOOTSTRAP_SQL = f"""
+    WITH w AS (
+      SELECT r, CAST(round(value * 100) AS BIGINT) AS cents,
+             {' + '.join('(CASE WHEN (%s) >= CAST(%d AS HUGEINT) '
+                         'THEN 1 ELSE 0 END)' % (_MD5H_BOOT, t)
+                         for t in _POIS_T)} AS wgt
+      FROM events CROSS JOIN range({_BOOT_B}) g(r)
+    ),
+    reps AS (
+      SELECT r, CAST(SUM(wgt * cents) AS DOUBLE) / SUM(wgt) AS m
+      FROM w GROUP BY r
+    ),
+    ord AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM reps)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_events,
+           (SELECT CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+              FROM events)
+             / (SELECT COUNT(*) FROM events) AS mean_cents,
+           (SELECT m FROM ord WHERE rk = 2) AS boot_lo,
+           (SELECT m FROM ord WHERE rk = {_BOOT_B - 1}) AS boot_hi"""
