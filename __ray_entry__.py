@@ -479,6 +479,36 @@ def _jsonl_ingest_q(sf_dir: str):
     return ingest_events_jsonl(_ensure_jsonl(sf_dir))
 
 
+def _ensure_jsonl_corrupt(sf_dir: str) -> str:
+    """events.parquet → .jsonl shards with planted torn lines ONCE per
+    sf dir (stamped) — the q167 dead-letter fixture."""
+    from warc_ray.pipelines.logs import export_events_jsonl_corrupt
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CRAWL_OUT, f"jsonlbad-{tag}")
+    done = out + ".DONE"
+    stamp = "fmt=1|src=%s" % os.path.join(sf_dir, "events.parquet")
+    if not (os.path.exists(done) and open(done).read() == stamp):
+        export_events_jsonl_corrupt(sf_dir, out)
+        with open(done, "w") as f:
+            f.write(stamp)
+    return out
+
+
+def _jsonl_dlq_q(sf_dir: str):
+    """Error-tolerant ingestion + dead-letter queue (q167): torn lines
+    quarantine (and reconcile in the report), valid lines aggregate —
+    oracle replays the corruption rule on the original table."""
+    import shutil
+
+    from warc_ray.pipelines.logs import ingest_events_jsonl_dlq
+
+    src = _ensure_jsonl_corrupt(sf_dir)
+    dlq = src + "-dlq"
+    shutil.rmtree(dlq, ignore_errors=True)
+    return ingest_events_jsonl_dlq(src, dlq)
+
+
 def _ensure_evolved(sf_dir: str) -> str:
     """events.parquet → two mixed-schema parquet generations ONCE per
     sf dir (stamped) — the q162 schema-evolution fixture."""
@@ -873,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q157_wet_extract": _wet_extract_q,
         "q158_jsonl_ingest": _jsonl_ingest_q,
         "q162_evolved_scan": _evolved_scan_q,
+        "q167_dlq_ingest": _jsonl_dlq_q,
         # reports (G17) + metrics (G15) over the crawl fetch log
         "q54_hottest_hosts": _hottest_hosts_q,
         "q55_crawl_metrics": _crawl_metrics_q,
@@ -2177,6 +2208,21 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_cents
             FROM events GROUP BY event_type, source
             ORDER BY event_type, source""",
+        # q167: DLQ ingestion — oracle replays the torn-line rule
+        # (event_id % 97 == 13) on the original table; quarantined
+        # rows must reconcile exactly, valid rows aggregate
+        "q167_dlq_ingest": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events WHERE event_id % 97 <> 13
+            GROUP BY event_type
+            UNION ALL
+            SELECT '_quarantined', CAST(COUNT(*) AS BIGINT),
+                   CAST(0 AS BIGINT)
+            FROM events WHERE event_id % 97 = 13
+            ORDER BY event_type""",
         # q99: host-graph reciprocity — src host recomputed via the
         # corpus host function (i%5==0 -> hot host 0, else 1 + splitmix64(i)
         # % (n_hosts-1), the exact q35 HUGEINT chain), dst host parsed

@@ -101,3 +101,35 @@ def test_read_evolved_union_by_name_and_widening(ray_session, tmp_path):
     assert all(b.schema == schema for b in
                wio.read_evolved(d, schema)
                .iter_batches(batch_format="pyarrow"))
+
+
+def test_dlq_ingestion_reconciles(ray_session, tmp_path):
+    """q167: torn lines land in the DLQ verbatim (recoverable), valid
+    lines aggregate, and totals reconcile with the source exactly."""
+    from warc_ray.pipelines.logs import (export_events_jsonl_corrupt,
+                                         ingest_events_jsonl_dlq)
+
+    sf_dir = str(tmp_path / "sf")
+    src = str(tmp_path / "jsonl")
+    dlq = str(tmp_path / "dlq")
+    os.makedirs(sf_dir)
+    t = _mk_events(sf_dir)
+    # ids 0..4: none hits %97==13 — re-plant id 13 to force one tear
+    import pyarrow.parquet as pq2
+    t = t.set_column(0, "event_id",
+                     pa.array([13, 1, 2, 3, 4], type=pa.int64()))
+    pq2.write_table(t, os.path.join(sf_dir, "events.parquet"))
+    assert export_events_jsonl_corrupt(sf_dir, src, batch_size=2) == 5
+
+    got = {r["event_type"]: (r["n_events"], r["sum_cents"]) for b in
+           ingest_events_jsonl_dlq(src, dlq)
+           .iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+    assert got["_quarantined"] == (1, 0)
+    assert sum(n for n, _ in got.values()) == 5    # nothing vanished
+    assert got["click"] == (2, -321 + 0)           # id 13 (click) torn out
+    dlq_lines = []
+    for f in os.listdir(dlq):
+        dlq_lines += open(os.path.join(dlq, f)).read().splitlines()
+    assert len(dlq_lines) == 1 and dlq_lines[0].startswith(
+        '{"event_id":13,')

@@ -244,3 +244,130 @@ def evolved_scan(evo_dir: str):
 
     return out.map_batches(finish, batch_format="pyarrow") \
         .sort(["event_type", "source"])
+
+
+_LINE_RE = (r'^\{"event_id":\d+,"ts_us":\d+,"user":\{"id":\d+\},'
+            r'"event":\{"type":"[a-z]+","value_cents":-?\d+\},'
+            r'"props":\{"k": ?\d+\}\}$')
+
+
+def export_events_jsonl_corrupt(sf_dir: str, out_dir: str, *,
+                                batch_size: int = 4096) -> int:
+    """q167 fixture: the q158 export with PLANTED corruption — lines
+    whose event_id % 97 == 13 lose their tail (unbalanced JSON), the
+    torn-write/truncated-flush failure mode real log ingestion sees."""
+    import ray.data as rd
+
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.endswith(".jsonl") or ".tmp-" in name:
+                os.remove(os.path.join(out_dir, name))
+    sink = _WriteJsonlShard(out_dir)
+
+    def write_corrupt(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return sink(b)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        s = pa.string()
+        ts = pc.cast(pc.cast(b["ts"], pa.int64()), s)
+        uid = pc.cast(b["user_id"], s)
+        cents = pc.cast(pa.array(
+            np.rint(b["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)), s)
+        lines = pc.binary_join_element_wise(
+            '{"event_id":', pc.cast(b["event_id"], s), ',"ts_us":', ts,
+            ',"user":{"id":', uid, '},"event":{"type":"', b["event_type"],
+            '","value_cents":', cents, '},"props":', b["props"], "}", "")
+        py = lines.to_pylist()
+        bad = eid % 97 == 13
+        py = [ln[:-4] if m else ln for ln, m in zip(py, bad)]
+        blob = ("\n".join(py) + "\n").encode()
+        name_h = hashlib.sha1(
+            ("%d|%d|%d" % (eid[0], eid[-1], b.num_rows)).encode()
+        ).hexdigest()[:16]
+        path = os.path.join(sink.out_dir, f"part-{name_h}.jsonl")
+        tmp = path + ".tmp-%s" % uuid.uuid4().hex[:8]
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "n_rows": [b.num_rows],
+                         "bytes": [len(blob)]})
+
+    man = rd.read_parquet(os.path.join(sf_dir, "events.parquet")) \
+        .map_batches(write_corrupt, batch_format="pyarrow",
+                     batch_size=batch_size)
+    return sum(r["n_rows"] for b in man.iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist())
+
+
+def ingest_events_jsonl_dlq(jsonl_dir: str, dlq_dir: str):
+    """q167: error-tolerant ingestion with a dead-letter queue — the
+    contract every production loader honors: one torn line must not
+    fail a shard, and no record may silently vanish.  Lines stream
+    through a vectorized RE2 schema screen; conforming lines
+    batch-parse with the Arrow JSON reader (which the screen makes
+    infallible), rejects are WRITTEN to the DLQ (content-hash shard
+    names, tmp+rename) and surface in the report as the
+    '_quarantined' row — so totals always reconcile with the source.
+
+    Scale shape: embarrassingly parallel per text block; the DLQ write
+    is a side output of the same pass (no second scan)."""
+    import io as _io
+
+    import pyarrow.json as pj
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    os.makedirs(dlq_dir, exist_ok=True)
+
+    def screen(b: pa.Table) -> pa.Table:
+        lines = b["text"]
+        ok = pc.match_substring_regex(lines, _LINE_RE)
+        good = lines.filter(ok)
+        bad = lines.filter(pc.invert(ok))
+        out = []
+        if len(bad):
+            blob = ("\n".join(bad.to_pylist()) + "\n").encode()
+            name = hashlib.sha1(blob).hexdigest()[:16]
+            path = os.path.join(dlq_dir, f"dlq-{name}.jsonl")
+            tmp = path + ".tmp-%s" % uuid.uuid4().hex[:8]
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
+            out.append(pa.table({
+                "event_type": pa.array(["_quarantined"]),
+                "n_events": pa.array([len(bad)], type=pa.int64()),
+                "sum_cents": pa.array([0], type=pa.int64()),
+            }))
+        if len(good):
+            t = pj.read_json(_io.BytesIO(
+                ("\n".join(good.to_pylist()) + "\n").encode()))
+            p = pa.table({
+                "event_type": pc.struct_field(t["event"], "type"),
+                "cents": pc.struct_field(t["event"], "value_cents"),
+                "one": pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+            }).group_by(["event_type"]).aggregate(
+                [("one", "sum"), ("cents", "sum")]) \
+                .rename_columns(["event_type", "n_events", "sum_cents"])
+            out.append(p)
+        if not out:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "n_events": pa.array([], type=pa.int64()),
+                             "sum_cents": pa.array([], type=pa.int64())})
+        return pa.concat_tables(out)
+
+    out = rd.read_text(jsonl_dir) \
+        .map_batches(screen, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("event_type")
