@@ -7543,3 +7543,92 @@ BOOTSTRAP_SQL = f"""
              / (SELECT COUNT(*) FROM events) AS mean_cents,
            (SELECT m FROM ord WHERE rk = 2) AS boot_lo,
            (SELECT m FROM ord WHERE rk = {_BOOT_B - 1}) AS boot_hi"""
+
+
+_JOIN_CANDS = (
+    # (join, fact table, fact key, dim table)
+    ("customer>nation", "customer", "c_nationkey", "nation"),
+    ("lineitem>orders", "lineitem", "l_orderkey", "orders"),
+    ("lineitem>part", "lineitem", "l_partkey", "part"),
+    ("lineitem>supplier", "lineitem", "l_suppkey", "supplier"),
+    ("orders>customer", "orders", "o_custkey", "customer"),
+)
+
+
+def join_advisor(sf_dir: str):
+    """q168: cost-based join-strategy advisor — the planner decision
+    this engine otherwise asks users to make by hand, over the same
+    EXACT stats a real optimizer collects: fact rows, dim rows,
+    distinct fact keys, max key frequency.  Pinned integer rules (no
+    floats, so both engines decide identically):
+
+      dim_rows*8 <= fact_rows             → broadcast  (q02's path)
+      max_freq*n_keys >= fact_rows*16     → skew_salted (q103's path)
+      else                                → hash_exchange (q68's path)
+
+    Stats collection is itself the distributed op: per-batch key-count
+    partials → one key groupby per candidate → a 3-aggregate fold
+    (Σ=fact_rows, count=n_keys, max=max_freq); dim_rows is a count.
+    Nothing but 5-row stats ever reaches the driver."""
+    from ray.data.aggregate import Count, Max as _Max
+
+    rows = []
+    for name, fact, key, dim in _JOIN_CANDS:
+        per_key = rd.read_parquet(_pq(sf_dir, fact), columns=[key]) \
+            .map_batches(
+                lambda b, k=key: pa.table({
+                    "key": b[k],
+                    "n": pa.nulls(b.num_rows, INT64).fill_null(1)})
+                .group_by(["key"]).aggregate([("n", "sum")])
+                .rename_columns(["key", "n"]),
+                batch_format="pyarrow") \
+            .groupby("key").aggregate(Sum("n", alias_name="n"))
+        # fold the per-block partials driver-side (3 ints per block)
+        parts = per_key.map_batches(
+            lambda b: pa.table({
+                "rows": pa.array([int(pc.sum(b["n"]).as_py() or 0)],
+                                 type=INT64),
+                "keys": pa.array([b.num_rows], type=INT64),
+                "mx": pa.array([int(pc.max(b["n"]).as_py() or 0)
+                                if b.num_rows else 0], type=INT64)}),
+            batch_format="pyarrow")
+        fact_rows = n_keys = max_freq = 0
+        for bb in parts.iter_batches(batch_format="pyarrow"):
+            for r in bb.to_pylist():
+                fact_rows += r["rows"]
+                n_keys += r["keys"]
+                max_freq = max(max_freq, r["mx"])
+        dim_rows = rd.read_parquet(_pq(sf_dir, dim)).count()
+        if dim_rows * 8 <= fact_rows:
+            strat = "broadcast"
+        elif max_freq * n_keys >= fact_rows * 16:
+            strat = "skew_salted"
+        else:
+            strat = "hash_exchange"
+        rows.append((name, fact_rows, dim_rows, n_keys, max_freq, strat))
+    rows.sort()
+    return pa.table({
+        "join_path": pa.array([r[0] for r in rows]),
+        "fact_rows": pa.array([r[1] for r in rows], type=INT64),
+        "dim_rows": pa.array([r[2] for r in rows], type=INT64),
+        "n_keys": pa.array([r[3] for r in rows], type=INT64),
+        "max_freq": pa.array([r[4] for r in rows], type=INT64),
+        "strategy": pa.array([r[5] for r in rows]),
+    })
+
+
+JOIN_ADVISOR_SQL = "\nUNION ALL\n".join("""
+    SELECT '{name}' AS join_path, s.fact_rows, d.dim_rows, s.n_keys,
+           s.max_freq,
+           CASE WHEN d.dim_rows * 8 <= s.fact_rows THEN 'broadcast'
+                WHEN s.max_freq * s.n_keys >= s.fact_rows * 16
+                  THEN 'skew_salted'
+                ELSE 'hash_exchange' END AS strategy
+    FROM (SELECT CAST(SUM(n) AS BIGINT) AS fact_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(n) AS BIGINT) AS max_freq
+          FROM (SELECT {key}, COUNT(*) AS n FROM {fact}
+                GROUP BY {key})) s,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS dim_rows FROM {dim}) d
+""".format(name=name, fact=fact, key=key, dim=dim)
+    for name, fact, key, dim in _JOIN_CANDS) + "\nORDER BY join_path"
