@@ -819,6 +819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q165_windowed_pairs": an.windowed_pair_join,
         "q166_bootstrap_ci": an.bootstrap_ci,
         "q168_join_advisor": an.join_advisor,
+        "q169_activity_streaks": an.activity_streaks,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1167,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         "q165_windowed_pairs": _an.WINDOWED_PAIR_SQL,
         "q166_bootstrap_ci": _an.BOOTSTRAP_SQL,
         "q168_join_advisor": _an.JOIN_ADVISOR_SQL,
+        "q169_activity_streaks": _an.STREAKS_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -1614,3 +1614,33 @@ def test_bootstrap_weights_and_ci(ray_session):
     row = bootstrap_ci(SF).to_pylist()[0]
     assert row["boot_lo"] < row["mean_cents"] < row["boot_hi"]
     assert row["n_events"] == 1000
+
+
+# --------------------------------------------------------------------- q169
+
+def test_streaks_matches_bruteforce(ray_session):
+    """q169 composite-key run detection == a per-user Python walk of
+    sorted distinct days, and npart-invariant."""
+    from warc_ray.pipelines.analytics import activity_streaks
+
+    ev = pq.read_table(SF + "/events.parquet", columns=["user_id", "ts"])
+    u = ev["user_id"].to_numpy()
+    d = (ev["ts"].cast("int64").to_numpy() // 86_400_000_000)
+    days = {}
+    for uu, dd in zip(u, d):
+        days.setdefault(int(uu), set()).add(int(dd))
+    exp = {}
+    for dset in days.values():
+        ds_sorted = sorted(dset)
+        best = run = 1
+        for a, b in zip(ds_sorted, ds_sorted[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        exp[best] = exp.get(best, 0) + 1
+    for npart in (3, 32):
+        got = {r["streak_len"]: r["n_users"] for b in
+               activity_streaks(SF, npart=npart)
+               .iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()}
+        assert got == exp
+    assert sum(exp.values()) == len(days)

@@ -7632,3 +7632,97 @@ JOIN_ADVISOR_SQL = "\nUNION ALL\n".join("""
          (SELECT CAST(COUNT(*) AS BIGINT) AS dim_rows FROM {dim}) d
 """.format(name=name, fact=fact, key=key, dim=dim)
     for name, fact, key, dim in _JOIN_CANDS) + "\nORDER BY join_path"
+
+
+# ---------------------------------------------------------------------------
+# Q169: activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def activity_streaks(sf_dir: str, npart: int = 32):
+    """q169: longest run of CONSECUTIVE active days per user — the
+    gaps-and-islands operator (engagement streaks, uptime runs, SLA
+    windows).  Output: streak-length histogram (streak_len, n_users).
+
+    Scale shape: the scan reduces each batch to distinct (user, day)
+    pairs (the combiner — a user active 50× a day ships once), ONE
+    user-hash exchange co-locates each user's days, and every bucket
+    finds its runs with pure array ops: sort the composite user·span+
+    day key, a run breaks where the key step != 1 (a +1 step is the
+    SAME user AND the NEXT day — the composite makes one comparison do
+    both tests).  Per-user longest via maximum.reduceat, then O(max
+    streak) histogram partials fold through a tiny groupby.  No pair
+    list, no window function, no per-user Python.
+    Oracle: the textbook day - ROW_NUMBER() islands CTE."""
+    from ray.data.aggregate import Sum as _Sum
+
+    US_DAY = 86_400_000_000
+
+    def scan(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "day": pc.cast(pc.floor(pc.divide(
+                pc.cast(b["ts"], INT64), US_DAY)), INT64),
+        }).group_by(["user_id", "day"]).aggregate([])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((u % npart).astype(np.int32)))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"streak_len": pa.array([], type=INT64),
+                             "n_users": pa.array([], type=INT64)})
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        dmin, dmax = d.min(), d.max()
+        span = np.int64(dmax - dmin + 2)
+        comp = np.unique(u.astype(np.int64) * span + (d - dmin))
+        # run break: composite step != 1 (covers both user change and
+        # a day gap); cross-batch duplicate pairs died in the unique
+        brk = np.flatnonzero(np.diff(comp) != 1)
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk + 1, [comp.size]])
+        run_len = (ends - starts).astype(np.int64)
+        run_user = comp[starts] // span
+        ub = np.flatnonzero(np.diff(run_user) != 0)
+        ustarts = np.concatenate([[0], ub + 1])
+        best = np.maximum.reduceat(run_len, ustarts)
+        hist = np.bincount(best)
+        nz = np.flatnonzero(hist)
+        return pa.table({"streak_len": pa.array(nz, type=INT64),
+                         "n_users": pa.array(hist[nz], type=INT64)})
+
+    out = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts"]) \
+        .map_batches(scan, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("streak_len") \
+        .aggregate(_Sum("n_users", alias_name="n_users"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "streak_len": pc.cast(b["streak_len"], INT64),
+            "n_users": pc.cast(b["n_users"], INT64),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("streak_len")
+
+
+STREAKS_SQL = """
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+               FROM events),
+         r AS (SELECT user_id, day,
+                      day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS grp
+               FROM d),
+         runs AS (SELECT user_id, COUNT(*) AS len
+                  FROM r GROUP BY user_id, grp),
+         mx AS (SELECT user_id, MAX(len) AS streak
+                FROM runs GROUP BY user_id)
+    SELECT CAST(streak AS BIGINT) AS streak_len,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM mx GROUP BY streak_len ORDER BY streak_len"""
