@@ -7726,3 +7726,89 @@ STREAKS_SQL = """
     SELECT CAST(streak AS BIGINT) AS streak_len,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM mx GROUP BY streak_len ORDER BY streak_len"""
+
+
+# ---------------------------------------------------------------------------
+# Q170: functional-dependency discovery (data profiling)
+# ---------------------------------------------------------------------------
+
+_FD_CANDS = (
+    # (table, lhs, rhs) — mixed outcomes on purpose
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("documents", "lang", "source"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("nation", "n_name", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_brand"),
+)
+
+
+def fd_discovery(sf_dir: str, npart: int = 16):
+    """q170: candidate functional-dependency audit (A→B holds iff no A
+    value maps to two B values) — the schema-inference / data-contract
+    profiling step (q133 profiles single columns; this profiles column
+    RELATIONSHIPS).  Per candidate: distinct LHS count, distinct
+    (LHS,RHS) pair count, violating-LHS count, holds flag.
+
+    Scale shape per candidate: 2-column pruned scan → per-batch
+    DISTINCT-pair combiner (the dedup happens before the wire) → one
+    LHS-hash exchange (a violating LHS's pairs MUST co-locate) → per
+    bucket one Arrow group_by counts pairs per LHS → 3-int partials
+    fold driver-side.  Only counts ever leave the buckets."""
+    rows = []
+    for tbl, lhs, rhs in _FD_CANDS:
+        def scan(b: pa.Table, lhs=lhs, rhs=rhs) -> pa.Table:
+            t = pa.table({"lhs": b[lhs], "rhs": b[rhs]}) \
+                .group_by(["lhs", "rhs"]).aggregate([])
+            return with_part(t, "lhs", npart)
+
+        def bucket(g: pa.Table) -> pa.Table:
+            # cross-batch duplicate pairs survive the combiner; kill
+            # them with one more group_by before counting per LHS
+            t = g.select(["lhs", "rhs"]).group_by(["lhs", "rhs"]) \
+                .aggregate([])
+            per = t.group_by(["lhs"]).aggregate([("rhs", "count")])
+            cnt = per["rhs_count"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_lhs": pa.array([per.num_rows], type=INT64),
+                "n_pairs": pa.array([int(cnt.sum()) if per.num_rows
+                                     else 0], type=INT64),
+                "n_viol": pa.array([int((cnt > 1).sum())], type=INT64),
+            })
+
+        parts = rd.read_parquet(_pq(sf_dir, tbl), columns=[lhs, rhs]) \
+            .map_batches(scan, batch_format="pyarrow") \
+            .groupby("part") \
+            .map_groups(lambda g: bucket(g), batch_format="pyarrow")
+        n_lhs = n_pairs = n_viol = 0
+        for bb in parts.iter_batches(batch_format="pyarrow"):
+            for r in bb.to_pylist():
+                n_lhs += r["n_lhs"]
+                n_pairs += r["n_pairs"]
+                n_viol += r["n_viol"]
+        rows.append((f"{tbl}.{lhs}->{rhs}", n_lhs, n_pairs, n_viol,
+                     "yes" if n_viol == 0 else "no"))
+    rows.sort()
+    return pa.table({
+        "fd": pa.array([r[0] for r in rows]),
+        "n_lhs": pa.array([r[1] for r in rows], type=INT64),
+        "n_pairs": pa.array([r[2] for r in rows], type=INT64),
+        "n_violating_lhs": pa.array([r[3] for r in rows], type=INT64),
+        "holds": pa.array([r[4] for r in rows]),
+    })
+
+
+FD_DISCOVERY_SQL = "\nUNION ALL\n".join("""
+    SELECT '{tbl}.{lhs}->{rhs}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(c) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           CASE WHEN SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+                THEN 'yes' ELSE 'no' END AS holds
+    FROM (SELECT {lhs}, COUNT(*) AS c
+          FROM (SELECT DISTINCT {lhs}, {rhs} FROM {tbl})
+          GROUP BY {lhs})
+""".format(tbl=tbl, lhs=lhs, rhs=rhs)
+    for tbl, lhs, rhs in _FD_CANDS) + "\nORDER BY fd"
