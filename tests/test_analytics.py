@@ -1644,3 +1644,26 @@ def test_streaks_matches_bruteforce(ray_session):
                for r in b.to_pylist()}
         assert got == exp
     assert sum(exp.values()) == len(days)
+
+
+# --------------------------------------------------------------------- q171
+
+def test_cusum_finds_planted_break(ray_session, tmp_path):
+    """q171 locates a planted level shift at the exact boundary day."""
+    from warc_ray.pipelines.analytics import cusum_changepoint
+
+    rows_day, rows_ts = [], []
+    for d in range(30):
+        n = 10 if d < 15 else 30
+        for j in range(n):
+            rows_ts.append((20000 + d) * 86_400_000_000 + j * 1_000_000)
+    t = pa.table({
+        "ts": pa.array(rows_ts, type=pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = cusum_changepoint(str(tmp_path)).to_pylist()[0]
+    # brute force: stat_i = |S_i*n - total*i| maximal at the last
+    # pre-break day (day index 14 -> day 20014)
+    assert out["day_star"] == 20014
+    assert out["n_days"] == 30 and out["total_events"] == 15 * 40
+    assert out["pre_mean"] == 10.0 and out["post_mean"] == 30.0

@@ -7812,3 +7812,82 @@ FD_DISCOVERY_SQL = "\nUNION ALL\n".join("""
           GROUP BY {lhs})
 """.format(tbl=tbl, lhs=lhs, rhs=rhs)
     for tbl, lhs, rhs in _FD_CANDS) + "\nORDER BY fd"
+
+
+# ---------------------------------------------------------------------------
+# Q171: CUSUM change-point detection
+# ---------------------------------------------------------------------------
+
+
+def cusum_changepoint(sf_dir: str):
+    """q171: single change-point detection over the daily event-count
+    series — the pipeline-monitoring op behind "when did traffic
+    shift?" (q146/PSI measures drift BETWEEN two snapshots; this
+    locates the break WITHIN one).  Over observed days d_1<…<d_n with
+    counts c_i: stat_i = |S_i·n − total·i| (the CUSUM deviation scaled
+    by n so it stays integer — no float ever enters the argmax); the
+    change point is the max stat, ties → earliest day.  Output: one
+    row (day_star, cusum_abs, n_days, total_events, pre_mean,
+    post_mean), means as FINAL int/int doubles both engines round
+    identically.
+
+    Scale shape: per-batch (day,count) partials → one tiny day groupby
+    (O(days) rows) → the series itself is driver-tiny; the scan is the
+    only heavy stage."""
+    from ray.data.aggregate import Sum as _Sum
+
+    US_DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.cast(pc.floor(pc.divide(
+                pc.cast(b["ts"], INT64), US_DAY)), INT64),
+        }).group_by(["day"]).aggregate([("day", "count")]) \
+            .rename_columns(["day", "n"])
+
+    daily = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(_Sum("n", alias_name="n")) \
+        .sort("day").take_all()
+    days = np.array([r["day"] for r in daily], dtype=np.int64)
+    cnt = np.array([r["n"] for r in daily], dtype=np.int64)
+    n = np.int64(days.size)
+    total = np.int64(cnt.sum())
+    s = np.cumsum(cnt)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    stat = np.abs(s * n - total * i)
+    k = int(np.argmax(stat))           # argmax takes the FIRST max
+    pre = float(int(s[k]) / int(i[k]))
+    post = (float(int(total - s[k]) / int(n - i[k]))
+            if i[k] < n else None)
+    return pa.table({
+        "day_star": pa.array([int(days[k])], type=INT64),
+        "cusum_abs": pa.array([int(stat[k])], type=INT64),
+        "n_days": pa.array([int(n)], type=INT64),
+        "total_events": pa.array([int(total)], type=INT64),
+        "pre_mean": pa.array([pre], type=pa.float64()),
+        "post_mean": pa.array([post], type=pa.float64()),
+    })
+
+
+CUSUM_SQL = """
+    WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY day),
+         s AS (SELECT day, n,
+                      SUM(n) OVER (ORDER BY day) AS S,
+                      ROW_NUMBER() OVER (ORDER BY day) AS i,
+                      COUNT(*) OVER () AS nd,
+                      SUM(n) OVER () AS total
+               FROM c)
+    SELECT day AS day_star,
+           CAST(ABS(S * nd - total * i) AS BIGINT) AS cusum_abs,
+           CAST(nd AS BIGINT) AS n_days,
+           CAST(total AS BIGINT) AS total_events,
+           CAST(S AS DOUBLE) / CAST(i AS DOUBLE) AS pre_mean,
+           CASE WHEN i < nd THEN CAST(total - S AS DOUBLE)
+                                 / CAST(nd - i AS DOUBLE)
+                ELSE NULL END AS post_mean
+    FROM s
+    ORDER BY ABS(S * nd - total * i) DESC, day ASC
+    LIMIT 1"""
