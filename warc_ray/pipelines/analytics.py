@@ -7891,3 +7891,95 @@ CUSUM_SQL = """
     FROM s
     ORDER BY ABS(S * nd - total * i) DESC, day ASC
     LIMIT 1"""
+
+
+# ---------------------------------------------------------------------------
+# Q172: period-over-period mover report
+# ---------------------------------------------------------------------------
+
+_MOVER_SPLIT_US = 899_251_200_000_000   # 1998-07-01T00:00:00Z epoch µs
+_MOVER_K = 20
+
+
+def period_movers(sf_dir: str, npart: int = 32):
+    """q172: top-20 parts by revenue GROWTH between two periods (ship
+    dates before vs after 1998-07-01) — the period-over-period mover
+    report behind every "what changed?" dashboard.  delta and both
+    period revenues are exact integers (cents × (100−disc) units);
+    ratio is a FINAL int/int double.  Ordering: delta DESC, partkey
+    ASC — fully pinned.
+
+    Scale shape: one scan emits per-batch (part, rev_a, rev_b)
+    partials (conditional sums fused — one pass, not two scans), one
+    partkey groupby reduces them, then every reduce block keeps only
+    its local top-20 by (delta, −partkey), so the driver merges
+    K×blocks rows, never the part domain."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = b["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.rint(ep * 100).astype(np.int64)
+        rev = cents * (100 - np.rint(dc * 100).astype(np.int64))
+        ts = b["l_shipdate"].cast(pa.timestamp("us")).cast(INT64) \
+            .to_numpy(zero_copy_only=False)
+        in_b = ts >= _MOVER_SPLIT_US
+        t = pa.table({
+            "p": b["l_partkey"],
+            "rev_a": pa.array(np.where(in_b, 0, rev), type=INT64),
+            "rev_b": pa.array(np.where(in_b, rev, 0), type=INT64),
+        })
+        return t.group_by(["p"]).aggregate(
+            [("rev_a", "sum"), ("rev_b", "sum")]) \
+            .rename_columns(["p", "rev_a", "rev_b"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= _MOVER_K:
+            return b
+        delta = (b["rev_b"].to_numpy(zero_copy_only=False)
+                 - b["rev_a"].to_numpy(zero_copy_only=False))
+        p = b["p"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -delta))[:_MOVER_K]
+        return b.take(pa.array(np.sort(order)))
+
+    parts = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("p") \
+        .aggregate(_Sum("rev_a", alias_name="rev_a"),
+                   _Sum("rev_b", alias_name="rev_b")) \
+        .map_batches(local_topk, batch_format="pyarrow") \
+        .take_all()
+    rows = sorted(parts, key=lambda r: (-(r["rev_b"] - r["rev_a"]),
+                                        r["p"]))[:_MOVER_K]
+    return pa.table({
+        "p_partkey": pa.array([r["p"] for r in rows], type=INT64),
+        "rev_a": pa.array([r["rev_a"] for r in rows], type=INT64),
+        "rev_b": pa.array([r["rev_b"] for r in rows], type=INT64),
+        "delta": pa.array([r["rev_b"] - r["rev_a"] for r in rows],
+                          type=INT64),
+        "ratio": pa.array(
+            [(r["rev_b"] / r["rev_a"]) if r["rev_a"] > 0 else None
+             for r in rows], type=pa.float64()),
+    })
+
+
+MOVERS_SQL = """
+    WITH r AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate) < 899251200000000
+               THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               ELSE 0 END) AS BIGINT) AS rev_a,
+             CAST(SUM(CASE WHEN epoch_us(l_shipdate) >= 899251200000000
+               THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               ELSE 0 END) AS BIGINT) AS rev_b
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_partkey, rev_a, rev_b, rev_b - rev_a AS delta,
+           CASE WHEN rev_a > 0
+                THEN CAST(rev_b AS DOUBLE) / CAST(rev_a AS DOUBLE)
+                ELSE NULL END AS ratio
+    FROM r ORDER BY delta DESC, p_partkey ASC LIMIT 20"""
