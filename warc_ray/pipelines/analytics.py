@@ -7983,3 +7983,108 @@ MOVERS_SQL = """
                 THEN CAST(rev_b AS DOUBLE) / CAST(rev_a AS DOUBLE)
                 ELSE NULL END AS ratio
     FROM r ORDER BY delta DESC, p_partkey ASC LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# Q173: late-shipment priority report (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+_LATE_GRACE_US = 60 * 86_400_000_000    # 60-day shipping grace
+
+
+def late_orders(sf_dir: str, npart: int = 32):
+    """q173: per order priority, how many orders had ANY lineitem
+    shipped more than 60 days after the order date — TPC-H Q4's
+    EXISTS-semi-join shape on this schema.  The correlated EXISTS
+    decorrelates into MAX(l_shipdate) per order (EXISTS(ship > cut) ⇔
+    max(ship) > cut), so the probe side collapses to one row per
+    order BEFORE the join.
+
+    Scale shape: lineitem batches pre-combine to per-order max-ship
+    partials; both sides cross ONE orderkey-hash exchange (orders ride
+    as (key, date, priority)); each bucket folds cross-batch maxes,
+    left-joins orders, and emits per-priority (n_orders, n_late)
+    partials — a 5-row groupby finishes.  No correlated lookup, no
+    second exchange."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "okey": b["l_orderkey"],
+            "ship_us": b["l_shipdate"].cast(pa.timestamp("us"))
+                .cast(INT64),
+        }).group_by(["okey"]).aggregate([("ship_us", "max")])
+        u = t["okey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": t["okey"],
+            "ship_us": t["ship_us_max"],
+            "odate_us": pa.nulls(t.num_rows, INT64),
+            "prio": pa.nulls(t.num_rows, pa.string()),
+            "part": pa.array((u % npart).astype(np.int32)),
+        })
+
+    def o_scan(b: pa.Table) -> pa.Table:
+        u = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": b["o_orderkey"],
+            "ship_us": pa.nulls(b.num_rows, INT64),
+            "odate_us": b["o_orderdate"].cast(pa.timestamp("us"))
+                .cast(INT64),
+            "prio": b["o_orderpriority"],
+            "part": pa.array((u % npart).astype(np.int32)),
+        })
+
+    def bucket(g: pa.Table) -> pa.Table:
+        is_o = pc.is_valid(g["odate_us"])
+        orders = g.filter(is_o).select(["okey", "odate_us", "prio"])
+        li = g.filter(pc.invert(is_o)).select(["okey", "ship_us"]) \
+            .group_by(["okey"]).aggregate([("ship_us", "max")])
+        j = orders.join(li, keys=["okey"], join_type="left outer")
+        ms = j["ship_us_max"].fill_null(np.iinfo(np.int64).min) \
+            .to_numpy(zero_copy_only=False)
+        od = j["odate_us"].to_numpy(zero_copy_only=False)
+        late = pa.array(ms > od + _LATE_GRACE_US)
+        t = pa.table({"prio": j["prio"],
+                      "one": pa.nulls(j.num_rows, INT64).fill_null(1),
+                      "late": pc.cast(late, INT64)})
+        return t.group_by(["prio"]).aggregate(
+            [("one", "sum"), ("late", "sum")]) \
+            .rename_columns(["o_orderpriority", "n_orders", "n_late"])
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(li_scan, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(o_scan, batch_format="pyarrow")
+    out = li.union(orders).groupby("part") \
+        .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(_Sum("n_orders", alias_name="n_orders"),
+                   _Sum("n_late", alias_name="n_late"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "n_orders": pc.cast(b["n_orders"], INT64),
+            "n_late": pc.cast(b["n_late"], INT64),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("o_orderpriority")
+
+
+LATE_ORDERS_SQL = """
+    WITH m AS (SELECT l_orderkey,
+                      MAX(epoch_us(l_shipdate)) AS max_ship
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN m.max_ship IS NOT NULL
+                          AND m.max_ship > epoch_us(o_orderdate)
+                              + 5184000000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM orders o LEFT JOIN m ON m.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
