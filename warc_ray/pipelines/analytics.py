@@ -8088,3 +8088,123 @@ LATE_ORDERS_SQL = """
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
     FROM orders o LEFT JOIN m ON m.l_orderkey = o.o_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
+# ---------------------------------------------------------------------------
+# Q174: aggregate reconciliation audit
+# ---------------------------------------------------------------------------
+
+
+def reconciliation_audit(sf_dir: str, npart: int = 32):
+    """q174: cross-table numeric reconciliation — recompute each
+    order's total from its lineitems (Σ price·(1−disc)·(1+tax), all
+    in exact 10⁻⁶-dollar integer units) and classify the drift against
+    the stored o_totalprice: exact / within_1pct / mismatch /
+    no_lineitems.  The ledger-audit op q115's key-only integrity check
+    can't do: it reconciles VALUES, not references.
+
+    Scale shape: q173's single-exchange union join — lineitem batches
+    pre-sum recomputed units per order, orders ride with their stored
+    total, buckets classify vectorized and emit 4-row partials.
+    sum_abs_diff stays int64 (≈6·10¹⁷ at sf1 — headroom checked)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        ep = np.rint(b["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        d = np.rint(b["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        tx = np.rint(b["l_tax"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        t = pa.table({
+            "okey": b["l_orderkey"],
+            "rec": pa.array(ep * (100 - d) * (100 + tx), type=INT64),
+        }).group_by(["okey"]).aggregate([("rec", "sum")])
+        u = t["okey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": t["okey"], "rec": t["rec_sum"],
+            "tp": pa.nulls(t.num_rows, INT64),
+            "part": pa.array((u % npart).astype(np.int32)),
+        })
+
+    def o_scan(b: pa.Table) -> pa.Table:
+        tp = np.rint(b["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64) * 10_000
+        u = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": b["o_orderkey"],
+            "rec": pa.nulls(b.num_rows, INT64),
+            "tp": pa.array(tp, type=INT64),
+            "part": pa.array((u % npart).astype(np.int32)),
+        })
+
+    def bucket(g: pa.Table) -> pa.Table:
+        is_o = pc.is_valid(g["tp"])
+        orders = g.filter(is_o).select(["okey", "tp"])
+        li = g.filter(pc.invert(is_o)).select(["okey", "rec"]) \
+            .group_by(["okey"]).aggregate([("rec", "sum")])
+        j = orders.join(li, keys=["okey"], join_type="left outer")
+        tp = j["tp"].to_numpy(zero_copy_only=False)
+        has = pc.is_valid(j["rec_sum"]).to_numpy(zero_copy_only=False)
+        rec = j["rec_sum"].fill_null(0).to_numpy(zero_copy_only=False)
+        diff = np.where(has, np.abs(rec - tp), tp)
+        bucket_id = np.where(
+            ~has, 0, np.where(diff == 0, 1,
+                              np.where(diff * 100 <= tp, 2, 3)))
+        names = np.array(["no_lineitems", "exact", "within_1pct",
+                          "mismatch"])
+        t = pa.table({
+            "bucket": pa.array(names[bucket_id]),
+            "n_orders": pa.nulls(j.num_rows, INT64).fill_null(1),
+            "sum_abs_diff": pa.array(diff, type=INT64),
+        })
+        return t.group_by(["bucket"]).aggregate(
+            [("n_orders", "sum"), ("sum_abs_diff", "sum")]) \
+            .rename_columns(["bucket", "n_orders", "sum_abs_diff"])
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_tax"]).map_batches(li_scan, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(o_scan, batch_format="pyarrow")
+    out = li.union(orders).groupby("part") \
+        .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("bucket") \
+        .aggregate(_Sum("n_orders", alias_name="n_orders"),
+                   _Sum("sum_abs_diff", alias_name="sum_abs_diff"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": b["bucket"],
+            "n_orders": pc.cast(b["n_orders"], INT64),
+            "sum_abs_diff": pc.cast(b["sum_abs_diff"], INT64),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("bucket")
+
+
+RECONCILE_SQL = """
+    WITH r AS (SELECT l_orderkey,
+                      CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                        * (100 + CAST(ROUND(l_tax*100) AS BIGINT)))
+                        AS BIGINT) AS rec
+               FROM lineitem GROUP BY l_orderkey),
+         j AS (SELECT CAST(ROUND(o.o_totalprice*100) AS BIGINT) * 10000
+                        AS tp, r.rec
+               FROM orders o LEFT JOIN r ON r.l_orderkey = o.o_orderkey),
+         c AS (SELECT CASE WHEN rec IS NULL THEN 'no_lineitems'
+                           WHEN rec = tp THEN 'exact'
+                           WHEN ABS(rec - tp) * 100 <= tp
+                             THEN 'within_1pct'
+                           ELSE 'mismatch' END AS bucket,
+                      CASE WHEN rec IS NULL THEN tp
+                           ELSE ABS(rec - tp) END AS diff
+               FROM j)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(diff) AS BIGINT) AS sum_abs_diff
+    FROM c GROUP BY bucket ORDER BY bucket"""
