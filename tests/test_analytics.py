@@ -1667,3 +1667,28 @@ def test_cusum_finds_planted_break(ray_session, tmp_path):
     assert out["day_star"] == 20014
     assert out["n_days"] == 30 and out["total_events"] == 15 * 40
     assert out["pre_mean"] == 10.0 and out["post_mean"] == 30.0
+
+
+# --------------------------------------------------------------------- q175
+
+def test_pareto_cut_matches_sorted_walk(ray_session):
+    """q175 histogram-class arithmetic == the explicit sorted-users
+    prefix walk, and npart-invariant."""
+    from warc_ray.pipelines.analytics import pareto_cut
+
+    ev = pq.read_table(SF + "/events.parquet", columns=["user_id"])
+    u = ev["user_id"].to_numpy()
+    _, counts = np.unique(u, return_counts=True)
+    counts = np.sort(counts)[::-1]
+    total = int(counts.sum())
+    needed = -((-total * 800_000) // 1_000_000)
+    cum = np.cumsum(counts)
+    k = int(np.searchsorted(cum, needed) + 1)
+    covered = int(cum[k - 1])
+    for npart in (3, 32):
+        out = pareto_cut(SF, npart=npart).to_pylist()[0]
+        assert out["k_users"] == k
+        assert out["covered_events"] == covered
+        assert out["total_events"] == total
+        assert out["n_users"] == counts.size
+        assert out["coverage_ppm"] == covered * 1_000_000 // total

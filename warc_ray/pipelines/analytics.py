@@ -8208,3 +8208,100 @@ RECONCILE_SQL = """
     SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(diff) AS BIGINT) AS sum_abs_diff
     FROM c GROUP BY bucket ORDER BY bucket"""
+
+
+# ---------------------------------------------------------------------------
+# Q175: Pareto coverage cut (80/20 analysis)
+# ---------------------------------------------------------------------------
+
+
+def pareto_cut(sf_dir: str, npart: int = 32, target_ppm: int = 800_000):
+    """q175: the smallest k such that the k most-active users cover ≥
+    80% of all events — the 80/20 capacity-planning cut ("how many
+    hot keys do I cache / how many tenants fill the cluster").
+
+    Scale shape: users with EQUAL counts are interchangeable, so the
+    global sort the textbook query does is unnecessary — per-batch
+    user-count partials → one user-hash exchange → per-block
+    count-of-counts histogram partials → a tiny count-class groupby;
+    the driver walks O(distinct counts) classes with pure integer
+    ceiling arithmetic (needed = ⌈total·target⌉, final class takes
+    ⌈remaining/c⌉ users).  Nothing sorted, nothing big on the driver.
+    Oracle: the same class walk as window sums over the histogram."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def scan(b: pa.Table) -> pa.Table:
+        t = pa.table({"u": b["user_id"]}) \
+            .group_by(["u"]).aggregate([("u", "count")]) \
+            .rename_columns(["u", "n"])
+        uu = t["u"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "part", pa.array((uu % npart).astype(np.int32)))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        t = g.select(["u", "n"]).group_by(["u"]) \
+            .aggregate([("n", "sum")])
+        cnt = t["n_sum"].to_numpy(zero_copy_only=False)
+        classes, m = np.unique(cnt, return_counts=True)
+        return pa.table({"c": pa.array(classes, type=INT64),
+                         "m": pa.array(m, type=INT64)})
+
+    hist = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"]) \
+        .map_batches(scan, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("c").aggregate(_Sum("m", alias_name="m")) \
+        .take_all()
+    cls = sorted(((int(r["c"]), int(r["m"])) for r in hist),
+                 reverse=True)
+    total = sum(c * m for c, m in cls)
+    n_users = sum(m for _, m in cls)
+    needed = -((-total * target_ppm) // 1_000_000)   # ceil
+    cum = users = 0
+    k = covered = 0
+    for c, m in cls:
+        if cum + c * m >= needed:
+            j = -((-(needed - cum)) // c)            # ceil
+            k = users + j
+            covered = cum + j * c
+            break
+        cum += c * m
+        users += m
+    return pa.table({
+        "k_users": pa.array([k], type=INT64),
+        "covered_events": pa.array([covered], type=INT64),
+        "total_events": pa.array([total], type=INT64),
+        "n_users": pa.array([n_users], type=INT64),
+        "coverage_ppm": pa.array([covered * 1_000_000 // total],
+                                 type=INT64),
+    })
+
+
+PARETO_SQL = """
+    WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id),
+         h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS m
+               FROM uc GROUP BY c),
+         t AS (SELECT CAST(SUM(c * m) AS BIGINT) AS total,
+                      CAST(SUM(m) AS BIGINT) AS nu FROM h),
+         w AS (SELECT c, m,
+                      CAST(SUM(c * m) OVER (ORDER BY c DESC)
+                           AS BIGINT) AS cum,
+                      CAST(SUM(m) OVER (ORDER BY c DESC)
+                           AS BIGINT) AS cumu
+               FROM h),
+         s AS (SELECT w.*, t.total, t.nu,
+                      (t.total * 800000 + 999999) // 1000000 AS needed
+               FROM w, t),
+         f AS (SELECT * FROM s WHERE cum >= needed
+               ORDER BY c DESC LIMIT 1)
+    SELECT CAST(cumu - m + (needed - (cum - c * m) + c - 1) // c
+                AS BIGINT) AS k_users,
+           CAST(cum - c * m + ((needed - (cum - c * m) + c - 1) // c)
+                * c AS BIGINT) AS covered_events,
+           total AS total_events,
+           nu AS n_users,
+           CAST((cum - c * m + ((needed - (cum - c*m) + c - 1) // c)
+                 * c) * 1000000 // total AS BIGINT) AS coverage_ppm
+    FROM f"""
