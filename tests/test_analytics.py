@@ -1692,3 +1692,39 @@ def test_pareto_cut_matches_sorted_walk(ray_session):
         assert out["total_events"] == total
         assert out["n_users"] == counts.size
         assert out["coverage_ppm"] == covered * 1_000_000 // total
+
+
+# --------------------------------------------------------------------- q176
+
+def test_bom_matches_sequential_walk(ray_session):
+    """q176 semiring pointer doubling == a sequential per-node walk
+    multiplying edge quantities, and npart-invariant."""
+    from warc_ray.pipelines.analytics import bom_explosion
+    from warc_ray.stages.sketch import md5_prefix64
+
+    parts = pq.read_table(SF + "/part.parquet",
+                          columns=["p_partkey", "p_retailprice"])
+    keys = parts["p_partkey"].to_numpy()
+    cents = np.rint(parts["p_retailprice"].to_numpy() * 100).astype(np.int64)
+
+    def parent(k):
+        return int(md5_prefix64([str(k)])[0] % np.uint64(k))
+
+    def qty(k):
+        return 1 + int(md5_prefix64(["q|%d" % k])[0] % np.uint64(2))
+
+    exp = {}
+    for k, c in zip(keys, cents):
+        node, units = int(k), 1
+        while node >= 16:
+            units *= qty(node)
+            node = parent(node)
+        n, u, e = exp.get(node, (0, 0, 0))
+        exp[node] = (n + 1, u + units, e + units * int(c))
+    for npart in (5, 16):
+        got = {r["root"]: (r["n_components"], r["total_units"],
+                           r["ext_cost_cents"]) for b in
+               bom_explosion(SF, npart=npart)
+               .iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()}
+        assert got == exp

@@ -8305,3 +8305,179 @@ PARETO_SQL = """
            CAST((cum - c * m + ((needed - (cum - c*m) + c - 1) // c)
                  * c) * 1000000 // total AS BIGINT) AS coverage_ppm
     FROM f"""
+
+
+# ---------------------------------------------------------------------------
+# Q176: BOM quantity explosion (semiring pointer doubling)
+# ---------------------------------------------------------------------------
+
+
+def bom_explosion(sf_dir: str, npart: int = 16):
+    """q176: bill-of-materials explosion over q159's planted md5
+    forest — every part carries an edge quantity qty(k) = 1 +
+    md5h64('q|'+k) % 2 toward its parent, and the EFFECTIVE units of a
+    component in its final assembly is the PRODUCT of quantities along
+    its root path.  Per root: component count, Σ effective units, and
+    extended cost Σ units·cents — the manufacturing rollup a recursive
+    CTE serializes edge-by-edge.
+
+    The distributed trick is q159's pointer doubling run over a
+    DIFFERENT semiring: the accumulator multiplies (path products)
+    instead of adding (path lengths) — doubling is correct for ANY
+    associative fold along the compressed path, so the same one-
+    exchange-per-round machinery resolves quantity explosion in
+    O(log depth) rounds.  int64 headroom: units ≤ 2^depth (whp
+    ≤ 2^40 at sf1) × cents ≤ 2·10⁵ stays well under 2^63."""
+    import math
+
+    from ..stages.sketch import md5_prefix64
+
+    def init(b: pa.Table) -> pa.Table:
+        k = b["p_partkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            b["p_retailprice"], 100.0)), INT64)
+        h = md5_prefix64([str(int(x)) for x in k])
+        qh = md5_prefix64(["q|%d" % int(x) for x in k])
+        root = k < 16
+        par = np.where(root, k, (h % np.maximum(
+            k.astype(np.uint64), np.uint64(1)).astype(np.uint64))
+            .astype(np.int64))
+        qty = np.where(root, 1, 1 + (qh % np.uint64(2)).astype(np.int64))
+        return pa.table({
+            "key": pa.array(k, type=INT64),
+            "ptr": pa.array(par, type=INT64),
+            "units": pa.array(qty, type=INT64),
+            "cents": cents,
+        })
+
+    state = _read_capped(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_retailprice"]) \
+        .map_batches(init, batch_format="pyarrow").materialize()
+    n_total = state.count()
+
+    P32 = pa.int32()
+
+    def pad(b: pa.Table) -> pa.Table:
+        key = b["key"].to_numpy(zero_copy_only=False)
+        ptr = b["ptr"].to_numpy(zero_copy_only=False)
+        act = ptr >= 16
+        a = b.filter(pa.array(act))
+        d = b.filter(pa.array(~act))
+        route = np.concatenate([
+            ptr[act], key, key[~act]]).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            route = (route ^ (route >> np.uint64(33))) \
+                * np.uint64(0xFF51AFD7ED558CCD)
+        side = np.concatenate([
+            np.zeros(int(act.sum()), dtype=np.int8),
+            np.ones(len(key), dtype=np.int8),
+            np.full(int((~act).sum()), 2, dtype=np.int8)])
+        t = pa.concat_tables([a, b, d])
+        return pa.table({
+            "key": t["key"], "ptr": t["ptr"], "units": t["units"],
+            "cents": t["cents"], "side": pa.array(side),
+            "part": pa.array((route % np.uint64(npart)).astype(np.int32),
+                             type=P32),
+        })
+
+    def bucket(g: pa.Table) -> pa.Table:
+        side = g["side"].to_numpy(zero_copy_only=False)
+        out = g.filter(pa.array(side == 2)) \
+            .select(["key", "ptr", "units", "cents"])
+        a = g.filter(pa.array(side == 0))
+        if a.num_rows == 0:
+            return out
+        lk = g.filter(pa.array(side == 1))
+        lk_key = lk["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lk_key)
+        pos = np.searchsorted(lk_key,
+                              a["ptr"].to_numpy(zero_copy_only=False),
+                              sorter=order)
+        idx = order[pos]
+        lk_ptr = lk["ptr"].to_numpy(zero_copy_only=False)[idx]
+        lk_units = lk["units"].to_numpy(zero_copy_only=False)[idx]
+        jumped = pa.table({
+            "key": a["key"],
+            "ptr": pa.array(lk_ptr, type=INT64),
+            # the semiring fold: path PRODUCT, not path length
+            "units": pa.array(a["units"].to_numpy(zero_copy_only=False)
+                              * lk_units, type=INT64),
+            "cents": a["cents"],
+        })
+        return pa.concat_tables([out, jumped])
+
+    depth_bound = 4.0 * math.log(n_total + 2) + 16
+    rounds = max(1, math.ceil(math.log2(depth_bound)))
+    done = False
+    for r in range(rounds + 64):
+        state = state.map_batches(pad, batch_format="pyarrow") \
+            .groupby("part") \
+            .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                        batch_format="pyarrow").materialize()
+        if r + 1 >= rounds:
+            n_active = int(state.map_batches(
+                lambda b: pa.table({"n": pa.array(
+                    [int((b["ptr"].to_numpy(zero_copy_only=False) >= 16)
+                         .sum())], type=INT64)}),
+                batch_format="pyarrow").sum("n") or 0)
+            if n_active == 0:
+                done = True
+                break
+    if not done:
+        raise RuntimeError("pointer doubling failed to converge")
+
+    def rollup(b: pa.Table) -> pa.Table:
+        units = b["units"].to_numpy(zero_copy_only=False)
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "root": b["ptr"],
+            "one": pa.nulls(b.num_rows, INT64).fill_null(1),
+            "units": b["units"],
+            "ext": pa.array(units * cents, type=INT64),
+        }).group_by(["root"]).aggregate(
+            [("one", "sum"), ("units", "sum"), ("ext", "sum")]) \
+            .rename_columns(["root", "n_components", "total_units",
+                             "ext_cost_cents"])
+
+    out = state.map_batches(rollup, batch_format="pyarrow") \
+        .groupby("root") \
+        .aggregate(Sum("n_components", alias_name="n_components"),
+                   Sum("total_units", alias_name="total_units"),
+                   Sum("ext_cost_cents", alias_name="ext_cost_cents"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "root": pc.cast(b["root"], INT64),
+            "n_components": pc.cast(b["n_components"], INT64),
+            "total_units": pc.cast(b["total_units"], INT64),
+            "ext_cost_cents": pc.cast(b["ext_cost_cents"], INT64),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("root")
+
+
+_MD5H_QTY = ("list_sum(list_transform(range(1, 17), "
+             "i -> CAST(strpos('0123456789abcdef', "
+             "substr(md5('q|' || CAST(node AS VARCHAR)), "
+             "CAST(i AS INTEGER), 1)) - 1 "
+             "AS HUGEINT) << (4 * (16 - i))))")
+
+BOM_SQL = f"""
+    WITH RECURSIVE w AS (
+      SELECT p_partkey AS key, p_partkey AS node,
+             CAST(1 AS BIGINT) AS units
+      FROM part
+      UNION ALL
+      SELECT key, CAST({_MD5H_NODE} % node AS BIGINT),
+             CAST(units * (1 + {_MD5H_QTY} % 2) AS BIGINT)
+      FROM w WHERE node >= 16
+    ),
+    term AS (SELECT key, node AS root, units FROM w WHERE node < 16)
+    SELECT t.root,
+           CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(t.units) AS BIGINT) AS total_units,
+           CAST(SUM(t.units * CAST(round(p.p_retailprice * 100)
+                                   AS BIGINT)) AS BIGINT)
+             AS ext_cost_cents
+    FROM term t JOIN part p ON t.key = p.p_partkey
+    GROUP BY t.root ORDER BY t.root"""
