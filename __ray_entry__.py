@@ -827,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q174_reconcile": an.reconciliation_audit,
         "q175_pareto_cut": an.pareto_cut,
         "q176_bom_explosion": an.bom_explosion,
+        "q177_apportioned_sample": an.apportioned_sample,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1183,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         "q174_reconcile": _an.RECONCILE_SQL,
         "q175_pareto_cut": _an.PARETO_SQL,
         "q176_bom_explosion": _an.BOM_SQL,
+        "q177_apportioned_sample": _an.APPORTION_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

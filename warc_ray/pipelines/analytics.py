@@ -8481,3 +8481,98 @@ BOM_SQL = f"""
              AS ext_cost_cents
     FROM term t JOIN part p ON t.key = p.p_partkey
     GROUP BY t.root ORDER BY t.root"""
+
+
+# ---------------------------------------------------------------------------
+# Q177: largest-remainder stratified apportionment sample
+# ---------------------------------------------------------------------------
+
+_APPORTION_N = 200
+
+
+def apportioned_sample(sf_dir: str):
+    """q177: draw EXACTLY N=200 documents stratified by language with
+    quotas apportioned by the largest-remainder method (the
+    exact-seat-count allocation q37's proportional sampler can't
+    guarantee: floor quotas + the ⌊N·cᵢ/total⌋ remainder ranking hand
+    out every seat, no rounding drift).  Within a stratum the picks
+    are the quota smallest md5(doc_id) — a pure function of the data,
+    so the sample is stable under appends, row order and cluster size.
+
+    Scale shape: lang counts fold as tiny partials; quotas are O(langs)
+    driver arithmetic; each batch keeps only its local quota-smallest
+    md5 keys per lang (the top-k combiner), so the final per-lang
+    selection sees ≤ quota·blocks rows — the corpus never moves."""
+    lang_counts = _docs(sf_dir, columns=["lang"]) \
+        .map_batches(
+            lambda b: pa.table({"lang": b["lang"]})
+            .group_by(["lang"]).aggregate([("lang", "count")])
+            .rename_columns(["lang", "n"]),
+            batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n")) \
+        .take_all()
+    counts = sorted((r["lang"], int(r["n"])) for r in lang_counts)
+    total = sum(n for _, n in counts)
+    base = {l: _APPORTION_N * n // total for l, n in counts}
+    rem = sorted(((-(_APPORTION_N * n % total), l) for l, n in counts))
+    extra = _APPORTION_N - sum(base.values())
+    quota = dict(base)
+    for _, l in rem[:extra]:
+        quota[l] += 1
+
+    def local_topq(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.array(_md5_hex([str(int(x)) for x in ids]))
+        langs = np.asarray(b["lang"].to_pylist(), dtype=object)
+        keep = np.zeros(len(ids), dtype=bool)
+        for l, q in quota.items():
+            m = np.flatnonzero(langs == l)
+            if m.size > q:
+                m = m[np.lexsort((ids[m], keys[m]))[:q]]
+            keep[m] = True
+        return pa.table({
+            "lang": pa.array(langs[keep]),
+            "doc_id": pa.array(ids[keep], type=INT64),
+            "k": pa.array(keys[keep]),
+        })
+
+    def final_pick(g: pa.Table) -> pa.Table:
+        l = g["lang"][0].as_py()
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.asarray(g["k"].to_pylist(), dtype=object)
+        sel = np.lexsort((ids, keys))[:quota[l]]
+        sel.sort()
+        return pa.table({"lang": g["lang"].take(pa.array(sel)),
+                         "doc_id": pa.array(ids[sel], type=INT64)})
+
+    return _docs(sf_dir, columns=["doc_id", "lang"]) \
+        .map_batches(local_topq, batch_format="pyarrow") \
+        .groupby("lang") \
+        .map_groups(final_pick, batch_format="pyarrow") \
+        .sort(["lang", "doc_id"])
+
+
+APPORTION_SQL = """
+    WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY lang),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+         q AS (SELECT lang, cnt, (200 * cnt) // t.total AS base,
+                      (200 * cnt) % t.total AS rem
+               FROM c, t),
+         r AS (SELECT q.*, ROW_NUMBER() OVER
+                      (ORDER BY rem DESC, lang ASC) AS rk
+               FROM q),
+         lo AS (SELECT 200 - SUM(base) AS extra FROM q),
+         fq AS (SELECT lang,
+                       base + CASE WHEN rk <= (SELECT extra FROM lo)
+                                   THEN 1 ELSE 0 END AS quota
+                FROM r),
+         ranked AS (SELECT d.lang, d.doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY d.lang
+                             ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                      d.doc_id) AS rn
+                    FROM documents d)
+    SELECT ranked.lang, ranked.doc_id
+    FROM ranked JOIN fq ON fq.lang = ranked.lang
+    WHERE rn <= fq.quota
+    ORDER BY ranked.lang, ranked.doc_id"""
