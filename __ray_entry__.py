@@ -828,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q175_pareto_cut": an.pareto_cut,
         "q176_bom_explosion": an.bom_explosion,
         "q177_apportioned_sample": an.apportioned_sample,
+        "q178_mi_table": an.mi_contributions,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1185,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "q175_pareto_cut": _an.PARETO_SQL,
         "q176_bom_explosion": _an.BOM_SQL,
         "q177_apportioned_sample": _an.APPORTION_SQL,
+        "q178_mi_table": _an.MI_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -8576,3 +8576,81 @@ APPORTION_SQL = """
     FROM ranked JOIN fq ON fq.lang = ranked.lang
     WHERE rn <= fq.quota
     ORDER BY ranked.lang, ranked.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Q178: mutual-information contribution table
+# ---------------------------------------------------------------------------
+
+
+def mi_contributions(sf_dir: str):
+    """q178: pointwise mutual-information table between event type and
+    day-of-week — the feature-selection / association diagnostic
+    (q128's lift is the ratio only; this adds the information-weighted
+    term MI decomposes into).  Every double is a FINAL per-row
+    expression over exact integer counts — (n_xy/N)·ln(n_xy·N /
+    (n_x·n_y)) — with products < 2^53 so both engines' libm sees
+    bit-identical arguments; the total MI is the reader's Σ, never a
+    float fold inside either engine.
+
+    Scale shape: one scan of (type, ts) → per-batch (x, dow) count
+    partials → a ≤35-cell groupby; marginals and terms are driver
+    arithmetic on the tiny table."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    US_DAY = 86_400_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor(pc.divide(
+            pc.cast(b["ts"], INT64), US_DAY)), INT64)
+        dow = pa.array(((days.to_numpy(zero_copy_only=False) + 4) % 7)
+                       .astype(np.int64))
+        return pa.table({"x": b["event_type"], "dow": dow}) \
+            .group_by(["x", "dow"]).aggregate([("dow", "count")]) \
+            .rename_columns(["x", "dow", "n"])
+
+    cells = rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["x", "dow"]).aggregate(_Sum("n", alias_name="n")) \
+        .take_all()
+    n_x, n_y = {}, {}
+    total = 0
+    for r in cells:
+        n_x[r["x"]] = n_x.get(r["x"], 0) + int(r["n"])
+        n_y[r["dow"]] = n_y.get(r["dow"], 0) + int(r["n"])
+        total += int(r["n"])
+    rows = sorted((r["x"], int(r["dow"]), int(r["n"])) for r in cells)
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "dow": pa.array([r[1] for r in rows], type=INT64),
+        "n_xy": pa.array([r[2] for r in rows], type=INT64),
+        "n_x": pa.array([n_x[r[0]] for r in rows], type=INT64),
+        "n_y": pa.array([n_y[r[1]] for r in rows], type=INT64),
+        "mi_term": pa.array(
+            [(r[2] / total) * math.log((r[2] * total)
+                                       / (n_x[r[0]] * n_y[r[1]]))
+             for r in rows], type=pa.float64()),
+    })
+
+
+MI_SQL = """
+    WITH c AS (SELECT event_type,
+                      CAST(((epoch_us(ts) // 86400000000) + 4) % 7
+                           AS BIGINT) AS dow,
+                      CAST(COUNT(*) AS BIGINT) AS n_xy
+               FROM events GROUP BY event_type, dow),
+         m AS (SELECT c.*,
+                      CAST(SUM(n_xy) OVER (PARTITION BY event_type)
+                           AS BIGINT) AS n_x,
+                      CAST(SUM(n_xy) OVER (PARTITION BY dow)
+                           AS BIGINT) AS n_y,
+                      CAST(SUM(n_xy) OVER () AS BIGINT) AS total
+               FROM c)
+    SELECT event_type, dow, n_xy, n_x, n_y,
+           (CAST(n_xy AS DOUBLE) / CAST(total AS DOUBLE))
+             * LN(CAST(n_xy * total AS DOUBLE)
+                  / CAST(n_x * n_y AS DOUBLE)) AS mi_term
+    FROM m ORDER BY event_type, dow"""
