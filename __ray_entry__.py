@@ -829,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q176_bom_explosion": an.bom_explosion,
         "q177_apportioned_sample": an.apportioned_sample,
         "q178_mi_table": an.mi_contributions,
+        "q179_pca_label_map": an.pca_label_map,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,

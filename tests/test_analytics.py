@@ -1728,3 +1728,39 @@ def test_bom_matches_sequential_walk(ray_session):
                .iter_batches(batch_format="pyarrow")
                for r in b.to_pylist()}
         assert got == exp
+
+
+# --------------------------------------------------------------------- q179
+
+def test_pca_label_map_matches_numpy(ray_session):
+    """q179 distributed Gram/label partials == a direct numpy PCA on
+    the same quantized matrix (rows-only query; this is the gate)."""
+    from warc_ray.pipelines.analytics import pca_label_map
+
+    emb = pq.read_table(SF + "/embeddings.parquet",
+                        columns=["embedding", "label"])
+    x = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    xm = np.floor(x * 1000.0)
+    lab = emb["label"].to_numpy()
+    mu = xm.mean(axis=0)
+    c = (xm - mu).T @ (xm - mu) / len(xm)
+    evals, evecs = np.linalg.eigh(c)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    pcs = []
+    for k in range(2):
+        v = evecs[:, k]
+        pin = int(np.argmax(np.abs(v)))
+        pcs.append(v if v[pin] > 0 else -v)
+    out = pca_label_map(SF).to_pylist()
+    assert [r["label"] for r in out] == sorted(set(int(v) for v in lab))
+    for r in out:
+        m = lab == r["label"]
+        assert r["n"] == int(m.sum())
+        mean_vec = xm[m].mean(axis=0) - mu
+        assert abs(r["mean_pc1"] - float(pcs[0] @ mean_vec)) < 1e-6
+        assert abs(r["mean_pc2"] - float(pcs[1] @ mean_vec)) < 1e-6
+        assert abs(r["var_explained_pc1"]
+                   - evals[0] / np.trace(c)) < 1e-9
+    # the map separates: PC1 explains the most variance
+    assert out[0]["var_explained_pc1"] >= out[0]["var_explained_pc2"]

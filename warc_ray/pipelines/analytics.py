@@ -8654,3 +8654,108 @@ MI_SQL = """
              * LN(CAST(n_xy * total AS DOUBLE)
                   / CAST(n_x * n_y AS DOUBLE)) AS mi_term
     FROM m ORDER BY event_type, dow"""
+
+
+# ---------------------------------------------------------------------------
+# Q179: PCA label map (covariance eigh + linear projection means)
+# ---------------------------------------------------------------------------
+
+
+def pca_label_map(sf_dir: str):
+    """q179: project the embedding table onto its top-2 principal
+    components and report each label's mean position plus the
+    variance-explained ratios — the classic embedding-space sanity map
+    (rows-only by design: eigendecomposition has no SQL twin; the
+    numpy-parity pytest is the gate).
+
+    Scale shape: the covariance reuses q132's exact int64 Gram
+    partials; the per-label projection means need NO second projection
+    pass at all — projection is linear, so mean(v·(x−μ)) = v·(Σx/n −
+    μ), and the shuffle carries one d-int sum vector per (label,
+    block).  Only the d×d eigh runs on the driver.  Eigenvector sign
+    is pinned (largest-|coord| made positive, first index on ties) so
+    the map is reproducible across runs and cluster sizes."""
+    from ..stages.similarity import _matrix
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        x = _matrix(b)
+        xm = np.floor(x * 1000.0).astype(np.int64)
+        d = xm.shape[1]
+        gram = xm.T @ xm
+        sx = xm.sum(axis=0)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        return pa.table({
+            "i": pa.array(ii.ravel().astype(np.int64)),
+            "j": pa.array(jj.ravel().astype(np.int64)),
+            "sxy": pa.array(gram.ravel()),
+            "sxi": pa.array(np.broadcast_to(sx[:, None],
+                                            (d, d)).ravel()),
+            "sxj": pa.array(np.broadcast_to(sx[None, :],
+                                            (d, d)).ravel()),
+            "n": pa.array(np.full(d * d, len(xm), np.int64)),
+        })
+
+    emb = rd.read_parquet(_pq(sf_dir, "embeddings"),
+                          columns=["embedding", "label"])
+    agg = emb.map_batches(gram_partial, batch_format="pyarrow") \
+        .groupby(["i", "j"]).aggregate(
+            Sum("sxy", alias_name="sxy"), Sum("sxi", alias_name="sxi"),
+            Sum("sxj", alias_name="sxj"), Sum("n", alias_name="n")) \
+        .take_all()
+    d = int(max(r["i"] for r in agg)) + 1
+    n_total = int(agg[0]["n"])
+    cov = np.zeros((d, d))
+    mu = np.zeros(d)
+    for r in agg:
+        i, j = int(r["i"]), int(r["j"])
+        n, sxy = int(r["n"]), int(r["sxy"])
+        sxi, sxj = int(r["sxi"]), int(r["sxj"])
+        cov[i, j] = float(n * sxy - sxi * sxj) / float(n * n)
+        if j == 0:
+            mu[i] = sxi / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+    pcs = []
+    for k in range(2):
+        v = evecs[:, k]
+        pin = int(np.argmax(np.abs(v)))
+        pcs.append(v if v[pin] > 0 else -v)
+    trace = float(np.trace(cov))
+
+    def label_partial(b: pa.Table) -> pa.Table:
+        x = _matrix(b)
+        xm = np.floor(x * 1000.0).astype(np.int64)
+        lab = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((labs.size, xm.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, xm)
+        cnt = np.bincount(inv).astype(np.int64)
+        cols = {"label": pa.array(labs, type=INT64),
+                "n": pa.array(cnt, type=INT64)}
+        for dim in range(xm.shape[1]):
+            cols[f"s{dim}"] = pa.array(sums[:, dim], type=INT64)
+        return pa.table(cols)
+
+    aggs = [Sum("n", alias_name="n")] + \
+        [Sum(f"s{dim}", alias_name=f"s{dim}") for dim in range(d)]
+    per_label = emb.map_batches(label_partial, batch_format="pyarrow") \
+        .groupby("label").aggregate(*aggs).take_all()
+    rows = []
+    for r in sorted(per_label, key=lambda r: int(r["label"])):
+        n = int(r["n"])
+        mean_vec = np.array([int(r[f"s{dim}"]) for dim in range(d)],
+                            dtype=np.float64) / n - mu
+        rows.append((int(r["label"]), n,
+                     float(pcs[0] @ mean_vec), float(pcs[1] @ mean_vec)))
+    ve = [float(evals[k]) / trace for k in range(2)]
+    return pa.table({
+        "label": pa.array([r[0] for r in rows], type=INT64),
+        "n": pa.array([r[1] for r in rows], type=INT64),
+        "mean_pc1": pa.array([r[2] for r in rows], type=pa.float64()),
+        "mean_pc2": pa.array([r[3] for r in rows], type=pa.float64()),
+        "var_explained_pc1": pa.array([ve[0]] * len(rows),
+                                      type=pa.float64()),
+        "var_explained_pc2": pa.array([ve[1]] * len(rows),
+                                      type=pa.float64()),
+    })
