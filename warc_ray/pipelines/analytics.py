@@ -8759,3 +8759,108 @@ def pca_label_map(sf_dir: str):
         "var_explained_pc2": pa.array([ve[1]] * len(rows),
                                       type=pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Q180: time-weighted state averages
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(sf_dir: str, npart: int = 32):
+    """q180: time-weighted value averages by state — each event opens
+    a state interval that lasts until the SAME user's next event
+    (LEAD pairing), and the average weights each opening value by how
+    long it was in force: TWA = Σ(cents·dur)/Σdur.  The
+    telemetry/billing aggregate a plain AVG gets wrong whenever
+    sampling is irregular.  Durations fold in whole seconds
+    (µs // 10⁶, pinned) so Σ cents·dur keeps int64 headroom past sf1;
+    the TWA is a final int/int double.
+
+    Scale shape: q131's user-hash bucket — one exchange, one lexsort
+    per bucket, shifted compare pairs each event with its successor;
+    per-type partials (n, Σdur, Σcents·dur) leave the bucket, a 5-row
+    groupby finishes."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        part = (b["user_id"].to_numpy(zero_copy_only=False)
+                % npart).astype(np.int32)
+        return pa.table({
+            "user_id": b["user_id"], "event_id": b["event_id"],
+            "ts_us": pc.cast(b["ts"], INT64),
+            "event_type": b["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                             INT64),
+            "part": pa.array(part)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, e, ts, cents = u[order], e[order], ts[order], cents[order]
+        et = g["event_type"].take(pa.array(order))
+        same = np.empty(len(u), dtype=bool)
+        same[:-1] = u[1:] == u[:-1]
+        same[-1] = False
+        dur_s = np.zeros(len(u), dtype=np.int64)
+        dur_s[:-1] = (ts[1:] - ts[:-1]) // 1_000_000
+        t = pa.table({
+            "event_type": et,
+            "one": pa.nulls(len(u), INT64).fill_null(1),
+            "dur_s": pa.array(np.where(same, dur_s, 0), type=INT64),
+            "cd": pa.array(np.where(same, dur_s * cents, 0),
+                           type=INT64),
+        }).filter(pa.array(same))
+        return t.group_by(["event_type"]).aggregate(
+            [("one", "sum"), ("dur_s", "sum"), ("cd", "sum")]) \
+            .rename_columns(["event_type", "n_intervals",
+                             "total_dur_s", "sum_cents_dur"])
+
+    out = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "event_id", "ts",
+                                   "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(_Sum("n_intervals", alias_name="n_intervals"),
+                   _Sum("total_dur_s", alias_name="total_dur_s"),
+                   _Sum("sum_cents_dur", alias_name="sum_cents_dur"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        dur = b["total_dur_s"].to_numpy(zero_copy_only=False)
+        cd = b["sum_cents_dur"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_intervals": pc.cast(b["n_intervals"], INT64),
+            "total_dur_s": pc.cast(b["total_dur_s"], INT64),
+            "sum_cents_dur": pc.cast(b["sum_cents_dur"], INT64),
+            "twa_cents": pa.array(
+                np.where(dur > 0, cd / np.maximum(dur, 1), np.nan),
+                type=pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("event_type")
+
+
+TWA_SQL = """
+    WITH s AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+              - epoch_us(ts)) // 1000000 AS dur_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+           CAST(SUM(cents * dur_s) AS BIGINT) AS sum_cents_dur,
+           CAST(SUM(cents * dur_s) AS DOUBLE)
+             / CAST(SUM(dur_s) AS DOUBLE) AS twa_cents
+    FROM s WHERE dur_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type"""
