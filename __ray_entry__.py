@@ -831,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q178_mi_table": an.mi_contributions,
         "q179_pca_label_map": an.pca_label_map,
         "q180_time_weighted_avg": an.time_weighted_avg,
+        "q181_merkle_diff": an.merkle_diff,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1190,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "q177_apportioned_sample": _an.APPORTION_SQL,
         "q178_mi_table": _an.MI_SQL,
         "q180_time_weighted_avg": _an.TWA_SQL,
+        "q181_merkle_diff": _an.MERKLE_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -1764,3 +1764,40 @@ def test_pca_label_map_matches_numpy(ray_session):
                    - evals[0] / np.trace(c)) < 1e-9
     # the map separates: PC1 explains the most variance
     assert out[0]["var_explained_pc1"] >= out[0]["var_explained_pc2"]
+
+
+# --------------------------------------------------------------------- q181
+
+def test_merkle_walk_matches_flat_compare(ray_session):
+    """q181 tree walk finds exactly the flat-compare leaf set and
+    visits O(diff·log) nodes, and the planted divergence is there."""
+    from warc_ray.pipelines.analytics import (_MERKLE_LEAVES,
+                                              merkle_diff)
+    from warc_ray.stages.sketch import md5_prefix64
+
+    out = merkle_diff(SF).to_pylist()
+    leaves = [r["leaf"] for r in out]
+    # flat recompute of the expected differing-leaf set
+    orders = pq.read_table(SF + "/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"])
+    k = orders["o_orderkey"].to_numpy()
+    cents = np.rint(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    mut = md5_prefix64(["mut|%d" % int(x) for x in k]) % np.uint64(97)
+    exp = set()
+    dig = np.zeros((2, _MERKLE_LEAVES), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for kk, cc, mm in zip(k, cents, mut):
+            leaf = int(kk) % _MERKLE_LEAVES
+            dig[0, leaf] += md5_prefix64(["%d|%d" % (kk, cc)])[0]
+            if mm != 1:
+                c2 = cc + 1 if mm == 0 else cc
+                dig[1, leaf] += md5_prefix64(["%d|%d" % (kk, c2)])[0]
+    exp = [i for i in range(_MERKLE_LEAVES) if dig[0, i] != dig[1, i]]
+    assert leaves == exp
+    assert len(exp) > 0
+    # visit bound: root-to-leaf paths of differing nodes only
+    import math
+    depth = int(math.log2(_MERKLE_LEAVES))
+    assert merkle_diff._visited <= 2 * (len(exp) + 1) * (depth + 1)
+    for r in out:
+        assert r["rows_b"] <= r["rows_a"]

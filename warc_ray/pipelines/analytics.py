@@ -8864,3 +8864,150 @@ TWA_SQL = """
              / CAST(SUM(dur_s) AS DOUBLE) AS twa_cents
     FROM s WHERE dur_s IS NOT NULL
     GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q181: Merkle anti-entropy diff
+# ---------------------------------------------------------------------------
+
+_MERKLE_LEAVES = 256
+
+
+def merkle_diff(sf_dir: str):
+    """q181: anti-entropy between two replicas of the orders table —
+    replica B diverges from A by a planted md5 rule (md5h64('mut|'+key)
+    % 97: 0 → price +1 cent, 1 → row missing), and the sync protocol
+    must find the differing key ranges WITHOUT shipping either table:
+    256 leaf buckets (key % 256) each fold a commutative content
+    digest (Σ md5h64(key|cents) mod 2^64 — order- and
+    partition-independent by construction), a binary digest tree is
+    built over the leaves, and the walk descends only into differing
+    children: O(diff·log) digest comparisons instead of O(rows).
+    Output: the differing leaves with both digests (63-bit) and row
+    counts.
+
+    Scale shape: ONE scan emits both replicas' per-leaf (digest,
+    count) partials (B is derived in the same batch); the global state
+    is 2×256 digests — nothing else ever moves.  The tree walk is
+    driver arithmetic; a pytest pins walk-found == flat-compare and
+    the O(diff·log) visit bound."""
+    from ..stages.sketch import md5_prefix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.rint(b["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        mut = md5_prefix64(["mut|%d" % int(x) for x in k]) \
+            % np.uint64(97)
+        leaf = (k % _MERKLE_LEAVES).astype(np.int64)
+        out = []
+        for side, cc, keep in (
+                (0, cents, np.ones(len(k), dtype=bool)),
+                (1, np.where(mut == 0, cents + 1, cents), mut != 1)):
+            kk, ll, c2 = k[keep], leaf[keep], cc[keep]
+            h = md5_prefix64(["%d|%d" % (int(a), int(b_))
+                              for a, b_ in zip(kk, c2)])
+            order = np.argsort(ll, kind="stable")
+            ll_s, h_s = ll[order], h[order]
+            ub = np.flatnonzero(np.diff(ll_s) != 0)
+            starts = np.concatenate([[0], ub + 1])
+            leaves = ll_s[starts]
+            with np.errstate(over="ignore"):
+                sums = np.add.reduceat(h_s, starts)   # uint64 wrap
+            cnts = np.diff(np.concatenate([starts, [ll_s.size]]))
+            out.append(pa.table({
+                "side": pa.array(np.full(leaves.size, side,
+                                         dtype=np.int64)),
+                "leaf": pa.array(leaves, type=INT64),
+                "dig": pa.array(sums.view(np.int64)),
+                "n": pa.array(cnts.astype(np.int64)),
+            }))
+        return pa.concat_tables(out)
+
+    parts = rd.read_parquet(_pq(sf_dir, "orders"),
+                            columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    dig = np.zeros((2, _MERKLE_LEAVES), dtype=np.uint64)
+    cnt = np.zeros((2, _MERKLE_LEAVES), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for r in parts:
+            dig[r["side"], r["leaf"]] += np.uint64(
+                np.int64(r["dig"]).astype(np.uint64))
+            cnt[r["side"], r["leaf"]] += r["n"]
+
+    def build_tree(leaves_hex):
+        levels = [list(leaves_hex)]
+        while len(levels[-1]) > 1:
+            prev = levels[-1]
+            levels.append([hashlib.md5(
+                (prev[2 * i] + prev[2 * i + 1]).encode()).hexdigest()
+                for i in range(len(prev) // 2)])
+        return levels[::-1]          # root first
+
+    trees = [build_tree(["%016x" % int(x) for x in dig[s]])
+             for s in (0, 1)]
+    visited = [0]
+
+    def walk(level, idx):
+        visited[0] += 1
+        if trees[0][level][idx] == trees[1][level][idx]:
+            return []
+        if level == len(trees[0]) - 1:
+            return [idx]
+        return walk(level + 1, 2 * idx) + walk(level + 1, 2 * idx + 1)
+
+    diff_leaves = walk(0, 0)
+    merkle_diff._visited = visited[0]          # pytest hook
+    mask63 = np.uint64((1 << 63) - 1)
+    return pa.table({
+        "leaf": pa.array(diff_leaves, type=INT64),
+        "digest_a": pa.array(
+            [int(dig[0, i] & mask63) for i in diff_leaves], type=INT64),
+        "digest_b": pa.array(
+            [int(dig[1, i] & mask63) for i in diff_leaves], type=INT64),
+        "rows_a": pa.array([int(cnt[0, i]) for i in diff_leaves],
+                           type=INT64),
+        "rows_b": pa.array([int(cnt[1, i]) for i in diff_leaves],
+                           type=INT64),
+    })
+
+
+_MD5H_MUT = ("list_sum(list_transform(range(1, 17), "
+             "i -> CAST(strpos('0123456789abcdef', "
+             "substr(md5('mut|' || CAST(o_orderkey AS VARCHAR)), "
+             "CAST(i AS INTEGER), 1)) - 1 "
+             "AS HUGEINT) << (4 * (16 - i))))")
+
+_MD5H_ROW = ("list_sum(list_transform(range(1, 17), "
+             "i -> CAST(strpos('0123456789abcdef', "
+             "substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || "
+             "CAST(cents AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 "
+             "AS HUGEINT) << (4 * (16 - i))))")
+
+MERKLE_SQL = f"""
+    WITH a AS (SELECT o_orderkey,
+                      CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+               FROM orders),
+         b AS (SELECT o_orderkey,
+                      CASE WHEN {_MD5H_MUT} % 97 = 0 THEN cents + 1
+                           ELSE cents END AS cents
+               FROM a WHERE {_MD5H_MUT} % 97 <> 1),
+         da AS (SELECT o_orderkey % {_MERKLE_LEAVES} AS leaf,
+                       CAST(SUM({_MD5H_ROW})
+                            % 18446744073709551616 AS HUGEINT) AS dig,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM a GROUP BY leaf),
+         db AS (SELECT o_orderkey % {_MERKLE_LEAVES} AS leaf,
+                       CAST(SUM({_MD5H_ROW})
+                            % 18446744073709551616 AS HUGEINT) AS dig,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM b GROUP BY leaf)
+    SELECT da.leaf AS leaf,
+           CAST(da.dig % 9223372036854775808 AS BIGINT) AS digest_a,
+           CAST(COALESCE(db.dig, 0) % 9223372036854775808 AS BIGINT)
+             AS digest_b,
+           da.n AS rows_a,
+           CAST(COALESCE(db.n, 0) AS BIGINT) AS rows_b
+    FROM da LEFT JOIN db ON da.leaf = db.leaf
+    WHERE da.dig <> COALESCE(db.dig, 0)
+    ORDER BY leaf"""
