@@ -9011,3 +9011,109 @@ MERKLE_SQL = f"""
     FROM da LEFT JOIN db ON da.leaf = db.leaf
     WHERE da.dig <> COALESCE(db.dig, 0)
     ORDER BY leaf"""
+
+
+# ---------------------------------------------------------------------------
+# Q182: lifecycle ordering audit
+# ---------------------------------------------------------------------------
+
+_LIFECYCLE_RULES = (
+    # (earlier type, later type): later must not precede earlier
+    ("signup", "purchase"),
+    ("signup", "click"),
+    ("view", "purchase"),
+)
+
+
+def lifecycle_audit(sf_dir: str, npart: int = 32):
+    """q182: causal-order conformance — for each lifecycle rule
+    "A must precede B", count users who have both event types and
+    whose FIRST B happens before their FIRST A (the funnel q90 counts
+    conformers; this is the data-quality inverse, the check ingestion
+    bugs and clock skew show up in).  first-A/first-B compare on exact
+    epoch-µs ints, ties (same µs) are conformant.
+
+    Scale shape: per-batch (user, type)-min partials → ONE user-hash
+    exchange → per bucket a single group_by folds cross-batch mins and
+    one pivoted min-per-type array evaluates ALL rules vectorized →
+    3-row (rule, n_both, n_violations) partials."""
+    from ray.data.aggregate import Sum as _Sum
+
+    types = sorted({t for pair in _LIFECYCLE_RULES for t in pair})
+    t_idx = {t: i for i, t in enumerate(types)}
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(types))
+        b = b.filter(m)
+        t = pa.table({
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "ts_us": pc.cast(b["ts"], INT64),
+        }).group_by(["user_id", "event_type"]) \
+            .aggregate([("ts_us", "min")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_type": t["event_type"],
+            "ts_us": t["ts_us_min"],
+            "part": pa.array((u % npart).astype(np.int32)),
+        })
+
+    SENT = np.int64(2**62)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        t = g.select(["user_id", "event_type", "ts_us"]) \
+            .group_by(["user_id", "event_type"]) \
+            .aggregate([("ts_us", "min")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us_min"].to_numpy(zero_copy_only=False)
+        ti = np.array([t_idx[x] for x in t["event_type"].to_pylist()],
+                      dtype=np.int64)
+        users, inv = np.unique(u, return_inverse=True)
+        first = np.full((users.size, len(types)), SENT, dtype=np.int64)
+        first[inv, ti] = ts
+        rows = []
+        for a, b_ in _LIFECYCLE_RULES:
+            fa = first[:, t_idx[a]]
+            fb = first[:, t_idx[b_]]
+            both = (fa < SENT) & (fb < SENT)
+            rows.append((f"{a}<{b_}", int(both.sum()),
+                         int((both & (fb < fa)).sum())))
+        return pa.table({
+            "rule": pa.array([r[0] for r in rows]),
+            "n_both": pa.array([r[1] for r in rows], type=INT64),
+            "n_violations": pa.array([r[2] for r in rows], type=INT64),
+        })
+
+    out = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part") \
+        .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("rule") \
+        .aggregate(_Sum("n_both", alias_name="n_both"),
+                   _Sum("n_violations", alias_name="n_violations"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "rule": b["rule"],
+            "n_both": pc.cast(b["n_both"], INT64),
+            "n_violations": pc.cast(b["n_violations"], INT64),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("rule")
+
+
+LIFECYCLE_SQL = "\nUNION ALL\n".join("""
+    SELECT '{a}<{b}' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN t_b < t_a THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM (SELECT user_id,
+                 MIN(CASE WHEN event_type = '{a}'
+                          THEN epoch_us(ts) END) AS t_a,
+                 MIN(CASE WHEN event_type = '{b}'
+                          THEN epoch_us(ts) END) AS t_b
+          FROM events GROUP BY user_id)
+    WHERE t_a IS NOT NULL AND t_b IS NOT NULL
+""".format(a=a, b=b) for a, b in _LIFECYCLE_RULES) + "\nORDER BY rule"
