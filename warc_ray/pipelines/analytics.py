@@ -9117,3 +9117,146 @@ LIFECYCLE_SQL = "\nUNION ALL\n".join("""
           FROM events GROUP BY user_id)
     WHERE t_a IS NOT NULL AND t_b IS NOT NULL
 """.format(a=a, b=b) for a, b in _LIFECYCLE_RULES) + "\nORDER BY rule"
+
+
+# ---------------------------------------------------------------------------
+# Q183: TPC-H Q7 — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+_Q7_LO_US = 820_454_400_000_000        # 1996-01-01T00:00:00Z epoch µs
+_Q7_HI_US = 883_612_800_000_000        # 1998-01-01T00:00:00Z
+
+
+def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
+                    nation_b: str = "NATION_9", npart: int = 16):
+    """q183: TPC-H Q7 — cross-border trade volume between two nations
+    by year: revenue of lineitems a supplier in one nation shipped to
+    a customer in the OTHER (both directions, 1996–1997).  Like Q5
+    (q163) two independent nationkey paths meet per row, but here they
+    must DIFFER, and the report keeps the (supp, cust, year) cube.
+
+    Plan (q163's shape): supplier→nationkey as a broadcast dense
+    int array (catalog-sized); customers FILTERED to the two nations
+    before the orders⋈customer exchange, so the materialized
+    (orderkey, cust_nation) intermediate only carries ~2/25 of orders;
+    lineitem (shipdate-pruned, supplier-nation-pruned) joins it on
+    orderkey with the cross-nation check and the (s_nat, c_nat, year)
+    revenue partials FUSED into the join bucket — the second exchange
+    emits ≤ 2·2·years rows per bucket.  Revenue in exact
+    cents×(100-disc) ints, one double division at the end."""
+    import pyarrow.parquet as _pq2
+
+    from ..stages.exchange import hash_join
+
+    nat = _pq2.read_table(_pq(sf_dir, "nation"))
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    keys = {v: k for k, v in name_of.items()}
+    ka, kb = keys[nation_a], keys[nation_b]
+    pair = np.array([ka, kb], dtype=np.int64)
+
+    sup = _pq2.read_table(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sup_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    m = np.isin(sn, pair)
+    sup_nat[sk[m]] = sn[m]
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(cn, pair)
+        b = b.filter(pa.array(keep))
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "c_nat": pc.cast(b["c_nationkey"], INT64)})
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["o_custkey"],
+                         "l_orderkey": b["o_orderkey"]})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    ord_nat = hash_join(
+        orders, cust, "c_custkey", npart=npart,
+        bucket_finish=lambda j: j.select(["l_orderkey", "c_nat"])) \
+        .materialize()
+
+    def line_side(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["l_shipdate"], INT64)
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(_Q7_LO_US, type=INT64)),
+            pc.less(d, pa.scalar(_Q7_HI_US, type=INT64))))
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = sup_nat[np.minimum(s, len(sup_nat) - 1)]
+        s_nat = np.where(s < len(sup_nat), s_nat, -1)
+        keep = s_nat >= 0
+        b = b.filter(pa.array(keep))
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "s_nat": pa.array(s_nat[keep], type=INT64),
+            "l_year": pc.cast(pc.year(b["l_shipdate"]), INT64),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc)),
+        })
+
+    lines = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_shipdate", "l_extendedprice",
+                                     "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    def q7_finish(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.and_(pc.is_valid(j["c_nat"]),
+                             pc.not_equal(j["s_nat"], j["c_nat"])))
+        return j.select(["s_nat", "c_nat", "l_year", "rev"]) \
+            .group_by(["s_nat", "c_nat", "l_year"]) \
+            .aggregate([("rev", "sum")]) \
+            .rename_columns(["s_nat", "c_nat", "l_year", "rev"])
+
+    agg = hash_join(lines, ord_nat, "l_orderkey", npart=npart,
+                    bucket_finish=q7_finish) \
+        .groupby(["s_nat", "c_nat", "l_year"]) \
+        .aggregate(Sum("rev", alias_name="rev"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": pa.array(
+                [name_of[int(k)] for k in b["s_nat"].to_pylist()],
+                type=pa.string()),
+            "cust_nation": pa.array(
+                [name_of[int(k)] for k in b["c_nat"].to_pylist()],
+                type=pa.string()),
+            "l_year": b["l_year"],
+            "revenue": pc.divide(pc.cast(b["rev"], pa.float64()),
+                                 10_000.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["supp_nation", "cust_nation", "l_year"])
+
+
+Q7_SQL = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+           OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
