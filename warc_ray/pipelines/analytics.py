@@ -9260,3 +9260,150 @@ Q7_SQL = """
       AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year"""
+
+
+# ---------------------------------------------------------------------------
+# Q184: TPC-H Q8 — national market share
+# ---------------------------------------------------------------------------
+
+
+def national_market_share(sf_dir: str, region: str = "ASIA",
+                          nation: str = "NATION_2",
+                          p_type: str = "PROMO", npart: int = 16):
+    """q184: TPC-H Q8 — the target nation's share of PROMO-part trade
+    volume sold into a region, by order year: a conditional-ratio
+    aggregate (numerator = volume supplied by the nation, denominator
+    = all volume) over a 6-table join.
+
+    Plan: the part-type screen runs as a clustered_join against the
+    key-sorted part table (dimension never shuffles — each bucket
+    reads only its own row groups, q139's zone-map idea applied to a
+    join); customer pre-filters to the region before the custkey
+    exchange (q183's trick); the orderkey join bucket fuses per-year
+    (den, num) integer partials so the final groupby sees
+    years×buckets rows.  Supplier nation rides as a broadcast dense
+    array; the share is ONE final double division."""
+    import pyarrow.parquet as _pq2
+
+    from ..stages.exchange import clustered_join, hash_join
+
+    nat = _pq2.read_table(_pq(sf_dir, "nation"))
+    reg = _pq2.read_table(_pq(sf_dir, "region"))
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][0]
+    in_region = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    region_keys = np.sort(
+        in_region["n_nationkey"].to_numpy(zero_copy_only=False)
+        .astype(np.int64))
+    target_key = nat.filter(pc.equal(nat["n_name"], nation)) \
+        ["n_nationkey"][0].as_py()
+
+    sup = _pq2.read_table(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sup_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    sup_nat[sk] = sn
+
+    def cust_side(b: pa.Table) -> pa.Table:
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = b.filter(pa.array(np.isin(cn, region_keys)))
+        return b.select(["c_custkey"])
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow")
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], INT64)
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(_Q7_LO_US, type=INT64)),
+            pc.less(d, pa.scalar(_Q7_HI_US, type=INT64))))
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "l_orderkey": b["o_orderkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), INT64)})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    ord_year = hash_join(
+        orders, cust, "c_custkey", npart=npart,
+        bucket_finish=lambda j: j.select(["l_orderkey", "o_year"])) \
+        .materialize()
+
+    def line_side(b: pa.Table) -> pa.Table:
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = np.where(s < len(sup_nat),
+                         sup_nat[np.minimum(s, len(sup_nat) - 1)], -1)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "l_orderkey": b["l_orderkey"],
+            "s_nat": pa.array(s_nat, type=INT64),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc)),
+        })
+
+    def part_screen(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.equal(j["p_type"], p_type))
+        return j.select(["l_orderkey", "s_nat", "rev"])
+
+    lines = clustered_join(
+        rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(line_side, batch_format="pyarrow"),
+        _pq(sf_dir, "part"), fact_key="l_partkey", dim_key="p_partkey",
+        dim_columns=["p_type"], npart=npart, bucket_finish=part_screen)
+
+    def q8_finish(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.is_valid(j["o_year"]))
+        num = pc.if_else(pc.equal(j["s_nat"],
+                                  pa.scalar(target_key, type=INT64)),
+                         j["rev"], pa.scalar(0, type=INT64))
+        return pa.table({"o_year": j["o_year"], "den": j["rev"],
+                         "num": num}) \
+            .group_by(["o_year"]) \
+            .aggregate([("den", "sum"), ("num", "sum")]) \
+            .rename_columns(["o_year", "den", "num"])
+
+    agg = hash_join(lines, ord_year, "l_orderkey", npart=npart,
+                    bucket_finish=q8_finish) \
+        .groupby("o_year").aggregate(Sum("den", alias_name="den"),
+                                     Sum("num", alias_name="num"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": b["o_year"],
+            "mkt_share": pc.divide(pc.cast(b["num"], pa.float64()),
+                                   pc.cast(b["den"], pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+Q8_SQL = """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                         THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS volume,
+                 n2.n_name AS supp_nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation n1, nation n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey
+            AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+            AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND p_type = 'PROMO') t
+    GROUP BY o_year ORDER BY o_year"""
