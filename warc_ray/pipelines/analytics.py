@@ -9407,3 +9407,117 @@ Q8_SQL = """
             AND o_orderdate < TIMESTAMP '1998-01-01'
             AND p_type = 'PROMO') t
     GROUP BY o_year ORDER BY o_year"""
+
+
+# ---------------------------------------------------------------------------
+# Q185: TPC-H Q10 — returned-item reporting (top-20 lossy customers)
+# ---------------------------------------------------------------------------
+
+_Q10_LO_US = 836_179_200_000_000       # 1996-07-01T00:00:00Z epoch µs
+_Q10_HI_US = 844_128_000_000_000       # 1996-10-01T00:00:00Z
+
+
+def returned_items(sf_dir: str, npart: int = 16, k: int = 20):
+    """q185: TPC-H Q10 — the 20 customers who returned the most
+    revenue in a quarter: join→aggregate→top-k with customer
+    attributes attached, the canonical "account review" report.
+
+    Plan: lineitem pre-filters to returnflag='R' (column-pruned read),
+    orders to the quarter, and their orderkey join bucket emits
+    per-customer revenue PARTIALS; after the exact custkey groupby the
+    (custkey, revenue) rows hash_join customer — a both-sides-large
+    join, not a broadcast (customer attributes at 100 TB don't fit an
+    actor) — and each bucket keeps only its local top-k by the pinned
+    (rev DESC, custkey ASC) order, so k·npart rows reach the final
+    sort.  Nation names attach from the catalog-sized broadcast dict;
+    ties at rank k are deterministic via the custkey tiebreak in BOTH
+    engines."""
+    import pyarrow.parquet as _pq2
+
+    from ..stages.exchange import hash_join
+
+    nat = _pq2.read_table(_pq(sf_dir, "nation"))
+    nat_name = dict(zip(nat["n_nationkey"].to_pylist(),
+                        nat["n_name"].to_pylist()))
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], INT64)
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(_Q10_LO_US, type=INT64)),
+            pc.less(d, pa.scalar(_Q10_HI_US, type=INT64))))
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "c_custkey": b["o_custkey"]})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    def line_side(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc))})
+
+    lines = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_returnflag",
+                                     "l_extendedprice", "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    def cust_partial(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.is_valid(j["c_custkey"]))
+        return j.select(["c_custkey", "rev"]) \
+            .group_by(["c_custkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["c_custkey", "rev"])
+
+    cust_rev = hash_join(lines, orders, "l_orderkey", npart=npart,
+                         bucket_finish=cust_partial) \
+        .groupby("c_custkey").aggregate(Sum("rev", alias_name="rev"))
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_acctbal",
+                                    "c_nationkey"])
+
+    def topk_bucket(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.is_valid(j["rev"]))
+        order = np.lexsort((j["c_custkey"].to_numpy(zero_copy_only=False),
+                            -j["rev"].to_numpy(zero_copy_only=False)))
+        return j.take(pa.array(order[:k]))
+
+    top = hash_join(cust_rev, cust, "c_custkey", npart=npart,
+                    bucket_finish=topk_bucket) \
+        .sort(["rev", "c_custkey"], descending=[True, False]).limit(k)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_name": b["c_name"],
+            "revenue": pc.divide(pc.cast(b["rev"], pa.float64()),
+                                 10_000.0),
+            "c_acctbal": b["c_acctbal"],
+            "n_name": pa.array(
+                [nat_name[int(x)] for x in b["c_nationkey"].to_pylist()],
+                type=pa.string()),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+
+
+Q10_SQL = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20"""
