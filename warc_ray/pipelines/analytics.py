@@ -9521,3 +9521,83 @@ Q10_SQL = """
       AND l_returnflag = 'R' AND c_nationkey = n_nationkey
     GROUP BY c_custkey, c_name, c_acctbal, n_name
     ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# Q186: TPC-H Q14 — promotion effect by ship month
+# ---------------------------------------------------------------------------
+
+
+def promo_effect(sf_dir: str, npart: int = 16):
+    """q186: TPC-H Q14 generalized to a monthly series — the share of
+    shipped revenue carried by PROMO parts, per ship month of 1996:
+    the marketing-effectiveness ratio report.
+
+    Plan: one clustered_join against the key-sorted part table (the
+    dimension never shuffles; q184's screen, but here the type drives
+    a conditional NUMERATOR rather than a filter).  Each join bucket
+    folds to ≤12 (month, num, den) integer partial rows, so the global
+    groupby moves months×npart rows; the percentage is the single
+    final double expression."""
+    from ..stages.exchange import clustered_join
+
+    lo = 820_454_400_000_000           # 1996-01-01 epoch µs
+    hi = 852_076_800_000_000           # 1997-01-01
+
+    def line_side(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["l_shipdate"], INT64)
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, type=INT64)),
+            pc.less(d, pa.scalar(hi, type=INT64))))
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "month": pc.cast(pc.month(b["l_shipdate"]), INT64),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc))})
+
+    def bucket(j: pa.Table) -> pa.Table:
+        num = pc.if_else(pc.equal(j["p_type"], "PROMO"), j["rev"],
+                         pa.scalar(0, type=INT64))
+        return pa.table({"month": j["month"], "num": num,
+                         "den": j["rev"]}) \
+            .group_by(["month"]) \
+            .aggregate([("num", "sum"), ("den", "sum")]) \
+            .rename_columns(["month", "num", "den"])
+
+    agg = clustered_join(
+        rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(line_side, batch_format="pyarrow"),
+        _pq(sf_dir, "part"), fact_key="l_partkey", dim_key="p_partkey",
+        dim_columns=["p_type"], npart=npart, bucket_finish=bucket) \
+        .groupby("month").aggregate(Sum("num", alias_name="num"),
+                                    Sum("den", alias_name="den"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": b["month"],
+            "promo_pct": pc.multiply(
+                pc.divide(pc.cast(b["num"], pa.float64()),
+                          pc.cast(b["den"], pa.float64())), 100.0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("month")
+
+
+Q14_SQL = """
+    SELECT CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS month,
+           100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                        ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS DOUBLE)) AS promo_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY month ORDER BY month"""
