@@ -9601,3 +9601,88 @@ Q14_SQL = """
       AND l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY month ORDER BY month"""
+
+
+# ---------------------------------------------------------------------------
+# Q187: TPC-H Q15 — top supplier (argmax over an aggregate, ties kept)
+# ---------------------------------------------------------------------------
+
+
+def top_supplier(sf_dir: str, npart: int = 16):
+    """q187: TPC-H Q15 — the supplier(s) whose shipped revenue in a
+    quarter equals the global maximum: the argmax-with-ties operator
+    (aggregate → global MAX → semi-join back), which needs the
+    aggregate CONSUMED TWICE — materialized once so the max pull and
+    the filter don't re-execute the scan.
+
+    Plan: per-batch suppkey revenue partials (vectorized combiner) →
+    one suppkey groupby (supplier-cardinality output, catalog-sized)
+    → materialize; the global max is a one-scalar driver pull of that
+    small table; the equality filter streams over it again; names
+    attach from the supplier broadcast dict.  Revenue stays integer
+    through the max/equality (no float compare), one double at the
+    end."""
+    import pyarrow.parquet as _pq2
+
+    lo = 841_536_000_000_000           # 1996-09-01 epoch µs
+    hi = 849_398_400_000_000           # 1996-12-01
+
+    sup = _pq2.read_table(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_name"])
+    sup_name = dict(zip(sup["s_suppkey"].to_pylist(),
+                        sup["s_name"].to_pylist()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["l_shipdate"], INT64)
+        b = b.filter(pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, type=INT64)),
+            pc.less(d, pa.scalar(hi, type=INT64))))
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "s_suppkey": b["l_suppkey"],
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc))}) \
+            .group_by(["s_suppkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["s_suppkey", "rev"])
+
+    rev = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                          columns=["l_suppkey", "l_shipdate",
+                                   "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Sum("rev", alias_name="rev")) \
+        .materialize()
+
+    mx = rev.max("rev")
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["rev"], pa.scalar(int(mx), type=INT64)))
+        return pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "s_name": pa.array(
+                [sup_name[int(x)] for x in b["s_suppkey"].to_pylist()],
+                type=pa.string()),
+            "total_revenue": pc.divide(pc.cast(b["rev"], pa.float64()),
+                                       10_000.0)})
+
+    return rev.map_batches(finish, batch_format="pyarrow") \
+        .sort("s_suppkey")
+
+
+Q15_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS s_suppkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-12-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total AS DOUBLE) / 10000.0 AS total_revenue
+    FROM supplier s, revenue r
+    WHERE s.s_suppkey = r.s_suppkey
+      AND r.total = (SELECT MAX(total) FROM revenue)
+    ORDER BY s.s_suppkey"""
