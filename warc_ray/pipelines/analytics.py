@@ -9686,3 +9686,87 @@ Q15_SQL = """
     WHERE s.s_suppkey = r.s_suppkey
       AND r.total = (SELECT MAX(total) FROM revenue)
     ORDER BY s.s_suppkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q188: TPC-H Q17 — small-quantity-order revenue (correlated avg)
+# ---------------------------------------------------------------------------
+
+
+def small_quantity_revenue(sf_dir: str, brand: str = "Brand#23",
+                           npart: int = 16):
+    """q188: TPC-H Q17 — yearly revenue lost if orders below 20% of a
+    part's average quantity were dropped: the CORRELATED SCALAR
+    SUBQUERY shape (per-part AVG referenced row-by-row), decorrelated
+    into one partkey exchange where each bucket holds a part's rows
+    COMPLETELY and evaluates rows-vs-own-aggregate vectorized.
+
+    Exactness: qty in centi-units, the 20% test as the cross-
+    multiplied integer inequality 5·qc·n < Σqc (no float avg ever
+    materializes; both engines compare the same int64s).  The brand
+    screen runs as a clustered_join against the key-sorted part table
+    first, so the exchange moves only the brand's ~1/25 slice."""
+    from ..stages.exchange import clustered_join, with_part
+
+    def line_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "qc": pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)),
+                          INT64),
+            "pcents": pc.cast(pc.round(pc.multiply(
+                b["l_extendedprice"], 100.0)), INT64)})
+
+    def brand_screen(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.equal(j["p_brand"], brand))
+        return j.select(["l_partkey", "qc", "pcents"])
+
+    rows = clustered_join(
+        rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice"])
+        .map_batches(line_side, batch_format="pyarrow"),
+        _pq(sf_dir, "part"), fact_key="l_partkey", dim_key="p_partkey",
+        dim_columns=["p_brand"], npart=npart, bucket_finish=brand_screen)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        k = g["l_partkey"].to_numpy(zero_copy_only=False)
+        qc = g["qc"].to_numpy(zero_copy_only=False)
+        pcents = g["pcents"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        sq = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sq, inv, qc)                  # exact int64 Σqc
+        keep = 5 * qc * n[inv] < sq[inv]
+        return pa.table({
+            "sum_pc": pa.array([int(pcents[keep].sum())], type=INT64),
+            "n_rows": pa.array([int(keep.sum())], type=INT64)})
+
+    g = rows.map_batches(
+        lambda b: with_part(b, "l_partkey", npart),
+        batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .sum(["sum_pc", "n_rows"])
+
+    return pa.table({
+        "avg_yearly": pa.array(
+            [float(int(g["sum(sum_pc)"])) / 100.0 / 7.0],
+            type=pa.float64()),
+        "n_rows": pa.array([int(g["sum(n_rows)"])], type=INT64)})
+
+
+Q17_SQL = f"""
+    WITH t AS (
+      SELECT l_partkey,
+             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pcents
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'),
+    s AS (SELECT l_partkey, SUM(qc) AS sq,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM t GROUP BY l_partkey)
+    SELECT CAST(SUM(t.pcents) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM t, s
+    WHERE t.l_partkey = s.l_partkey AND 5 * t.qc * s.n < s.sq"""
