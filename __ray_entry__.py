@@ -839,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q186_promo_effect": an.promo_effect,
         "q187_top_supplier": an.top_supplier,
         "q188_small_qty_revenue": an.small_quantity_revenue,
+        "q189_large_orders": an.large_volume_customers,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1206,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "q186_promo_effect": _an.Q14_SQL,
         "q187_top_supplier": _an.Q15_SQL,
         "q188_small_qty_revenue": _an.Q17_SQL,
+        "q189_large_orders": _an.Q18_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -9770,3 +9770,104 @@ Q17_SQL = f"""
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM t, s
     WHERE t.l_partkey = s.l_partkey AND 5 * t.qc * s.n < s.sq"""
+
+
+# ---------------------------------------------------------------------------
+# Q189: TPC-H Q18 — large-volume customers (HAVING semi-join)
+# ---------------------------------------------------------------------------
+
+
+def large_volume_customers(sf_dir: str, min_qty: int = 250,
+                           npart: int = 16, k: int = 100):
+    """q189: TPC-H Q18 — the 100 largest orders whose total quantity
+    exceeds a threshold, with their customer attached: the
+    GROUP-HAVING SEMI-JOIN shape (an aggregate qualifies keys, the
+    qualified keys pull their parent rows).
+
+    Plan: lineitem folds per-batch (orderkey, Σqty-centi) partials →
+    one orderkey groupby → integer HAVING filter; the surviving
+    ~0.1% of orders join orders on orderkey and customer on custkey
+    through the bucket exchange, each bucket keeping its local top-k
+    by the pinned (totalprice-cents DESC, orderkey ASC) order.  Dates
+    leave as ISO strings so both engines hash identical bytes."""
+    from ..stages.exchange import hash_join
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["l_orderkey"],
+            "qc": pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)),
+                          INT64)}) \
+            .group_by(["o_orderkey"]).aggregate([("qc", "sum")]) \
+            .rename_columns(["o_orderkey", "qc"])
+
+    big = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Sum("qc", alias_name="qc")) \
+        .map_batches(lambda b: b.filter(pc.greater(
+            b["qc"], pa.scalar(min_qty * 100, type=INT64))),
+            batch_format="pyarrow")
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "c_custkey": b["o_custkey"],
+            "tp_cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), INT64),
+            "o_date_us": pc.cast(b["o_orderdate"], INT64)})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice", "o_orderdate"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    with_orders = hash_join(
+        big, orders, "o_orderkey", npart=npart,
+        bucket_finish=lambda j: j.filter(pc.is_valid(j["c_custkey"])))
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name"])
+
+    def topk_bucket(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.is_valid(j["qc"]))
+        order = np.lexsort((
+            j["o_orderkey"].to_numpy(zero_copy_only=False),
+            -j["tp_cents"].to_numpy(zero_copy_only=False)))
+        return j.take(pa.array(order[:k]))
+
+    top = hash_join(with_orders, cust, "c_custkey", npart=npart,
+                    bucket_finish=topk_bucket) \
+        .sort(["tp_cents", "o_orderkey"], descending=[True, False]) \
+        .limit(k)
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b["o_date_us"].to_numpy(zero_copy_only=False)
+        iso = [str(np.datetime64(int(x), "us"))[:10] for x in d]
+        return pa.table({
+            "c_name": b["c_name"],
+            "c_custkey": b["c_custkey"],
+            "o_orderkey": b["o_orderkey"],
+            "o_orderdate": pa.array(iso, type=pa.string()),
+            "o_totalprice": pc.divide(pc.cast(b["tp_cents"],
+                                              pa.float64()), 100.0),
+            "sum_qty": pc.divide(pc.cast(b["qc"], pa.float64()), 100.0)})
+
+    return top.map_batches(finish, batch_format="pyarrow") \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+
+
+Q18_SQL = """
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+             / 100.0 AS o_totalprice,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+    LIMIT 100"""
