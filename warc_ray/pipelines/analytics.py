@@ -9871,3 +9871,120 @@ Q18_SQL = """
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
     LIMIT 100"""
+
+
+# ---------------------------------------------------------------------------
+# Q190: TPC-H Q9 shape — product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+
+def product_profit(sf_dir: str, p_type: str = "LARGE", npart: int = 16):
+    """q190: TPC-H Q9's shape — profit on one product type by
+    SUPPLIER nation and order year, profit = revenue − 0.6·qty·retail
+    (the schema has no partsupp, so the cost leg substitutes the
+    part's retail price at a fixed margin; reference cites
+    /root/reference for the join DAG shape only).  Three fact-side
+    joins: part (clustered, never shuffled), supplier (broadcast
+    catalog array), orders (bucket exchange on orderkey with fused
+    partials).
+
+    Exactness: profit in 10⁻⁵-dollar integers — 10·cents·(100−disc)
+    − 6·qc·retail_cents — summed as int64 partials per
+    (nation, year) inside the join bucket; ONE double division at the
+    end."""
+    import pyarrow.parquet as _pq2
+
+    from ..stages.exchange import clustered_join, hash_join
+
+    nat = _pq2.read_table(_pq(sf_dir, "nation"))
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    sup = _pq2.read_table(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sup_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    sup_nat[sk] = sn
+
+    def line_side(b: pa.Table) -> pa.Table:
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        s_nat = np.where(s < len(sup_nat),
+                         sup_nat[np.minimum(s, len(sup_nat) - 1)], -1)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "l_orderkey": b["l_orderkey"],
+            "s_nat": pa.array(s_nat, type=INT64),
+            "rev4": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc)),
+            "qc": pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)),
+                          INT64)})
+
+    def part_screen(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.equal(j["p_type"], p_type))
+        rc = pc.cast(pc.round(pc.multiply(j["p_retailprice"], 100.0)),
+                     INT64)
+        profit = pc.subtract(
+            pc.multiply(j["rev4"], pa.scalar(10, type=INT64)),
+            pc.multiply(pc.multiply(j["qc"], rc),
+                        pa.scalar(6, type=INT64)))
+        return pa.table({"l_orderkey": j["l_orderkey"],
+                         "s_nat": j["s_nat"], "profit": profit})
+
+    lines = clustered_join(
+        rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_orderkey", "l_suppkey",
+                                 "l_extendedprice", "l_discount",
+                                 "l_quantity"])
+        .map_batches(line_side, batch_format="pyarrow"),
+        _pq(sf_dir, "part"), fact_key="l_partkey", dim_key="p_partkey",
+        dim_columns=["p_type", "p_retailprice"], npart=npart,
+        bucket_finish=part_screen)
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b["o_orderkey"],
+            "o_year": pc.cast(pc.year(b["o_orderdate"]), INT64)}),
+            batch_format="pyarrow")
+
+    def q9_finish(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.is_valid(j["profit"]))
+        return j.select(["s_nat", "o_year", "profit"]) \
+            .group_by(["s_nat", "o_year"]) \
+            .aggregate([("profit", "sum")]) \
+            .rename_columns(["s_nat", "o_year", "profit"])
+
+    agg = hash_join(lines, orders, "l_orderkey", npart=npart,
+                    bucket_finish=q9_finish) \
+        .groupby(["s_nat", "o_year"]) \
+        .aggregate(Sum("profit", alias_name="profit"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": pa.array(
+                [name_of[int(x)] for x in b["s_nat"].to_pylist()],
+                type=pa.string()),
+            "o_year": b["o_year"],
+            "profit": pc.divide(pc.cast(b["profit"], pa.float64()),
+                                100_000.0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["nation", "o_year"])
+
+
+Q9_SQL = """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(10 * CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    - 6 * CAST(round(l_quantity * 100) AS BIGINT)
+                        * CAST(round(p_retailprice * 100) AS BIGINT))
+                AS DOUBLE) / 100000.0 AS profit
+    FROM part, supplier, lineitem, orders, nation
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+      AND p_type = 'LARGE'
+    GROUP BY n_name, o_year ORDER BY nation, o_year"""
