@@ -9988,3 +9988,82 @@ Q9_SQL = """
       AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
       AND p_type = 'LARGE'
     GROUP BY n_name, o_year ORDER BY nation, o_year"""
+
+
+# ---------------------------------------------------------------------------
+# Q191: Gini concentration of customer spend (rank-weighted fold)
+# ---------------------------------------------------------------------------
+
+
+def gini_spend(sf_dir: str, npart: int = 32):
+    """q191: the Gini coefficient of customer lifetime spend — the
+    inequality/concentration audit (how top-heavy is the revenue
+    base).  Gini needs every value's EXACT GLOBAL RANK, which is the
+    one statistic a groupby can't produce: it rides the engine's
+    range_sort primitive (sampled splitters → exact per-part counts →
+    rank = offset + local position; q70's terasort shape).
+
+    Exactness: spend in cents, G = (2·Σr·xᵣ − (n+1)·Σx) / (n·Σx) with
+    ranks pinned by the (cents, custkey) total order; Σ r·x folds as
+    int64 per-batch partials (headroom to ~sf1 — r·x ≤ 10¹³ at 150k
+    customers) and the closing expression converts each exact integer
+    to double once, in the same shape DuckDB evaluates."""
+    from ..stages.exchange import range_sort
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), INT64)}) \
+            .group_by(["c_custkey"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["c_custkey", "cents"])
+
+    spend = rd.read_parquet(_pq(sf_dir, "orders"),
+                            columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("cents", alias_name="cents"))
+
+    ranked = range_sort(
+        spend,
+        key_fn=lambda b: b["cents"].to_numpy(
+            zero_copy_only=False).astype(np.uint64),
+        tiebreak_fn=lambda b: b["c_custkey"].to_numpy(
+            zero_copy_only=False).astype(np.uint64),
+        npart=npart)
+
+    def fold(b: pa.Table) -> pa.Table:
+        x = b["cents"].to_numpy(zero_copy_only=False)
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_rx": pa.array([int((r * x).sum())], type=INT64),
+            "s_x": pa.array([int(x.sum())], type=INT64),
+            "n": pa.array([len(x)], type=INT64)})
+
+    g = ranked.map_batches(fold, batch_format="pyarrow") \
+        .sum(["s_rx", "s_x", "n"])
+    s_rx, s_x, n = (int(g["sum(s_rx)"]), int(g["sum(s_x)"]),
+                    int(g["sum(n)"]))
+    num = 2 * s_rx - (n + 1) * s_x          # exact arbitrary-precision
+    return pa.table({
+        "n_customers": pa.array([n], type=INT64),
+        "total_cents": pa.array([s_x], type=INT64),
+        "gini": pa.array([float(num) / (float(n) * float(s_x))],
+                         type=pa.float64())})
+
+
+GINI_SQL = """
+    WITH s AS (
+      SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS rnk,
+             COUNT(*) OVER () AS n, SUM(cents) OVER () AS tot
+      FROM s)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(tot) AS BIGINT) AS total_cents,
+           CAST(SUM((2 * rnk - n - 1) * cents) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE))
+             AS gini
+    FROM r"""
