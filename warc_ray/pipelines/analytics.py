@@ -10067,3 +10067,94 @@ GINI_SQL = """
              / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(tot) AS DOUBLE))
              AS gini
     FROM r"""
+
+
+# ---------------------------------------------------------------------------
+# Q192: stock-out first-crossing (per-key running total + argfirst)
+# ---------------------------------------------------------------------------
+
+
+def stockout_crossing(sf_dir: str, threshold_qty: int = 500,
+                      npart: int = 32):
+    """q192: per part, the first ship date at which CUMULATIVE shipped
+    quantity crosses a reorder threshold — the running-balance /
+    first-crossing operator (inventory stock-out detection, budget
+    burn alerts).  A plain groupby can't see it: the answer depends on
+    the per-key PREFIX SUM in event order.
+
+    Scale shape: one partkey-hash exchange co-locates each part's
+    lineitems; inside a bucket a single lexsort by (part, shipdate,
+    orderkey, linenumber) + one global cumsum (per-part via offset
+    subtraction) + one minimum.reduceat finds every part's first
+    crossing without any per-part Python.  Quantities in exact
+    centi-units; dates leave as ISO strings."""
+    thr = threshold_qty * 100
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "ship_us": pc.cast(b["l_shipdate"], INT64),
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": pc.cast(b["l_linenumber"], INT64),
+            "qc": pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)),
+                          INT64)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        k = g["l_partkey"].to_numpy(zero_copy_only=False)
+        ts = g["ship_us"].to_numpy(zero_copy_only=False)
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = g["l_linenumber"].to_numpy(zero_copy_only=False)
+        qc = g["qc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, ok, ts, k))
+        k, ts, qc = k[order], ts[order], qc[order]
+        n = len(k)
+        starts = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        cs = np.cumsum(qc)
+        # per-part prefix sums from ONE global cumsum: subtract the
+        # running total just before each part's first row (0 for the
+        # bucket's first part — masked by starts > 0)
+        base = np.repeat(cs[starts - 1] * (starts > 0), ends - starts)
+        cum = cs - base
+        idx = np.arange(n)
+        cand = np.where(cum >= thr, idx, n)
+        first = np.minimum.reduceat(cand, starts)
+        hit = first < ends
+        fi = first[hit]
+        iso = [str(np.datetime64(int(x), "us"))[:10] for x in ts[fi]]
+        return pa.table({
+            "l_partkey": pa.array(k[fi], type=INT64),
+            "cross_date": pa.array(iso, type=pa.string()),
+            "cum_qc": pa.array(cum[fi], type=INT64)})
+
+    return rd.read_parquet(_pq(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_shipdate",
+                                    "l_orderkey", "l_linenumber",
+                                    "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "l_partkey", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .sort("l_partkey")
+
+
+STOCKOUT_SQL = """
+    WITH c AS (
+      SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT))
+               OVER (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM lineitem),
+    f AS (
+      SELECT l_partkey, l_shipdate, cum,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_shipdate, l_orderkey,
+                                         l_linenumber) AS rn
+      FROM c WHERE cum >= 50000)
+    SELECT l_partkey,
+           strftime(l_shipdate, '%Y-%m-%d') AS cross_date,
+           CAST(cum AS BIGINT) AS cum_qc
+    FROM f WHERE rn = 1 ORDER BY l_partkey"""
