@@ -10158,3 +10158,140 @@ STOCKOUT_SQL = """
            strftime(l_shipdate, '%Y-%m-%d') AS cross_date,
            CAST(cum AS BIGINT) AS cum_qc
     FROM f WHERE rn = 1 ORDER BY l_partkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q193: U-shaped multi-touch attribution (position-based credit)
+# ---------------------------------------------------------------------------
+
+
+def ushape_attribution(sf_dir: str, npart: int = 32):
+    """q193: position-based ("U-shaped") multi-touch attribution —
+    each user's first purchase distributes its value over the clicks
+    that preceded it: 40% to the first touch, 40% to the last, 20%
+    shared by the middles (100% / 50-50 for 1- and 2-touch paths),
+    reported by hour-of-day of the touch.  The marketing-mix operator
+    q113's last-touch rule can't express: credit depends on a touch's
+    POSITION within its user's full path.
+
+    Exactness: credit in parts-per-million of the conversion's cents;
+    the middle share uses floor division with the remainder ppm pinned
+    to the EARLIEST middle touch, so Σppm = 10⁶ exactly per
+    conversion in both engines.  One user-hash exchange; per bucket a
+    single lexsort + reduceat machinery — no per-user Python."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        keep = pc.or_(pc.equal(et, "click"), pc.equal(et, "purchase"))
+        b = b.filter(keep)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], INT64),
+            "event_id": b["event_id"],
+            "is_purchase": pc.cast(pc.equal(b["event_type"], "purchase"),
+                                   pa.int8()),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                             INT64)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        isp = g["is_purchase"].to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, ts, e, isp, cents = (u[order], ts[order], e[order],
+                                isp[order], cents[order])
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        ends = np.concatenate((starts[1:], [n]))
+        sizes = ends - starts
+        idx = np.arange(n)
+        # each user's first purchase index (n if none)
+        cand = np.where(isp, idx, n)
+        conv = np.minimum.reduceat(cand, starts)
+        has_conv = conv < ends
+        conv_row = np.where(has_conv, np.minimum(conv, n - 1), 0)
+        conv_idx = np.repeat(conv, sizes)           # per-row, user's conv
+        conv_cents = np.repeat(
+            np.where(has_conv, cents[conv_row], 0), sizes)
+        touch = (~isp) & (idx < conv_idx)
+        # touch position within user path and path length k
+        tc = np.cumsum(touch)
+        base = np.repeat(tc[starts] - touch[starts], sizes)
+        pos = np.where(touch, tc - base, 0)         # 1-based
+        k = np.repeat(np.add.reduceat(touch, starts), sizes)
+        mid = np.maximum(k - 2, 1)
+        ppm = np.where(
+            k == 1, 1_000_000,
+            np.where(k == 2, 500_000,
+                     np.where(pos == 1, 400_000,
+                              np.where(pos == k, 400_000,
+                                       200_000 // mid))))
+        ppm = ppm + np.where((k >= 3) & (pos == 2), 200_000 % mid, 0)
+        sel = touch
+        hour = (ts[sel] // 3_600_000_000) % 24
+        credit = conv_cents[sel] * ppm[sel]
+        t = pa.table({
+            "hour": pa.array(hour.astype(np.int64), type=INT64),
+            "one": pa.array(np.ones(int(sel.sum()), dtype=np.int64)),
+            "credit_u": pa.array(credit.astype(np.int64), type=INT64)})
+        return t.group_by(["hour"]).aggregate(
+            [("one", "sum"), ("credit_u", "sum")]) \
+            .rename_columns(["hour", "n_touches", "credit_u"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts", "event_id",
+                                   "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("hour").aggregate(Sum("n_touches",
+                                       alias_name="n_touches"),
+                                   Sum("credit_u",
+                                       alias_name="credit_u"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": b["hour"],
+            "n_touches": pc.cast(b["n_touches"], INT64),
+            "credited_dollars": pc.divide(
+                pc.cast(b["credit_u"], pa.float64()), 100_000_000.0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("hour")
+
+
+USHAPE_SQL = """
+    WITH conv AS (
+      SELECT user_id, ts AS cts, event_id AS ceid,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1),
+    touches AS (
+      SELECT e.ts, c.cents,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS pos,
+             COUNT(*) OVER (PARTITION BY e.user_id) AS k
+      FROM events e JOIN conv c ON e.user_id = c.user_id
+      WHERE e.event_type = 'click'
+        AND (e.ts < c.cts OR (e.ts = c.cts AND e.event_id < c.ceid))),
+    credited AS (
+      SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+             cents * (CASE WHEN k = 1 THEN 1000000
+                           WHEN k = 2 THEN 500000
+                           WHEN pos = 1 OR pos = k THEN 400000
+                           ELSE 200000 // (k - 2) END
+                      + CASE WHEN k >= 3 AND pos = 2
+                             THEN 200000 % (k - 2) ELSE 0 END)
+               AS credit_u
+      FROM touches)
+    SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(credit_u) AS DOUBLE) / 100000000.0
+             AS credited_dollars
+    FROM credited GROUP BY hour ORDER BY hour"""
