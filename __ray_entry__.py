@@ -844,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q191_gini_spend": an.gini_spend,
         "q192_stockout_crossing": an.stockout_crossing,
         "q193_ushape_attribution": an.ushape_attribution,
+        "q194_ewma_anomalies": an.ewma_anomalies,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1216,6 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         "q191_gini_spend": _an.GINI_SQL,
         "q192_stockout_crossing": _an.STOCKOUT_SQL,
         "q193_ushape_attribution": _an.USHAPE_SQL,
+        "q194_ewma_anomalies": _an.EWMA_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -10295,3 +10295,102 @@ USHAPE_SQL = """
            CAST(SUM(credit_u) AS DOUBLE) / 100000000.0
              AS credited_dollars
     FROM credited GROUP BY hour ORDER BY hour"""
+
+
+# ---------------------------------------------------------------------------
+# Q194: exponential-decay anomaly flags (integer EWMA-16)
+# ---------------------------------------------------------------------------
+
+_EWMA_DEPTH = 16
+_EWMA_W = (1 << _EWMA_DEPTH) - 2           # Σ_{k=1..16} 2^(16−k) = 65534
+
+
+def ewma_anomalies(sf_dir: str, npart: int = 32):
+    """q194: per-event anomaly flags against an exponentially-decayed
+    baseline — an event is flagged when its value exceeds 2× the
+    2^-k-weighted average of the SAME user's previous 16 events (the
+    streaming-telemetry alert rule).  EWMA is the textbook sequential
+    recurrence; with dyadic weights and a FIXED depth it becomes 16
+    shifted vector adds — exact in int64, no float state, no
+    per-row loop.
+
+    The comparison is cross-multiplied (v·W > 2·D with W = 2¹⁶−2) so
+    neither engine ever divides.  Only events with a full 16-deep
+    same-user history are scored; one user-hash exchange co-locates
+    each user's sequence."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts_us": pc.cast(b["ts"], INT64),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"],
+            "v": pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                         INT64)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, ts, u))
+        u, v = u[order], v[order]
+        et = g["event_type"].take(pa.array(order))
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        sizes = np.diff(np.concatenate((starts, [n])))
+        pos = np.arange(n) - np.repeat(starts, sizes)   # 0-based in user
+        d = np.zeros(n, dtype=np.int64)
+        for k in range(1, _EWMA_DEPTH + 1):
+            d[k:] += v[:-k] << (_EWMA_DEPTH - k)
+        scored = pos >= _EWMA_DEPTH       # full same-user history
+        flagged = scored & (v * _EWMA_W > 2 * d)
+        t = pa.table({
+            "event_type": et,
+            "n_scored": pa.array(scored.astype(np.int64)),
+            "n_flagged": pa.array(flagged.astype(np.int64))})
+        return t.group_by(["event_type"]).aggregate(
+            [("n_scored", "sum"), ("n_flagged", "sum")]) \
+            .rename_columns(["event_type", "n_scored", "n_flagged"])
+
+    return rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n_scored", alias_name="n_scored"),
+                   Sum("n_flagged", alias_name="n_flagged")) \
+        .map_batches(lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n_scored": pc.cast(b["n_scored"], INT64),
+            "n_flagged": pc.cast(b["n_flagged"], INT64)}),
+            batch_format="pyarrow") \
+        .sort("event_type")
+
+
+_EWMA_LAGS = " + ".join(
+    f"{1 << (_EWMA_DEPTH - k)} * LAG(v, {k}) OVER w"
+    for k in range(1, _EWMA_DEPTH + 1))
+
+EWMA_SQL = f"""
+    WITH b AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    s AS (
+      SELECT event_type, v,
+             row_number() OVER w AS rn,
+             {_EWMA_LAGS} AS d
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN v * {_EWMA_W} > 2 * d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM s WHERE rn > {_EWMA_DEPTH}
+    GROUP BY event_type ORDER BY event_type"""
