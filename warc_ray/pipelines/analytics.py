@@ -10394,3 +10394,104 @@ EWMA_SQL = f"""
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
     FROM s WHERE rn > {_EWMA_DEPTH}
     GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q195: decision-stump split scan (histogram Gini, the GBDT inner loop)
+# ---------------------------------------------------------------------------
+
+_STUMP_STEP = 2048     # cents per histogram bucket
+_STUMP_BINS = 32
+
+
+def split_scan(sf_dir: str):
+    """q195: the histogram-based SPLIT SCAN a tree learner runs at
+    every node — bucket the feature (event value, cents // 2048, 32
+    bins), count (n, positives) per bucket, then evaluate the weighted
+    Gini impurity of every binary split "bucket ≤ s": exactly the
+    LightGBM/XGBoost histogram algorithm's inner loop, as one
+    distributed pass + a 32-row closing scan.
+
+    Exactness: bucket counts are exact int64 partials (the only
+    distributed part — the shuffle carries ≤ bins×blocks rows);
+    impurities are final doubles computed from those ints in the same
+    expression shape as the SQL twin (q178's discipline), so the
+    argmin row is identical in both engines."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), INT64)
+        bkt = pc.min_element_wise(
+            pc.divide(cents, pa.scalar(_STUMP_STEP, type=INT64)),
+            pa.scalar(_STUMP_BINS - 1, type=INT64))
+        pos = pc.cast(pc.equal(b["event_type"], "purchase"), INT64)
+        return pa.table({"bucket": bkt,
+                         "one": pa.nulls(b.num_rows, INT64).fill_null(1),
+                         "pos": pos}) \
+            .group_by(["bucket"]).aggregate(
+                [("one", "sum"), ("pos", "sum")]) \
+            .rename_columns(["bucket", "n", "pos"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"),
+                                     Sum("pos", alias_name="pos"))
+
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    order = np.argsort(t["bucket"].to_numpy(zero_copy_only=False))
+    bkt = t["bucket"].to_numpy(zero_copy_only=False)[order]
+    n = t["n"].to_numpy(zero_copy_only=False)[order]
+    pos = t["pos"].to_numpy(zero_copy_only=False)[order]
+    total_n, total_p = int(n.sum()), int(pos.sum())
+    nl = np.cumsum(n)
+    pl = np.cumsum(pos)
+    keep = nl < total_n                  # both sides non-empty
+    s, nl, pl = bkt[keep], nl[keep], pl[keep]
+    nr = total_n - nl
+    pr = total_p - pl
+    l0 = nl - pl
+    r0 = nr - pr
+    gini = ((nl.astype(np.float64)
+             - (pl * pl + l0 * l0).astype(np.float64)
+             / nl.astype(np.float64))
+            + (nr.astype(np.float64)
+               - (pr * pr + r0 * r0).astype(np.float64)
+               / nr.astype(np.float64)))
+    return pa.table({
+        "split_bucket": pa.array(s, type=INT64),
+        "n_left": pa.array(nl, type=INT64),
+        "pos_left": pa.array(pl, type=INT64),
+        "n_right": pa.array(nr, type=INT64),
+        "pos_right": pa.array(pr, type=INT64),
+        "weighted_gini": pa.array(gini, type=pa.float64())})
+
+
+SPLIT_SCAN_SQL = f"""
+    WITH h AS (
+      SELECT LEAST(CAST(round(value * 100) AS BIGINT) // {_STUMP_STEP},
+                   {_STUMP_BINS - 1}) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS pos
+      FROM events GROUP BY bucket),
+    c AS (
+      SELECT bucket AS split_bucket,
+             SUM(n) OVER w AS n_left, SUM(pos) OVER w AS pos_left,
+             SUM(n) OVER () - SUM(n) OVER w AS n_right,
+             SUM(pos) OVER () - SUM(pos) OVER w AS pos_right
+      FROM h WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+    SELECT CAST(split_bucket AS BIGINT) AS split_bucket,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_right AS BIGINT) AS pos_right,
+           (CAST(n_left AS DOUBLE)
+            - CAST(pos_left * pos_left
+                   + (n_left - pos_left) * (n_left - pos_left) AS DOUBLE)
+              / CAST(n_left AS DOUBLE))
+           + (CAST(n_right AS DOUBLE)
+              - CAST(pos_right * pos_right
+                     + (n_right - pos_right) * (n_right - pos_right)
+                     AS DOUBLE)
+                / CAST(n_right AS DOUBLE)) AS weighted_gini
+    FROM c WHERE n_right > 0 ORDER BY split_bucket"""
