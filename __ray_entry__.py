@@ -846,6 +846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q193_ushape_attribution": an.ushape_attribution,
         "q194_ewma_anomalies": an.ewma_anomalies,
         "q195_split_scan": an.split_scan,
+        "q196_brand_triples": an.brand_triples,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1220,6 +1221,7 @@ def oracle_sql() -> dict[str, str]:
         "q193_ushape_attribution": _an.USHAPE_SQL,
         "q194_ewma_anomalies": _an.EWMA_SQL,
         "q195_split_scan": _an.SPLIT_SCAN_SQL,
+        "q196_brand_triples": _an.TRIPLES_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -10495,3 +10495,117 @@ SPLIT_SCAN_SQL = f"""
                      AS DOUBLE)
                 / CAST(n_right AS DOUBLE)) AS weighted_gini
     FROM c WHERE n_right > 0 ORDER BY split_bucket"""
+
+
+# ---------------------------------------------------------------------------
+# Q196: frequent brand triples (Apriori round 3)
+# ---------------------------------------------------------------------------
+
+
+def brand_triples(sf_dir: str, minsup: int = 40, npart: int = 16):
+    """q196: frequent 3-itemsets of part BRANDS across order baskets —
+    Apriori's round-3 stage on top of q148's pair machinery: distinct
+    (order, brand) rows meet per basket, triples are generated only
+    from items that individually clear the support floor (the
+    broadcast Apriori prune — lossless, since a triple's support is
+    bounded by each member's), and per-bucket triple partials fold
+    through one key exchange.
+
+    Scale shape: the brand-support pre-pass reduces to a catalog-sized
+    table the driver broadcasts; triple generation is the j1<j2
+    shifted-mask double loop over sorted baskets (O(w²) vector ops, w
+    = max basket width ≈ 7) — never a Python loop over baskets."""
+
+    def ob_distinct(j: pa.Table) -> pa.Table:
+        t = pa.table({"o": j["l_orderkey"], "b": j["p_brand"]})
+        t = t.group_by(["o", "b"]).aggregate([])
+        return t
+
+    from ..stages.exchange import clustered_join
+
+    ob = clustered_join(
+        rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_orderkey"])
+        .map_batches(lambda b: pa.table({
+            "l_partkey": b["l_partkey"],
+            "l_orderkey": b["l_orderkey"]}), batch_format="pyarrow"),
+        _pq(sf_dir, "part"), fact_key="l_partkey", dim_key="p_partkey",
+        dim_columns=["p_brand"], npart=npart,
+        bucket_finish=ob_distinct).materialize()
+
+    # Apriori prune: brand support floor (tiny, driver-held)
+    sup = ob.map_batches(
+        lambda b: b.select(["b"]).group_by(["b"]).aggregate(
+            [([], "count_all")]).rename_columns(["b", "n"]),
+        batch_format="pyarrow") \
+        .groupby("b").aggregate(Sum("n", alias_name="n"))
+    sup_t = pa.concat_tables(sup.iter_batches(batch_format="pyarrow"))
+    freq = set(sup_t.filter(pc.greater_equal(
+        sup_t["n"], minsup))["b"].to_pylist())
+
+    freq_arr = pa.array(sorted(freq), type=pa.string())
+
+    def triples(g: pa.Table) -> pa.Table:
+        g = g.filter(pc.is_in(g["b"], value_set=freq_arr))  # item prune
+        o = g["o"].to_numpy(zero_copy_only=False)
+        b = np.array(g["b"].to_pylist())
+        order = np.lexsort((b, o))
+        o, b = o[order], b[order]
+        n = len(o)
+        ks, ns = [], []
+        sizes = np.diff(np.flatnonzero(np.concatenate(
+            ([True], o[1:] != o[:-1], [True]))))
+        w = int(sizes.max()) if len(sizes) else 0
+        for j1 in range(1, w):
+            same1 = np.zeros(n, dtype=bool)
+            same1[:n - j1] = o[j1:] == o[:n - j1]
+            for j2 in range(j1 + 1, w + 1):
+                same2 = np.zeros(n, dtype=bool)
+                same2[:n - j2] = o[j2:] == o[:n - j2]
+                m = same1 & same2
+                if not m.any():
+                    continue
+                i = np.flatnonzero(m)
+                ks.append(np.char.add(np.char.add(
+                    np.char.add(b[i], "|"), np.char.add(
+                        b[i + j1], "|")), b[i + j2]))
+        if not ks:
+            return pa.table({"key": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=INT64)})
+        key = np.concatenate(ks)
+        return pa.table({"key": pa.array(key),
+                         "n": pa.array(np.ones(len(key), np.int64))}) \
+            .group_by(["key"]).aggregate([("n", "sum")]) \
+            .rename_columns(["key", "n"])
+
+    agg = ob.map_batches(lambda t: with_part(t, "o", npart),
+                         batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: triples(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("n", alias_name="support"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["support"],
+                                      pa.scalar(minsup, type=INT64)))
+        parts = pc.split_pattern(t["key"], "|")
+        return pa.table({
+            "b1": pc.list_element(parts, 0),
+            "b2": pc.list_element(parts, 1),
+            "b3": pc.list_element(parts, 2),
+            "support": pc.cast(t["support"], INT64)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["b1", "b2", "b3"])
+
+
+TRIPLES_SQL = """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey)
+    SELECT a.b AS b1, c.b AS b2, d.b AS b3,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM ob a, ob c, ob d
+    WHERE a.o = c.o AND c.o = d.o AND a.b < c.b AND c.b < d.b
+    GROUP BY a.b, c.b, d.b HAVING COUNT(*) >= 40
+    ORDER BY b1, b2, b3"""
