@@ -847,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q194_ewma_anomalies": an.ewma_anomalies,
         "q195_split_scan": an.split_scan,
         "q196_brand_triples": an.brand_triples,
+        "q197_simpson_diversity": an.simpson_diversity,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1222,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "q194_ewma_anomalies": _an.EWMA_SQL,
         "q195_split_scan": _an.SPLIT_SCAN_SQL,
         "q196_brand_triples": _an.TRIPLES_SQL,
+        "q197_simpson_diversity": _an.SIMPSON_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -10609,3 +10609,69 @@ TRIPLES_SQL = """
     WHERE a.o = c.o AND c.o = d.o AND a.b < c.b AND c.b < d.b
     GROUP BY a.b, c.b, d.b HAVING COUNT(*) >= 40
     ORDER BY b1, b2, b3"""
+
+
+# ---------------------------------------------------------------------------
+# Q197: Gini–Simpson language diversity per source
+# ---------------------------------------------------------------------------
+
+
+def simpson_diversity(sf_dir: str):
+    """q197: the Gini–Simpson diversity index of LANGUAGES within each
+    document source — the probability two random docs from a source
+    differ in language, 1 − Σnᵢ(nᵢ−1)/(N(N−1)): the corpus-mixture
+    health metric a multilingual training pipeline tracks per
+    ingestion source.
+
+    Scale shape: per-batch (source, lang) count partials → one tiny
+    groupby (sources × langs rows) → per-source fold of Σnᵢ(nᵢ−1) in
+    exact int64 — the diversity is ONE final double expression per
+    source."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"], "lang": b["lang"],
+                         "n": pa.nulls(b.num_rows, INT64).fill_null(1)}) \
+            .group_by(["source", "lang"]).aggregate([("n", "sum")]) \
+            .rename_columns(["source", "lang", "n"])
+
+    agg = _docs(sf_dir, columns=["source", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        t = pa.table({"source": b["source"],
+                      "one": pa.nulls(b.num_rows, INT64).fill_null(1),
+                      "n": b["n"],
+                      "nn1": pa.array(n * (n - 1), type=INT64)}) \
+            .group_by(["source"]).aggregate(
+                [("one", "sum"), ("n", "sum"), ("nn1", "sum")]) \
+            .rename_columns(["source", "n_langs", "n_docs", "sum_nn1"])
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        s1 = t["sum_nn1"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": t["source"],
+            "n_langs": pc.cast(t["n_langs"], INT64),
+            "n_docs": pc.cast(t["n_docs"], INT64),
+            "simpson": pa.array(
+                1.0 - s1.astype(np.float64)
+                / (nd.astype(np.float64) * (nd - 1).astype(np.float64)),
+                type=pa.float64())})
+
+    # the aggregated (source × lang) table is tiny — fold it in one
+    # block so each source's languages are complete in one pass
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow").sort("source")
+
+
+SIMPSON_SQL = """
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           1.0 - CAST(SUM(n * (n - 1)) AS DOUBLE)
+                 / (CAST(SUM(n) AS DOUBLE)
+                    * CAST(SUM(n) - 1 AS DOUBLE)) AS simpson
+    FROM c GROUP BY source ORDER BY source"""
