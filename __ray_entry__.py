@@ -848,6 +848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q195_split_scan": an.split_scan,
         "q196_brand_triples": an.brand_triples,
         "q197_simpson_diversity": an.simpson_diversity,
+        "q198_watermark_audit": an.watermark_audit,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1224,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
         "q195_split_scan": _an.SPLIT_SCAN_SQL,
         "q196_brand_triples": _an.TRIPLES_SQL,
         "q197_simpson_diversity": _an.SIMPSON_SQL,
+        "q198_watermark_audit": _an.WATERMARK_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

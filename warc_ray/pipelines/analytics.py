@@ -10675,3 +10675,131 @@ SIMPSON_SQL = """
                  / (CAST(SUM(n) AS DOUBLE)
                     * CAST(SUM(n) - 1 AS DOUBLE)) AS simpson
     FROM c GROUP BY source ORDER BY source"""
+
+
+# ---------------------------------------------------------------------------
+# Q198: watermark / out-of-orderness audit (global prefix-max)
+# ---------------------------------------------------------------------------
+
+
+def watermark_audit(sf_dir: str, npart: int = 32):
+    """q198: the out-of-orderness audit every streaming ingest needs —
+    in arrival order (event_id), how often does an event carry an
+    OLDER timestamp than the running maximum already seen, and by how
+    much (the watermark lag that sizes allowed-lateness windows).
+    Needs a GLOBAL ORDERED PREFIX-MAX, which no groupby expresses.
+
+    Scale shape: the q191/range_sort recipe adapted to a running
+    aggregate — sampled event_id splitters cut arrival-order ranges;
+    pass A folds per-range max(ts) partials (npart ints to the
+    driver, never rows); the driver prefix-maxes them into each
+    range's CARRY-IN; pass B re-scans, and each bucket computes its
+    prefix-max locally (maximum.accumulate) seeded by the carry — so
+    the sequential dependency collapses to an npart-long driver fold.
+    All lateness arithmetic in exact int64 µs."""
+    import ray as _ray
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "ts", "event_type"])
+
+    def sample(b: pa.Table) -> pa.Table:
+        e = np.sort(b["event_id"].to_numpy(zero_copy_only=False))
+        step = max(1, len(e) // 256)
+        return pa.table({"e": pa.array(e[::step])})
+
+    samp = np.sort(np.concatenate(
+        [b["e"].to_numpy() for b in
+         ds.map_batches(sample, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]))
+    cuts = (np.arange(1, npart) * len(samp)) // npart
+    splitters = np.unique(samp[np.minimum(cuts, len(samp) - 1)])
+    spl_ref = _ray.put(splitters)
+
+    def tag(b: pa.Table) -> pa.Table:
+        part = np.searchsorted(
+            _ray.get(spl_ref),
+            b["event_id"].to_numpy(zero_copy_only=False),
+            side="right").astype(np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "event_id": b["event_id"],
+            "t": pc.cast(b["ts"], INT64),
+            "event_type": b["event_type"]})
+
+    # pass A: per-range max(ts) partials → driver carry-in fold
+    part_max = ds.map_batches(tag, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["part", "t"])
+                     .group_by(["part"]).aggregate([("t", "max")])
+                     .rename_columns(["part", "mx"]),
+                     batch_format="pyarrow") \
+        .groupby("part").aggregate(Max("mx", alias_name="mx"))
+    pm = pa.concat_tables(part_max.iter_batches(batch_format="pyarrow"))
+    mx = np.full(len(splitters) + 1, np.iinfo(np.int64).min,
+                 dtype=np.int64)
+    mx[pm["part"].to_numpy(zero_copy_only=False)] = \
+        pm["mx"].to_numpy(zero_copy_only=False)
+    carry = np.concatenate((
+        [np.iinfo(np.int64).min],
+        np.maximum.accumulate(mx)[:-1]))        # carry[p] = max before p
+    carry_ref = _ray.put(carry)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        e = g["event_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        order = np.argsort(e)
+        t = t[order]
+        et = g["event_type"].take(pa.array(order))
+        cin = int(_ray.get(carry_ref)[p])
+        run = np.maximum.accumulate(t)
+        prevmax = np.empty(len(t), dtype=np.int64)
+        prevmax[0] = cin
+        prevmax[1:] = np.maximum(run[:-1], cin)
+        has_pred = prevmax != np.iinfo(np.int64).min
+        late = has_pred & (prevmax > t)
+        lag = np.where(late, prevmax - t, 0)
+        out = pa.table({
+            "event_type": et,
+            "n_with_pred": pa.array(has_pred.astype(np.int64)),
+            "n_late": pa.array(late.astype(np.int64)),
+            "max_lag_us": pa.array(lag, type=INT64),
+            "sum_lag_us": pa.array(lag, type=INT64)})
+        return out.group_by(["event_type"]).aggregate(
+            [("n_with_pred", "sum"), ("n_late", "sum"),
+             ("max_lag_us", "max"), ("sum_lag_us", "sum")]) \
+            .rename_columns(["event_type", "n_with_pred", "n_late",
+                             "max_lag_us", "sum_lag_us"])
+
+    agg = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n_with_pred", alias_name="n_with_pred"),
+                   Sum("n_late", alias_name="n_late"),
+                   Max("max_lag_us", alias_name="max_lag_us"),
+                   Sum("sum_lag_us", alias_name="sum_lag_us"))
+
+    return agg.map_batches(lambda b: pa.table({
+        "event_type": b["event_type"],
+        "n_with_pred": pc.cast(b["n_with_pred"], INT64),
+        "n_late": pc.cast(b["n_late"], INT64),
+        "max_lag_us": pc.cast(b["max_lag_us"], INT64),
+        "sum_lag_us": pc.cast(b["sum_lag_us"], INT64)}),
+        batch_format="pyarrow").sort("event_type")
+
+
+WATERMARK_SQL = """
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pm
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(pm) AS BIGINT) AS n_with_pred,
+           CAST(SUM(CASE WHEN pm > t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN pm > t THEN pm - t END), 0)
+                AS BIGINT) AS max_lag_us,
+           CAST(COALESCE(SUM(CASE WHEN pm > t THEN pm - t END), 0)
+                AS BIGINT) AS sum_lag_us
+    FROM s GROUP BY event_type ORDER BY event_type"""
