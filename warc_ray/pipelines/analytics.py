@@ -10803,3 +10803,105 @@ WATERMARK_SQL = """
            CAST(COALESCE(SUM(CASE WHEN pm > t THEN pm - t END), 0)
                 AS BIGINT) AS sum_lag_us
     FROM s GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q199: monetary-unit sampling (systematic PPS over cumulative dollars)
+# ---------------------------------------------------------------------------
+
+_MUS_STEP = 500_000_000            # one audit probe every $5M (cents)
+
+
+def monetary_unit_sample(sf_dir: str, npart: int = 32):
+    """q199: monetary-unit (dollar-unit) sampling — the audit-sampling
+    standard: walk the orders in key order accumulating dollars and
+    probe the order containing every $5M boundary, so selection
+    probability is proportional to order size WITHOUT any randomness
+    or a global sort by value.  Needs the GLOBAL PREFIX SUM in
+    orderkey order — q198's carry recipe with Σ instead of max:
+    per-range sum partials → npart-long driver prefix fold →
+    per-bucket cumsum seeded by the carry.
+
+    An order is selected iff its cents interval (cum−price, cum]
+    contains a multiple of the step — exact integer floor arithmetic
+    in both engines; an order wider than the step yields its boundary
+    COUNT (PPS with multiplicity)."""
+    import ray as _ray
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def sample_keys(b: pa.Table) -> pa.Table:
+        e = np.sort(b["o_orderkey"].to_numpy(zero_copy_only=False))
+        step = max(1, len(e) // 256)
+        return pa.table({"e": pa.array(e[::step])})
+
+    samp = np.sort(np.concatenate(
+        [b["e"].to_numpy() for b in
+         ds.map_batches(sample_keys, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]))
+    cuts = (np.arange(1, npart) * len(samp)) // npart
+    splitters = np.unique(samp[np.minimum(cuts, len(samp) - 1)])
+    spl_ref = _ray.put(splitters)
+
+    def tag(b: pa.Table) -> pa.Table:
+        part = np.searchsorted(
+            _ray.get(spl_ref),
+            b["o_orderkey"].to_numpy(zero_copy_only=False),
+            side="right").astype(np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "o_orderkey": b["o_orderkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), INT64)})
+
+    part_sum = ds.map_batches(tag, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["part", "cents"])
+                     .group_by(["part"]).aggregate([("cents", "sum")])
+                     .rename_columns(["part", "s"]),
+                     batch_format="pyarrow") \
+        .groupby("part").aggregate(Sum("s", alias_name="s"))
+    pm = pa.concat_tables(part_sum.iter_batches(batch_format="pyarrow"))
+    sums = np.zeros(len(splitters) + 1, dtype=np.int64)
+    sums[pm["part"].to_numpy(zero_copy_only=False)] = \
+        pm["s"].to_numpy(zero_copy_only=False)
+    carry = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    carry_ref = _ray.put(carry)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        k = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        k, c = k[order], c[order]
+        cum = np.cumsum(c) + int(_ray.get(carry_ref)[p])
+        probes = cum // _MUS_STEP - (cum - c) // _MUS_STEP
+        sel = probes > 0
+        return pa.table({
+            "o_orderkey": pa.array(k[sel], type=INT64),
+            "o_totalprice": pa.array(c[sel] / 100.0,
+                                     type=pa.float64()),
+            "cum_cents": pa.array(cum[sel], type=INT64),
+            "n_probes": pa.array(probes[sel], type=INT64)})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow") \
+        .sort("o_orderkey")
+
+
+MUS_SQL = f"""
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM orders)
+    SELECT o_orderkey,
+           CAST(cents AS DOUBLE) / 100.0 AS o_totalprice,
+           CAST(cum AS BIGINT) AS cum_cents,
+           CAST(cum // {_MUS_STEP} - (cum - cents) // {_MUS_STEP}
+                AS BIGINT) AS n_probes
+    FROM c
+    WHERE cum // {_MUS_STEP} > (cum - cents) // {_MUS_STEP}
+    ORDER BY o_orderkey"""
