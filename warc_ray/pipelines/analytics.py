@@ -10905,3 +10905,114 @@ MUS_SQL = f"""
     FROM c
     WHERE cum // {_MUS_STEP} > (cum - cents) // {_MUS_STEP}
     ORDER BY o_orderkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q200: interval-union utilization (merge overlapping sessions)
+# ---------------------------------------------------------------------------
+
+
+def interval_union(sf_dir: str, npart: int = 32):
+    """q200: per-user UNION-OF-INTERVALS length — each event opens a
+    session of 60..3599 s (pinned from its value cents), overlaps
+    merge, and the report is each user's covered wall-clock: the
+    utilization/billing operator (machine uptime, ad exposure time)
+    where double-counting overlaps is the classic bug.
+
+    Scale shape: one user-hash exchange; islands found with ZERO
+    per-user Python via the offset-encoded SEGMENTED CUMMAX trick —
+    cummax over (group·L + (e−base)) restarts per group for free
+    because successive groups dominate by construction — then island
+    bounds come from flag positions + maximum.reduceat.  All µs
+    arithmetic exact int64."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), INT64) \
+            .to_numpy(zero_copy_only=False)
+        s = pc.cast(b["ts"], INT64).to_numpy(zero_copy_only=False)
+        dur = 60 + (cents % 3540)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "s": pa.array(s, type=INT64),
+            "e": pa.array(s + dur * 1_000_000, type=INT64)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ei = g["event_id"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        e = g["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ei, e, s, u))
+        u, s, e = u[order], s[order], e[order]
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        sizes = np.diff(np.append(starts, n))
+        grp = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        base = e.min()
+        span = int(e.max() - base) + 1
+        segmax = np.maximum.accumulate(grp * span + (e - base))
+        segmax = segmax - grp * span + base      # per-user running max(e)
+        first = np.zeros(n, dtype=bool)
+        first[starts] = True
+        pm = np.empty(n, dtype=np.int64)
+        pm[1:] = segmax[:-1]
+        pm[0] = np.iinfo(np.int64).min
+        flag = first | (s > pm)
+        fpos = np.flatnonzero(flag)
+        hi = np.maximum.reduceat(e, fpos)
+        lo = s[fpos]
+        iu = u[fpos]
+        t = pa.table({
+            "user_id": pa.array(iu, type=INT64),
+            "one": pa.array(np.ones(len(fpos), dtype=np.int64)),
+            "covered_us": pa.array(hi - lo, type=INT64)})
+        isl = t.group_by(["user_id"]).aggregate(
+            [("one", "sum"), ("covered_us", "sum")]) \
+            .rename_columns(["user_id", "n_islands", "covered_us"])
+        cnt = pa.table({
+            "user_id": pa.array(u[starts], type=INT64),
+            "n_intervals": pa.array(sizes.astype(np.int64))})
+        return isl.join(cnt, keys="user_id", join_type="inner")
+
+    return rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["user_id", "event_id", "ts",
+                                    "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(
+            ["user_id", "n_intervals", "n_islands", "covered_us"]),
+            batch_format="pyarrow") \
+        .sort("user_id")
+
+
+INTERVAL_UNION_SQL = """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + (60 + (CAST(round(value * 100) AS BIGINT)
+                                   % 3540)) * 1000000 AS e
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv),
+    f AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m),
+    isl AS (
+      SELECT user_id, island, MIN(s) AS lo, MAX(e) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n_iv
+      FROM f GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(hi - lo) AS BIGINT) AS covered_us
+    FROM isl GROUP BY user_id ORDER BY user_id"""
