@@ -11016,3 +11016,87 @@ INTERVAL_UNION_SQL = """
            CAST(COUNT(*) AS BIGINT) AS n_islands,
            CAST(SUM(hi - lo) AS BIGINT) AS covered_us
     FROM isl GROUP BY user_id ORDER BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# Q201: degree assortativity of the order–part incidence graph
+# ---------------------------------------------------------------------------
+
+
+def degree_assortativity(sf_dir: str, npart: int = 16):
+    """q201: the degree-assortativity coefficient of the bipartite
+    order–part graph — Pearson correlation between an edge's two
+    endpoint degrees (do big orders pull popular parts?): the graph-
+    topology statistic behind hub/authority and recommendation-bias
+    audits.
+
+    Scale shape: each side's degree is a key-count aggregate; edges
+    pick their endpoint degrees up through one hash_join per side
+    (both-sides-large, no degree broadcast); the correlation folds as
+    six int64 moment partials (n, Σx, Σy, Σxy, Σx², Σy²) — the only
+    float is the closing Pearson expression, evaluated in the same
+    double shape both engines use."""
+    from ..stages.exchange import hash_join
+
+    edges = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_partkey"])
+
+    def deg(ds, key):
+        return ds.map_batches(
+            lambda b: b.select([key]).group_by([key]).aggregate(
+                [([], "count_all")]).rename_columns([key, "n"]),
+            batch_format="pyarrow") \
+            .groupby(key).aggregate(Sum("n", alias_name="d" + key[2]))
+
+    odeg = deg(edges, "l_orderkey")
+    pdeg = deg(edges, "l_partkey")
+
+    with_dx = hash_join(edges, odeg, "l_orderkey", npart=npart,
+                        bucket_finish=lambda j: j.select(
+                            ["l_partkey", "do"]))
+
+    def moments(j: pa.Table) -> pa.Table:
+        x = j["do"].to_numpy(zero_copy_only=False)
+        y = j["dp"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(x)], type=INT64),
+            "sx": pa.array([int(x.sum())], type=INT64),
+            "sy": pa.array([int(y.sum())], type=INT64),
+            "sxy": pa.array([int((x * y).sum())], type=INT64),
+            "sxx": pa.array([int((x * x).sum())], type=INT64),
+            "syy": pa.array([int((y * y).sum())], type=INT64)})
+
+    g = hash_join(with_dx, pdeg, "l_partkey", npart=npart,
+                  bucket_finish=moments) \
+        .sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    import math
+    n, sx, sy = int(g["sum(n)"]), int(g["sum(sx)"]), int(g["sum(sy)"])
+    sxy, sxx, syy = (int(g["sum(sxy)"]), int(g["sum(sxx)"]),
+                     int(g["sum(syy)"]))
+    r = float(n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    return pa.table({
+        "n_edges": pa.array([n], type=INT64),
+        "sum_xy": pa.array([sxy], type=INT64),
+        "assortativity": pa.array([r], type=pa.float64())})
+
+
+ASSORT_SQL = """
+    WITH od AS (SELECT l_orderkey AS o, CAST(COUNT(*) AS BIGINT) AS dx
+                FROM lineitem GROUP BY l_orderkey),
+    pd AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS dy
+           FROM lineitem GROUP BY l_partkey),
+    e AS (SELECT dx, dy
+          FROM lineitem JOIN od ON l_orderkey = od.o
+                        JOIN pd ON l_partkey = pd.p),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(dx) AS sx, SUM(dy) AS sy, SUM(dx * dy) AS sxy,
+                 SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy
+          FROM e)
+    SELECT n AS n_edges, CAST(sxy AS BIGINT) AS sum_xy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))
+             AS assortativity
+    FROM s"""
