@@ -479,6 +479,31 @@ def _jsonl_ingest_q(sf_dir: str):
     return ingest_events_jsonl(_ensure_jsonl(sf_dir))
 
 
+def _ensure_csv(sf_dir: str) -> str:
+    """events.parquet → RFC-4180 .csv shards ONCE per sf dir (stamped)
+    — the q202 CSV-ingestion fixture (pipelines/logs.py)."""
+    from warc_ray.pipelines.logs import export_events_csv
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CRAWL_OUT, f"csv-{tag}")
+    done = out + ".DONE"
+    stamp = "fmt=1|src=%s" % os.path.join(sf_dir, "events.parquet")
+    if not (os.path.exists(done) and open(done).read() == stamp):
+        export_events_csv(sf_dir, out)
+        with open(done, "w") as f:
+            f.write(stamp)
+    return out
+
+
+def _csv_ingest_q(sf_dir: str):
+    """CSV ingestion (q202): export events as quoted RFC-4180 shards,
+    read back distributed, aggregate — value-exact against DuckDB over
+    the ORIGINAL parquet (quoting defects shift props_bytes/sum_k)."""
+    from warc_ray.pipelines.logs import ingest_events_csv
+
+    return ingest_events_csv(_ensure_csv(sf_dir))
+
+
 def _ensure_jsonl_corrupt(sf_dir: str) -> str:
     """events.parquet → .jsonl shards with planted torn lines ONCE per
     sf dir (stamped) — the q167 dead-letter fixture."""
@@ -936,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_cdx_lookup": _cdx_lookup_q,
         "q157_wet_extract": _wet_extract_q,
         "q158_jsonl_ingest": _jsonl_ingest_q,
+        "q202_csv_ingest": _csv_ingest_q,
         "q162_evolved_scan": _evolved_scan_q,
         "q167_dlq_ingest": _jsonl_dlq_q,
         # reports (G17) + metrics (G15) over the crawl fetch log
@@ -2259,6 +2285,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
                    CAST(SUM(TRY_CAST(regexp_extract(props, '(\\d+)', 1)
                                      AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        # q202: CSV roundtrip — oracle over the ORIGINAL parquet; the
+        # props-derived columns (sum_k, props_bytes) pin quoting
+        # fidelity through the RFC-4180 sink + Arrow CSV parser
+        "q202_csv_ingest": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+                   CAST(SUM(TRY_CAST(regexp_extract(props, '(\\d+)', 1)
+                                     AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(SUM(length(props)) AS BIGINT) AS props_bytes
             FROM events GROUP BY event_type ORDER BY event_type""",
         # q162: schema-evolution read — oracle replays the generation
         # split (even ids = gen-1 legacy, odd ids = gen-2 with source)

@@ -133,3 +133,52 @@ def test_dlq_ingestion_reconciles(ray_session, tmp_path):
         dlq_lines += open(os.path.join(dlq, f)).read().splitlines()
     assert len(dlq_lines) == 1 and dlq_lines[0].startswith(
         '{"event_id":13,')
+
+
+def test_csv_roundtrip_quoting(ray_session, tmp_path):
+    """q202 sink/parse parity on hostile props: embedded commas,
+    doubled quotes, leading/trailing spaces — the RFC-4180 cases.
+    Byte-exact props after export → Arrow CSV read-back."""
+    import pyarrow.csv as pacsv
+
+    from warc_ray.pipelines.logs import _WriteCsvShard
+
+    props = ['{"k": 1, "s": "a,b"}',
+             '{"k": 2, "s": "he said \\"hi\\""}',
+             '{"k": 3, "s": " padded "}',
+             '{"k": 40}']
+    base = dt.datetime(2024, 1, 1)
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array([base] * 4, type=pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 8, 9], type=pa.int64()),
+        "event_type": pa.array(["click"] * 4),
+        "value": pa.array([1.0, -2.5, 0.0, 9.99], type=pa.float64()),
+        "props": pa.array(props),
+    })
+    out = str(tmp_path / "csv")
+    man = _WriteCsvShard(out)(t)
+    assert man["n_rows"][0].as_py() == 4
+    back = pacsv.read_csv(man["path"][0].as_py())
+    assert back["props"].to_pylist() == props
+    assert back["value_cents"].to_pylist() == [100, -250, 0, 999]
+
+
+def test_csv_ingest_aggregate_matches_pandas(ray_session, tmp_path):
+    from warc_ray.pipelines.logs import export_events_csv, \
+        ingest_events_csv
+
+    sf_dir = str(tmp_path / "sf")
+    out = str(tmp_path / "csvdir")
+    os.makedirs(sf_dir)
+    _mk_events(sf_dir)
+    assert export_events_csv(sf_dir, out, batch_size=2) == 5
+    got = {r["event_type"]: r for b in
+           ingest_events_csv(out).iter_batches(batch_format="pyarrow")
+           for r in b.to_pylist()}
+    assert got["click"]["n_events"] == 3
+    assert got["click"]["n_users"] == 2
+    assert got["click"]["sum_cents"] == 964 - 321 + 0
+    assert got["click"]["sum_k"] == 12 + 0 + 987654
+    assert got["view"]["sum_cents"] == 18522 + 10 ** 9 - 1
+    assert got["view"]["props_bytes"] == len('{"k": 87}') + len('{"k": 1}')

@@ -371,3 +371,133 @@ def ingest_events_jsonl_dlq(jsonl_dir: str, dlq_dir: str):
 
     return out.map_batches(finish, batch_format="pyarrow") \
         .sort("event_type")
+
+
+# ---------------------------------------------------------------------------
+# CSV landing zone (q202): RFC-4180 export + distributed read-back
+# ---------------------------------------------------------------------------
+
+
+class _WriteCsvShard:
+    """map_batches callable: one batch → one RFC-4180 .csv shard.
+
+    The ``props`` JSON column forces the interesting part of the
+    dialect — embedded commas and double quotes — so every shard
+    exercises quoting (wrap in ``"``, double inner ``"``).  Numeric
+    fields cross as integers (cents / epoch µs), same text-format
+    float discipline as the JSONL sink."""
+
+    _HEADER = "event_id,ts_us,user_id,event_type,value_cents,props\n"
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_rows": pa.array([], type=pa.int64()),
+                             "bytes": pa.array([], type=pa.int64())})
+        s = pa.string()
+        eid = pc.cast(b["event_id"], s)
+        ts = pc.cast(pc.cast(b["ts"], pa.int64()), s)
+        uid = pc.cast(b["user_id"], s)
+        cents = pc.cast(pa.array(
+            np.rint(b["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64)), s)
+        quoted = pc.binary_join_element_wise(
+            '"', pc.replace_substring(b["props"], '"', '""'), '"', "")
+        lines = pc.binary_join_element_wise(
+            eid, ts, uid, b["event_type"], cents, quoted, ",")
+        blob = (self._HEADER
+                + "\n".join(lines.to_pylist()) + "\n").encode("utf-8")
+        name_h = hashlib.sha1(
+            ("%s|%s|%d" % (eid[0], eid[-1], b.num_rows)).encode()
+        ).hexdigest()[:16]
+        path = os.path.join(self.out_dir, f"part-{name_h}.csv")
+        tmp = path + ".tmp-%s" % uuid.uuid4().hex[:8]
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "n_rows": [b.num_rows],
+                         "bytes": [len(blob)]})
+
+
+def export_events_csv(sf_dir: str, out_dir: str, *,
+                      batch_size: int = 4096) -> int:
+    """Export ``events.parquet`` as RFC-4180 .csv shards (q202)."""
+    import ray.data as rd
+
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.endswith(".csv") or ".tmp-" in name:
+                os.remove(os.path.join(out_dir, name))
+    man = rd.read_parquet(os.path.join(sf_dir, "events.parquet")) \
+        .map_batches(_WriteCsvShard(out_dir), batch_format="pyarrow",
+                     batch_size=batch_size)
+    return sum(r["n_rows"] for b in man.iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist())
+
+
+def ingest_events_csv(csv_dir: str):
+    """Distributed CSV ingestion + per-type aggregate (q202).
+
+    The aggregate's ``sum_k``/``props_bytes`` columns are computed
+    from the ROUND-TRIPPED props string — a quoting or escaping
+    defect in either the sink or Arrow's CSV parser shifts a value
+    and breaks the oracle hash.  Same two-exchange shape as q158."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = rd.read_csv(csv_dir)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(pc.extract_regex(
+            b["props"], r'"k": (?P<k>\d+)'), "k"), pa.int64())
+        t = pa.table({
+            "event_type": b["event_type"],
+            "user_id": b["user_id"],
+            "cents": b["value_cents"],
+            "ts_us": b["ts_us"],
+            "k": k,
+            "plen": pc.cast(pc.utf8_length(b["props"]), pa.int64()),
+            "one": pa.nulls(b.num_rows, pa.int64()).fill_null(1),
+        })
+        p = t.group_by(["event_type", "user_id"]).aggregate(
+            [("one", "sum"), ("cents", "sum"), ("ts_us", "min"),
+             ("ts_us", "max"), ("k", "sum"), ("plen", "sum")])
+        return p.rename_columns(
+            ["event_type", "user_id", "n", "cents", "ts_min", "ts_max",
+             "k", "plen"])
+
+    per_user = ds.map_batches(flatten, batch_format="pyarrow") \
+        .groupby(["event_type", "user_id"]) \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("cents", alias_name="cents"),
+                   Min("ts_min", alias_name="ts_min"),
+                   Max("ts_max", alias_name="ts_max"),
+                   Sum("k", alias_name="k"),
+                   Sum("plen", alias_name="plen"))
+    out = per_user.groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Count(alias_name="n_users"),
+                   Sum("cents", alias_name="sum_cents"),
+                   Min("ts_min", alias_name="min_ts_us"),
+                   Max("ts_max", alias_name="max_ts_us"),
+                   Sum("k", alias_name="sum_k"),
+                   Sum("plen", alias_name="props_bytes"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": pc.cast(b["n_events"], pa.int64()),
+            "n_users": pc.cast(b["n_users"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            "min_ts_us": pc.cast(b["min_ts_us"], pa.int64()),
+            "max_ts_us": pc.cast(b["max_ts_us"], pa.int64()),
+            "sum_k": pc.cast(b["sum_k"], pa.int64()),
+            "props_bytes": pc.cast(b["props_bytes"], pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("event_type")
