@@ -877,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q199_monetary_sample": an.monetary_unit_sample,
         "q200_interval_union": an.interval_union,
         "q201_assortativity": an.degree_assortativity,
+        "q203_burst_audit": an.burst_audit,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1258,6 +1259,7 @@ def oracle_sql() -> dict[str, str]:
         "q199_monetary_sample": _an.MUS_SQL,
         "q200_interval_union": _an.INTERVAL_UNION_SQL,
         "q201_assortativity": _an.ASSORT_SQL,
+        "q203_burst_audit": _an.BURST_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -11100,3 +11100,78 @@ ASSORT_SQL = """
                     * CAST(n * syy - sy * sy AS DOUBLE))
              AS assortativity
     FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# Q203: sliding-window burst audit (rate-limit sizing)
+# ---------------------------------------------------------------------------
+
+_BURST_WIN_US = 60_000_000
+
+
+def burst_audit(sf_dir: str, npart: int = 32):
+    """q203: each user's PEAK events in any sliding 60-second window —
+    the rate-limit sizing statistic (fixed-minute buckets undercount
+    bursts straddling a boundary by up to 2×).  Output is the
+    peak-burst histogram (peak → users at that peak).
+
+    Scale shape: one user exchange; the sliding count is TWO global
+    searchsorteds on the group-offset-encoded time axis (grp·L + t
+    keeps windows from leaking across users — q200's trick on a
+    different axis), per-user peaks via maximum.reduceat, and the
+    histogram folds as tiny (peak, n) partials."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "t": pc.cast(b["ts"], INT64)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, u))
+        u, t = u[order], t[order]
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        sizes = np.diff(np.append(starts, n))
+        grp = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        base = t.min()
+        span = int(t.max() - base) + _BURST_WIN_US + 1
+        tp = grp * span + (t - base)
+        cnt = (np.searchsorted(tp, tp + _BURST_WIN_US, side="left")
+               - np.searchsorted(tp, tp, side="left"))
+        peak = np.maximum.reduceat(cnt, starts)
+        return pa.table({
+            "peak_60s": pa.array(peak.astype(np.int64), type=INT64),
+            "n_users": pa.array(np.ones(len(peak), dtype=np.int64))}) \
+            .group_by(["peak_60s"]).aggregate([("n_users", "sum")]) \
+            .rename_columns(["peak_60s", "n_users"])
+
+    return rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["user_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("peak_60s").aggregate(Sum("n_users",
+                                           alias_name="n_users")) \
+        .map_batches(lambda b: pa.table({
+            "peak_60s": b["peak_60s"],
+            "n_users": pc.cast(b["n_users"], INT64)}),
+            batch_format="pyarrow") \
+        .sort("peak_60s")
+
+
+BURST_SQL = f"""
+    WITH c AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN CURRENT ROW
+                            AND {_BURST_WIN_US - 1} FOLLOWING) AS cnt
+      FROM events),
+    p AS (SELECT user_id, MAX(cnt) AS peak_60s FROM c GROUP BY user_id)
+    SELECT CAST(peak_60s AS BIGINT) AS peak_60s,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY peak_60s ORDER BY peak_60s"""
