@@ -11175,3 +11175,83 @@ BURST_SQL = f"""
     SELECT CAST(peak_60s AS BIGINT) AS peak_60s,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM p GROUP BY peak_60s ORDER BY peak_60s"""
+
+
+# ---------------------------------------------------------------------------
+# Q204: user-journey path mining (ordered first-k path strings)
+# ---------------------------------------------------------------------------
+
+
+def journey_paths(sf_dir: str, k: int = 5, topn: int = 20,
+                  npart: int = 32):
+    """q204: the top user-journey PATHS — each user's first five event
+    types in time order joined as 'a>b>c>d>e', counted across users:
+    the product-analytics path report (which onboarding sequences
+    actually happen).  An ORDER-SENSITIVE per-key aggregate (positions
+    matter), which plain groupbys cannot see.
+
+    Scale shape: one user exchange; inside a bucket the k path slots
+    fill VECTORIZED — slot j is a strided gather at starts+j masked by
+    size>j — and join via np.char.add; path counts fold through a
+    ≤|types|^k groupby with pinned (count DESC, path) top-n."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "t": pc.cast(b["ts"], INT64),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        ei = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ei, t, u))
+        u = u[order]
+        et = np.asarray(g["event_type"].take(pa.array(order)))
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        sizes = np.diff(np.append(starts, n))
+        path = np.full(len(starts), "", dtype=object)
+        for j in range(k):
+            has = sizes > j
+            sep = np.where(path[has] == "", "", ">")
+            path[has] = path[has] + sep + et[starts[has] + j]
+        return pa.table({
+            "path": pa.array(path.tolist(), type=pa.string()),
+            "n_users": pa.array(np.ones(len(starts), dtype=np.int64))}) \
+            .group_by(["path"]).aggregate([("n_users", "sum")]) \
+            .rename_columns(["path", "n_users"])
+
+    top = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts", "event_id",
+                                   "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("path").aggregate(Sum("n_users", alias_name="n_users")) \
+        .sort(["n_users", "path"], descending=[True, False]).limit(topn)
+
+    return top.map_batches(lambda b: pa.table({
+        "path": b["path"],
+        "n_users": pc.cast(b["n_users"], INT64)}),
+        batch_format="pyarrow") \
+        .sort(["n_users", "path"], descending=[True, False])
+
+
+JOURNEY_SQL = """
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM o WHERE rn <= 5 GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20"""
