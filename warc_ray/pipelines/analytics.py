@@ -11255,3 +11255,85 @@ JOURNEY_SQL = """
     SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM p GROUP BY path
     ORDER BY n_users DESC, path LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# Q205: coordinated-behavior collision detector
+# ---------------------------------------------------------------------------
+
+
+def collision_detector(sf_dir: str, npart: int = 32):
+    """q205: fraud-ring signal — DISTINCT user pairs that fired an
+    event with the SAME whole-dollar value in the SAME minute
+    (coordinated bots share payloads and clocks; legit users collide
+    rarely).  A self-join on a DERIVED composite key, reported as a
+    pairs-per-key histogram.
+
+    Scale shape: per-batch distinct (cents, sec, user) combiner → one
+    exchange on the composite key → per-bucket pair counting from
+    group sizes (a key's users are complete per bucket; pairs =
+    C(m,2) per key needs no enumeration — only the COUNT leaves) —
+    the shuffle never carries pairs."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), INT64)
+        dollars = pc.divide(cents, pa.scalar(100, type=INT64))
+        minute = pc.divide(pc.cast(b["ts"], INT64),
+                           pa.scalar(60_000_000, type=INT64))
+        t = pa.table({"cents": dollars, "sec": minute,
+                      "user_id": b["user_id"]})
+        t = t.group_by(["cents", "sec", "user_id"]).aggregate([])
+        key = pc.binary_join_element_wise(
+            pc.cast(t["cents"], pa.string()),
+            pc.cast(t["sec"], pa.string()), "|")
+        return t.append_column("key", key)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        c = g["cents"].to_numpy(zero_copy_only=False)
+        s = g["sec"].to_numpy(zero_copy_only=False)
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((u, s, c))
+        c, s, u = c[order], s[order], u[order]
+        n = len(c)
+        new_key = np.concatenate(
+            ([True], (c[1:] != c[:-1]) | (s[1:] != s[:-1])))
+        # distinct users per key (cross-batch dup (c,s,u) rows)
+        new_user = new_key | np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(new_key)
+        m = np.add.reduceat(new_user.astype(np.int64), starts)
+        pairs = m * (m - 1) // 2
+        hit = pairs > 0
+        return pa.table({
+            "pairs": pa.array(pairs[hit], type=INT64),
+            "n_keys": pa.array(np.ones(int(hit.sum()), dtype=np.int64))})
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "key", npart)
+                     .drop_columns(["key"]), batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("pairs").aggregate(Sum("n_keys", alias_name="n_keys"))
+
+    return agg.map_batches(lambda b: pa.table({
+        "pairs_per_key": pc.cast(b["pairs"], INT64),
+        "n_keys": pc.cast(b["n_keys"], INT64)}),
+        batch_format="pyarrow").sort("pairs_per_key")
+
+
+COLLISION_SQL = """
+    WITH d AS (
+      SELECT DISTINCT CAST(round(value * 100) AS BIGINT) // 100
+               AS dollars,
+             epoch_us(ts) // 60000000 AS minute, user_id
+      FROM events),
+    k AS (
+      SELECT dollars, minute,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM d GROUP BY dollars, minute),
+    p AS (SELECT m * (m - 1) // 2 AS pairs FROM k WHERE m >= 2)
+    SELECT CAST(pairs AS BIGINT) AS pairs_per_key,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM p GROUP BY pairs ORDER BY pairs_per_key"""
