@@ -880,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q203_burst_audit": an.burst_audit,
         "q204_journey_paths": an.journey_paths,
         "q205_collision_detector": an.collision_detector,
+        "q206_mutual_best": an.mutual_best,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1264,6 +1265,7 @@ def oracle_sql() -> dict[str, str]:
         "q203_burst_audit": _an.BURST_SQL,
         "q204_journey_paths": _an.JOURNEY_SQL,
         "q205_collision_detector": _an.COLLISION_SQL,
+        "q206_mutual_best": _an.MUTUAL_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

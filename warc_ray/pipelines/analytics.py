@@ -11337,3 +11337,109 @@ COLLISION_SQL = """
     SELECT CAST(pairs AS BIGINT) AS pairs_per_key,
            CAST(COUNT(*) AS BIGINT) AS n_keys
     FROM p GROUP BY pairs ORDER BY pairs_per_key"""
+
+
+# ---------------------------------------------------------------------------
+# Q206: mutual-best match (reciprocal argmax join)
+# ---------------------------------------------------------------------------
+
+
+def mutual_best(sf_dir: str, npart: int = 16):
+    """q206: stable-match seeds — (customer, part) pairs where the
+    part is that customer's TOP part by spend AND the customer is that
+    part's TOP customer: the reciprocal-argmax join two-sided
+    marketplaces (and entity-resolution blockers) run to find
+    unambiguous matches.
+
+    Plan: one orderkey exchange builds the (cust, part, spend-units)
+    fact; each DIRECTION is an argmax over a different key — two
+    exchanges over the SAME materialized fact, per-bucket argmax via
+    lexsort + first-row-per-group with pinned (spend DESC, key ASC)
+    ties; the mutual set is the two argmax tables' inner join on BOTH
+    keys.  Spend stays integer through every compare."""
+    from ..stages.exchange import hash_join
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "c": b["o_custkey"]})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    def line_side(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "p": b["l_partkey"],
+            "r": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc))})
+
+    lines = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_partkey",
+                                     "l_extendedprice", "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    def cp_partial(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.is_valid(j["c"]))
+        return j.select(["c", "p", "r"]).group_by(["c", "p"]) \
+            .aggregate([("r", "sum")]).rename_columns(["c", "p", "r"])
+
+    cp = hash_join(lines, orders, "l_orderkey", npart=npart,
+                   bucket_finish=cp_partial) \
+        .groupby(["c", "p"]).aggregate(Sum("r", alias_name="r")) \
+        .materialize()
+
+    def argmax_by(key: str, other: str):
+        def bucket(g: pa.Table) -> pa.Table:
+            k = g[key].to_numpy(zero_copy_only=False)
+            o = g[other].to_numpy(zero_copy_only=False)
+            r = g["r"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((o, -r, k))
+            k, o, r = k[order], o[order], r[order]
+            first = np.concatenate(([True], k[1:] != k[:-1]))
+            return pa.table({key: pa.array(k[first], type=INT64),
+                             other: pa.array(o[first], type=INT64),
+                             "r": pa.array(r[first], type=INT64)})
+
+        return cp.map_batches(lambda b: with_part(b, key, npart),
+                              batch_format="pyarrow") \
+            .groupby("part").map_groups(
+                lambda g: bucket(g.drop_columns(["part"])),
+                batch_format="pyarrow")
+
+    best_c = argmax_by("c", "p")
+    best_p = argmax_by("p", "c")
+
+    mutual = hash_join(best_c, best_p, ["c", "p"], npart=npart,
+                       bucket_finish=lambda j: j.filter(
+                           pc.is_valid(j["r_r"])).select(["c", "p", "r"]))
+
+    return mutual.map_batches(lambda b: pa.table({
+        "c_custkey": b["c"], "p_partkey": b["p"],
+        "revenue": pc.divide(pc.cast(b["r"], pa.float64()), 10_000.0)}),
+        batch_format="pyarrow").sort("c_custkey")
+
+
+MUTUAL_SQL = """
+    WITH cp AS (
+      SELECT o_custkey AS c, l_partkey AS p,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS r
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY c, p),
+    bc AS (SELECT c, p, r FROM (
+             SELECT *, row_number() OVER (PARTITION BY c
+                                          ORDER BY r DESC, p) AS rn
+             FROM cp) WHERE rn = 1),
+    bp AS (SELECT c, p, r FROM (
+             SELECT *, row_number() OVER (PARTITION BY p
+                                          ORDER BY r DESC, c) AS rn
+             FROM cp) WHERE rn = 1)
+    SELECT bc.c AS c_custkey, bc.p AS p_partkey,
+           CAST(bc.r AS DOUBLE) / 10000.0 AS revenue
+    FROM bc JOIN bp ON bc.c = bp.c AND bc.p = bp.p
+    ORDER BY c_custkey"""
