@@ -11443,3 +11443,79 @@ MUTUAL_SQL = """
            CAST(bc.r AS DOUBLE) / 10000.0 AS revenue
     FROM bc JOIN bp ON bc.c = bp.c AND bc.p = bp.p
     ORDER BY c_custkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q207: k-anonymity risk audit (equivalence-class size census)
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity(sf_dir: str):
+    """q207: the k-anonymity census of customer quasi-identifiers
+    (nation, market segment, $1000 account-balance bin) — the
+    re-identification risk report a privacy review runs before any
+    data release: how many equivalence classes of each size exist, and
+    how many customers sit in classes smaller than k=5.
+
+    Scale shape: per-batch QI-triple count partials → one groupby on
+    the (small) QI domain → count-of-counts histogram, all exact
+    int64; the bin division TRUNCATES toward zero (DuckDB's integer
+    `//`) — numpy floors, so negatives are binned explicitly."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0)),
+                        INT64).to_numpy(zero_copy_only=False)
+        bal_bin = np.where(cents >= 0, cents // 100_000,
+                           -((-cents) // 100_000))
+        return pa.table({
+            "nat": pc.cast(b["c_nationkey"], INT64),
+            "seg": b["c_mktsegment"],
+            "bal_bin": pa.array(bal_bin, type=INT64),
+            "n": pa.nulls(b.num_rows, INT64).fill_null(1)}) \
+            .group_by(["nat", "seg", "bal_bin"]) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns(["nat", "seg", "bal_bin", "n"])
+
+    classes = rd.read_parquet(_pq(sf_dir, "customer"),
+                              columns=["c_nationkey", "c_mktsegment",
+                                       "c_acctbal"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["nat", "seg", "bal_bin"]) \
+        .aggregate(Sum("n", alias_name="k"))
+
+    hist = classes.map_batches(
+        lambda b: pa.table({
+            "class_size": b["k"],
+            "n_classes": pa.nulls(b.num_rows, INT64).fill_null(1),
+            "n_customers": b["k"]}) .group_by(["class_size"])
+        .aggregate([("n_classes", "sum"), ("n_customers", "sum")])
+        .rename_columns(["class_size", "n_classes", "n_customers"]),
+        batch_format="pyarrow") \
+        .groupby("class_size") \
+        .aggregate(Sum("n_classes", alias_name="n_classes"),
+                   Sum("n_customers", alias_name="n_customers"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["class_size"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "class_size": pc.cast(b["class_size"], INT64),
+            "n_classes": pc.cast(b["n_classes"], INT64),
+            "n_customers": pc.cast(b["n_customers"], INT64),
+            "risky": pa.array(k < 5)})
+
+    return hist.map_batches(finish, batch_format="pyarrow") \
+        .sort("class_size")
+
+
+KANON_SQL = """
+    WITH cls AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_bin,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM customer GROUP BY c_nationkey, c_mktsegment, bal_bin)
+    SELECT k AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_customers,
+           k < 5 AS risky
+    FROM cls GROUP BY k ORDER BY class_size"""
