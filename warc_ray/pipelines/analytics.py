@@ -11519,3 +11519,69 @@ KANON_SQL = """
            CAST(SUM(k) AS BIGINT) AS n_customers,
            k < 5 AS risky
     FROM cls GROUP BY k ORDER BY class_size"""
+
+
+# ---------------------------------------------------------------------------
+# Q208: quantized dot-product retrieval (oracle-exact top-k)
+# ---------------------------------------------------------------------------
+
+
+def quantized_retrieval(sf_dir: str, query_vec_id: int = 0,
+                        k: int = 10):
+    """q208: int8-quantized dot-product retrieval — top-k vectors by
+    ⟨q, x⟩ after floor(x·127) quantization: the integer-scoring leg of
+    the ANN family (q30/q31/q60 are float and pytest-gated; this one
+    is EXACT, so DuckDB reproduces the ranking bit-for-bit and the
+    whole retrieval path — broadcast query, per-block scoring,
+    bounded top-k merge — gets an oracle).
+
+    Quantization pins the floats: widen float32→float64, ×127, floor —
+    identical in numpy and SQL — then all scores are int64 dots.
+    Scale shape: the query rides the task closure (one vector);
+    per-block top-k partials (k rows per block, pinned
+    (dot DESC, vec_id) order) meet in one final tiny sort."""
+    import pyarrow.parquet as _pq2
+
+    qt = _pq2.read_table(_pq(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", query_vec_id)])
+    qv = np.floor(np.asarray(qt["embedding"][0].as_py(),
+                             dtype=np.float64) * 127.0).astype(np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mat = np.floor(flat * 127.0).astype(np.int64) \
+            .reshape(b.num_rows, -1)
+        dot = mat @ qv
+        order = np.lexsort((b["vec_id"].to_numpy(zero_copy_only=False),
+                            -dot))[:k]
+        return pa.table({
+            "vec_id": b["vec_id"].take(pa.array(order)),
+            "dot": pa.array(dot[order], type=INT64)})
+
+    return rd.read_parquet(_pq(sf_dir, "embeddings"),
+                           columns=["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow") \
+        .sort(["dot", "vec_id"], descending=[True, False]).limit(k) \
+        .map_batches(lambda b: b.select(["vec_id", "dot"]),
+                     batch_format="pyarrow") \
+        .sort(["dot", "vec_id"], descending=[True, False])
+
+
+QUANT_RETRIEVAL_SQL = """
+    WITH q AS (
+      SELECT i, CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT) AS qx
+      FROM (SELECT unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id = 0)),
+    v AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT) AS qx
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings))
+    SELECT v.vec_id, CAST(SUM(v.qx * q.qx) AS BIGINT) AS dot
+    FROM v JOIN q USING (i)
+    GROUP BY v.vec_id ORDER BY dot DESC, vec_id LIMIT 10"""
