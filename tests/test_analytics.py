@@ -1801,3 +1801,73 @@ def test_merkle_walk_matches_flat_compare(ray_session):
     assert merkle_diff._visited <= 2 * (len(exp) + 1) * (depth + 1)
     for r in out:
         assert r["rows_b"] <= r["rows_a"]
+
+
+# ------------------------------------------------------------ q198/q200/q203
+
+def test_watermark_audit_matches_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import watermark_audit
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "event_type"]) \
+        .to_pandas().sort_values("event_id")
+    t = ev.ts.astype("int64").to_numpy()
+    pm = np.concatenate(([np.iinfo(np.int64).min],
+                         np.maximum.accumulate(t)[:-1]))
+    has = np.arange(len(t)) > 0
+    late = has & (pm > t)
+    lag = np.where(late, pm - t, 0)
+    df = pd.DataFrame({"et": ev.event_type.to_numpy(),
+                       "has": has, "late": late, "lag": lag})
+    want = df.groupby("et").agg(n_with_pred=("has", "sum"),
+                                n_late=("late", "sum"),
+                                max_lag_us=("lag", "max"),
+                                sum_lag_us=("lag", "sum"))
+    got = watermark_audit(SF, npart=7).to_pandas() \
+        .set_index("event_type")
+    for et, w in want.iterrows():
+        g = got.loc[et]
+        assert (g.n_with_pred, g.n_late, g.max_lag_us, g.sum_lag_us) \
+            == (w.n_with_pred, w.n_late, w.max_lag_us, w.sum_lag_us)
+
+
+def test_interval_union_matches_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import interval_union
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["s"] = ev.ts.astype("int64")
+    cents = np.rint(ev.value.to_numpy() * 100).astype(np.int64)
+    ev["e"] = ev.s + (60 + cents % 3540) * 1_000_000
+    got = interval_union(SF, npart=5).to_pandas().set_index("user_id")
+    for uid, g in ev.groupby("user_id"):
+        ivs = sorted(zip(g.s, g.e))
+        islands, cur_s, cur_e, covered = 0, None, None, 0
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered += cur_e - cur_s
+                islands, cur_s, cur_e = islands + 1, s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += cur_e - cur_s
+        r = got.loc[uid]
+        assert (r.n_intervals, r.n_islands, r.covered_us) == \
+            (len(ivs), islands, covered)
+
+
+def test_burst_audit_matches_bruteforce(ray_session):
+    from warc_ray.pipelines.analytics import burst_audit
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    ev["t"] = ev.ts.astype("int64")
+    peaks = {}
+    for uid, g in ev.groupby("user_id"):
+        t = np.sort(g.t.to_numpy())
+        cnt = (np.searchsorted(t, t + 60_000_000, side="left")
+               - np.searchsorted(t, t, side="left"))
+        peaks[uid] = int(cnt.max())
+    want = pd.Series(peaks).value_counts().sort_index()
+    got = burst_audit(SF, npart=5).to_pandas() \
+        .set_index("peak_60s").n_users
+    assert got.to_dict() == want.to_dict()
