@@ -883,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q206_mutual_best": an.mutual_best,
         "q207_k_anonymity": an.k_anonymity,
         "q208_quantized_retrieval": an.quantized_retrieval,
+        "q209_cheapest_supplier": an.cheapest_supplier,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1270,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "q206_mutual_best": _an.MUTUAL_SQL,
         "q207_k_anonymity": _an.KANON_SQL,
         "q208_quantized_retrieval": _an.QUANT_RETRIEVAL_SQL,
+        "q209_cheapest_supplier": _an.CHEAPEST_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -11585,3 +11585,75 @@ QUANT_RETRIEVAL_SQL = """
     SELECT v.vec_id, CAST(SUM(v.qx * q.qx) AS BIGINT) AS dot
     FROM v JOIN q USING (i)
     GROUP BY v.vec_id ORDER BY dot DESC, vec_id LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# Q209: cheapest-supplier directory (argmin unit price per part)
+# ---------------------------------------------------------------------------
+
+
+def cheapest_supplier(sf_dir: str, npart: int = 32):
+    """q209: TPC-H Q2's question without a partsupp table — for every
+    part, the supplier who actually shipped it at the lowest observed
+    unit price (extendedprice / quantity), with deterministic
+    (price, suppkey, orderkey) tie-breaks: the argmin-JOIN that builds
+    procurement directories.
+
+    The ratio is the one value both engines must agree on: each
+    computes unit_price = cents·100 / qc ONCE as float64 from the
+    same exact ints (identical rounding), and the argmin orders by
+    (that double, suppkey, orderkey) — so ranking matches bit-for-bit
+    even where two ratios collide.  One partkey exchange; per bucket a
+    single lexsort + first-row-per-part."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64).to_numpy(zero_copy_only=False)
+        qc = pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)),
+                     INT64).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "l_suppkey": b["l_suppkey"],
+            "l_orderkey": b["l_orderkey"],
+            "unit_price": pa.array(cents * 100.0 / qc,
+                                   type=pa.float64())})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        k = g["l_partkey"].to_numpy(zero_copy_only=False)
+        s = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        o = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        up = g["unit_price"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, s, up, k))
+        k, s, up = k[order], s[order], up[order]
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        return pa.table({
+            "p_partkey": pa.array(k[first], type=INT64),
+            "s_suppkey": pa.array(s[first], type=INT64),
+            "unit_price": pa.array(up[first], type=pa.float64())})
+
+    return rd.read_parquet(_pq(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_suppkey",
+                                    "l_orderkey", "l_extendedprice",
+                                    "l_quantity"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "l_partkey", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .sort("p_partkey")
+
+
+CHEAPEST_SQL = """
+    WITH t AS (
+      SELECT l_partkey, l_suppkey, l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * 100.0
+               / CAST(round(l_quantity * 100) AS BIGINT) AS unit_price
+      FROM lineitem),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY unit_price, l_suppkey,
+                                            l_orderkey) AS rn
+      FROM t)
+    SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, unit_price
+    FROM r WHERE rn = 1 ORDER BY p_partkey"""
