@@ -884,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q207_k_anonymity": an.k_anonymity,
         "q208_quantized_retrieval": an.quantized_retrieval,
         "q209_cheapest_supplier": an.cheapest_supplier,
+        "q210_order_cadence": an.order_cadence,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1272,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "q207_k_anonymity": _an.KANON_SQL,
         "q208_quantized_retrieval": _an.QUANT_RETRIEVAL_SQL,
         "q209_cheapest_supplier": _an.CHEAPEST_SQL,
+        "q210_order_cadence": _an.CADENCE_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -11657,3 +11657,93 @@ CHEAPEST_SQL = """
       FROM t)
     SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, unit_price
     FROM r WHERE rn = 1 ORDER BY p_partkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q210: order-cadence regularity (CV of inter-order gaps)
+# ---------------------------------------------------------------------------
+
+
+def order_cadence(sf_dir: str, min_orders: int = 5, npart: int = 32):
+    """q210: subscription-behavior detection — per customer (≥5
+    orders), the coefficient of variation of inter-order day gaps:
+    CV → 0 means clockwork reordering (subscription candidates),
+    large CV means bursty one-off buying.
+
+    Scale shape: one custkey exchange; gaps come from the sorted-diff
+    (q169's machinery) but the REPORT is a three-moment fold — per
+    customer (n, Σg, Σg²) in exact int64 day units, with
+    CV = √(n·Σg² − (Σg)²) / Σg as the single closing double expression
+    both engines evaluate from the same ints."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": b["o_custkey"],
+            "d": pc.cast(pc.divide(pc.cast(b["o_orderdate"], INT64),
+                                   pa.scalar(86_400_000_000,
+                                             type=INT64)), INT64),
+            "k": b["o_orderkey"]})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        k = g["k"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, d, c))
+        c, d = c[order], d[order]
+        same = np.concatenate((c[1:] == c[:-1], [False]))
+        gap = np.concatenate((d[1:] - d[:-1], [0]))
+        t = pa.table({
+            "c": pa.array(c, type=INT64),
+            "n": pa.array(same.astype(np.int64)),
+            "sg": pa.array(np.where(same, gap, 0), type=INT64),
+            "sgg": pa.array(np.where(same, gap * gap, 0), type=INT64)}) \
+            .group_by(["c"]).aggregate(
+                [("n", "sum"), ("sg", "sum"), ("sgg", "sum")])
+        return t.rename_columns(["c", "n", "sg", "sgg"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "orders"),
+                          columns=["o_custkey", "o_orderdate",
+                                   "o_orderkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "c", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sg = b["sg"].to_numpy(zero_copy_only=False)
+        sgg = b["sgg"].to_numpy(zero_copy_only=False)
+        keep = (n >= min_orders - 1) & (sg > 0)
+        n, sg, sgg = n[keep], sg[keep], sgg[keep]
+        cv = np.sqrt((n * sgg - sg * sg).astype(np.float64)
+                     / n.astype(np.float64)) / sg.astype(np.float64) * n
+        return pa.table({
+            "c_custkey": b["c"].filter(pa.array(keep)),
+            "n_gaps": pa.array(n, type=INT64),
+            "sum_gap_days": pa.array(sg, type=INT64),
+            "cv": pa.array(cv, type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("c_custkey")
+
+
+CADENCE_SQL = """
+    WITH g AS (
+      SELECT o_custkey AS c,
+             (epoch_us(o_orderdate) // 86400000000)
+             - lag(epoch_us(o_orderdate) // 86400000000)
+               OVER (PARTITION BY o_custkey
+                     ORDER BY epoch_us(o_orderdate) // 86400000000,
+                              o_orderkey) AS gap
+      FROM orders),
+    m AS (
+      SELECT c, CAST(COUNT(gap) AS BIGINT) AS n,
+             CAST(SUM(gap) AS BIGINT) AS sg,
+             CAST(SUM(gap * gap) AS BIGINT) AS sgg
+      FROM g WHERE gap IS NOT NULL GROUP BY c)
+    SELECT c AS c_custkey, n AS n_gaps, sg AS sum_gap_days,
+           sqrt(CAST(n * sgg - sg * sg AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(sg AS DOUBLE) * n AS cv
+    FROM m WHERE n >= 4 AND sg > 0 ORDER BY c_custkey"""
