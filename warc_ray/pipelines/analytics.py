@@ -11747,3 +11747,134 @@ CADENCE_SQL = """
            sqrt(CAST(n * sgg - sg * sg AS DOUBLE) / CAST(n AS DOUBLE))
              / CAST(sg AS DOUBLE) * n AS cv
     FROM m WHERE n >= 4 AND sg > 0 ORDER BY c_custkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q211: ABC inventory classification (cumulative-share classes)
+# ---------------------------------------------------------------------------
+
+
+def abc_classification(sf_dir: str, npart: int = 32):
+    """q211: ABC analysis — parts classified A/B/C by their position
+    in the DESCENDING cumulative revenue curve (A: first 80% of
+    dollars, B: to 95%, C: tail): the supply-chain prioritization
+    report.  Needs a descending global prefix sum over the part-
+    revenue aggregate — q199's carry recipe on q191's encoded-key
+    range partitions.
+
+    Class boundaries are exact integer comparisons (cum·5 ≤ 4·T,
+    cum·20 ≤ 19·T) — no float share is ever compared; ties in revenue
+    order pinned by partkey."""
+    import ray as _ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "p": b["l_partkey"],
+            "r": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc))}) \
+            .group_by(["p"]).aggregate([("r", "sum")]) \
+            .rename_columns(["p", "r"])
+
+    pr = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("p").aggregate(Sum("r", alias_name="r")) \
+        .materialize()
+
+    big = np.int64(0x7FFFFFFFFFFFFFF0)
+
+    def enc(b: pa.Table) -> np.ndarray:
+        return (big - b["r"].to_numpy(zero_copy_only=False)) \
+            .astype(np.uint64)
+
+    def sample(b: pa.Table) -> pa.Table:
+        k = np.sort(enc(b))
+        step = max(1, len(k) // 256)
+        return pa.table({"k": pa.array(k[::step])})
+
+    samp = np.sort(np.concatenate(
+        [x["k"].to_numpy() for x in
+         pr.map_batches(sample, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow")]))
+    cuts = (np.arange(1, npart) * len(samp)) // npart
+    splitters = np.unique(samp[np.minimum(cuts, len(samp) - 1)])
+    spl_ref = _ray.put(splitters)
+
+    def tag(b: pa.Table) -> pa.Table:
+        part = np.searchsorted(_ray.get(spl_ref), enc(b),
+                               side="right").astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    part_sum = pr.map_batches(tag, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(["part", "r"])
+                     .group_by(["part"]).aggregate([("r", "sum")])
+                     .rename_columns(["part", "s"]),
+                     batch_format="pyarrow") \
+        .groupby("part").aggregate(Sum("s", alias_name="s"))
+    pm = pa.concat_tables(part_sum.iter_batches(batch_format="pyarrow"))
+    sums = np.zeros(len(splitters) + 1, dtype=np.int64)
+    sums[pm["part"].to_numpy(zero_copy_only=False)] = \
+        pm["s"].to_numpy(zero_copy_only=False)
+    total = int(sums.sum())
+    carry = np.concatenate(([0], np.cumsum(sums)[:-1]))
+    carry_ref = _ray.put(carry)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        k = g["p"].to_numpy(zero_copy_only=False)
+        r = g["r"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -r))
+        k, r = k[order], r[order]
+        cum = np.cumsum(r) + int(_ray.get(carry_ref)[p])
+        cls = np.where(cum * 5 <= 4 * total, "A",
+                       np.where(cum * 20 <= 19 * total, "B", "C"))
+        return pa.table({
+            "cls": pa.array(cls.tolist(), type=pa.string()),
+            "n_parts": pa.array(np.ones(len(k), dtype=np.int64)),
+            "r": pa.array(r, type=INT64)}) \
+            .group_by(["cls"]).aggregate(
+                [("n_parts", "sum"), ("r", "sum")]) \
+            .rename_columns(["cls", "n_parts", "r"])
+
+    agg = pr.map_batches(tag, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow") \
+        .groupby("cls").aggregate(Sum("n_parts", alias_name="n_parts"),
+                                  Sum("r", alias_name="r"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        r = b["r"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cls": b["cls"],
+            "n_parts": pc.cast(b["n_parts"], INT64),
+            "revenue": pa.array(r.astype(np.float64) / 10_000.0,
+                                type=pa.float64()),
+            "share": pa.array(r.astype(np.float64) / float(total),
+                              type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("cls")
+
+
+ABC_SQL = """
+    WITH pr AS (
+      SELECT l_partkey AS p,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS r
+      FROM lineitem GROUP BY p),
+    c AS (
+      SELECT p, r,
+             SUM(r) OVER (ORDER BY r DESC, p
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(r) OVER () AS t
+      FROM pr)
+    SELECT CASE WHEN cum * 5 <= 4 * t THEN 'A'
+                WHEN cum * 20 <= 19 * t THEN 'B'
+                ELSE 'C' END AS cls,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(SUM(r) AS DOUBLE) / CAST(MAX(t) AS DOUBLE) AS share
+    FROM c GROUP BY cls ORDER BY cls"""
