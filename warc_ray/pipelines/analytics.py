@@ -11878,3 +11878,116 @@ ABC_SQL = """
            CAST(SUM(r) AS DOUBLE) / 10000.0 AS revenue,
            CAST(SUM(r) AS DOUBLE) / CAST(MAX(t) AS DOUBLE) AS share
     FROM c GROUP BY cls ORDER BY cls"""
+
+
+# ---------------------------------------------------------------------------
+# Q212: bounce rate by session entry type
+# ---------------------------------------------------------------------------
+
+
+def bounce_rate(sf_dir: str, gap_minutes: int = 30, npart: int = 32):
+    """q212: bounce rate by session ENTRY event type — sessions cut at
+    30-minute inactivity gaps (q08's rule), a session "bounces" when
+    it contains exactly one event, and the report asks which entry
+    types fail to engage: the landing-page quality metric.
+
+    Scale shape: one user exchange; session starts are the gap flags
+    (shifted diff), each session's length comes from the DISTANCE TO
+    THE NEXT FLAG (diff of flag positions — no second pass), its entry
+    type is the row AT the flag; (entry_type, bounces, sessions)
+    partials close through a ≤|types| groupby with the rate as one
+    final double."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "t": pc.cast(b["ts"], INT64),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        ei = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ei, t, u))
+        u, t = u[order], t[order]
+        et = g["event_type"].take(pa.array(order))
+        n = len(u)
+        new_sess = np.ones(n, dtype=bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        fpos = np.flatnonzero(new_sess)
+        slen = np.diff(np.append(fpos, n))
+        entry = et.take(pa.array(fpos))
+        return pa.table({
+            "entry_type": entry,
+            "sessions": pa.array(np.ones(len(fpos), dtype=np.int64)),
+            "bounces": pa.array((slen == 1).astype(np.int64)),
+            "events": pa.array(slen.astype(np.int64))}) \
+            .group_by(["entry_type"]).aggregate(
+                [("sessions", "sum"), ("bounces", "sum"),
+                 ("events", "sum")]) \
+            .rename_columns(["entry_type", "sessions", "bounces",
+                             "events"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts", "event_id",
+                                   "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("entry_type") \
+        .aggregate(Sum("sessions", alias_name="sessions"),
+                   Sum("bounces", alias_name="bounces"),
+                   Sum("events", alias_name="events"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["sessions"].to_numpy(zero_copy_only=False)
+        bo = b["bounces"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "entry_type": b["entry_type"],
+            "sessions": pc.cast(b["sessions"], INT64),
+            "bounces": pc.cast(b["bounces"], INT64),
+            "events": pc.cast(b["events"], INT64),
+            "bounce_rate": pa.array(
+                bo.astype(np.float64) / s.astype(np.float64),
+                type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("entry_type")
+
+
+BOUNCE_SQL = """
+    WITH f AS (
+      SELECT event_type, ts, event_id, user_id,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS flag
+      FROM events),
+    s AS (
+      SELECT event_type, flag, user_id,
+             SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+      FROM f),
+    g AS (
+      SELECT user_id, sess,
+             MIN(CASE WHEN flag = 1 THEN event_type END) AS entry_type,
+             CAST(COUNT(*) AS BIGINT) AS slen
+      FROM s GROUP BY user_id, sess)
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS sessions,
+           CAST(SUM(CASE WHEN slen = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS bounces,
+           CAST(SUM(slen) AS BIGINT) AS events,
+           CAST(SUM(CASE WHEN slen = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
+    FROM g GROUP BY entry_type ORDER BY entry_type"""
