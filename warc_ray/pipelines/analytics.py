@@ -11991,3 +11991,80 @@ BOUNCE_SQL = """
            CAST(SUM(CASE WHEN slen = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS bounce_rate
     FROM g GROUP BY entry_type ORDER BY entry_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q213: line-number contiguity audit (sequence integrity)
+# ---------------------------------------------------------------------------
+
+
+def linenumber_audit(sf_dir: str, npart: int = 32):
+    """q213: sequence-integrity audit — every order's line numbers
+    must be exactly 1..n (contiguous, no duplicates): the
+    foreign-sequence invariant ETL re-numbering bugs break first.
+    Orders are classified ok / gapped / duplicated and counted.
+
+    Scale shape: per-batch (order, min, max, n, distinct-partial)
+    can't decide duplicates across batches, so one orderkey exchange
+    co-locates each order's lines; per bucket a single lexsort +
+    reduceat yields (n, n_distinct, min, max) per order and the
+    3-way classification is vectorized; only 3 count rows leave each
+    bucket."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o": b["l_orderkey"],
+            "ln": pc.cast(b["l_linenumber"], INT64)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        o = g["o"].to_numpy(zero_copy_only=False)
+        ln = g["ln"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, o))
+        o, ln = o[order], ln[order]
+        n = len(o)
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        sizes = np.diff(np.append(starts, n))
+        uniq = np.concatenate(
+            ([True], (o[1:] != o[:-1]) | (ln[1:] != ln[:-1])))
+        n_dist = np.add.reduceat(uniq.astype(np.int64), starts)
+        mn = ln[starts]
+        mx = np.maximum.reduceat(ln, starts)
+        dup = n_dist < sizes
+        ok = (~dup) & (mn == 1) & (mx == sizes)
+        status = np.where(dup, "duplicated",
+                          np.where(ok, "ok", "gapped"))
+        return pa.table({
+            "status": pa.array(status.tolist(), type=pa.string()),
+            "n_orders": pa.array(np.ones(len(starts), dtype=np.int64))}) \
+            .group_by(["status"]).aggregate([("n_orders", "sum")]) \
+            .rename_columns(["status", "n_orders"])
+
+    return rd.read_parquet(_pq(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_linenumber"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "o", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("status").aggregate(Sum("n_orders",
+                                         alias_name="n_orders")) \
+        .map_batches(lambda b: pa.table({
+            "status": b["status"],
+            "n_orders": pc.cast(b["n_orders"], INT64)}),
+            batch_format="pyarrow") \
+        .sort("status")
+
+
+LINENUM_SQL = """
+    WITH s AS (
+      SELECT l_orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS nd,
+             MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT CASE WHEN nd < n THEN 'duplicated'
+                WHEN mn = 1 AND mx = n THEN 'ok'
+                ELSE 'gapped' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM s GROUP BY status ORDER BY status"""
