@@ -12068,3 +12068,88 @@ LINENUM_SQL = """
                 ELSE 'gapped' END AS status,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM s GROUP BY status ORDER BY status"""
+
+
+# ---------------------------------------------------------------------------
+# Q214: multi-period presence bitmap census
+# ---------------------------------------------------------------------------
+
+_PRESENCE_BASE_YEAR = 1995
+
+
+def presence_census(sf_dir: str, npart: int = 32):
+    """q214: the year-presence BITMAP census — each customer's order
+    years packed as bits (1995 → bit 0), counted per pattern: the
+    retention topology report (who buys every year vs gap-years vs
+    one-shot) that powers repurchase and win-back analyses.
+
+    Scale shape: per-batch distinct (cust, year) combiner → one
+    custkey exchange → per bucket dedup + Σ(1<<(y−1995)) via
+    add.reduceat → pattern histogram partials.  Bit arithmetic is
+    exact in both engines."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": b["o_custkey"],
+            "y": pc.cast(pc.year(b["o_orderdate"]), INT64)}) \
+            .group_by(["c", "y"]).aggregate([])
+
+    def bucket(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, c))
+        c, y = c[order], y[order]
+        uniq = np.concatenate(
+            ([True], (c[1:] != c[:-1]) | (y[1:] != y[:-1])))
+        c, y = c[uniq], y[uniq]
+        starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+        bits = np.int64(1) << (y - _PRESENCE_BASE_YEAR)
+        mask = np.add.reduceat(bits, starts)
+        return pa.table({
+            "presence_mask": pa.array(mask, type=INT64),
+            "n_customers": pa.array(np.ones(len(starts),
+                                            dtype=np.int64))}) \
+            .group_by(["presence_mask"]) \
+            .aggregate([("n_customers", "sum")]) \
+            .rename_columns(["presence_mask", "n_customers"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        m = b["presence_mask"].to_numpy(zero_copy_only=False)
+        n_years = np.zeros(len(m), dtype=np.int64)
+        mm = m.copy()
+        while mm.any():
+            n_years += mm & 1
+            mm >>= 1
+        return pa.table({
+            "presence_mask": pc.cast(b["presence_mask"], INT64),
+            "n_years": pa.array(n_years, type=INT64),
+            "n_customers": pc.cast(b["n_customers"], INT64)})
+
+    return rd.read_parquet(_pq(sf_dir, "orders"),
+                           columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "c", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("presence_mask") \
+        .aggregate(Sum("n_customers", alias_name="n_customers")) \
+        .map_batches(finish, batch_format="pyarrow") \
+        .sort("presence_mask")
+
+
+PRESENCE_SQL = f"""
+    WITH d AS (
+      SELECT DISTINCT o_custkey AS c,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y
+      FROM orders),
+    m AS (
+      SELECT c, CAST(SUM(1 << (y - {_PRESENCE_BASE_YEAR})) AS BIGINT)
+                  AS presence_mask
+      FROM d GROUP BY c)
+    SELECT presence_mask,
+           CAST(bit_count(CAST(presence_mask AS BIGINT)) AS BIGINT)
+             AS n_years,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY presence_mask ORDER BY presence_mask"""
