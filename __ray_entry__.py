@@ -504,6 +504,31 @@ def _csv_ingest_q(sf_dir: str):
     return ingest_events_csv(_ensure_csv(sf_dir))
 
 
+def _ensure_fixedwidth(sf_dir: str) -> str:
+    """orders.parquet → fixed-width .dat shards ONCE per sf dir
+    (stamped) — the q215 mainframe-format fixture (pipelines/logs.py)."""
+    from warc_ray.pipelines.logs import export_orders_fixedwidth
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_CRAWL_OUT, f"fixedwidth-{tag}")
+    done = out + ".DONE"
+    stamp = "fmt=1|src=%s" % os.path.join(sf_dir, "orders.parquet")
+    if not (os.path.exists(done) and open(done).read() == stamp):
+        export_orders_fixedwidth(sf_dir, out)
+        with open(done, "w") as f:
+            f.write(stamp)
+    return out
+
+
+def _fixedwidth_ingest_q(sf_dir: str):
+    """Fixed-width ingestion (q215): export orders as 60-char layout
+    lines, read back via read_text + vectorized slicing, aggregate —
+    value-exact against DuckDB over the ORIGINAL parquet."""
+    from warc_ray.pipelines.logs import ingest_orders_fixedwidth
+
+    return ingest_orders_fixedwidth(_ensure_fixedwidth(sf_dir))
+
+
 def _ensure_jsonl_corrupt(sf_dir: str) -> str:
     """events.parquet → .jsonl shards with planted torn lines ONCE per
     sf dir (stamped) — the q167 dead-letter fixture."""
@@ -974,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q157_wet_extract": _wet_extract_q,
         "q158_jsonl_ingest": _jsonl_ingest_q,
         "q202_csv_ingest": _csv_ingest_q,
+        "q215_fixedwidth_ingest": _fixedwidth_ingest_q,
         "q162_evolved_scan": _evolved_scan_q,
         "q167_dlq_ingest": _jsonl_dlq_q,
         # reports (G17) + metrics (G15) over the crawl fetch log
@@ -2325,6 +2351,20 @@ def oracle_sql() -> dict[str, str]:
                                      AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(SUM(length(props)) AS BIGINT) AS props_bytes
             FROM events GROUP BY event_type ORDER BY event_type""",
+        # q215: fixed-width roundtrip — oracle over the ORIGINAL
+        # parquet; any slicing-offset defect shifts a value
+        "q215_fixedwidth_ingest": """
+            SELECT o_orderstatus AS status,
+                   o_orderpriority AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(MIN(CAST(strftime(o_orderdate, '%Y%m%d')
+                                 AS BIGINT)) AS BIGINT) AS min_date,
+                   CAST(MAX(CAST(strftime(o_orderdate, '%Y%m%d')
+                                 AS BIGINT)) AS BIGINT) AS max_date
+            FROM orders GROUP BY status, priority
+            ORDER BY status, priority""",
         # q162: schema-evolution read — oracle replays the generation
         # split (even ids = gen-1 legacy, odd ids = gen-2 with source)
         # on the original table; any defect in union-by-name, null

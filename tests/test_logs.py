@@ -182,3 +182,33 @@ def test_csv_ingest_aggregate_matches_pandas(ray_session, tmp_path):
     assert got["click"]["sum_k"] == 12 + 0 + 987654
     assert got["view"]["sum_cents"] == 18522 + 10 ** 9 - 1
     assert got["view"]["props_bytes"] == len('{"k": 87}') + len('{"k": 1}')
+
+
+def test_fixedwidth_roundtrip_layout(ray_session, tmp_path):
+    """q215 layout parity on boundary-width values: 12-digit orderkey,
+    full-width priority, zero cents."""
+    from warc_ray.pipelines.logs import (_FW_LAYOUT, _WriteFixedWidthShard,
+                                         ingest_orders_fixedwidth)
+
+    t = pa.table({
+        "o_orderkey": pa.array([999999999999, 1], type=pa.int64()),
+        "o_custkey": pa.array([9999999999, 2], type=pa.int64()),
+        "o_orderstatus": pa.array(["F", "O"]),
+        "o_totalprice": pa.array([0.0, 123456.78], type=pa.float64()),
+        "o_orderdate": pa.array([dt.datetime(1999, 12, 31),
+                                 dt.datetime(2001, 1, 2)],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT-MAX-15", "5-LOW"]),
+    })
+    out = str(tmp_path / "fw")
+    man = _WriteFixedWidthShard(out)(t)
+    path = man["path"][0].as_py()
+    lines = open(path).read().splitlines()
+    assert all(len(x) == _FW_LAYOUT[-1][1] for x in lines)
+    assert lines[0] == ("999999999999" + "9999999999" + "F"
+                        + "0" * 14 + "19991231" + "1-URGENT-MAX-15")
+    got = {(r["status"], r["priority"]): r for b in
+           ingest_orders_fixedwidth(out)
+           .iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert got[("O", "5-LOW")]["sum_cents"] == 12345678
+    assert got[("F", "1-URGENT-MAX-15")]["min_date"] == 19991231

@@ -501,3 +501,116 @@ def ingest_events_csv(csv_dir: str):
 
     return out.map_batches(finish, batch_format="pyarrow") \
         .sort("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width landing zone (q215): mainframe-style export + read-back
+# ---------------------------------------------------------------------------
+
+# field layout (byte offsets in each 60-char line):
+#   orderkey   [0:12)   zero-padded digits
+#   custkey    [12:22)  zero-padded digits
+#   status     [22:23)  one char
+#   cents      [23:37)  zero-padded digits
+#   date       [37:45)  YYYYMMDD
+#   priority   [45:60)  left-justified, space-padded
+_FW_LAYOUT = ((0, 12), (12, 22), (22, 23), (23, 37), (37, 45), (45, 60))
+
+
+class _WriteFixedWidthShard:
+    """map_batches callable: one batch → one fixed-width .dat shard
+    (the COBOL/mainframe interchange format: no delimiters at all —
+    correctness IS the byte arithmetic)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_rows": pa.array([], type=pa.int64()),
+                             "bytes": pa.array([], type=pa.int64())})
+        s = pa.string()
+        key = pc.utf8_lpad(pc.cast(b["o_orderkey"], s), 12, "0")
+        cust = pc.utf8_lpad(pc.cast(b["o_custkey"], s), 10, "0")
+        cents = pc.utf8_lpad(pc.cast(pa.array(
+            np.rint(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)), s), 14, "0")
+        date = pc.strftime(b["o_orderdate"], format="%Y%m%d")
+        prio = pc.utf8_rpad(b["o_orderpriority"], 15, " ")
+        lines = pc.binary_join_element_wise(
+            key, cust, b["o_orderstatus"], cents, date, prio, "")
+        blob = ("\n".join(lines.to_pylist()) + "\n").encode("ascii")
+        name_h = hashlib.sha1(
+            ("%s|%d" % (key[0], b.num_rows)).encode()).hexdigest()[:16]
+        path = os.path.join(self.out_dir, f"part-{name_h}.dat")
+        tmp = path + ".tmp-%s" % uuid.uuid4().hex[:8]
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "n_rows": [b.num_rows],
+                         "bytes": [len(blob)]})
+
+
+def export_orders_fixedwidth(sf_dir: str, out_dir: str, *,
+                             batch_size: int = 4096) -> int:
+    """Export ``orders.parquet`` as fixed-width .dat shards (q215)."""
+    import ray.data as rd
+
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.endswith(".dat") or ".tmp-" in name:
+                os.remove(os.path.join(out_dir, name))
+    man = rd.read_parquet(os.path.join(sf_dir, "orders.parquet")) \
+        .map_batches(_WriteFixedWidthShard(out_dir),
+                     batch_format="pyarrow", batch_size=batch_size)
+    return sum(r["n_rows"] for b in man.iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist())
+
+
+def ingest_orders_fixedwidth(fw_dir: str):
+    """Distributed fixed-width ingestion + per-(status, priority)
+    aggregate (q215).  ``read_text`` hands each shard's lines to a
+    vectorized column slicer (``utf8_slice_codeunits`` at the pinned
+    layout offsets) — one misplaced offset shifts every value and
+    breaks the oracle hash."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_text(fw_dir)
+
+    def parse(b: pa.Table) -> pa.Table:
+        line = b["text"]
+        f = [pc.utf8_slice_codeunits(line, lo, hi)
+             for lo, hi in _FW_LAYOUT]
+        t = pa.table({
+            "status": f[2],
+            "priority": pc.utf8_trim(f[5], " "),
+            "cents": pc.cast(f[3], pa.int64()),
+            "date_i": pc.cast(f[4], pa.int64()),
+            "one": pa.nulls(b.num_rows, pa.int64()).fill_null(1)})
+        p = t.group_by(["status", "priority"]).aggregate(
+            [("one", "sum"), ("cents", "sum"), ("date_i", "min"),
+             ("date_i", "max")])
+        return p.rename_columns(["status", "priority", "n", "cents",
+                                 "d_min", "d_max"])
+
+    out = ds.map_batches(parse, batch_format="pyarrow") \
+        .groupby(["status", "priority"]) \
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("cents", alias_name="sum_cents"),
+                   Min("d_min", alias_name="min_date"),
+                   Max("d_max", alias_name="max_date"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "status": b["status"],
+            "priority": b["priority"],
+            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            "min_date": pc.cast(b["min_date"], pa.int64()),
+            "max_date": pc.cast(b["max_date"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort(["status", "priority"])
