@@ -914,6 +914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q212_bounce_rate": an.bounce_rate,
         "q213_linenumber_audit": an.linenumber_audit,
         "q214_presence_census": an.presence_census,
+        "q216_churn_report": an.churn_report,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1308,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "q212_bounce_rate": _an.BOUNCE_SQL,
         "q213_linenumber_audit": _an.LINENUM_SQL,
         "q214_presence_census": _an.PRESENCE_SQL,
+        "q216_churn_report": _an.CHURN_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -322,3 +322,49 @@ def test_clustered_join_rejects_unsorted(ray_session, tmp_path):
     fact = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64())}))
     with pytest.raises(ValueError, match="not sorted"):
         clustered_join(fact, path, fact_key="k", dim_key="k")
+
+
+def test_auto_join_three_paths_value_equal(ray_session, tmp_path):
+    """auto_join must pick broadcast / clustered / hash from parquet
+    stats and produce IDENTICAL rows on every path (the strategy only
+    moves work)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from warc_ray.stages.exchange import auto_join
+
+    rng = np.random.RandomState(7)
+    fact = pa.table({
+        "k": pa.array(rng.randint(0, 50, 300), type=pa.int64()),
+        "v": pa.array(np.arange(300), type=pa.int64())})
+    fact_path = str(tmp_path / "fact.parquet")
+    pq.write_table(fact, fact_path)
+
+    dim_sorted = pa.table({
+        "k": pa.array(np.arange(0, 40), type=pa.int64()),   # 10 keys miss
+        "w": pa.array(np.arange(0, 40) * 7, type=pa.int64())})
+    ds_path = str(tmp_path / "dim_sorted.parquet")
+    pq.write_table(dim_sorted, ds_path, row_group_size=8)
+
+    perm = rng.permutation(40)
+    du_path = str(tmp_path / "dim_unsorted.parquet")
+    pq.write_table(dim_sorted.take(pa.array(perm)), du_path,
+                   row_group_size=8)
+
+    def run(dim_path, limit):
+        ds, strat = auto_join(rd.read_parquet(fact_path), dim_path,
+                              fact_key="k", dim_key="k",
+                              dim_columns=["w"], npart=4,
+                              broadcast_row_limit=limit)
+        df = ds.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        return df, strat
+
+    base, s1 = run(ds_path, 1000)       # small dim → broadcast
+    clus, s2 = run(ds_path, 10)        # big + sorted → clustered
+    hashj, s3 = run(du_path, 10)       # big + unsorted → hash
+    assert (s1, s2, s3) == ("broadcast", "clustered", "hash")
+    assert len(base) == 300 * 0 + int((fact["k"].to_numpy() < 40).sum())
+    for other in (clus, hashj):
+        assert base.equals(other[base.columns])

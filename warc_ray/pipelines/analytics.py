@@ -12153,3 +12153,92 @@ PRESENCE_SQL = f"""
              AS n_years,
            CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM m GROUP BY presence_mask ORDER BY presence_mask"""
+
+
+# ---------------------------------------------------------------------------
+# Q216: churn report via the stats-driven auto_join planner rule
+# ---------------------------------------------------------------------------
+
+
+def churn_report(sf_dir: str, horizon_days: int = 365,
+                 npart: int = 16):
+    """q216: per-nation churn — customers whose LAST order is more
+    than a year older than the dataset's last order day — routed
+    through ``exchange.auto_join``, the planner rule that picks
+    broadcast / clustered / hash joins from parquet FOOTER stats
+    instead of a hard-coded strategy (the engine decision q168 only
+    reports).  At sf0.01 the customer dim broadcasts; at a scale
+    where it outgrows the limit the SAME call hash-exchanges, rows
+    identical.
+
+    Exactness: day arithmetic in integer epoch days; the rate is one
+    closing double."""
+    from ..stages.exchange import auto_join
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "d": pc.cast(pc.divide(pc.cast(b["o_orderdate"], INT64),
+                                   pa.scalar(86_400_000_000,
+                                             type=INT64)), INT64)}) \
+            .group_by(["c_custkey"]).aggregate([("d", "max")]) \
+            .rename_columns(["c_custkey", "last_day"])
+
+    last = rd.read_parquet(_pq(sf_dir, "orders"),
+                           columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey") \
+        .aggregate(Max("last_day", alias_name="last_day")) \
+        .materialize()
+    global_last = int(last.max("last_day"))
+    cut = global_last - horizon_days
+
+    def agg_nation(j: pa.Table) -> pa.Table:
+        churned = pc.cast(pc.less(j["last_day"],
+                                  pa.scalar(cut, type=INT64)), INT64)
+        return pa.table({
+            "c_nationkey": pc.cast(j["c_nationkey"], INT64),
+            "n_customers": pa.nulls(j.num_rows, INT64).fill_null(1),
+            "n_churned": churned}) \
+            .group_by(["c_nationkey"]).aggregate(
+                [("n_customers", "sum"), ("n_churned", "sum")]) \
+            .rename_columns(["c_nationkey", "n_customers", "n_churned"])
+
+    joined, strategy = auto_join(
+        last, _pq(sf_dir, "customer"), fact_key="c_custkey",
+        dim_key="c_custkey", dim_columns=["c_nationkey"], npart=npart,
+        bucket_finish=agg_nation)
+
+    agg = joined.groupby("c_nationkey") \
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("n_churned", alias_name="n_churned"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_customers"].to_numpy(zero_copy_only=False)
+        ch = b["n_churned"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_nationkey": pc.cast(b["c_nationkey"], INT64),
+            "n_customers": pc.cast(b["n_customers"], INT64),
+            "n_churned": pc.cast(b["n_churned"], INT64),
+            "churn_rate": pa.array(
+                ch.astype(np.float64) / n.astype(np.float64),
+                type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("c_nationkey")
+
+
+CHURN_SQL = """
+    WITH last AS (
+      SELECT o_custkey,
+             MAX(epoch_us(o_orderdate) // 86400000000) AS last_day
+      FROM orders GROUP BY o_custkey),
+    g AS (SELECT MAX(last_day) AS gl FROM last)
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN last_day < gl - 365 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_churned,
+           CAST(SUM(CASE WHEN last_day < gl - 365 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS churn_rate
+    FROM last JOIN customer ON o_custkey = c_custkey, g
+    GROUP BY c_nationkey ORDER BY c_nationkey"""

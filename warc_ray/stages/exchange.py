@@ -474,3 +474,84 @@ def clustered_join(fact_ds, dim_path: str, *, fact_key: str,
 
     return fact_ds.map_batches(route, batch_format="pyarrow") \
         .groupby("part").map_groups(bucket, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Stats-driven join strategy selection (the planner's join rule)
+# ---------------------------------------------------------------------------
+
+BROADCAST_ROW_LIMIT = 2_000_000        # dim rows a worker can hold (~tens of MB)
+
+
+def auto_join(fact_ds, dim_path: str, *, fact_key: str, dim_key: str,
+              dim_columns=None, npart: int = 32, bucket_finish=None,
+              broadcast_row_limit: int | None = None):
+    """Join a fact Dataset against a parquet dimension choosing the
+    strategy FROM STORAGE STATISTICS — the rule a query planner runs,
+    exposed as an engine primitive (q168 reports these costs; this
+    acts on them):
+
+      1. dim rows ≤ broadcast_row_limit → BROADCAST: read the dim
+         once driver-side, ship via the task closure, join per batch
+         with np.searchsorted against the sorted key column — no
+         exchange AT ALL, the fact never moves.
+      2. dim key-sorted (row-group min stats monotone) → CLUSTERED:
+         range-route only the fact; each bucket reads its own row
+         groups (``clustered_join``).
+      3. otherwise → bucket-exchange ``hash_join`` (both sides move).
+
+    All three produce identical rows (inner join); the choice moves
+    only WORK.  Decision inputs are parquet FOOTER metadata — no data
+    scan.  ``bucket_finish`` fuses the consumer in every path (for
+    the broadcast path it runs per BATCH — correct for any per-row
+    finish or any per-key aggregate whose downstream re-reduces)."""
+    import pyarrow.parquet as pq
+
+    limit = (BROADCAST_ROW_LIMIT if broadcast_row_limit is None
+             else broadcast_row_limit)
+    md = pq.read_metadata(dim_path)
+    cols = [dim_key] + [c for c in (dim_columns or []) if c != dim_key]
+
+    if md.num_rows <= limit:
+        dim = pq.read_table(dim_path, columns=cols)
+        order = pa.compute.sort_indices(dim[dim_key])
+        dim = dim.take(order)
+        keys = dim[dim_key].to_numpy(zero_copy_only=False)
+        dim_cols = {c: dim[c] for c in cols if c != dim_key}
+
+        def probe(b: pa.Table) -> pa.Table:
+            fk = b[fact_key].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, fk)
+            pos_c = np.minimum(pos, len(keys) - 1)
+            hit = (len(keys) > 0) & (keys[pos_c] == fk)
+            b = b.filter(pa.array(hit))
+            take = pa.array(pos_c[hit])
+            out = b
+            for c, col in dim_cols.items():
+                name = c + ("_r" if c in b.column_names else "")
+                out = out.append_column(name, col.take(take))
+            return bucket_finish(out) if bucket_finish is not None \
+                else out
+
+        return fact_ds.map_batches(probe, batch_format="pyarrow"), \
+            "broadcast"
+
+    key_idx = next(j for j in range(md.row_group(0).num_columns)
+                   if md.row_group(0).column(j).path_in_schema == dim_key)
+    mins = [md.row_group(i).column(key_idx).statistics.min
+            for i in range(md.num_row_groups)]
+    if all(mins[i] <= mins[i + 1] for i in range(len(mins) - 1)):
+        return clustered_join(fact_ds, dim_path, fact_key=fact_key,
+                              dim_key=dim_key, dim_columns=dim_columns,
+                              npart=npart,
+                              bucket_finish=bucket_finish), "clustered"
+
+    import ray.data as rd
+    dim_ds = rd.read_parquet(dim_path, columns=cols)
+    if dim_key != fact_key:
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [fact_key if c == dim_key else c for c in b.column_names])
+        dim_ds = dim_ds.map_batches(rename, batch_format="pyarrow")
+    return hash_join(fact_ds, dim_ds, fact_key, npart=npart,
+                     bucket_finish=bucket_finish), "hash"
