@@ -368,3 +368,30 @@ def test_auto_join_three_paths_value_equal(ray_session, tmp_path):
     assert len(base) == 300 * 0 + int((fact["k"].to_numpy() < 40).sum())
     for other in (clus, hashj):
         assert base.equals(other[base.columns])
+
+
+def test_distributed_select_matches_sort(ray_session):
+    """radix-select = sort-based selection on hostile shapes: heavy
+    duplicates, values straddling bucket boundaries, rank 1 and n."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from warc_ray.stages.exchange import distributed_select
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate([
+        rng.randint(0, 5, 200),                  # heavy dup low values
+        rng.randint(0, 1 << 30, 500),            # wide domain
+        np.full(50, (1 << 30) - 1),              # boundary pile-up
+    ]).astype(np.int64)
+    n = len(vals)
+    ranks = [1, 2, n // 3, n // 2, n - 1, n]
+
+    def make_ds():
+        return rd.from_arrow(pa.table({"v": vals})).repartition(6)
+
+    got = distributed_select(make_ds, "v", ranks, n_total=n)
+    srt = np.sort(vals)
+    for k in ranks:
+        assert got[k] == int(srt[k - 1]), k

@@ -12242,3 +12242,57 @@ CHURN_SQL = """
                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS churn_rate
     FROM last JOIN customer ON o_custkey = c_custkey, g
     GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q217: exact unbounded-domain percentiles via radix-select
+# ---------------------------------------------------------------------------
+
+
+def radix_percentiles(sf_dir: str):
+    """q217: exact p50/p90/p99 of order value — over an UNBOUNDED
+    integer domain, so the bounded-histogram percentile fabric
+    (q15/q145) doesn't apply: routes through
+    ``exchange.distributed_select``, the 3-pass radix-select that pins
+    each rank to a 2^16 bucket then resolves it exactly — no global
+    sort, no full-domain histogram, bounded driver state.
+
+    Ranks are pinned as ceil(q·n) lower order statistics (identical
+    integer arithmetic in the SQL twin)."""
+    from ..stages.exchange import distributed_select
+
+    def make_ds():
+        return rd.read_parquet(_pq(sf_dir, "orders"),
+                               columns=["o_totalprice"]) \
+            .map_batches(lambda b: pa.table({
+                "cents": pc.cast(pc.round(pc.multiply(
+                    b["o_totalprice"], 100.0)), INT64)}),
+                batch_format="pyarrow")
+
+    import pyarrow.parquet as _pq2
+    n = _pq2.read_metadata(_pq(sf_dir, "orders")).num_rows
+    ranks = {"p50": (n + 1) // 2,
+             "p90": (9 * n + 9) // 10,
+             "p99": (99 * n + 99) // 100}
+    got = distributed_select(make_ds, "cents",
+                             sorted(set(ranks.values())), n_total=n)
+    return pa.table({
+        "stat": pa.array(sorted(ranks), type=pa.string()),
+        "cents": pa.array([got[ranks[s]] for s in sorted(ranks)],
+                          type=INT64)})
+
+
+RADIX_PCTL_SQL = """
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x) AS rn,
+             COUNT(*) OVER () AS n
+      FROM v)
+    SELECT 'p50' AS stat, x AS cents FROM r WHERE rn = (n + 1) // 2
+    UNION ALL
+    SELECT 'p90', x FROM r WHERE rn = (9 * n + 9) // 10
+    UNION ALL
+    SELECT 'p99', x FROM r WHERE rn = (99 * n + 99) // 100
+    ORDER BY stat"""

@@ -555,3 +555,90 @@ def auto_join(fact_ds, dim_path: str, *, fact_key: str, dim_key: str,
         dim_ds = dim_ds.map_batches(rename, batch_format="pyarrow")
     return hash_join(fact_ds, dim_ds, fact_key, npart=npart,
                      bucket_finish=bucket_finish), "hash"
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact selection (radix-select, no global sort)
+# ---------------------------------------------------------------------------
+
+
+def distributed_select(make_ds, value_col: str, ranks: list[int],
+                       *, n_total: int | None = None) -> dict[int, int]:
+    """Exact k-th smallest selection over a non-negative int64 column
+    WITHOUT a global sort — the distributed quickselect every exact-
+    percentile op needs once the value domain is unbounded (the q15/
+    q145 bounded-histogram trick stops working):
+
+      pass A: (count, max) partials → radix shift so the high bits
+              fit 2^16 buckets,
+      pass B: 2^16-bucket histogram partials → driver prefix walk
+              pins each rank's bucket + in-bucket residual rank,
+      pass C: exact value histogram RESTRICTED to the (few) pinned
+              buckets → driver selects.
+
+    Three scans, each reducing to bounded driver state (65k ints); the
+    data never moves.  ``make_ds()`` must return a fresh Dataset per
+    pass (a lazy Dataset can be consumed once per execution but
+    callers may hold non-reusable pipelines).  ``ranks`` are 1-based.
+    """
+    import pyarrow as pa
+
+    def fold(ds, fn):
+        t = pa.concat_tables(
+            ds.map_batches(fn, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow"))
+        return t
+
+    def nm(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(v)], type=pa.int64()),
+                         "mx": pa.array([int(v.max()) if len(v) else 0],
+                                        type=pa.int64())})
+
+    t = fold(make_ds(), nm)
+    n = int(np.sum(t["n"].to_numpy()))
+    mx = int(np.max(t["mx"].to_numpy())) if t.num_rows else 0
+    if n_total is not None:
+        assert n == n_total
+    shift = max(0, int(mx).bit_length() - 16)
+
+    def hist_hi(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        c = np.bincount(v >> shift, minlength=1)
+        nz = np.flatnonzero(c)
+        return pa.table({"bkt": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(c[nz].astype(np.int64))})
+
+    t = fold(make_ds(), hist_hi)
+    counts = np.zeros((mx >> shift) + 2, dtype=np.int64)
+    np.add.at(counts, t["bkt"].to_numpy(zero_copy_only=False),
+              t["c"].to_numpy(zero_copy_only=False))
+    cum = np.cumsum(counts)
+    targets = {}                      # bucket -> [(rank, residual)]
+    for k in ranks:
+        b = int(np.searchsorted(cum, k, side="left"))
+        res = k - (int(cum[b - 1]) if b > 0 else 0)
+        targets.setdefault(b, []).append((k, res))
+    want = np.array(sorted(targets), dtype=np.int64)
+
+    def hist_lo(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(v >> shift, want)
+        v = v[keep]
+        uv, cv = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uv.astype(np.int64)),
+                         "c": pa.array(cv.astype(np.int64))})
+
+    t = fold(make_ds(), hist_lo)
+    uv, inv = np.unique(t["v"].to_numpy(zero_copy_only=False),
+                        return_inverse=True)
+    cv = np.zeros(len(uv), dtype=np.int64)
+    np.add.at(cv, inv, t["c"].to_numpy(zero_copy_only=False))
+    out = {}
+    for b, lst in targets.items():
+        m = (uv >> shift) == b
+        vals, cnts = uv[m], cv[m]
+        ccum = np.cumsum(cnts)
+        for k, res in lst:
+            out[k] = int(vals[np.searchsorted(ccum, res, side="left")])
+    return out
