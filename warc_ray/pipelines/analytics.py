@@ -9806,7 +9806,9 @@ def large_volume_customers(sf_dir: str, min_qty: int = 250,
         .groupby("o_orderkey").aggregate(Sum("qc", alias_name="qc")) \
         .map_batches(lambda b: b.filter(pc.greater(
             b["qc"], pa.scalar(min_qty * 100, type=INT64))),
-            batch_format="pyarrow")
+            batch_format="pyarrow") \
+        .materialize()          # tiny; hash_join probes .schema() —
+    # unmaterialized, the whole quantity aggregate would execute twice
 
     def orders_side(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -11048,12 +11050,14 @@ def degree_assortativity(sf_dir: str, npart: int = 16):
             batch_format="pyarrow") \
             .groupby(key).aggregate(Sum("n", alias_name="d" + key[2]))
 
-    odeg = deg(edges, "l_orderkey")
-    pdeg = deg(edges, "l_partkey")
+    # materialized: hash_join probes .schema() on both inputs — left
+    # lazy these key-count aggregates would execute twice each
+    odeg = deg(edges, "l_orderkey").materialize()
+    pdeg = deg(edges, "l_partkey").materialize()
 
     with_dx = hash_join(edges, odeg, "l_orderkey", npart=npart,
                         bucket_finish=lambda j: j.select(
-                            ["l_partkey", "do"]))
+                            ["l_partkey", "do"])).materialize()
 
     def moments(j: pa.Table) -> pa.Table:
         x = j["do"].to_numpy(zero_copy_only=False)
@@ -11410,8 +11414,8 @@ def mutual_best(sf_dir: str, npart: int = 16):
                 lambda g: bucket(g.drop_columns(["part"])),
                 batch_format="pyarrow")
 
-    best_c = argmax_by("c", "p")
-    best_p = argmax_by("p", "c")
+    best_c = argmax_by("c", "p").materialize()   # key-sized; avoids
+    best_p = argmax_by("p", "c").materialize()   # schema() re-execution
 
     mutual = hash_join(best_c, best_p, ["c", "p"], npart=npart,
                        bucket_finish=lambda j: j.filter(
