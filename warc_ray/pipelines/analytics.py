@@ -12300,3 +12300,73 @@ RADIX_PCTL_SQL = """
     UNION ALL
     SELECT 'p99', x FROM r WHERE rn = (99 * n + 99) // 100
     ORDER BY stat"""
+
+
+# ---------------------------------------------------------------------------
+# Q218: weekday seasonality index
+# ---------------------------------------------------------------------------
+
+
+def weekday_seasonality(sf_dir: str):
+    """q218: the day-of-week seasonality index of order revenue —
+    each weekday's average daily revenue as a ratio to the overall
+    daily average (index 1.0 = flat): the demand-planning input behind
+    staffing and inventory curves.
+
+    Exactness: revenue folds as (dow, day)-cents partials (exact
+    int64); per-dow Σcents and DISTINCT-day counts close in one tiny
+    groupby; the index is one pinned closing double expression —
+    (cents_d / days_d) / (cents_total / days_total) — evaluated from
+    the same exact integers in both engines.  Weekday derives from
+    epoch days ((d+3) % 7, 0=Monday pinned, no locale)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], INT64).to_numpy(
+            zero_copy_only=False) // 86_400_000_000
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        INT64)
+        return pa.table({
+            "dow": pa.array((d + 3) % 7, type=INT64),  # 0 = Monday
+            "day": pa.array(d, type=INT64),
+            "cents": cents}) \
+            .group_by(["dow", "day"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["dow", "day", "cents"])
+
+    per_day = rd.read_parquet(_pq(sf_dir, "orders"),
+                              columns=["o_orderdate", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["dow", "day"]).aggregate(Sum("cents",
+                                               alias_name="cents"))
+
+    t = pa.concat_tables(per_day.iter_batches(batch_format="pyarrow"))
+    dow = t["dow"].to_numpy(zero_copy_only=False)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    n_days = np.bincount(dow, minlength=7).astype(np.int64)
+    s = np.zeros(7, dtype=np.int64)
+    np.add.at(s, dow, cents)
+    total_c, total_d = int(s.sum()), int(n_days.sum())
+    keep = n_days > 0
+    idx = np.flatnonzero(keep)
+    avg = s[keep].astype(np.float64) / n_days[keep].astype(np.float64)
+    overall = float(total_c) / float(total_d)
+    return pa.table({
+        "dow": pa.array(idx.astype(np.int64), type=INT64),
+        "n_days": pa.array(n_days[keep], type=INT64),
+        "sum_cents": pa.array(s[keep], type=INT64),
+        "seasonality": pa.array(avg / overall, type=pa.float64())})
+
+
+SEASONALITY_SQL = """
+    WITH d AS (
+      SELECT (epoch_us(o_orderdate) // 86400000000 + 3) % 7 AS dow,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY dow, day),
+    g AS (SELECT CAST(SUM(cents) AS BIGINT) AS tc,
+                 CAST(COUNT(*) AS BIGINT) AS td FROM d)
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           (CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             / (CAST(tc AS DOUBLE) / CAST(td AS DOUBLE)) AS seasonality
+    FROM d, g GROUP BY dow, tc, td ORDER BY dow"""
