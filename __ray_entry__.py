@@ -917,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q216_churn_report": an.churn_report,
         "q217_radix_percentiles": an.radix_percentiles,
         "q218_weekday_seasonality": an.weekday_seasonality,
+        "q219_priority_mix_shift": an.priority_mix_shift,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1314,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "q216_churn_report": _an.CHURN_SQL,
         "q217_radix_percentiles": _an.RADIX_PCTL_SQL,
         "q218_weekday_seasonality": _an.SEASONALITY_SQL,
+        "q219_priority_mix_shift": _an.MIX_SHIFT_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -12370,3 +12370,87 @@ SEASONALITY_SQL = """
            (CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
              / (CAST(tc AS DOUBLE) / CAST(td AS DOUBLE)) AS seasonality
     FROM d, g GROUP BY dow, tc, td ORDER BY dow"""
+
+
+# ---------------------------------------------------------------------------
+# Q219: priority-mix shift between years (integer ppm shares)
+# ---------------------------------------------------------------------------
+
+
+def priority_mix_shift(sf_dir: str, year_a: int = 1996,
+                       year_b: int = 1997):
+    """q219: order-priority MIX SHIFT between two years — each
+    priority's share of orders in parts-per-million, both years, and
+    the delta: the composition-drift report (did the business get more
+    urgent?).  Shares are FLOOR-ppm integers (n·10⁶ // total), so the
+    whole result — including the deltas — is integer-exact in both
+    engines; no float share is ever produced.
+
+    Scale shape: one conditional-count partial scan → a ≤|priorities|
+    groupby → driver-free closing arithmetic in the finish batch (the
+    totals ride the tiny table via window-style sums)."""
+    lo_a = int(np.datetime64(f"{year_a}-01-01", "us").astype(np.int64))
+    hi_a = int(np.datetime64(f"{year_a + 1}-01-01", "us")
+               .astype(np.int64))
+    hi_b = int(np.datetime64(f"{year_b + 1}-01-01", "us")
+               .astype(np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], INT64)
+        in_a = pc.and_(pc.greater_equal(d, pa.scalar(lo_a, type=INT64)),
+                       pc.less(d, pa.scalar(hi_a, type=INT64)))
+        in_b = pc.and_(pc.greater_equal(d, pa.scalar(hi_a, type=INT64)),
+                       pc.less(d, pa.scalar(hi_b, type=INT64)))
+        return pa.table({
+            "priority": b["o_orderpriority"],
+            "n_a": pc.cast(in_a, INT64),
+            "n_b": pc.cast(in_b, INT64)}) \
+            .group_by(["priority"]).aggregate(
+                [("n_a", "sum"), ("n_b", "sum")]) \
+            .rename_columns(["priority", "n_a", "n_b"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "orders"),
+                          columns=["o_orderpriority", "o_orderdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("priority").aggregate(Sum("n_a", alias_name="n_a"),
+                                       Sum("n_b", alias_name="n_b"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        na = t["n_a"].to_numpy(zero_copy_only=False)
+        nb = t["n_b"].to_numpy(zero_copy_only=False)
+        sa = pa.array(na * 1_000_000 // max(int(na.sum()), 1),
+                      type=INT64)
+        sb = pa.array(nb * 1_000_000 // max(int(nb.sum()), 1),
+                      type=INT64)
+        return pa.table({
+            "priority": t["priority"],
+            "n_a": pa.array(na, type=INT64),
+            "n_b": pa.array(nb, type=INT64),
+            "share_a_ppm": sa,
+            "share_b_ppm": sb,
+            "delta_ppm": pc.subtract(sb, sa)})
+
+    # the aggregated table is <=|priorities| rows — close in one block
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow").sort("priority")
+
+
+MIX_SHIFT_SQL = """
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                            AND o_orderdate < TIMESTAMP '1997-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                            AND o_orderdate < TIMESTAMP '1998-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM orders GROUP BY priority)
+    SELECT priority, n_a, n_b,
+           CAST(n_a * 1000000 // GREATEST(SUM(n_a) OVER (), 1)
+                AS BIGINT) AS share_a_ppm,
+           CAST(n_b * 1000000 // GREATEST(SUM(n_b) OVER (), 1)
+                AS BIGINT) AS share_b_ppm,
+           CAST(n_b * 1000000 // GREATEST(SUM(n_b) OVER (), 1)
+                - n_a * 1000000 // GREATEST(SUM(n_a) OVER (), 1)
+                AS BIGINT) AS delta_ppm
+    FROM c ORDER BY priority"""
