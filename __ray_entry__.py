@@ -918,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q217_radix_percentiles": an.radix_percentiles,
         "q218_weekday_seasonality": an.weekday_seasonality,
         "q219_priority_mix_shift": an.priority_mix_shift,
+        "q220_basket_width": an.basket_width,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1316,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "q217_radix_percentiles": _an.RADIX_PCTL_SQL,
         "q218_weekday_seasonality": _an.SEASONALITY_SQL,
         "q219_priority_mix_shift": _an.MIX_SHIFT_SQL,
+        "q220_basket_width": _an.BASKET_WIDTH_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -12454,3 +12454,78 @@ MIX_SHIFT_SQL = """
                 - n_a * 1000000 // GREATEST(SUM(n_a) OVER (), 1)
                 AS BIGINT) AS delta_ppm
     FROM c ORDER BY priority"""
+
+
+# ---------------------------------------------------------------------------
+# Q220: basket-width census (distinct parts per order)
+# ---------------------------------------------------------------------------
+
+
+def basket_width(sf_dir: str, npart: int = 32):
+    """q220: the basket-width census — how many DISTINCT parts each
+    order contains, as a width → order-count histogram plus the
+    multi-line share: the assortment-breadth statistic behind bundle
+    pricing and picking-route design.
+
+    Scale shape: per-batch distinct (order, part) combiner → one
+    orderkey exchange (cross-batch duplicates must meet) → widths via
+    run-boundary reduceat → tiny histogram partials.  The share is
+    one closing double."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"o": b["l_orderkey"],
+                         "p": b["l_partkey"]}) \
+            .group_by(["o", "p"]).aggregate([])
+
+    def bucket(g: pa.Table) -> pa.Table:
+        o = g["o"].to_numpy(zero_copy_only=False)
+        p = g["p"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        uniq = np.concatenate(
+            ([True], (o[1:] != o[:-1]) | (p[1:] != p[:-1])))
+        o = o[uniq]
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        width = np.diff(np.append(starts, len(o)))
+        return pa.table({
+            "width": pa.array(width.astype(np.int64), type=INT64),
+            "n_orders": pa.array(np.ones(len(starts),
+                                         dtype=np.int64))}) \
+            .group_by(["width"]).aggregate([("n_orders", "sum")]) \
+            .rename_columns(["width", "n_orders"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_partkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "o", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("width").aggregate(Sum("n_orders",
+                                        alias_name="n_orders"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_orders"].to_numpy(zero_copy_only=False)
+        total = int(n.sum())
+        return pa.table({
+            "width": pc.cast(t["width"], INT64),
+            "n_orders": pa.array(n, type=INT64),
+            "share": pa.array(n.astype(np.float64) / float(total),
+                              type=pa.float64())})
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow").sort("width")
+
+
+BASKET_WIDTH_SQL = """
+    WITH w AS (
+      SELECT l_orderkey,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS width
+      FROM lineitem GROUP BY l_orderkey),
+    h AS (SELECT width, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM w GROUP BY width)
+    SELECT width, n_orders,
+           CAST(n_orders AS DOUBLE)
+             / CAST(SUM(n_orders) OVER () AS DOUBLE) AS share
+    FROM h ORDER BY width"""
