@@ -12529,3 +12529,90 @@ BASKET_WIDTH_SQL = """
            CAST(n_orders AS DOUBLE)
              / CAST(SUM(n_orders) OVER () AS DOUBLE) AS share
     FROM h ORDER BY width"""
+
+
+# ---------------------------------------------------------------------------
+# Q221: supplier load-balance report (per-nation dispersion)
+# ---------------------------------------------------------------------------
+
+
+def supplier_balance(sf_dir: str):
+    """q221: supplier load balance per nation — the coefficient of
+    variation of shipped-lineitem counts across each nation's
+    suppliers (CV→0 = evenly spread procurement, high CV = key-man
+    risk): the sourcing-concentration audit.
+
+    Scale shape: per-batch suppkey count partials → one suppkey
+    groupby (catalog-sized) → nation via broadcast dense array →
+    per-nation three-moment fold (n, Σc, Σc²) in exact int64; CV is
+    the single closing double expression."""
+    import pyarrow.parquet as _pq2
+
+    sup = _pq2.read_table(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sup_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    sup_nat[sk] = sn
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"s": b["l_suppkey"],
+                         "c": pa.nulls(b.num_rows, INT64).fill_null(1)}) \
+            .group_by(["s"]).aggregate([("c", "sum")]) \
+            .rename_columns(["s", "c"])
+
+    per_sup = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                              columns=["l_suppkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s").aggregate(Sum("c", alias_name="c"))
+
+    def moments(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        c = b["c"].to_numpy(zero_copy_only=False)
+        nat = np.where(s < len(sup_nat),
+                       sup_nat[np.minimum(s, len(sup_nat) - 1)], -1)
+        return pa.table({
+            "nat": pa.array(nat, type=INT64),
+            "n": pa.nulls(b.num_rows, INT64).fill_null(1),
+            "sc": pa.array(c, type=INT64),
+            "scc": pa.array(c * c, type=INT64)}) \
+            .group_by(["nat"]).aggregate(
+                [("n", "sum"), ("sc", "sum"), ("scc", "sum")]) \
+            .rename_columns(["nat", "n", "sc", "scc"])
+
+    agg = per_sup.map_batches(moments, batch_format="pyarrow") \
+        .groupby("nat").aggregate(Sum("n", alias_name="n"),
+                                  Sum("sc", alias_name="sc"),
+                                  Sum("scc", alias_name="scc"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sc = b["sc"].to_numpy(zero_copy_only=False)
+        scc = b["scc"].to_numpy(zero_copy_only=False)
+        cv = np.sqrt((n * scc - sc * sc).astype(np.float64)
+                     / n.astype(np.float64)) / sc.astype(np.float64) * n
+        return pa.table({
+            "n_nationkey": pc.cast(b["nat"], INT64),
+            "n_suppliers": pc.cast(b["n"], INT64),
+            "n_lineitems": pc.cast(b["sc"], INT64),
+            "load_cv": pa.array(cv, type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("n_nationkey")
+
+
+SUPPLIER_BALANCE_SQL = """
+    WITH c AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_suppkey),
+    m AS (
+      SELECT CAST(s_nationkey AS BIGINT) AS nat,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS scc
+      FROM c JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY nat)
+    SELECT nat AS n_nationkey, n AS n_suppliers, sc AS n_lineitems,
+           sqrt(CAST(n * scc - sc * sc AS DOUBLE) / CAST(n AS DOUBLE))
+             / CAST(sc AS DOUBLE) * n AS load_cv
+    FROM m ORDER BY n_nationkey"""
