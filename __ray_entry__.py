@@ -920,6 +920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q219_priority_mix_shift": an.priority_mix_shift,
         "q220_basket_width": an.basket_width,
         "q221_supplier_balance": an.supplier_balance,
+        "q222_brand_cr3": an.brand_cr3,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1320,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         "q219_priority_mix_shift": _an.MIX_SHIFT_SQL,
         "q220_basket_width": _an.BASKET_WIDTH_SQL,
         "q221_supplier_balance": _an.SUPPLIER_BALANCE_SQL,
+        "q222_brand_cr3": _an.BRAND_CR3_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -12616,3 +12616,109 @@ SUPPLIER_BALANCE_SQL = """
            sqrt(CAST(n * scc - sc * sc AS DOUBLE) / CAST(n AS DOUBLE))
              / CAST(sc AS DOUBLE) * n AS load_cv
     FROM m ORDER BY n_nationkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q222: CR3 concentration ratio per brand
+# ---------------------------------------------------------------------------
+
+
+def brand_cr3(sf_dir: str, k: int = 3, npart: int = 16):
+    """q222: the CR-3 concentration ratio per brand — the share of a
+    brand's revenue carried by its top-3 parts: the within-group
+    concentration statistic (antitrust's CR-k applied to catalog
+    health).
+
+    Scale shape: brand rides the clustered part join; (brand, part)
+    revenue partials → one small brand-key exchange where each
+    bucket's lexsort yields both the per-brand total and the top-k sum
+    in one pass (reduceat over run boundaries); the ratio is one
+    closing double."""
+    from ..stages.exchange import clustered_join
+
+    def line_side(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc))})
+
+    def brand_partial(j: pa.Table) -> pa.Table:
+        return j.select(["p_brand", "l_partkey", "rev"]) \
+            .group_by(["p_brand", "l_partkey"]) \
+            .aggregate([("rev", "sum")]) \
+            .rename_columns(["p_brand", "l_partkey", "rev"])
+
+    bp = clustered_join(
+        rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_extendedprice",
+                                 "l_discount"])
+        .map_batches(line_side, batch_format="pyarrow"),
+        _pq(sf_dir, "part"), fact_key="l_partkey", dim_key="p_partkey",
+        dim_columns=["p_brand"], npart=npart,
+        bucket_finish=brand_partial) \
+        .groupby(["p_brand", "l_partkey"]) \
+        .aggregate(Sum("rev", alias_name="rev"))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        br = np.asarray(g["p_brand"])
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False)
+        r = g["rev"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, -r, br))
+        br, r = br[order], r[order]
+        n = len(br)
+        starts = np.flatnonzero(np.concatenate(([True], br[1:] != br[:-1])))
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n) - np.repeat(starts, sizes)
+        total = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(total, np.repeat(np.arange(len(starts)), sizes), r)
+        topk = np.zeros(len(starts), dtype=np.int64)
+        m = pos < k
+        np.add.at(topk, np.repeat(np.arange(len(starts)), sizes)[m], r[m])
+        return pa.table({
+            "p_brand": pa.array(br[starts].tolist(), type=pa.string()),
+            "n_parts": pa.array(sizes.astype(np.int64), type=INT64),
+            "top3_rev": pa.array(topk, type=INT64),
+            "total_rev": pa.array(total, type=INT64)})
+
+    agg = bp.map_batches(lambda b: with_part(b, "p_brand", npart),
+                         batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow")
+
+    def finish(b: pa.Table) -> pa.Table:
+        t3 = b["top3_rev"].to_numpy(zero_copy_only=False)
+        tot = b["total_rev"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_brand": b["p_brand"],
+            "n_parts": pc.cast(b["n_parts"], INT64),
+            "cr3": pa.array(t3.astype(np.float64)
+                            / tot.astype(np.float64),
+                            type=pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("p_brand")
+
+
+BRAND_CR3_SQL = """
+    WITH bp AS (
+      SELECT p_brand,
+             l_partkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, l_partkey),
+    r AS (
+      SELECT p_brand, rev,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY rev DESC, l_partkey) AS rn
+      FROM bp)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN rn <= 3 THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS cr3
+    FROM r GROUP BY p_brand ORDER BY p_brand"""
