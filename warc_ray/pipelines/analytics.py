@@ -12722,3 +12722,92 @@ BRAND_CR3_SQL = """
            CAST(SUM(CASE WHEN rn <= 3 THEN rev ELSE 0 END) AS DOUBLE)
              / CAST(SUM(rev) AS DOUBLE) AS cr3
     FROM r GROUP BY p_brand ORDER BY p_brand"""
+
+
+# ---------------------------------------------------------------------------
+# Q223: shipment front-loading (first-ship revenue share per order)
+# ---------------------------------------------------------------------------
+
+
+def first_ship_share(sf_dir: str, npart: int = 32):
+    """q223: how front-loaded are shipments — per multi-line order,
+    the share of revenue leaving on its EARLIEST ship date, reported
+    as a decile-band histogram: the fulfillment-consolidation metric
+    (share→1 means single-shipment orders; low share means dribbled
+    fulfillment).
+
+    Scale shape: one orderkey exchange; per bucket a single lexsort +
+    minimum.reduceat pins each order's first date, a masked add.at
+    accumulates first-date vs total revenue, and the band is the
+    FLOOR-ppm decile (integer // arithmetic, positive so engines
+    agree)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "o": b["l_orderkey"],
+            "d": pc.cast(b["l_shipdate"], INT64),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc))})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        o = g["o"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        r = g["rev"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, o))
+        o, d, r = o[order], d[order], r[order]
+        n = len(o)
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        sizes = np.diff(np.append(starts, n))
+        gi = np.repeat(np.arange(len(starts)), sizes)
+        first_d = np.repeat(d[starts], sizes)    # sorted → min is first
+        total = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(total, gi, r)
+        first = np.zeros(len(starts), dtype=np.int64)
+        m = d == first_d
+        np.add.at(first, gi[m], r[m])
+        multi = sizes > 1
+        band = (first[multi] * 10) // np.maximum(total[multi], 1)
+        return pa.table({
+            "band": pa.array(np.minimum(band, 9), type=INT64),
+            "n_orders": pa.array(np.ones(int(multi.sum()),
+                                         dtype=np.int64))}) \
+            .group_by(["band"]).aggregate([("n_orders", "sum")]) \
+            .rename_columns(["band", "n_orders"])
+
+    return rd.read_parquet(_pq(sf_dir, "lineitem"),
+                           columns=["l_orderkey", "l_shipdate",
+                                    "l_extendedprice", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "o", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("band").aggregate(Sum("n_orders",
+                                       alias_name="n_orders")) \
+        .map_batches(lambda b: pa.table({
+            "band": pc.cast(b["band"], INT64),
+            "n_orders": pc.cast(b["n_orders"], INT64)}),
+            batch_format="pyarrow") \
+        .sort("band")
+
+
+FIRST_SHIP_SQL = """
+    WITH li AS (
+      SELECT l_orderkey AS o, l_shipdate AS d,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+      FROM lineitem),
+    s AS (
+      SELECT o, SUM(rev) AS total,
+             SUM(CASE WHEN d = md THEN rev ELSE 0 END) AS first_rev,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT *, MIN(d) OVER (PARTITION BY o) AS md FROM li)
+      GROUP BY o)
+    SELECT CAST(LEAST(first_rev * 10 // GREATEST(total, 1), 9)
+                AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM s WHERE n > 1 GROUP BY band ORDER BY band"""
