@@ -12811,3 +12811,86 @@ FIRST_SHIP_SQL = """
                 AS BIGINT) AS band,
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM s WHERE n > 1 GROUP BY band ORDER BY band"""
+
+
+# ---------------------------------------------------------------------------
+# Q224: same-type run-length census (behavioral momentum)
+# ---------------------------------------------------------------------------
+
+
+def type_run_lengths(sf_dir: str, npart: int = 32):
+    """q224: the run-length census of CONSECUTIVE same-type events
+    within a user's stream — (type, run length) → run count: the
+    behavioral-momentum statistic (rage-click runs, doomscroll view
+    chains) that single-event counts can't see.
+
+    Scale shape: one user exchange; runs are change-flags on the
+    (user, ts, event_id)-sorted stream, lengths are flag-position
+    diffs (q212's session machinery with TYPE changes as the cut),
+    and the (type, len) histogram folds as tiny partials."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "t": pc.cast(b["ts"], INT64),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        ei = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ei, t, u))
+        u = u[order]
+        et = np.asarray(g["event_type"].take(pa.array(order)))
+        n = len(u)
+        cut = np.ones(n, dtype=bool)
+        cut[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        fpos = np.flatnonzero(cut)
+        rl = np.diff(np.append(fpos, n))
+        return pa.table({
+            "event_type": pa.array(et[fpos].tolist(), type=pa.string()),
+            "run_len": pa.array(rl.astype(np.int64), type=INT64),
+            "n_runs": pa.array(np.ones(len(fpos), dtype=np.int64))}) \
+            .group_by(["event_type", "run_len"]) \
+            .aggregate([("n_runs", "sum")]) \
+            .rename_columns(["event_type", "run_len", "n_runs"])
+
+    return rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby(["event_type", "run_len"]) \
+        .aggregate(Sum("n_runs", alias_name="n_runs")) \
+        .map_batches(lambda b: pa.table({
+            "event_type": b["event_type"],
+            "run_len": pc.cast(b["run_len"], INT64),
+            "n_runs": pc.cast(b["n_runs"], INT64)}),
+            batch_format="pyarrow") \
+        .sort(["event_type", "run_len"])
+
+
+RUN_LENGTH_SQL = """
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM
+                       event_type THEN 1 ELSE 0 END AS cut
+      FROM events WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+    i AS (
+      SELECT user_id, event_type,
+             SUM(cut) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM s),
+    r AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM i GROUP BY user_id, run_id, event_type)
+    SELECT event_type, run_len,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM r GROUP BY event_type, run_len
+    ORDER BY event_type, run_len"""
