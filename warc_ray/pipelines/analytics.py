@@ -12894,3 +12894,82 @@ RUN_LENGTH_SQL = """
            CAST(COUNT(*) AS BIGINT) AS n_runs
     FROM r GROUP BY event_type, run_len
     ORDER BY event_type, run_len"""
+
+
+# ---------------------------------------------------------------------------
+# Q225: exact two-sample Kolmogorov–Smirnov distance
+# ---------------------------------------------------------------------------
+
+
+def ks_distance(sf_dir: str, type_a: str = "click",
+                type_b: str = "purchase"):
+    """q225: the exact two-sample KS statistic between the click and
+    purchase VALUE distributions — sup|F₁−F₂| over the union support:
+    the distribution-shift test (q146's PSI needs binning; KS is
+    binless).  Exactness comes from cross-multiplied ECDFs —
+    max|cum₁·n₂ − cum₂·n₁| is a pure integer, the KS double is one
+    final division.
+
+    Scale shape: per-batch (cents, type) count partials → one groupby
+    on the BOUNDED value domain (cents ≤ 49102 regardless of scale) →
+    driver cumsum walk over ≤49k rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        keep = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        b = b.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), INT64)
+        is_a = pc.cast(pc.equal(b["event_type"], type_a), INT64)
+        return pa.table({
+            "cents": cents,
+            "c1": is_a,
+            "c2": pc.subtract(pa.scalar(1, type=INT64), is_a)}) \
+            .group_by(["cents"]).aggregate(
+                [("c1", "sum"), ("c2", "sum")]) \
+            .rename_columns(["cents", "c1", "c2"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("cents").aggregate(Sum("c1", alias_name="c1"),
+                                    Sum("c2", alias_name="c2"))
+
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    order = np.argsort(t["cents"].to_numpy(zero_copy_only=False))
+    c1 = t["c1"].to_numpy(zero_copy_only=False)[order]
+    c2 = t["c2"].to_numpy(zero_copy_only=False)[order]
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    f1 = np.cumsum(c1)
+    f2 = np.cumsum(c2)
+    ks_num = int(np.abs(f1 * n2 - f2 * n1).max())
+    return pa.table({
+        "n_a": pa.array([n1], type=INT64),
+        "n_b": pa.array([n2], type=INT64),
+        "ks_num": pa.array([ks_num], type=INT64),
+        "ks": pa.array([float(ks_num) / (float(n1) * float(n2))],
+                       type=pa.float64())})
+
+
+KS_SQL = """
+    WITH h AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY cents),
+    c AS (
+      SELECT SUM(c1) OVER (ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS f2,
+             SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      FROM h)
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_a,
+           CAST(MAX(n2) AS BIGINT) AS n_b,
+           CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS DOUBLE)
+             / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))
+             AS ks
+    FROM c"""
