@@ -12973,3 +12973,104 @@ KS_SQL = """
              / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE))
              AS ks
     FROM c"""
+
+
+# ---------------------------------------------------------------------------
+# Q226: fulfillment-latency SLA report (grouped exact order stats)
+# ---------------------------------------------------------------------------
+
+
+def fulfillment_sla(sf_dir: str, sla_days: int = 60, npart: int = 16):
+    """q226: per-priority fulfillment latency — exact median and p95
+    of ship lag (ship − order date, days) plus the within-SLA rate:
+    the operations report where approximate percentiles routinely
+    mislead at the tail.
+
+    Scale shape: the orderkey join bucket emits (priority, lag-day)
+    COUNT partials (lag domain is bounded by the shipping horizon, so
+    the histogram — not the lineitems — is what shuffles); exact
+    order statistics come from a driver walk over ≤ priorities×days
+    rows with ceil-rank selection pinned as integer arithmetic; the
+    SLA rate is floor-ppm."""
+    from ..stages.exchange import hash_join
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"]) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b["o_orderkey"],
+            "od": pc.cast(b["o_orderdate"], INT64),
+            "priority": b["o_orderpriority"]}),
+            batch_format="pyarrow")
+
+    lines = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "sd": pc.cast(b["l_shipdate"], INT64)}),
+            batch_format="pyarrow")
+
+    def hist_partial(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.is_valid(j["od"]))
+        lag = pc.cast(pc.divide(pc.subtract(j["sd"], j["od"]),
+                                pa.scalar(86_400_000_000, type=INT64)),
+                      INT64)
+        return pa.table({"priority": j["priority"], "lag": lag,
+                         "n": pa.nulls(j.num_rows, INT64).fill_null(1)}) \
+            .group_by(["priority", "lag"]).aggregate([("n", "sum")]) \
+            .rename_columns(["priority", "lag", "n"])
+
+    agg = hash_join(lines, orders, "l_orderkey", npart=npart,
+                    bucket_finish=hist_partial) \
+        .groupby(["priority", "lag"]).aggregate(Sum("n",
+                                                    alias_name="n"))
+
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    pr = np.asarray(t["priority"])
+    lag = t["lag"].to_numpy(zero_copy_only=False)
+    cnt = t["n"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((lag, pr))
+    pr, lag, cnt = pr[order], lag[order], cnt[order]
+    rows = []
+    starts = np.flatnonzero(np.concatenate(([True], pr[1:] != pr[:-1])))
+    ends = np.append(starts[1:], len(pr))
+    for s, e in zip(starts, ends):
+        c = cnt[s:e]
+        lg = lag[s:e]
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(lg[np.searchsorted(cum, (n + 1) // 2)])
+        p95 = int(lg[np.searchsorted(cum, (19 * n + 19) // 20)])
+        ok = int(c[lg <= sla_days].sum())
+        rows.append((str(pr[s]), n, med, p95,
+                     ok * 1_000_000 // n))
+    rows.sort()
+    return pa.table({
+        "priority": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_lines": pa.array([r[1] for r in rows], type=INT64),
+        "median_lag_days": pa.array([r[2] for r in rows], type=INT64),
+        "p95_lag_days": pa.array([r[3] for r in rows], type=INT64),
+        "within_sla_ppm": pa.array([r[4] for r in rows], type=INT64)})
+
+
+SLA_SQL = """
+    WITH l AS (
+      SELECT o_orderpriority AS priority,
+             (epoch_us(l_shipdate) - epoch_us(o_orderdate))
+               // 86400000000 AS lag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    r AS (
+      SELECT priority, lag,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY lag) AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM l)
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lag END)
+                AS BIGINT) AS median_lag_days,
+           CAST(MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN lag END)
+                AS BIGINT) AS p95_lag_days,
+           CAST(SUM(CASE WHEN lag <= 60 THEN 1 ELSE 0 END)
+                * 1000000 // MAX(n) AS BIGINT) AS within_sla_ppm
+    FROM r GROUP BY priority ORDER BY priority"""
