@@ -13074,3 +13074,80 @@ SLA_SQL = """
            CAST(SUM(CASE WHEN lag <= 60 THEN 1 ELSE 0 END)
                 * 1000000 // MAX(n) AS BIGINT) AS within_sla_ppm
     FROM r GROUP BY priority ORDER BY priority"""
+
+
+# ---------------------------------------------------------------------------
+# Q227: exact Mann–Whitney U (stochastic dominance test)
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_u(sf_dir: str, type_a: str = "view",
+                   type_b: str = "error"):
+    """q227: the exact Mann–Whitney U between two event types' value
+    distributions — P(a > b) with tie-halving, the nonparametric
+    stochastic-dominance test (KS q225 asks "are they different";
+    U asks "which is bigger").  2U = Σ c₁ᵢ·(2·F₂(i−1) + c₂ᵢ) keeps
+    everything integer; the common-language effect size is ONE final
+    division by 2·n₁·n₂.
+
+    Scale shape: identical to q225 — bounded cents-domain histogram
+    partials, one tiny groupby, driver cumsum walk."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        keep = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        b = b.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), INT64)
+        is_a = pc.cast(pc.equal(b["event_type"], type_a), INT64)
+        return pa.table({
+            "cents": cents,
+            "c1": is_a,
+            "c2": pc.subtract(pa.scalar(1, type=INT64), is_a)}) \
+            .group_by(["cents"]).aggregate(
+                [("c1", "sum"), ("c2", "sum")]) \
+            .rename_columns(["cents", "c1", "c2"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("cents").aggregate(Sum("c1", alias_name="c1"),
+                                    Sum("c2", alias_name="c2"))
+
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    order = np.argsort(t["cents"].to_numpy(zero_copy_only=False))
+    c1 = t["c1"].to_numpy(zero_copy_only=False)[order]
+    c2 = t["c2"].to_numpy(zero_copy_only=False)[order]
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    f2_before = np.concatenate(([0], np.cumsum(c2)[:-1]))
+    u2 = int((c1 * (2 * f2_before + c2)).sum())     # = 2·U₁
+    return pa.table({
+        "n_a": pa.array([n1], type=INT64),
+        "n_b": pa.array([n2], type=INT64),
+        "u2": pa.array([u2], type=INT64),
+        "p_a_gt_b": pa.array(
+            [float(u2) / (2.0 * float(n1) * float(n2))],
+            type=pa.float64())})
+
+
+MWU_SQL = """
+    WITH h AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM events WHERE event_type IN ('view', 'error')
+      GROUP BY cents),
+    c AS (
+      SELECT c1, c2,
+             SUM(c2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING) AS f2b,
+             SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+      FROM h)
+    SELECT CAST(MAX(n1) AS BIGINT) AS n_a,
+           CAST(MAX(n2) AS BIGINT) AS n_b,
+           CAST(SUM(c1 * (2 * COALESCE(f2b, 0) + c2)) AS BIGINT) AS u2,
+           CAST(SUM(c1 * (2 * COALESCE(f2b, 0) + c2)) AS DOUBLE)
+             / (2.0 * CAST(MAX(n1) AS DOUBLE)
+                * CAST(MAX(n2) AS DOUBLE)) AS p_a_gt_b
+    FROM c"""
