@@ -13151,3 +13151,78 @@ MWU_SQL = """
              / (2.0 * CAST(MAX(n1) AS DOUBLE)
                 * CAST(MAX(n2) AS DOUBLE)) AS p_a_gt_b
     FROM c"""
+
+
+# ---------------------------------------------------------------------------
+# Q228: round-number bias census
+# ---------------------------------------------------------------------------
+
+
+def round_number_bias(sf_dir: str):
+    """q228: round-number bias per event type — the share of values
+    landing on whole dollars and half dollars (human-entered and
+    fraud-scripted amounts over-index on round numbers; organic
+    machine-generated values don't): q155's Benford test for the
+    FRACTIONAL digits.
+
+    Scale shape: pure conditional-count partials (cents % 100) → one
+    ≤|types| groupby; shares in floor-ppm integers so the whole report
+    is integer-exact."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)),
+                        INT64).to_numpy(zero_copy_only=False)
+        frac = cents % 100
+        return pa.table({
+            "event_type": b["event_type"],
+            "n": pa.nulls(b.num_rows, INT64).fill_null(1),
+            "whole": pa.array((frac == 0).astype(np.int64)),
+            "half": pa.array((frac == 50).astype(np.int64))}) \
+            .group_by(["event_type"]).aggregate(
+                [("n", "sum"), ("whole", "sum"), ("half", "sum")]) \
+            .rename_columns(["event_type", "n", "whole", "half"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("whole", alias_name="whole"),
+                   Sum("half", alias_name="half"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        w = b["whole"].to_numpy(zero_copy_only=False)
+        h = b["half"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": pc.cast(b["n"], INT64),
+            "n_whole_dollar": pc.cast(b["whole"], INT64),
+            "n_half_dollar": pc.cast(b["half"], INT64),
+            "whole_ppm": pa.array(w * 1_000_000 // np.maximum(n, 1),
+                                  type=INT64),
+            "half_ppm": pa.array(h * 1_000_000 // np.maximum(n, 1),
+                                 type=INT64)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("event_type")
+
+
+ROUND_BIAS_SQL = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                              % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_whole_dollar,
+           CAST(SUM(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                              % 100 = 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_half_dollar,
+           CAST(SUM(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                              % 100 = 0 THEN 1 ELSE 0 END)
+                * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)
+             AS whole_ppm,
+           CAST(SUM(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                              % 100 = 50 THEN 1 ELSE 0 END)
+                * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)
+             AS half_ppm
+    FROM events GROUP BY event_type ORDER BY event_type"""
