@@ -13226,3 +13226,66 @@ ROUND_BIAS_SQL = """
                 * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT)
              AS half_ppm
     FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q229: supplier-fanout census (sourcing redundancy)
+# ---------------------------------------------------------------------------
+
+
+def supplier_fanout(sf_dir: str, npart: int = 32):
+    """q229: the supplier-fanout census — for every part, how many
+    DISTINCT suppliers have ever shipped it, as a fanout → part-count
+    histogram: the sourcing-redundancy report (fanout 1 = sole-source
+    fragility, high fanout = commodity).
+
+    Scale shape: distinct (part, supplier) combiner → one partkey
+    exchange where each part's supplier set is complete → set sizes
+    via run-boundary reduceat → tiny histogram partials."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({"p": b["l_partkey"], "s": b["l_suppkey"]}) \
+            .group_by(["p", "s"]).aggregate([])
+
+    def bucket(g: pa.Table) -> pa.Table:
+        p = g["p"].to_numpy(zero_copy_only=False)
+        s = g["s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, p))
+        p, s = p[order], s[order]
+        uniq = np.concatenate(
+            ([True], (p[1:] != p[:-1]) | (s[1:] != s[:-1])))
+        p = p[uniq]
+        starts = np.flatnonzero(np.concatenate(([True], p[1:] != p[:-1])))
+        sizes = np.diff(np.append(starts, len(p)))
+        return pa.table({
+            "fanout": pa.array(sizes.astype(np.int64), type=INT64),
+            "n_parts": pa.array(np.ones(len(starts),
+                                        dtype=np.int64))}) \
+            .group_by(["fanout"]).aggregate([("n_parts", "sum")]) \
+            .rename_columns(["fanout", "n_parts"])
+
+    return rd.read_parquet(_pq(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "p", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("fanout") \
+        .aggregate(Sum("n_parts", alias_name="n_parts")) \
+        .map_batches(lambda b: pa.table({
+            "fanout": pc.cast(b["fanout"], INT64),
+            "n_parts": pc.cast(b["n_parts"], INT64)}),
+            batch_format="pyarrow") \
+        .sort("fanout")
+
+
+SUPPLIER_FANOUT_SQL = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    f AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS fanout
+      FROM ps GROUP BY p)
+    SELECT fanout, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM f GROUP BY fanout ORDER BY fanout"""
