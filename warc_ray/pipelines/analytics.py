@@ -13289,3 +13289,94 @@ SUPPLIER_FANOUT_SQL = """
       FROM ps GROUP BY p)
     SELECT fanout, CAST(COUNT(*) AS BIGINT) AS n_parts
     FROM f GROUP BY fanout ORDER BY fanout"""
+
+
+# ---------------------------------------------------------------------------
+# Q230: spend-trajectory census (per-customer OLS slope sign)
+# ---------------------------------------------------------------------------
+
+
+def spend_trajectory(sf_dir: str, min_orders: int = 3,
+                     npart: int = 32):
+    """q230: is each customer spending MORE or LESS over time — the
+    sign of the OLS slope of order value against the customer's order
+    sequence (1..n), classified rising/falling/flat and counted: the
+    growth-accounting census.  The slope NUMERATOR n·Σxy − Σx·Σy is a
+    pure integer (denominator is positive), so the classification
+    never touches a float.
+
+    Scale shape: one custkey exchange; ranks come from the sorted
+    stream positions, the four moment sums fold via add.at per
+    bucket, 3 count rows leave."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": b["o_custkey"],
+            "d": pc.cast(b["o_orderdate"], INT64),
+            "k": b["o_orderkey"],
+            "y": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                         INT64)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        k = g["k"].to_numpy(zero_copy_only=False)
+        y = g["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, d, c))
+        c, y = c[order], y[order]
+        n = len(c)
+        starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+        sizes = np.diff(np.append(starts, n))
+        gi = np.repeat(np.arange(len(starts)), sizes)
+        x = np.arange(n) - np.repeat(starts, sizes) + 1    # rank 1..n
+        sy = np.zeros(len(starts), dtype=np.int64)
+        sxy = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(sy, gi, y)
+        np.add.at(sxy, gi, x * y)
+        nn = sizes.astype(np.int64)
+        sx = nn * (nn + 1) // 2
+        num = nn * sxy - sx * sy
+        keep = nn >= min_orders
+        cls = np.where(num[keep] > 0, "rising",
+                       np.where(num[keep] < 0, "falling", "flat"))
+        return pa.table({
+            "trend": pa.array(cls.tolist(), type=pa.string()),
+            "n_customers": pa.array(np.ones(int(keep.sum()),
+                                            dtype=np.int64))}) \
+            .group_by(["trend"]).aggregate([("n_customers", "sum")]) \
+            .rename_columns(["trend", "n_customers"])
+
+    return rd.read_parquet(_pq(sf_dir, "orders"),
+                           columns=["o_custkey", "o_orderdate",
+                                    "o_orderkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "c", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("trend") \
+        .aggregate(Sum("n_customers", alias_name="n_customers")) \
+        .map_batches(lambda b: pa.table({
+            "trend": b["trend"],
+            "n_customers": pc.cast(b["n_customers"], INT64)}),
+            batch_format="pyarrow") \
+        .sort("trend")
+
+
+TRAJECTORY_SQL = """
+    WITH r AS (
+      SELECT o_custkey AS c,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders),
+    m AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy
+      FROM r GROUP BY c HAVING COUNT(*) >= 3)
+    SELECT CASE WHEN n * sxy - sx * sy > 0 THEN 'rising'
+                WHEN n * sxy - sx * sy < 0 THEN 'falling'
+                ELSE 'flat' END AS trend,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY trend ORDER BY trend"""
