@@ -929,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q228_round_bias": an.round_number_bias,
         "q229_supplier_fanout": an.supplier_fanout,
         "q230_spend_trajectory": an.spend_trajectory,
+        "q231_kendall_tau": an.kendall_tau,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1338,6 +1339,7 @@ def oracle_sql() -> dict[str, str]:
         "q228_round_bias": _an.ROUND_BIAS_SQL,
         "q229_supplier_fanout": _an.SUPPLIER_FANOUT_SQL,
         "q230_spend_trajectory": _an.TRAJECTORY_SQL,
+        "q231_kendall_tau": _an.KENDALL_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

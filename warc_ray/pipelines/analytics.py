@@ -13380,3 +13380,91 @@ TRAJECTORY_SQL = """
                 ELSE 'flat' END AS trend,
            CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM m GROUP BY trend ORDER BY trend"""
+
+
+# ---------------------------------------------------------------------------
+# Q231: Kendall tau-a from the bounded contingency grid
+# ---------------------------------------------------------------------------
+
+
+def kendall_tau(sf_dir: str):
+    """q231: Kendall rank correlation between part SIZE and RETAIL
+    PRICE — do bigger parts cost more, measured by concordant-vs-
+    discordant pairs: the tie-robust rank statistic (Spearman needs
+    fractional tie-ranks; tau-a stays integer).  Both domains are
+    BOUNDED (size 1..50, price in $10 bands), so all C(n,2) pair
+    counting collapses onto the contingency GRID: C and D are double
+    suffix-sums over ≤50×~180 cells — exact int64, scale-independent
+    driver state; tau is one final division.
+
+    Scale shape: per-batch (size, band) count partials → one tiny
+    groupby → driver grid fold."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        band = pc.divide(pc.cast(pc.round(pc.multiply(
+            b["p_retailprice"], 100.0)), INT64),
+            pa.scalar(1_000, type=INT64))
+        return pa.table({
+            "size": pc.cast(b["p_size"], INT64),
+            "band": band,
+            "n": pa.nulls(b.num_rows, INT64).fill_null(1)}) \
+            .group_by(["size", "band"]).aggregate([("n", "sum")]) \
+            .rename_columns(["size", "band", "n"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "part"),
+                          columns=["p_size", "p_retailprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["size", "band"]).aggregate(Sum("n", alias_name="n"))
+
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    sz = t["size"].to_numpy(zero_copy_only=False)
+    bd = t["band"].to_numpy(zero_copy_only=False)
+    cnt = t["n"].to_numpy(zero_copy_only=False)
+    ns, nb = int(sz.max()) + 1, int(bd.max()) + 1
+    grid = np.zeros((ns, nb), dtype=np.int64)
+    grid[sz, bd] = cnt
+    # cells strictly greater in both dims (suffix) / strictly greater
+    # in one, smaller in the other (for discordant)
+    suf = np.cumsum(np.cumsum(grid[::-1, ::-1], 0), 1)[::-1, ::-1]
+    gt_both = np.zeros_like(grid)
+    gt_both[:-1, :-1] = suf[1:, 1:]
+    left = np.cumsum(grid, 1)
+    strictly_left = np.zeros_like(grid)
+    strictly_left[:, 1:] = left[:, :-1]
+    # discordant partner count for a cell: rows strictly greater AND
+    # cols strictly smaller — suffix over rows of the left-prefix
+    disc_partner = np.zeros_like(grid)
+    disc_partner[:-1, :] = np.cumsum(
+        strictly_left[::-1], 0)[::-1][1:, :]
+    c_pairs = int((grid * gt_both).sum())
+    d_pairs = int((grid * disc_partner).sum())
+    n = int(grid.sum())
+    tau = float(c_pairs - d_pairs) / (float(n) * float(n - 1) / 2.0)
+    return pa.table({
+        "n_parts": pa.array([n], type=INT64),
+        "concordant": pa.array([c_pairs], type=INT64),
+        "discordant": pa.array([d_pairs], type=INT64),
+        "tau_a": pa.array([tau], type=pa.float64())})
+
+
+KENDALL_SQL = """
+    WITH g AS (
+      SELECT CAST(p_size AS BIGINT) AS size,
+             CAST(round(p_retailprice * 100) AS BIGINT) // 1000
+               AS band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM part GROUP BY size, band),
+    c AS (
+      SELECT SUM(a.n * b.n) AS cp
+      FROM g a JOIN g b ON b.size > a.size AND b.band > a.band),
+    d AS (
+      SELECT SUM(a.n * b.n) AS dp
+      FROM g a JOIN g b ON b.size > a.size AND b.band < a.band),
+    t AS (SELECT SUM(n) AS n FROM g)
+    SELECT CAST(t.n AS BIGINT) AS n_parts,
+           CAST(c.cp AS BIGINT) AS concordant,
+           CAST(d.dp AS BIGINT) AS discordant,
+           CAST(c.cp - d.dp AS DOUBLE)
+             / (CAST(t.n AS DOUBLE) * CAST(t.n - 1 AS DOUBLE) / 2.0)
+             AS tau_a
+    FROM c, d, t"""
