@@ -13468,3 +13468,103 @@ KENDALL_SQL = """
              / (CAST(t.n AS DOUBLE) * CAST(t.n - 1 AS DOUBLE) / 2.0)
              AS tau_a
     FROM c, d, t"""
+
+
+# ---------------------------------------------------------------------------
+# Q232: DAU/WAU stickiness per week
+# ---------------------------------------------------------------------------
+
+
+def stickiness(sf_dir: str, npart: int = 32):
+    """q232: the DAU/WAU stickiness ratio per ISO-ish week (epoch-day
+    // 7 weeks, locale-free) — average daily active users divided by
+    weekly actives: the engagement-frequency metric.  Exact distinct
+    counts at any scale: the exchange carries one (day, user) row per
+    block, never events; stickiness = (Σ day-distincts / 7) / WAU as
+    one pinned double expression (n_days is the FIXED 7-day divisor so
+    partial weeks at the stream edges stay comparable).
+
+    Scale shape: distinct (day, user) combiner → one user-day
+    exchange → per-week day-distinct sums + week-distinct counts in a
+    second tiny groupby."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(b["ts"], INT64),
+                                pa.scalar(86_400_000_000, type=INT64)),
+                      INT64)
+        return pa.table({"day": day, "user_id": b["user_id"]}) \
+            .group_by(["day", "user_id"]).aggregate([])
+
+    from ray.data.aggregate import Count as _Count
+
+    du = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "user_id"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "user_id"]) \
+        .aggregate(_Count(alias_name="_c")) \
+        .map_batches(lambda b: b.drop_columns(["_c"]),
+                     batch_format="pyarrow").materialize()
+
+    # (week, user) distinct for WAU needs its own exchange
+    wau = du.map_batches(
+        lambda b: pa.table({
+            "week": pa.array(
+                b["day"].to_numpy(zero_copy_only=False) // 7,
+                type=INT64),
+            "user_id": b["user_id"]}).group_by(
+                ["week", "user_id"]).aggregate([]),
+        batch_format="pyarrow") \
+        .groupby(["week", "user_id"]) \
+        .aggregate(_Count(alias_name="_c")) \
+        .map_batches(lambda b: pa.table({
+            "week": b["week"],
+            "wau": pa.nulls(b.num_rows, INT64).fill_null(1)}),
+            batch_format="pyarrow") \
+        .groupby("week").aggregate(Sum("wau", alias_name="wau"))
+
+    dau = du.map_batches(
+        lambda b: pa.table({
+            "week": pa.array(
+                b["day"].to_numpy(zero_copy_only=False) // 7,
+                type=INT64),
+            "n": pa.nulls(b.num_rows, INT64).fill_null(1)}).group_by(
+                ["week"]).aggregate([("n", "sum")]).rename_columns(
+                    ["week", "n"]),
+        batch_format="pyarrow") \
+        .groupby("week").aggregate(Sum("n", alias_name="day_user_rows"))
+
+    from ..stages.exchange import hash_join
+    both = hash_join(dau.materialize(), wau.materialize(), "week",
+                     npart=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        dr = b["day_user_rows"].to_numpy(zero_copy_only=False)
+        w = b["wau"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "week": pc.cast(b["week"], INT64),
+            "day_user_rows": pc.cast(b["day_user_rows"], INT64),
+            "wau": pc.cast(b["wau"], INT64),
+            "stickiness": pa.array(
+                (dr.astype(np.float64) / 7.0) / w.astype(np.float64),
+                type=pa.float64())})
+
+    return both.map_batches(finish, batch_format="pyarrow") \
+        .sort("week")
+
+
+STICKINESS_SQL = """
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      FROM events),
+    d AS (
+      SELECT day // 7 AS week, CAST(COUNT(*) AS BIGINT)
+               AS day_user_rows
+      FROM du GROUP BY week),
+    w AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT day // 7 AS week, user_id FROM du)
+      GROUP BY week)
+    SELECT d.week, day_user_rows, wau,
+           (CAST(day_user_rows AS DOUBLE) / 7.0)
+             / CAST(wau AS DOUBLE) AS stickiness
+    FROM d JOIN w ON d.week = w.week ORDER BY d.week"""
