@@ -13568,3 +13568,80 @@ STICKINESS_SQL = """
            (CAST(day_user_rows AS DOUBLE) / 7.0)
              / CAST(wau AS DOUBLE) AS stickiness
     FROM d JOIN w ON d.week = w.week ORDER BY d.week"""
+
+
+# ---------------------------------------------------------------------------
+# Q233: whale-order census (single-order spend dominance)
+# ---------------------------------------------------------------------------
+
+
+def whale_orders(sf_dir: str, npart: int = 32):
+    """q233: the whale-order census — customers (≥2 orders) whose
+    single LARGEST order carries at least half their lifetime spend,
+    bucketed by order count: the revenue-fragility cut of the
+    customer base (one cancelled order halves the account).  The
+    dominance test is the cross-multiplied integer 2·max ≥ total — no
+    share is ever computed.
+
+    Scale shape: one custkey exchange; per bucket maximum/add
+    reduceats give (max, total, n) per customer and the census folds
+    as tiny (n_orders, dominated) partials."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": b["o_custkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), INT64)})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False)
+        v = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(c, kind="stable")
+        c, v = c[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+        sizes = np.diff(np.append(starts, len(c)))
+        mx = np.maximum.reduceat(v, starts)
+        tot = np.add.reduceat(v, starts)
+        multi = sizes >= 2
+        dom = (2 * mx >= tot) & multi
+        return pa.table({
+            "n_orders": pa.array(sizes[multi].astype(np.int64),
+                                 type=INT64),
+            "n_customers": pa.array(np.ones(int(multi.sum()),
+                                            dtype=np.int64)),
+            "n_dominated": pa.array(dom[multi].astype(np.int64))}) \
+            .group_by(["n_orders"]).aggregate(
+                [("n_customers", "sum"), ("n_dominated", "sum")]) \
+            .rename_columns(["n_orders", "n_customers", "n_dominated"])
+
+    return rd.read_parquet(_pq(sf_dir, "orders"),
+                           columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "c", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("n_orders") \
+        .aggregate(Sum("n_customers", alias_name="n_customers"),
+                   Sum("n_dominated", alias_name="n_dominated")) \
+        .map_batches(lambda b: pa.table({
+            "n_orders": pc.cast(b["n_orders"], INT64),
+            "n_customers": pc.cast(b["n_customers"], INT64),
+            "n_dominated": pc.cast(b["n_dominated"], INT64)}),
+            batch_format="pyarrow") \
+        .sort("n_orders")
+
+
+WHALE_SQL = """
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS tot
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 2)
+    SELECT n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN 2 * mx >= tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dominated
+    FROM s GROUP BY n_orders ORDER BY n_orders"""
