@@ -13645,3 +13645,93 @@ WHALE_SQL = """
            CAST(SUM(CASE WHEN 2 * mx >= tot THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_dominated
     FROM s GROUP BY n_orders ORDER BY n_orders"""
+
+
+# ---------------------------------------------------------------------------
+# Q234: hapax legomena rate per language
+# ---------------------------------------------------------------------------
+
+
+def hapax_rate(sf_dir: str, npart: int = 32):
+    """q234: the hapax-legomena rate per language — the share of a
+    language's distinct vocabulary that occurs EXACTLY ONCE in its
+    corpus: the vocabulary-richness / corpus-maturity metric (young
+    corpora are hapax-heavy; the rate drops as coverage saturates).
+    Tokenization is the engine's pinned ``[a-z0-9]+``-on-lowercase
+    rule (q86's).
+
+    Scale shape: per-batch (lang, token) count partials → one
+    token-hash exchange (a token's counts for every lang co-locate) →
+    per-bucket exact (lang, token) totals fold to per-lang
+    (distinct, hapax) partials — the vocabulary tail never leaves its
+    bucket; rate in floor-ppm."""
+    import re
+
+    wre = re.compile(r"[a-z0-9]+")
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs: list[str] = []
+        toks: list[str] = []
+        for lang, text in zip(b["lang"].to_pylist(),
+                              b["text"].to_pylist()):
+            ts = wre.findall(text.lower())
+            toks.extend(ts)
+            langs.extend([lang] * len(ts))
+        t = pa.table({"lang": pa.array(langs, type=pa.string()),
+                      "token": pa.array(toks, type=pa.string()),
+                      "n": pa.array(np.ones(len(toks),
+                                            dtype=np.int64))})
+        p = t.group_by(["lang", "token"]).aggregate([("n", "sum")]) \
+            .rename_columns(["lang", "token", "n"])
+        return with_part(p, "token", npart)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["part"]) \
+            .group_by(["lang", "token"]).aggregate([("n", "sum")]) \
+            .rename_columns(["lang", "token", "n"])
+        hap = pc.cast(pc.equal(t["n"], pa.scalar(1, type=INT64)),
+                      INT64)
+        return pa.table({
+            "lang": t["lang"],
+            "n_distinct": pa.nulls(t.num_rows, INT64).fill_null(1),
+            "n_hapax": hap}) \
+            .group_by(["lang"]).aggregate(
+                [("n_distinct", "sum"), ("n_hapax", "sum")]) \
+            .rename_columns(["lang", "n_distinct", "n_hapax"])
+
+    agg = _docs(sf_dir, columns=["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(bucket, batch_format="pyarrow") \
+        .groupby("lang") \
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"),
+                   Sum("n_hapax", alias_name="n_hapax"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b["n_distinct"].to_numpy(zero_copy_only=False)
+        h = b["n_hapax"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lang": b["lang"],
+            "n_distinct": pc.cast(b["n_distinct"], INT64),
+            "n_hapax": pc.cast(b["n_hapax"], INT64),
+            "hapax_ppm": pa.array(h * 1_000_000 // np.maximum(d, 1),
+                                  type=INT64)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("lang")
+
+
+HAPAX_SQL = """
+    WITH tc AS (
+      SELECT lang, t AS token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT lang,
+                   UNNEST(regexp_extract_all(lower(text),
+                                             '[a-z0-9]+')) AS t
+            FROM documents)
+      GROUP BY lang, t)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS hapax_ppm
+    FROM tc GROUP BY lang ORDER BY lang"""
