@@ -529,6 +529,49 @@ def _fixedwidth_ingest_q(sf_dir: str):
     return ingest_orders_fixedwidth(_ensure_fixedwidth(sf_dir))
 
 
+def _format_consistency_q(sf_dir: str):
+    """q235: cross-format consistency audit — the SAME event totals
+    computed from the parquet source, the JSONL landing zone (q158)
+    and the CSV landing zone (q202) must agree byte-for-byte: the
+    multi-source reconciliation a lake ingest runs before promoting a
+    format migration.  Each leg reuses its ingest pipeline's exact
+    integer aggregate; the driver folds three 5-row tables."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from warc_ray.pipelines.logs import (ingest_events_csv,
+                                         ingest_events_jsonl)
+
+    def totals_from(t):
+        return (int(pc.sum(t["n_events"]).as_py()),
+                int(pc.sum(t["sum_cents"]).as_py()))
+
+    import pyarrow.parquet as pq2
+
+    ev = pq2.read_table(os.path.join(sf_dir, "events.parquet"),
+                        columns=["value"])
+    import numpy as np
+    pq_totals = (ev.num_rows,
+                 int(np.rint(ev["value"].to_numpy(zero_copy_only=False)
+                             * 100).astype(np.int64).sum()))
+    jt = pa.concat_tables(
+        ingest_events_jsonl(_ensure_jsonl(sf_dir))
+        .iter_batches(batch_format="pyarrow"))
+    ct = pa.concat_tables(
+        ingest_events_csv(_ensure_csv(sf_dir))
+        .iter_batches(batch_format="pyarrow"))
+    rows = [("csv",) + totals_from(ct),
+            ("jsonl",) + totals_from(jt),
+            ("parquet",) + pq_totals]
+    ref = rows[2][1:]
+    return pa.table({
+        "format": pa.array([r[0] for r in rows], type=pa.string()),
+        "n_events": pa.array([r[1] for r in rows], type=pa.int64()),
+        "sum_cents": pa.array([r[2] for r in rows], type=pa.int64()),
+        "matches_parquet": pa.array([r[1:] == ref for r in rows])})
+
+
 def _ensure_jsonl_corrupt(sf_dir: str) -> str:
     """events.parquet → .jsonl shards with planted torn lines ONCE per
     sf dir (stamped) — the q167 dead-letter fixture."""
@@ -1019,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q158_jsonl_ingest": _jsonl_ingest_q,
         "q202_csv_ingest": _csv_ingest_q,
         "q215_fixedwidth_ingest": _fixedwidth_ingest_q,
+        "q235_format_consistency": _format_consistency_q,
         "q162_evolved_scan": _evolved_scan_q,
         "q167_dlq_ingest": _jsonl_dlq_q,
         # reports (G17) + metrics (G15) over the crawl fetch log
@@ -2403,6 +2447,17 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS max_date
             FROM orders GROUP BY status, priority
             ORDER BY status, priority""",
+        # q235: all three formats must reproduce the parquet totals
+        "q235_format_consistency": """
+            SELECT f.format,
+                   CAST(t.n AS BIGINT) AS n_events,
+                   CAST(t.c AS BIGINT) AS sum_cents,
+                   TRUE AS matches_parquet
+            FROM (SELECT COUNT(*) AS n,
+                         SUM(CAST(round(value * 100) AS BIGINT)) AS c
+                  FROM events) t,
+                 (VALUES ('csv'), ('jsonl'), ('parquet')) AS f(format)
+            ORDER BY f.format""",
         # q162: schema-evolution read — oracle replays the generation
         # split (even ids = gen-1 legacy, odd ids = gen-2 with source)
         # on the original table; any defect in union-by-name, null
