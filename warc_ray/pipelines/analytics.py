@@ -13735,3 +13735,110 @@ HAPAX_SQL = """
            CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000
                 // GREATEST(COUNT(*), 1) AS BIGINT) AS hapax_ppm
     FROM tc GROUP BY lang ORDER BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# Q236: revenue volatility census (mean |MoM| change per nation)
+# ---------------------------------------------------------------------------
+
+
+def revenue_volatility(sf_dir: str, npart: int = 16):
+    """q236: per-nation revenue volatility — the mean ABSOLUTE
+    month-over-month revenue change in floor-ppm of the prior month:
+    the demand-stability ranking (procurement hedges volatile nations
+    first).  Every term is integer: |Δ|·10⁶ // prev, summed, then
+    floor-divided by the month-pair count — no float ever folds.
+
+    Scale shape: (custkey, month) revenue partials route through the
+    auto_join planner rule against the customer dim (broadcast at
+    test scale, hash at warehouse scale — same rows); (nation, month)
+    partials fuse in the join; the per-nation series walk happens on
+    a ≤nations×months driver table."""
+    from ..stages.exchange import auto_join
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], INT64).to_numpy(
+            zero_copy_only=False)
+        month = (d // 86_400_000_000) // 31     # fixed 31-day buckets
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        INT64)
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "month": pa.array(month, type=INT64),
+            "cents": cents}) \
+            .group_by(["c_custkey", "month"]) \
+            .aggregate([("cents", "sum")]) \
+            .rename_columns(["c_custkey", "month", "cents"])
+
+    fact = rd.read_parquet(_pq(sf_dir, "orders"),
+                           columns=["o_custkey", "o_orderdate",
+                                    "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow")
+
+    def nation_partial(j: pa.Table) -> pa.Table:
+        return pa.table({
+            "nat": pc.cast(j["c_nationkey"], INT64),
+            "month": j["month"], "cents": j["cents"]}) \
+            .group_by(["nat", "month"]) \
+            .aggregate([("cents", "sum")]) \
+            .rename_columns(["nat", "month", "cents"])
+
+    joined, _strategy = auto_join(
+        fact, _pq(sf_dir, "customer"), fact_key="c_custkey",
+        dim_key="c_custkey", dim_columns=["c_nationkey"], npart=npart,
+        bucket_finish=nation_partial)
+
+    agg = joined.groupby(["nat", "month"]) \
+        .aggregate(Sum("cents", alias_name="cents"))
+
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    nat = t["nat"].to_numpy(zero_copy_only=False)
+    mo = t["month"].to_numpy(zero_copy_only=False)
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((mo, nat))
+    nat, mo, cents = nat[order], mo[order], cents[order]
+    same = np.concatenate((nat[1:] == nat[:-1], [False]))
+    adjacent = same & (np.concatenate((mo[1:], [0])) - mo == 1)
+    prev = cents
+    nxt = np.concatenate((cents[1:], [0]))
+    term = np.where(adjacent,
+                    np.abs(nxt - prev) * 1_000_000
+                    // np.maximum(prev, 1), 0)
+    out = pa.table({
+        "nat": pa.array(nat, type=INT64),
+        "n_pairs": pa.array(adjacent.astype(np.int64)),
+        "term": pa.array(term, type=INT64)}) \
+        .group_by(["nat"]).aggregate(
+            [("n_pairs", "sum"), ("term", "sum")]) \
+        .rename_columns(["nat", "n_pairs", "sum_term"])
+    npairs = out["n_pairs"].to_numpy(zero_copy_only=False)
+    st = out["sum_term"].to_numpy(zero_copy_only=False)
+    keep = npairs > 0
+    return pa.table({
+        "n_nationkey": pc.cast(out["nat"], INT64)
+        .filter(pa.array(keep)),
+        "n_month_pairs": pa.array(npairs[keep], type=INT64),
+        "mean_abs_mom_ppm": pa.array(st[keep] // npairs[keep],
+                                     type=INT64)}) \
+        .sort_by("n_nationkey")
+
+
+VOLATILITY_SQL = """
+    WITH nm AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS nat,
+             (epoch_us(o_orderdate) // 86400000000) // 31 AS month,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY nat, month),
+    d AS (
+      SELECT nat,
+             CASE WHEN month - lag(month) OVER w = 1
+                  THEN abs(cents - lag(cents) OVER w) * 1000000
+                       // GREATEST(lag(cents) OVER w, 1) END AS term
+      FROM nm WINDOW w AS (PARTITION BY nat ORDER BY month))
+    SELECT nat AS n_nationkey,
+           CAST(COUNT(term) AS BIGINT) AS n_month_pairs,
+           CAST(SUM(term) // COUNT(term) AS BIGINT)
+             AS mean_abs_mom_ppm
+    FROM d WHERE term IS NOT NULL
+    GROUP BY nat ORDER BY n_nationkey"""
