@@ -13842,3 +13842,102 @@ VOLATILITY_SQL = """
              AS mean_abs_mom_ppm
     FROM d WHERE term IS NOT NULL
     GROUP BY nat ORDER BY n_nationkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q237: session handoff matrix (entry → exit type)
+# ---------------------------------------------------------------------------
+
+
+def session_handoff(sf_dir: str, gap_minutes: int = 30,
+                    npart: int = 32):
+    """q237: the session handoff matrix — (entry type, exit type)
+    counts over 30-min-gap sessions: where journeys START vs where
+    they DIE (q123's adjacent transitions can't see endpoints; q212
+    sees only the entry).  Multi-event sessions only, so the diagonal
+    isn't inflated by bounces.
+
+    Scale shape: q212's one-pass session machinery — entry is the row
+    AT the gap flag, exit is the row BEFORE the next flag — with a
+    ≤|types|² matrix groupby."""
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "t": pc.cast(b["ts"], INT64),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        ei = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ei, t, u))
+        u, t = u[order], t[order]
+        et = np.asarray(g["event_type"].take(pa.array(order)))
+        n = len(u)
+        new_sess = np.ones(n, dtype=bool)
+        new_sess[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        fpos = np.flatnonzero(new_sess)
+        slen = np.diff(np.append(fpos, n))
+        multi = slen > 1
+        entry = et[fpos[multi]]
+        exit_ = et[fpos[multi] + slen[multi] - 1]
+        return pa.table({
+            "entry_type": pa.array(entry.tolist(), type=pa.string()),
+            "exit_type": pa.array(exit_.tolist(), type=pa.string()),
+            "n_sessions": pa.array(np.ones(int(multi.sum()),
+                                           dtype=np.int64))}) \
+            .group_by(["entry_type", "exit_type"]) \
+            .aggregate([("n_sessions", "sum")]) \
+            .rename_columns(["entry_type", "exit_type", "n_sessions"])
+
+    return rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["user_id", "ts", "event_id",
+                                    "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby(["entry_type", "exit_type"]) \
+        .aggregate(Sum("n_sessions", alias_name="n_sessions")) \
+        .map_batches(lambda b: pa.table({
+            "entry_type": b["entry_type"],
+            "exit_type": b["exit_type"],
+            "n_sessions": pc.cast(b["n_sessions"], INT64)}),
+            batch_format="pyarrow") \
+        .sort(["entry_type", "exit_type"])
+
+
+HANDOFF_SQL = """
+    WITH f AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS flag
+      FROM events WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+      FROM f),
+    g AS (
+      SELECT user_id, sess,
+             first_value(event_type) OVER ws AS entry_type,
+             last_value(event_type) OVER ws AS exit_type,
+             COUNT(*) OVER (PARTITION BY user_id, sess) AS slen,
+             row_number() OVER ws AS rn
+      FROM s
+      WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING))
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM g WHERE rn = 1 AND slen > 1
+    GROUP BY entry_type, exit_type
+    ORDER BY entry_type, exit_type"""
