@@ -13941,3 +13941,123 @@ HANDOFF_SQL = """
     FROM g WHERE rn = 1 AND slen > 1
     GROUP BY entry_type, exit_type
     ORDER BY entry_type, exit_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q238: replenishment detection (per-part reorder rate)
+# ---------------------------------------------------------------------------
+
+
+def reorder_rate(sf_dir: str, k: int = 20, npart: int = 32,
+                 min_buyers: int = 10):
+    """q238: which parts get REORDERED — per part, the share of its
+    buyers who purchased it in two or more distinct months, top-k by
+    the floor-ppm rate: the replenishment/subscription-candidate
+    detector (one-off parts vs consumables).
+
+    Scale shape: distinct (cust, part, month) combiner → one
+    (cust, part) exchange collapses months per buyer → per-part
+    (buyers, reorderers) partials → partkey groupby → pinned
+    (rate DESC, partkey) top-k on the parts-cardinality table."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        j = b
+        month = pc.cast(b["o_orderdate"], INT64).to_numpy(
+            zero_copy_only=False) // 86_400_000_000 // 31
+        return pa.table({
+            "c": j["o_custkey"], "p": j["l_partkey"],
+            "m": pa.array(month, type=INT64)}) \
+            .group_by(["c", "p", "m"]).aggregate([])
+
+    def bucket(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False)
+        p = g["p"].to_numpy(zero_copy_only=False)
+        m = g["m"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((m, p, c))
+        c, p, m = c[order], p[order], m[order]
+        uniq = np.concatenate(
+            ([True], (c[1:] != c[:-1]) | (p[1:] != p[:-1])
+             | (m[1:] != m[:-1])))
+        c, p, m = c[uniq], p[uniq], m[uniq]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (c[1:] != c[:-1]) | (p[1:] != p[:-1]))))
+        months = np.diff(np.append(starts, len(c)))
+        return pa.table({
+            "p": pa.array(p[starts], type=INT64),
+            "buyers": pa.array(np.ones(len(starts), dtype=np.int64)),
+            "reorderers": pa.array((months >= 2).astype(np.int64))}) \
+            .group_by(["p"]).aggregate(
+                [("buyers", "sum"), ("reorderers", "sum")]) \
+            .rename_columns(["p", "buyers", "reorderers"])
+
+    from ..stages.exchange import hash_join
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"]}),
+            batch_format="pyarrow")
+    lines = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_partkey"])
+
+    cpm = hash_join(lines, orders, "l_orderkey", npart=npart,
+                    bucket_finish=partial)
+
+    agg = cpm.map_batches(
+        lambda b: with_part(
+            b.append_column("cp", pc.binary_join_element_wise(
+                pc.cast(b["c"], pa.string()),
+                pc.cast(b["p"], pa.string()), "|")), "cp", npart)
+        .drop_columns(["cp"]), batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("p").aggregate(Sum("buyers", alias_name="buyers"),
+                                Sum("reorderers",
+                                    alias_name="reorderers"))
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        buyers = b["buyers"].to_numpy(zero_copy_only=False)
+        reo = b["reorderers"].to_numpy(zero_copy_only=False)
+        keep = buyers >= min_buyers
+        p = b["p"].to_numpy(zero_copy_only=False)[keep]
+        buyers, reo = buyers[keep], reo[keep]
+        ppm = reo * 1_000_000 // buyers
+        order = np.lexsort((p, -ppm))[:k]
+        return pa.table({
+            "p_partkey": pa.array(p[order], type=INT64),
+            "buyers": pa.array(buyers[order], type=INT64),
+            "reorderers": pa.array(reo[order], type=INT64),
+            "reorder_ppm": pa.array(ppm[order], type=INT64)})
+
+    # per-block top-k partials: the driver merges k·blocks rows, not
+    # the parts-cardinality table
+    t = pa.concat_tables(
+        agg.map_batches(block_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    order = np.lexsort((t["p_partkey"].to_numpy(zero_copy_only=False),
+                        -t["reorder_ppm"].to_numpy(
+                            zero_copy_only=False)))[:k]
+    return t.take(pa.array(order))
+
+
+REORDER_SQL = """
+    WITH cpm AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p,
+             (epoch_us(o_orderdate) // 86400000000) // 31 AS m
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    cp AS (
+      SELECT c, p, CAST(COUNT(*) AS BIGINT) AS months
+      FROM cpm GROUP BY c, p),
+    pp AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS buyers,
+             CAST(SUM(CASE WHEN months >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS reorderers
+      FROM cp GROUP BY p HAVING COUNT(*) >= 10)
+    SELECT p AS p_partkey, buyers, reorderers,
+           CAST(reorderers * 1000000 // buyers AS BIGINT)
+             AS reorder_ppm
+    FROM pp ORDER BY reorder_ppm DESC, p_partkey LIMIT 20"""
