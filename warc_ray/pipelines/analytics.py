@@ -14061,3 +14061,115 @@ REORDER_SQL = """
            CAST(reorderers * 1000000 // buyers AS BIGINT)
              AS reorder_ppm
     FROM pp ORDER BY reorder_ppm DESC, p_partkey LIMIT 20"""
+
+
+# ---------------------------------------------------------------------------
+# Q239: Herfindahl–Hirschman concentration index per nation
+# ---------------------------------------------------------------------------
+
+
+def hhi_index(sf_dir: str, npart: int = 16):
+    """q239: the Herfindahl–Hirschman Index of supplier revenue
+    concentration per nation — Σ shareᵢ² over each nation's
+    suppliers: the antitrust screen complementing q222's CR-3 (HHI
+    sees the whole distribution, CR-k only the head).  Shares are
+    FLOOR-ppm integers and the index is Σppm²//10⁶ — bit-identical in
+    both engines, no float squaring.
+
+    Scale shape: suppkey revenue partials → catalog-sized groupby →
+    broadcast nation map → per-nation Σrev and Σ(ppm²) in a second
+    tiny fold (two passes over the catalog table, driver-free).
+    int64 headroom: rev·10⁶ stays exact to ~sf1 (≈3·10¹⁸); past that
+    drop the revenue unit to whole cents before the ppm step."""
+    import pyarrow.parquet as _pq2
+
+    sup = _pq2.read_table(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sup_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    sup_nat[sk] = sn
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "s": b["l_suppkey"],
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc))}) \
+            .group_by(["s"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["s", "rev"])
+
+    per_sup = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                              columns=["l_suppkey", "l_extendedprice",
+                                       "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("s").aggregate(Sum("rev", alias_name="rev")) \
+        .materialize()
+
+    # pass 1: per-nation totals (broadcast back for the share pass)
+    def nat_total(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        nat = sup_nat[np.minimum(s, len(sup_nat) - 1)]
+        return pa.table({"nat": pa.array(nat, type=INT64),
+                         "rev": b["rev"]}) \
+            .group_by(["nat"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["nat", "tot"])
+
+    tot_t = pa.concat_tables(
+        per_sup.map_batches(nat_total, batch_format="pyarrow")
+        .groupby("nat").aggregate(Sum("tot", alias_name="tot"))
+        .iter_batches(batch_format="pyarrow"))
+    tot_map = np.zeros(int(tot_t["nat"].to_numpy(
+        zero_copy_only=False).max()) + 1, dtype=np.int64)
+    tot_map[tot_t["nat"].to_numpy(zero_copy_only=False)] = \
+        tot_t["tot"].to_numpy(zero_copy_only=False)
+
+    def share_fold(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False)
+        nat = sup_nat[np.minimum(s, len(sup_nat) - 1)]
+        rev = b["rev"].to_numpy(zero_copy_only=False)
+        ppm = rev * 1_000_000 // np.maximum(tot_map[nat], 1)
+        return pa.table({
+            "nat": pa.array(nat, type=INT64),
+            "n_suppliers": pa.array(np.ones(len(s), dtype=np.int64)),
+            "ppm2": pa.array(ppm * ppm, type=INT64)}) \
+            .group_by(["nat"]).aggregate(
+                [("n_suppliers", "sum"), ("ppm2", "sum")]) \
+            .rename_columns(["nat", "n_suppliers", "ppm2"])
+
+    agg = per_sup.map_batches(share_fold, batch_format="pyarrow") \
+        .groupby("nat") \
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                   Sum("ppm2", alias_name="ppm2"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_nationkey": pc.cast(b["nat"], INT64),
+            "n_suppliers": pc.cast(b["n_suppliers"], INT64),
+            "hhi_ppm": pa.array(
+                b["ppm2"].to_numpy(zero_copy_only=False) // 1_000_000,
+                type=INT64)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("n_nationkey")
+
+
+HHI_SQL = """
+    WITH sr AS (
+      SELECT l_suppkey AS s,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS rev
+      FROM lineitem GROUP BY s),
+    n AS (
+      SELECT CAST(s_nationkey AS BIGINT) AS nat, rev,
+             SUM(rev) OVER (PARTITION BY s_nationkey) AS tot
+      FROM sr JOIN supplier ON s = s_suppkey)
+    SELECT nat AS n_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM((rev * 1000000 // GREATEST(tot, 1))
+                    * (rev * 1000000 // GREATEST(tot, 1)))
+                // 1000000 AS BIGINT) AS hhi_ppm
+    FROM n GROUP BY nat ORDER BY n_nationkey"""
