@@ -14173,3 +14173,149 @@ HHI_SQL = """
                     * (rev * 1000000 // GREATEST(tot, 1)))
                 // 1000000 AS BIGINT) AS hhi_ppm
     FROM n GROUP BY nat ORDER BY n_nationkey"""
+
+
+# ---------------------------------------------------------------------------
+# Q240: LTV quartile transition matrix (two-period mobility)
+# ---------------------------------------------------------------------------
+
+
+def ltv_transition(sf_dir: str, year_a: int = 1996,
+                   year_b: int = 1997, npart: int = 32):
+    """q240: the customer-value MOBILITY MATRIX — each customer's
+    spend quartile in 1996 vs 1997 (0 = absent that year), counted
+    per (from, to) cell: the retention-economics report (do top-
+    quartile customers stay top?).  Quartile CUTS are exact k-th
+    order statistics from ``exchange.distributed_select`` (q217's
+    radix-select — no sort, no NTILE tie ambiguity); classification
+    is 1 + Σ(v > cut) with the cuts broadcast, identical in SQL.
+
+    Scale shape: one (cust,year) groupby (materialized — consumed by
+    the two selection passes and the classify pass), radix-select per
+    year, then one custkey exchange pivots each customer's two years
+    into a matrix cell."""
+    from ..stages.exchange import distributed_select
+
+    lo_a = int(np.datetime64(f"{year_a}-01-01", "us").astype(np.int64))
+    hi_a = int(np.datetime64(f"{year_a + 1}-01-01", "us")
+               .astype(np.int64))
+    hi_b = int(np.datetime64(f"{year_b + 1}-01-01", "us")
+               .astype(np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], INT64)
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo_a, type=INT64)),
+                       pc.less(d, pa.scalar(hi_b, type=INT64)))
+        b = b.filter(keep)
+        yr = pc.cast(pc.less(pc.cast(b["o_orderdate"], INT64),
+                             pa.scalar(hi_a, type=INT64)), INT64)
+        return pa.table({
+            "c": b["o_custkey"],
+            "is_a": yr,
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["o_totalprice"], 100.0)), INT64)}) \
+            .group_by(["c", "is_a"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["c", "is_a", "cents"])
+
+    cy = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["c", "is_a"]).aggregate(Sum("cents",
+                                              alias_name="cents")) \
+        .materialize()
+
+    def cuts_for(is_a: int):
+        def make_ds():
+            return cy.map_batches(
+                lambda b: b.filter(pc.equal(
+                    b["is_a"], pa.scalar(is_a, type=INT64)))
+                .select(["cents"]), batch_format="pyarrow")
+
+        n = sum(b.num_rows for b in
+                make_ds().iter_batches(batch_format="pyarrow"))
+        ranks = sorted({(n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4})
+        got = distributed_select(make_ds, "cents", ranks)
+        return np.array([got[(n + 3) // 4], got[(n + 1) // 2],
+                         got[(3 * n + 3) // 4]], dtype=np.int64)
+
+    cuts_a, cuts_b = cuts_for(1), cuts_for(0)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        c = g["c"].to_numpy(zero_copy_only=False)
+        ia = g["is_a"].to_numpy(zero_copy_only=False)
+        v = g["cents"].to_numpy(zero_copy_only=False)
+        qa = np.where(ia == 1,
+                      1 + (v > cuts_a[0]).astype(np.int64)
+                      + (v > cuts_a[1]) + (v > cuts_a[2]), 0)
+        qb = np.where(ia == 0,
+                      1 + (v > cuts_b[0]).astype(np.int64)
+                      + (v > cuts_b[1]) + (v > cuts_b[2]), 0)
+        order = np.argsort(c, kind="stable")
+        c, qa, qb = c[order], qa[order], qb[order]
+        starts = np.flatnonzero(np.concatenate(([True], c[1:] != c[:-1])))
+        from_q = np.maximum.reduceat(qa, starts)
+        to_q = np.maximum.reduceat(qb, starts)
+        return pa.table({
+            "from_q": pa.array(from_q, type=INT64),
+            "to_q": pa.array(to_q, type=INT64),
+            "n_customers": pa.array(np.ones(len(starts),
+                                            dtype=np.int64))}) \
+            .group_by(["from_q", "to_q"]) \
+            .aggregate([("n_customers", "sum")]) \
+            .rename_columns(["from_q", "to_q", "n_customers"])
+
+    return cy.map_batches(lambda b: with_part(b, "c", npart),
+                          batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby(["from_q", "to_q"]) \
+        .aggregate(Sum("n_customers", alias_name="n_customers")) \
+        .map_batches(lambda b: pa.table({
+            "from_q": pc.cast(b["from_q"], INT64),
+            "to_q": pc.cast(b["to_q"], INT64),
+            "n_customers": pc.cast(b["n_customers"], INT64)}),
+            batch_format="pyarrow") \
+        .sort(["from_q", "to_q"])
+
+
+LTV_TRANSITION_SQL = """
+    WITH cy AS (
+      SELECT o_custkey AS c,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN 1 ELSE 0 END AS is_a,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY c, is_a),
+    ra AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM cy WHERE is_a = 1),
+    rb AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+                  COUNT(*) OVER () AS n
+           FROM cy WHERE is_a = 0),
+    ca AS (SELECT MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) c1,
+                  MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) c2,
+                  MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) c3
+           FROM ra),
+    cb AS (SELECT MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) c1,
+                  MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) c2,
+                  MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) c3
+           FROM rb),
+    q AS (
+      SELECT c,
+             MAX(CASE WHEN is_a = 1 THEN
+                 1 + CASE WHEN cents > ca.c1 THEN 1 ELSE 0 END
+                   + CASE WHEN cents > ca.c2 THEN 1 ELSE 0 END
+                   + CASE WHEN cents > ca.c3 THEN 1 ELSE 0 END
+                 ELSE 0 END) AS from_q,
+             MAX(CASE WHEN is_a = 0 THEN
+                 1 + CASE WHEN cents > cb.c1 THEN 1 ELSE 0 END
+                   + CASE WHEN cents > cb.c2 THEN 1 ELSE 0 END
+                   + CASE WHEN cents > cb.c3 THEN 1 ELSE 0 END
+                 ELSE 0 END) AS to_q
+      FROM cy, ca, cb GROUP BY c)
+    SELECT from_q, to_q, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM q GROUP BY from_q, to_q ORDER BY from_q, to_q"""
