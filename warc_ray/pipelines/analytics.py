@@ -14319,3 +14319,129 @@ LTV_TRANSITION_SQL = """
       FROM cy, ca, cb GROUP BY c)
     SELECT from_q, to_q, CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM q GROUP BY from_q, to_q ORDER BY from_q, to_q"""
+
+
+# ---------------------------------------------------------------------------
+# Q241: discrete survival risk table (conversion with censoring)
+# ---------------------------------------------------------------------------
+
+
+def survival_table(sf_dir: str, npart: int = 32):
+    """q241: the discrete survival risk table for signup→purchase —
+    per hour-offset: conversions (events), censorings (user's stream
+    ends unconverted), and the at-risk count: the exact input the
+    Kaplan–Meier estimator consumes (the float product-limit curve
+    itself would fold in engine-dependent order, so the table IS the
+    oracle-exact deliverable; q180's "ship the exact ints, not the
+    float fold" discipline).
+
+    Scale shape: one user exchange pivots each user's first signup,
+    first subsequent purchase and last event in one pass; the
+    (hour, event/censor) histogram is bounded by the stream horizon
+    and the at-risk walk runs on that tiny table."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "t": pc.cast(b["ts"], INT64),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        ei = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"])
+        order = np.lexsort((ei, t, u))
+        u, t, et = u[order], t[order], et[order]
+        n = len(u)
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        sizes = np.diff(np.append(starts, n))
+        gi = np.repeat(np.arange(len(starts)), sizes)
+        big = np.iinfo(np.int64).max
+        s_t = np.full(len(starts), big, dtype=np.int64)
+        sig = et == "signup"
+        np.minimum.at(s_t, gi[sig], t[sig])
+        # first purchase AT/AFTER the signup
+        p_t = np.full(len(starts), big, dtype=np.int64)
+        pur = (et == "purchase") & (t >= s_t[gi])
+        np.minimum.at(p_t, gi[pur], t[pur])
+        last_t = np.maximum.reduceat(t, starts)
+        has_s = s_t < big
+        conv = has_s & (p_t < big)
+        cens = has_s & ~conv
+        hr_conv = (p_t[conv] - s_t[conv]) // 3_600_000_000
+        hr_cens = (last_t[cens] - s_t[cens]) // 3_600_000_000
+        return pa.table({
+            "hour": pa.array(np.concatenate((hr_conv, hr_cens)),
+                             type=INT64),
+            "d": pa.array(np.concatenate(
+                (np.ones(len(hr_conv), dtype=np.int64),
+                 np.zeros(len(hr_cens), dtype=np.int64)))),
+            "c": pa.array(np.concatenate(
+                (np.zeros(len(hr_conv), dtype=np.int64),
+                 np.ones(len(hr_cens), dtype=np.int64))))}) \
+            .group_by(["hour"]).aggregate(
+                [("d", "sum"), ("c", "sum")]) \
+            .rename_columns(["hour", "d", "c"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts", "event_id",
+                                   "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("hour").aggregate(Sum("d", alias_name="d"),
+                                   Sum("c", alias_name="c"))
+
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    order = np.argsort(t["hour"].to_numpy(zero_copy_only=False))
+    hr = t["hour"].to_numpy(zero_copy_only=False)[order]
+    d = t["d"].to_numpy(zero_copy_only=False)[order]
+    c = t["c"].to_numpy(zero_copy_only=False)[order]
+    total = int(d.sum() + c.sum())
+    exits = d + c
+    at_risk = total - np.concatenate(([0], np.cumsum(exits)[:-1]))
+    return pa.table({
+        "hour": pa.array(hr, type=INT64),
+        "n_convert": pa.array(d, type=INT64),
+        "n_censored": pa.array(c, type=INT64),
+        "at_risk": pa.array(at_risk, type=INT64)})
+
+
+SURVIVAL_SQL = """
+    WITH pv AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(ts) END) AS s_t,
+             MAX(epoch_us(ts)) AS last_t
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT p.user_id, p.s_t, p.last_t,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                       AND epoch_us(e.ts) >= p.s_t
+                      THEN epoch_us(e.ts) END) AS p_t
+      FROM pv p JOIN events e ON p.user_id = e.user_id
+      WHERE p.s_t IS NOT NULL
+      GROUP BY p.user_id, p.s_t, p.last_t),
+    rows_ AS (
+      SELECT CASE WHEN p_t IS NOT NULL
+                  THEN (p_t - s_t) // 3600000000
+                  ELSE (last_t - s_t) // 3600000000 END AS hour,
+             CASE WHEN p_t IS NOT NULL THEN 1 ELSE 0 END AS d,
+             CASE WHEN p_t IS NULL THEN 1 ELSE 0 END AS c
+      FROM conv),
+    h AS (
+      SELECT hour, CAST(SUM(d) AS BIGINT) AS n_convert,
+             CAST(SUM(c) AS BIGINT) AS n_censored
+      FROM rows_ GROUP BY hour)
+    SELECT hour, n_convert, n_censored,
+           CAST(SUM(n_convert + n_censored) OVER ()
+                - COALESCE(SUM(n_convert + n_censored)
+                           OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS at_risk
+    FROM h ORDER BY hour"""
