@@ -982,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q239_hhi_index": an.hhi_index,
         "q240_ltv_transition": an.ltv_transition,
         "q241_survival_table": an.survival_table,
+        "q242_discount_response": an.discount_response,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1402,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "q239_hhi_index": _an.HHI_SQL,
         "q240_ltv_transition": _an.LTV_TRANSITION_SQL,
         "q241_survival_table": _an.SURVIVAL_SQL,
+        "q242_discount_response": _an.DISCOUNT_RESPONSE_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -14445,3 +14445,101 @@ SURVIVAL_SQL = """
                                  PRECEDING AND 1 PRECEDING), 0)
                 AS BIGINT) AS at_risk
     FROM h ORDER BY hour"""
+
+
+# ---------------------------------------------------------------------------
+# Q242: discount responsiveness per brand (integer OLS slope)
+# ---------------------------------------------------------------------------
+
+
+def discount_response(sf_dir: str, npart: int = 16):
+    """q242: does discounting move volume — per brand, the OLS slope
+    of line quantity (centi-units) on discount (percent), as an exact
+    RATIONAL: numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)²
+    ship as int64 columns plus the floor-ppm slope — the
+    price-elasticity screen, per q230's no-float discipline but with
+    a REAL regressor (not rank).
+
+    Scale shape: brand rides the clustered part join; five moment
+    partials fold per brand (25 rows); everything else is the tiny
+    closing batch."""
+    from ..stages.exchange import clustered_join
+
+    def line_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "x": pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                         INT64),
+            "y": pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)),
+                         INT64)})
+
+    def moments(j: pa.Table) -> pa.Table:
+        x = j["x"].to_numpy(zero_copy_only=False)
+        y = j["y"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "p_brand": j["p_brand"],
+            "n": pa.array(np.ones(len(x), dtype=np.int64)),
+            "sx": pa.array(x, type=INT64),
+            "sy": pa.array(y, type=INT64),
+            "sxy": pa.array(x * y, type=INT64),
+            "sxx": pa.array(x * x, type=INT64)})
+        return t.group_by(["p_brand"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")]) \
+            .rename_columns(["p_brand", "n", "sx", "sy", "sxy", "sxx"])
+
+    agg = clustered_join(
+        rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_discount",
+                                 "l_quantity"])
+        .map_batches(line_side, batch_format="pyarrow"),
+        _pq(sf_dir, "part"), fact_key="l_partkey", dim_key="p_partkey",
+        dim_columns=["p_brand"], npart=npart, bucket_finish=moments) \
+        .groupby("p_brand") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"),
+                   Sum("sxy", alias_name="sxy"),
+                   Sum("sxx", alias_name="sxx"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        num = n * sxy - sx * sy
+        den = np.maximum(n * sxx - sx * sx, 1)
+        # truncate-toward-zero to match SQL integer // on negatives
+        ppm = np.where(num >= 0, num * 1_000_000 // den,
+                       -((-num) * 1_000_000 // den))
+        return pa.table({
+            "p_brand": b["p_brand"],
+            "n_lines": pa.array(n, type=INT64),
+            "slope_num": pa.array(num, type=INT64),
+            "slope_den": pa.array(n * sxx - sx * sx, type=INT64),
+            "slope_ppm": pa.array(ppm, type=INT64)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("p_brand")
+
+
+DISCOUNT_RESPONSE_SQL = """
+    WITH m AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sx,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sy,
+             SUM(CAST(round(l_discount * 100) AS BIGINT)
+                 * CAST(round(l_quantity * 100) AS BIGINT)) AS sxy,
+             SUM(CAST(round(l_discount * 100) AS BIGINT)
+                 * CAST(round(l_discount * 100) AS BIGINT)) AS sxx
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand)
+    SELECT p_brand, n AS n_lines,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST((n * sxy - sx * sy) * 1000000
+                // GREATEST(n * sxx - sx * sx, 1) AS BIGINT)
+             AS slope_ppm
+    FROM m ORDER BY p_brand"""
