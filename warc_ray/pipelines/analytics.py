@@ -14543,3 +14543,66 @@ DISCOUNT_RESPONSE_SQL = """
                 // GREATEST(n * sxx - sx * sx, 1) AS BIGINT)
              AS slope_ppm
     FROM m ORDER BY p_brand"""
+
+
+# ---------------------------------------------------------------------------
+# Q243: calendar coverage census (zero-order day gaps)
+# ---------------------------------------------------------------------------
+
+
+def calendar_gaps(sf_dir: str):
+    """q243: calendar coverage of the order stream — span, days with
+    orders, gap days, and the longest zero-order streak: the
+    ingestion-completeness smoke test (a silent upstream outage shows
+    up as a gap before it shows up anywhere else).
+
+    Scale shape: per-batch distinct-day partials → one bounded-domain
+    day groupby → driver walk over the (span-bounded) day list; gaps
+    derive from consecutive diffs, all integer."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["o_orderdate"], INT64).to_numpy(
+            zero_copy_only=False) // 86_400_000_000
+        return pa.table({"day": pa.array(np.unique(d), type=INT64)})
+
+    # groupby with no aggs isn't expressible — count and drop
+    from ray.data.aggregate import Count as _Count
+
+    days = rd.read_parquet(_pq(sf_dir, "orders"),
+                           columns=["o_orderdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(_Count(alias_name="_c"))
+
+    t = pa.concat_tables(days.iter_batches(batch_format="pyarrow"))
+    d = np.sort(t["day"].to_numpy(zero_copy_only=False))
+    span = int(d[-1] - d[0]) + 1
+    gaps = np.diff(d) - 1
+    longest = int(gaps.max()) if len(gaps) else 0
+    iso = [str(np.datetime64(int(x) * 86_400, "s"))[:10]
+           for x in (d[0], d[-1])]
+    return pa.table({
+        "first_day": pa.array([iso[0]], type=pa.string()),
+        "last_day": pa.array([iso[1]], type=pa.string()),
+        "span_days": pa.array([span], type=INT64),
+        "days_present": pa.array([len(d)], type=INT64),
+        "gap_days": pa.array([span - len(d)], type=INT64),
+        "longest_gap": pa.array([longest], type=INT64)})
+
+
+CALENDAR_SQL = """
+    WITH d AS (
+      SELECT DISTINCT epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders),
+    g AS (
+      SELECT day, day - lag(day) OVER (ORDER BY day) - 1 AS gap
+      FROM d)
+    SELECT strftime(to_timestamp(MIN(day) * 86400), '%Y-%m-%d')
+             AS first_day,
+           strftime(to_timestamp(MAX(day) * 86400), '%Y-%m-%d')
+             AS last_day,
+           CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+           CAST(COUNT(*) AS BIGINT) AS days_present,
+           CAST(MAX(day) - MIN(day) + 1 - COUNT(*) AS BIGINT)
+             AS gap_days,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap
+    FROM g"""
