@@ -14606,3 +14606,82 @@ CALENDAR_SQL = """
              AS gap_days,
            CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS longest_gap
     FROM g"""
+
+
+# ---------------------------------------------------------------------------
+# Q244: type co-activity correlation (per-minute count Pearson)
+# ---------------------------------------------------------------------------
+
+
+def coactivity_correlation(sf_dir: str, type_a: str = "click",
+                           type_b: str = "view"):
+    """q244: do two event types surge TOGETHER — Pearson correlation
+    of their per-minute counts over the active span (zero-count
+    minutes included, or quiet periods would be invisible and the
+    correlation inflated): the incident-correlation statistic.
+
+    Exactness: one (minute → cₐ, c_b) groupby; the moment sums over
+    implicit-zero minutes need no materialization (zeros contribute
+    nothing to Σx, Σx², Σxy; only n = span counts them); Pearson is
+    the q201 closing-double shape."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"]
+        keep = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        b = b.filter(keep)
+        minute = pc.cast(b["ts"], INT64).to_numpy(
+            zero_copy_only=False) // 60_000_000
+        is_a = pc.equal(b["event_type"], type_a).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "minute": pa.array(minute, type=INT64),
+            "ca": pa.array(is_a.astype(np.int64)),
+            "cb": pa.array((~is_a).astype(np.int64))}) \
+            .group_by(["minute"]).aggregate(
+                [("ca", "sum"), ("cb", "sum")]) \
+            .rename_columns(["minute", "ca", "cb"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("minute").aggregate(Sum("ca", alias_name="ca"),
+                                     Sum("cb", alias_name="cb"))
+
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    mn = t["minute"].to_numpy(zero_copy_only=False)
+    ca = t["ca"].to_numpy(zero_copy_only=False)
+    cb = t["cb"].to_numpy(zero_copy_only=False)
+    n = int(mn.max() - mn.min()) + 1          # span incl. zero minutes
+    sx, sy = int(ca.sum()), int(cb.sum())
+    sxy = int((ca * cb).sum())
+    sxx = int((ca * ca).sum())
+    syy = int((cb * cb).sum())
+    import math
+    r = float(n * sxy - sx * sy) / math.sqrt(
+        float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    return pa.table({
+        "n_minutes": pa.array([n], type=INT64),
+        "sum_xy": pa.array([sxy], type=INT64),
+        "pearson": pa.array([r], type=pa.float64())})
+
+
+COACTIVITY_SQL = """
+    WITH m AS (
+      SELECT epoch_us(ts) // 60000000 AS minute,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN event_type = 'view'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY minute),
+    s AS (
+      SELECT MAX(minute) - MIN(minute) + 1 AS n,
+             SUM(ca) AS sx, SUM(cb) AS sy, SUM(ca * cb) AS sxy,
+             SUM(ca * ca) AS sxx, SUM(cb * cb) AS syy
+      FROM m)
+    SELECT CAST(n AS BIGINT) AS n_minutes,
+           CAST(sxy AS BIGINT) AS sum_xy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson
+    FROM s"""
