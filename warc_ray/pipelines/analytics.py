@@ -14685,3 +14685,89 @@ COACTIVITY_SQL = """
              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                     * CAST(n * syy - sy * sy AS DOUBLE)) AS pearson
     FROM s"""
+
+
+# ---------------------------------------------------------------------------
+# Q245: effective tax incidence per brand
+# ---------------------------------------------------------------------------
+
+
+def tax_incidence(sf_dir: str, npart: int = 16):
+    """q245: the effective tax rate per brand — Σ(price·tax) /
+    Σprice in floor-ppm: the weighted-average-rate report where the
+    naive mean-of-rates answer is wrong whenever price and rate
+    correlate (exactly what it exists to detect, via the included
+    naive mean for comparison).
+
+    Exactness: tax stays in percent ints, the weighted numerator
+    folds as cents·tax_pct int64 partials, both ratios are floor-ppm
+    integers; clustered part join carries the brand."""
+    from ..stages.exchange import clustered_join
+
+    def line_side(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        tax = pc.cast(pc.round(pc.multiply(b["l_tax"], 100.0)), INT64)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "cents": cents,
+            "wtax": pc.multiply(cents, tax),
+            "tax": tax})
+
+    def moments(j: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": j["p_brand"],
+            "n": pa.nulls(j.num_rows, INT64).fill_null(1),
+            "cents": j["cents"], "wtax": j["wtax"], "tax": j["tax"]}) \
+            .group_by(["p_brand"]).aggregate(
+                [("n", "sum"), ("cents", "sum"), ("wtax", "sum"),
+                 ("tax", "sum")]) \
+            .rename_columns(["p_brand", "n", "cents", "wtax", "tax"])
+
+    agg = clustered_join(
+        rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_extendedprice",
+                                 "l_tax"])
+        .map_batches(line_side, batch_format="pyarrow"),
+        _pq(sf_dir, "part"), fact_key="l_partkey", dim_key="p_partkey",
+        dim_columns=["p_brand"], npart=npart, bucket_finish=moments) \
+        .groupby("p_brand") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("cents", alias_name="cents"),
+                   Sum("wtax", alias_name="wtax"),
+                   Sum("tax", alias_name="tax"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        cents = b["cents"].to_numpy(zero_copy_only=False)
+        wtax = b["wtax"].to_numpy(zero_copy_only=False)
+        tax = b["tax"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "p_brand": b["p_brand"],
+            "n_lines": pa.array(n, type=INT64),
+            "weighted_tax_ppm": pa.array(
+                wtax * 10_000 // np.maximum(cents, 1), type=INT64),
+            "naive_tax_ppm": pa.array(
+                tax * 10_000 // np.maximum(n, 1), type=INT64)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("p_brand")
+
+
+TAX_SQL = """
+    WITH m AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS cents,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_tax * 100) AS BIGINT)) AS wtax,
+             SUM(CAST(round(l_tax * 100) AS BIGINT)) AS tax
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand)
+    SELECT p_brand, n AS n_lines,
+           CAST(wtax * 10000 // GREATEST(cents, 1) AS BIGINT)
+             AS weighted_tax_ppm,
+           CAST(tax * 10000 // GREATEST(n, 1) AS BIGINT)
+             AS naive_tax_ppm
+    FROM m ORDER BY p_brand"""
