@@ -14771,3 +14771,84 @@ TAX_SQL = """
            CAST(tax * 10000 // GREATEST(n, 1) AS BIGINT)
              AS naive_tax_ppm
     FROM m ORDER BY p_brand"""
+
+
+# ---------------------------------------------------------------------------
+# Q246: price-laddering audit (mode-price share per part)
+# ---------------------------------------------------------------------------
+
+
+def price_laddering(sf_dir: str, npart: int = 32):
+    """q246: price discipline per part — the share of a part's line
+    items sold at its MODE price, banded in deciles: list-price
+    enforcement vs ad-hoc pricing (mode share → 1 means a respected
+    price ladder).  Mode = argmax of the (part, price) count with
+    pinned (count DESC, price ASC) ties.
+
+    Scale shape: (part, price) count partials → one partkey exchange
+    → per-bucket argmax + per-part totals via lexsort/reduceat →
+    decile-band histogram; floor-ppm bands."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p": b["l_partkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                b["l_extendedprice"], 100.0)), INT64),
+            "n": pa.nulls(b.num_rows, INT64).fill_null(1)}) \
+            .group_by(["p", "cents"]).aggregate([("n", "sum")]) \
+            .rename_columns(["p", "cents", "n"])
+
+    def bucket(g: pa.Table) -> pa.Table:
+        t = g.group_by(["p", "cents"]).aggregate([("n", "sum")]) \
+            .rename_columns(["p", "cents", "n"])
+        p = t["p"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, -n, p))
+        p, n = p[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True], p[1:] != p[:-1])))
+        mode_n = n[starts]
+        total = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(total, np.repeat(
+            np.arange(len(starts)),
+            np.diff(np.append(starts, len(p)))), n)
+        band = np.minimum(mode_n * 10 // total, 9)
+        return pa.table({
+            "band": pa.array(band, type=INT64),
+            "n_parts": pa.array(np.ones(len(starts),
+                                        dtype=np.int64))}) \
+            .group_by(["band"]).aggregate([("n_parts", "sum")]) \
+            .rename_columns(["band", "n_parts"])
+
+    return rd.read_parquet(_pq(sf_dir, "lineitem"),
+                           columns=["l_partkey", "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "p", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("band").aggregate(Sum("n_parts",
+                                       alias_name="n_parts")) \
+        .map_batches(lambda b: pa.table({
+            "band": pc.cast(b["band"], INT64),
+            "n_parts": pc.cast(b["n_parts"], INT64)}),
+            batch_format="pyarrow") \
+        .sort("band")
+
+
+LADDER_SQL = """
+    WITH pc_ AS (
+      SELECT l_partkey AS p,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY p, cents),
+    r AS (
+      SELECT p, n,
+             SUM(n) OVER (PARTITION BY p) AS total,
+             row_number() OVER (PARTITION BY p
+                                ORDER BY n DESC, cents) AS rn
+      FROM pc_)
+    SELECT CAST(LEAST(n * 10 // total, 9) AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM r WHERE rn = 1 GROUP BY band ORDER BY band"""
