@@ -14852,3 +14852,99 @@ LADDER_SQL = """
     SELECT CAST(LEAST(n * 10 // total, 9) AS BIGINT) AS band,
            CAST(COUNT(*) AS BIGINT) AS n_parts
     FROM r WHERE rn = 1 GROUP BY band ORDER BY band"""
+
+
+# ---------------------------------------------------------------------------
+# Q247: error-recovery latency (what follows an error, how fast)
+# ---------------------------------------------------------------------------
+
+
+def error_recovery(sf_dir: str, npart: int = 32):
+    """q247: after a user hits an ERROR, what do they do next and how
+    quickly — per next-event-type: count and mean recovery seconds
+    (errors with no subsequent event count as abandoned): the
+    incident-UX metric (error→purchase fast = benign; error→nothing =
+    churn signal).
+
+    Scale shape: one user exchange; the next event is the shifted
+    row of the (user, ts, event_id)-sorted stream; whole-second
+    integer lags fold as (type, n, Σs) partials, mean = floor
+    division."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "t": pc.cast(b["ts"], INT64),
+            "event_id": b["event_id"],
+            "event_type": b["event_type"]})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        ei = g["event_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"])
+        order = np.lexsort((ei, t, u))
+        u, t, et = u[order], t[order], et[order]
+        n = len(u)
+        is_err = et == "error"
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = u[1:] == u[:-1]
+        rec = is_err & same_next
+        lag_s = np.zeros(n, dtype=np.int64)
+        lag_s[:-1] = (t[1:] - t[:-1]) // 1_000_000
+        nxt = np.empty(n, dtype=object)
+        nxt[:-1] = et[1:]
+        nxt[~rec] = "abandoned"
+        sel = is_err
+        return pa.table({
+            "next_type": pa.array(nxt[sel].tolist(), type=pa.string()),
+            "n": pa.array(np.ones(int(sel.sum()), dtype=np.int64)),
+            "sum_lag_s": pa.array(np.where(rec, lag_s, 0)[sel],
+                                  type=INT64)}) \
+            .group_by(["next_type"]).aggregate(
+                [("n", "sum"), ("sum_lag_s", "sum")]) \
+            .rename_columns(["next_type", "n", "sum_lag_s"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "events"),
+                          columns=["user_id", "ts", "event_id",
+                                   "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "user_id", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("next_type").aggregate(Sum("n", alias_name="n"),
+                                        Sum("sum_lag_s",
+                                            alias_name="sum_lag_s"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sl = b["sum_lag_s"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "next_type": b["next_type"],
+            "n_errors": pa.array(n, type=INT64),
+            "mean_recovery_s": pa.array(sl // np.maximum(n, 1),
+                                        type=INT64)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("next_type")
+
+
+RECOVERY_SQL = """
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type) OVER w AS next_type,
+             (lead(epoch_us(ts)) OVER w - epoch_us(ts)) // 1000000
+               AS lag_s
+      FROM events WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+    e AS (
+      SELECT COALESCE(next_type, 'abandoned') AS next_type,
+             COALESCE(lag_s, 0) AS lag_s
+      FROM s WHERE event_type = 'error')
+    SELECT next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           CAST(SUM(lag_s) // GREATEST(COUNT(*), 1) AS BIGINT)
+             AS mean_recovery_s
+    FROM e GROUP BY next_type ORDER BY next_type"""
