@@ -14948,3 +14948,125 @@ RECOVERY_SQL = """
            CAST(SUM(lag_s) // GREATEST(COUNT(*), 1) AS BIGINT)
              AS mean_recovery_s
     FROM e GROUP BY next_type ORDER BY next_type"""
+
+
+# ---------------------------------------------------------------------------
+# Q248: inter-region trade matrix
+# ---------------------------------------------------------------------------
+
+
+def region_trade_matrix(sf_dir: str, npart: int = 16):
+    """q248: the full 5×5 inter-region trade matrix — revenue by
+    (customer region, supplier region) with floor-ppm share of world
+    trade: q183's two-nation question asked for EVERY pair at once,
+    which changes the plan — no side can pre-filter, so both catalog
+    maps broadcast and the orderkey join bucket folds straight to ≤25
+    cells.
+
+    Exactness: q183's integer revenue units; shares floor-ppm of the
+    grand total (computed from the same 25 exact cells)."""
+    import pyarrow.parquet as _pq2
+
+    from ..stages.exchange import hash_join
+
+    nat = _pq2.read_table(_pq(sf_dir, "nation"))
+    nat_region = np.zeros(int(nat["n_nationkey"].to_numpy().max()) + 1,
+                          dtype=np.int64)
+    nat_region[nat["n_nationkey"].to_numpy()] = \
+        nat["n_regionkey"].to_numpy()
+    reg = _pq2.read_table(_pq(sf_dir, "region"))
+    reg_name = dict(zip(reg["r_regionkey"].to_pylist(),
+                        reg["r_name"].to_pylist()))
+    sup = _pq2.read_table(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    sup_reg = np.zeros(int(sup["s_suppkey"].to_numpy().max()) + 1,
+                       dtype=np.int64)
+    sup_reg[sup["s_suppkey"].to_numpy()] = \
+        nat_region[sup["s_nationkey"].to_numpy()]
+    cust = _pq2.read_table(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    cust_reg = np.zeros(int(cust["c_custkey"].to_numpy().max()) + 1,
+                        dtype=np.int64)
+    cust_reg[cust["c_custkey"].to_numpy()] = \
+        nat_region[cust["c_nationkey"].to_numpy()]
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        c = b["o_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_orderkey": b["o_orderkey"],
+            "c_reg": pa.array(cust_reg[np.minimum(
+                c, len(cust_reg) - 1)], type=INT64)})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_side, batch_format="pyarrow")
+
+    def line_side(b: pa.Table) -> pa.Table:
+        s = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                        INT64)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), INT64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "s_reg": pa.array(sup_reg[np.minimum(
+                s, len(sup_reg) - 1)], type=INT64),
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, type=INT64), disc))})
+
+    lines = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice", "l_discount"]) \
+        .map_batches(line_side, batch_format="pyarrow")
+
+    def cells(j: pa.Table) -> pa.Table:
+        j = j.filter(pc.is_valid(j["c_reg"]))
+        return j.select(["c_reg", "s_reg", "rev"]) \
+            .group_by(["c_reg", "s_reg"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["c_reg", "s_reg", "rev"])
+
+    agg = hash_join(lines, orders, "l_orderkey", npart=npart,
+                    bucket_finish=cells) \
+        .groupby(["c_reg", "s_reg"]).aggregate(Sum("rev",
+                                                   alias_name="rev"))
+
+    t = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    rev = t["rev"].to_numpy(zero_copy_only=False)
+    total = int(rev.sum())
+    return pa.table({
+        "cust_region": pa.array(
+            [reg_name[int(x)] for x in t["c_reg"].to_pylist()],
+            type=pa.string()),
+        "supp_region": pa.array(
+            [reg_name[int(x)] for x in t["s_reg"].to_pylist()],
+            type=pa.string()),
+        "revenue": pa.array(rev.astype(np.float64) / 10_000.0,
+                            type=pa.float64()),
+        "share_ppm": pa.array(
+            [int(r) * 1_000_000 // total for r in rev],  # py ints:
+            type=INT64)}) \
+        .sort_by([("cust_region", "ascending"),
+                  ("supp_region", "ascending")])
+    # (^ 25 cells — arbitrary-precision share arithmetic, since
+    #  rev·10⁶ exceeds int64 past ~sf0.05; DuckDB promotes to HUGEINT)
+
+
+REGION_MATRIX_SQL = """
+    WITH cells AS (
+      SELECT rc.r_name AS cust_region, rs.r_name AS supp_region,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region rc ON nc.n_regionkey = rc.r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN region rs ON ns.n_regionkey = rs.r_regionkey
+      GROUP BY cust_region, supp_region)
+    SELECT cust_region, supp_region,
+           CAST(rev AS DOUBLE) / 10000.0 AS revenue,
+           CAST(rev * 1000000 // (SELECT SUM(rev) FROM cells)
+                AS BIGINT) AS share_ppm
+    FROM cells ORDER BY cust_region, supp_region"""
