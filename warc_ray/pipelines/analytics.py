@@ -15070,3 +15070,66 @@ REGION_MATRIX_SQL = """
            CAST(rev * 1000000 // (SELECT SUM(rev) FROM cells)
                 AS BIGINT) AS share_ppm
     FROM cells ORDER BY cust_region, supp_region"""
+
+
+# ---------------------------------------------------------------------------
+# Q249: volume-discount policy detector (2×2 odds ratio)
+# ---------------------------------------------------------------------------
+
+
+def volume_discount(sf_dir: str):
+    """q249: is there a volume-discount POLICY — the 2×2 contingency
+    of (large quantity ≥ 40) × (deep discount ≥ 8%) with the odds
+    ratio as an exact integer rational (a·d·10⁶ // (b·c)): odds ≫ 1M
+    ppm means big orders systematically get deeper cuts.
+
+    Scale shape: four conditional-count partials, one global fold —
+    no exchange at all; the single output row carries the full table
+    so the evidence is auditable."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(b["l_quantity"]), INT64).to_numpy(
+            zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                       INT64).to_numpy(zero_copy_only=False)
+        big = qty >= 40
+        deep = disc >= 8
+        return pa.table({
+            "a": pa.array([int((big & deep).sum())], type=INT64),
+            "b": pa.array([int((big & ~deep).sum())], type=INT64),
+            "c": pa.array([int((~big & deep).sum())], type=INT64),
+            "d": pa.array([int((~big & ~deep).sum())], type=INT64)})
+
+    g = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_quantity", "l_discount"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .sum(["a", "b", "c", "d"])
+    a, b = int(g["sum(a)"]), int(g["sum(b)"])
+    c, d = int(g["sum(c)"]), int(g["sum(d)"])
+    return pa.table({
+        "big_deep": pa.array([a], type=INT64),
+        "big_shallow": pa.array([b], type=INT64),
+        "small_deep": pa.array([c], type=INT64),
+        "small_shallow": pa.array([d], type=INT64),
+        "odds_ratio_ppm": pa.array(
+            [a * d * 1_000_000 // max(b * c, 1)], type=INT64)})
+
+
+VOLUME_DISCOUNT_SQL = """
+    WITH t AS (
+      SELECT CAST(SUM(CASE WHEN q >= 40 AND disc >= 8
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN q >= 40 AND disc < 8
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN q < 40 AND disc >= 8
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN q < 40 AND disc < 8
+                           THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM (SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+                   CAST(round(l_discount * 100) AS BIGINT) AS disc
+            FROM lineitem))
+    SELECT a AS big_deep, b AS big_shallow, c AS small_deep,
+           d AS small_shallow,
+           CAST(a * d * 1000000 // GREATEST(b * c, 1) AS BIGINT)
+             AS odds_ratio_ppm
+    FROM t"""
