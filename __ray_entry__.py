@@ -989,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q246_price_laddering": an.price_laddering,
         "q247_error_recovery": an.error_recovery,
         "q248_region_matrix": an.region_trade_matrix,
+        "q249_volume_discount": an.volume_discount,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1416,6 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "q246_price_laddering": _an.LADDER_SQL,
         "q247_error_recovery": _an.RECOVERY_SQL,
         "q248_region_matrix": _an.REGION_MATRIX_SQL,
+        "q249_volume_discount": _an.VOLUME_DISCOUNT_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

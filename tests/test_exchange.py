@@ -370,6 +370,53 @@ def test_auto_join_three_paths_value_equal(ray_session, tmp_path):
         assert base.equals(other[base.columns])
 
 
+def test_auto_join_broadcast_duplicate_and_empty_dim(ray_session,
+                                                     tmp_path):
+    """Broadcast path edge cases that round-2 ADVICE flagged: a dim
+    with DUPLICATE keys must expand matches (N:M parity with the hash
+    path), and an EMPTY dim must yield an empty result with the joined
+    schema instead of raising IndexError."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from warc_ray.stages.exchange import auto_join
+
+    fact = pa.table({
+        "k": pa.array([0, 1, 2, 3, 1], type=pa.int64()),
+        "v": pa.array([10, 11, 12, 13, 14], type=pa.int64())})
+    fact_path = str(tmp_path / "fact.parquet")
+    pq.write_table(fact, fact_path)
+
+    # duplicate dim keys: k=1 appears 3x, k=2 appears 2x, k=9 misses
+    dim = pa.table({
+        "k": pa.array([0, 1, 1, 1, 2, 2, 9], type=pa.int64()),
+        "w": pa.array([100, 201, 202, 203, 301, 302, 900],
+                      type=pa.int64())})
+    dim_path = str(tmp_path / "dim_dup.parquet")
+    pq.write_table(dim, dim_path)
+
+    ds, strat = auto_join(rd.read_parquet(fact_path), dim_path,
+                          fact_key="k", dim_key="k",
+                          dim_columns=["w"], broadcast_row_limit=1000)
+    assert strat == "broadcast"
+    got = ds.to_pandas().sort_values(["k", "v", "w"]) \
+        .reset_index(drop=True)
+    exp = fact.to_pandas().merge(dim.to_pandas(), on="k") \
+        .sort_values(["k", "v", "w"]).reset_index(drop=True)
+    assert got.equals(exp[got.columns])
+
+    empty_path = str(tmp_path / "dim_empty.parquet")
+    pq.write_table(dim.slice(0, 0), empty_path)
+    ds2, strat2 = auto_join(rd.read_parquet(fact_path), empty_path,
+                            fact_key="k", dim_key="k",
+                            dim_columns=["w"], broadcast_row_limit=1000)
+    assert strat2 == "broadcast"
+    assert ds2.count() == 0
+    assert ds2.schema().names == ["k", "v", "w"]
+
+
 def test_distributed_select_matches_sort(ray_session):
     """radix-select = sort-based selection on hostile shapes: heavy
     duplicates, values straddling bucket boundaries, rank 1 and n."""

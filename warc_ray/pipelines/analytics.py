@@ -38,8 +38,31 @@ def _docs(sf_dir: str, columns=None):
 
 
 def _md5_hex(strs: list[str]) -> list[str]:
-    md5 = hashlib.md5
-    return [md5(s.encode()).hexdigest() for s in strs]
+    from ..stages.md5vec import md5_hex
+    return md5_hex(strs).to_pylist()
+
+
+def _grp_span_chunks(n_groups: int, span: int, starts, n_rows: int):
+    """Slices for the composite ``grp * span + offset`` int64 encoding
+    used by the segmented-scan operators (q200 interval union, q203
+    burst windows): yields ``(row_lo, row_hi, g_lo)`` such that
+    ``(g - g_lo + 1) * span < 2^62`` inside every slice — the encoding
+    can NEVER overflow int64 regardless of groups-per-bucket (round-2
+    ADVICE: grp*span wrapped silently past ~3e5 year-long users per
+    bucket).  Slices align to group boundaries, so per-group scans
+    reset naturally at slice edges; with realistic spans there is one
+    slice and the fast path is identical to the unchunked code."""
+    per = max(1, (1 << 62) // max(int(span), 1) - 1)
+    if n_groups <= per:
+        yield 0, n_rows, 0
+        return
+    g = 0
+    while g < n_groups:
+        g_hi = min(g + per, n_groups)
+        row_lo = int(starts[g])
+        row_hi = int(starts[g_hi]) if g_hi < n_groups else n_rows
+        yield row_lo, row_hi, g
+        g = g_hi
 
 
 def _read_capped(path: str, columns=None):
@@ -2861,9 +2884,8 @@ def point_lookup(sf_dir: str, sample_mod: int = 23,
         open(done, "w").write("ok")
 
     idx_t = _pq2.read_table(os.path.join(idx_dir, "index.parquet"))
-    h = np.array([int.from_bytes(
-        hashlib.md5(str(d).encode()).digest()[:8], "big")
-        for d in idx_t["doc_id"].to_pylist()], dtype=np.uint64)
+    from ..stages.md5vec import md5_prefix64
+    h = md5_prefix64(pc.cast(idx_t["doc_id"], pa.string()))
     hit = idx_t.filter(pa.array(h % np.uint64(sample_mod) == 0))
 
     def fetch_one(b: pa.Table) -> pa.Table:
@@ -7678,7 +7700,11 @@ def activity_streaks(sf_dir: str, npart: int = 32):
         span = np.int64(dmax - dmin + 2)
         comp = np.unique(u.astype(np.int64) * span + (d - dmin))
         # run break: composite step != 1 (covers both user change and
-        # a day gap); cross-batch duplicate pairs died in the unique
+        # a day gap); cross-batch duplicate pairs died in the unique.
+        # Encoding bound (documented, cf. q239): uses the RAW user_id,
+        # so it holds while max(user_id) < 2^63 / span — with a
+        # multi-decade day range (span 10^4) that is ~9e14 users,
+        # far past any id space this table models.
         brk = np.flatnonzero(np.diff(comp) != 1)
         starts = np.concatenate([[0], brk + 1])
         ends = np.concatenate([brk + 1, [comp.size]])
@@ -10218,7 +10244,10 @@ def ushape_attribution(sf_dir: str, npart: int = 32):
         conv_idx = np.repeat(conv, sizes)           # per-row, user's conv
         conv_cents = np.repeat(
             np.where(has_conv, cents[conv_row], 0), sizes)
-        touch = (~isp) & (idx < conv_idx)
+        # gate on has_conv: users with no purchase have conv_idx == n, so
+        # idx < conv_idx alone would mark ALL their clicks as 0-credit
+        # phantom touches, inflating n_touches vs USHAPE_SQL's inner join.
+        touch = (~isp) & (idx < conv_idx) & np.repeat(has_conv, sizes)
         # touch position within user path and path length k
         tc = np.cumsum(touch)
         base = np.repeat(tc[starts] - touch[starts], sizes)
@@ -10952,8 +10981,14 @@ def interval_union(sf_dir: str, npart: int = 32):
         grp = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
         base = e.min()
         span = int(e.max() - base) + 1
-        segmax = np.maximum.accumulate(grp * span + (e - base))
-        segmax = segmax - grp * span + base      # per-user running max(e)
+        # per-user running max(e) via composite-key cummax, chunked so
+        # grp*span can't overflow int64 at any users-per-bucket count
+        segmax = np.empty(n, dtype=np.int64)
+        for lo_r, hi_r, g0 in _grp_span_chunks(len(starts), span,
+                                               starts, n):
+            gl = grp[lo_r:hi_r] - g0
+            sm = np.maximum.accumulate(gl * span + (e[lo_r:hi_r] - base))
+            segmax[lo_r:hi_r] = sm - gl * span + base
         first = np.zeros(n, dtype=bool)
         first[starts] = True
         pm = np.empty(n, dtype=np.int64)
@@ -11141,9 +11176,17 @@ def burst_audit(sf_dir: str, npart: int = 32):
         grp = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
         base = t.min()
         span = int(t.max() - base) + _BURST_WIN_US + 1
-        tp = grp * span + (t - base)
-        cnt = (np.searchsorted(tp, tp + _BURST_WIN_US, side="left")
-               - np.searchsorted(tp, tp, side="left"))
+        # windowed counts per chunk of groups: the composite encoding
+        # separates users by >= the window, and chunks align to group
+        # boundaries, so windows never cross chunks and grp*span stays
+        # inside int64 at any users-per-bucket count
+        cnt = np.empty(n, dtype=np.int64)
+        for lo_r, hi_r, g0 in _grp_span_chunks(len(starts), span,
+                                               starts, n):
+            tp = (grp[lo_r:hi_r] - g0) * span + (t[lo_r:hi_r] - base)
+            cnt[lo_r:hi_r] = (
+                np.searchsorted(tp, tp + _BURST_WIN_US, side="left")
+                - np.searchsorted(tp, tp, side="left"))
         peak = np.maximum.reduceat(cnt, starts)
         return pa.table({
             "peak_60s": pa.array(peak.astype(np.int64), type=INT64),
@@ -11834,8 +11877,14 @@ def abc_classification(sf_dir: str, npart: int = 32):
         order = np.lexsort((k, -r))
         k, r = k[order], r[order]
         cum = np.cumsum(r) + int(_ray.get(carry_ref)[p])
-        cls = np.where(cum * 5 <= 4 * total, "A",
-                       np.where(cum * 20 <= 19 * total, "B", "C"))
+        # threshold form of cum*5 <= 4*total / cum*20 <= 19*total —
+        # identical for integers (a*k <= b  <=>  a <= b//k) but the
+        # products are Python-int only, so nothing wraps when total
+        # revenue cents pass 2^63/20 (~sf100; round-2 ADVICE)
+        thr_a = min((4 * total) // 5, np.iinfo(np.int64).max)
+        thr_b = min((19 * total) // 20, np.iinfo(np.int64).max)
+        cls = np.where(cum <= thr_a, "A",
+                       np.where(cum <= thr_b, "B", "C"))
         return pa.table({
             "cls": pa.array(cls.tolist(), type=pa.string()),
             "n_parts": pa.array(np.ones(len(k), dtype=np.int64)),

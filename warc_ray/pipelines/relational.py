@@ -821,13 +821,16 @@ def sample_documents(sf_dir: str, hex_cap: str = "28"):
     engine-independent sampling primitive for training-data curation
     (same rows on every run, any cluster size, any row order; the SQL
     oracle computes the identical predicate).  Stateless map_batches;
-    md5 is per-row by nature (cryptographic), embarrassingly parallel."""
-    import hashlib
+    the digest is the batched numpy MD5 over the decimal-string ids —
+    ``hexdigest()[:2] <= hex_cap`` is exactly ``digest[0] <= cap``
+    numerically (both sides fixed-width lowercase hex)."""
+    from ..stages.md5vec import md5_state
+
+    cap = int(hex_cap, 16)
 
     def f(b: pa.Table) -> pa.Table:
-        keep = pa.array(
-            [hashlib.md5(str(i).encode()).hexdigest()[:2] <= hex_cap
-             for i in b["doc_id"].to_pylist()])
+        A, _, _, _ = md5_state(pc.cast(b["doc_id"], pa.string()))
+        keep = pa.array((A & np.uint32(0xFF)) <= np.uint32(cap))
         return b.filter(keep)
 
     ds = rd.read_parquet(_pq(sf_dir, "documents"),

@@ -1104,11 +1104,10 @@ def snapshot_diff(sf_dir: str):
             else:
                 keep = did % 97 != 3
                 texts = [t for t, m in zip(texts, keep) if m]
-            fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+            from ..stages.md5vec import md5_hex
             return pa.table({
                 "doc_id": pa.array(did[keep]),
-                ("fp_b" if mutate else "fp_a"):
-                    pa.array(fps, type=pa.string()),
+                ("fp_b" if mutate else "fp_a"): md5_hex(texts),
             })
         return _docs(sf_dir, columns=["doc_id", "text"]) \
             .map_batches(fp, batch_format="pyarrow")

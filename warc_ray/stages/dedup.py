@@ -27,6 +27,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .md5vec import md5_prefix64
+
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 
 # 64 minhash permutations h_i(x) = (a_i * x + b_i) mod p  (p Mersenne 61)
@@ -121,13 +123,10 @@ def batch_shingle_sets(batch: pa.Table, *, n: int = 3,
     sh = pa.concat_arrays([a.combine_chunks()
                            if isinstance(a, pa.ChunkedArray) else a
                            for a in sh_parts])
-    # hash once per unique shingle string, then gather by code
+    # hash once per unique shingle string (vectorized batched md5 —
+    # bit-identical to _hash64_str, see md5vec), then gather by code
     enc = sh.dictionary_encode()
-    uniq = enc.dictionary.to_pylist()
-    hu = np.empty(len(uniq), dtype=np.uint64)
-    h64 = _hash64_str
-    for i, w in enumerate(uniq):
-        hu[i] = h64(w)
+    hu = md5_prefix64(enc.dictionary)
     h = hu[enc.indices.to_numpy(zero_copy_only=False)]
     # distinct (row, hash): sort then drop adjacent dups
     order = np.lexsort((h, rows))

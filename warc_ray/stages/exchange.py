@@ -35,13 +35,60 @@ try:  # vectorized 64-bit hash; polars ships in the target environment
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         return _pl.from_arrow(arr).hash(seed=seed).to_numpy()
-except ImportError:  # pragma: no cover - fallback: crc32 per row
-    import zlib
+except ImportError:  # pragma: no cover - vectorized numpy fallback
+    _FB_GOLD = np.uint64(0x9E3779B97F4A7C15)
+    _FB_C1 = np.uint64(0xBF58476D1CE4E5B9)
+    _FB_C2 = np.uint64(0x94D049BB133111EB)
+
+    def _fb_mix(x: np.ndarray) -> np.ndarray:
+        x = x ^ (x >> np.uint64(30))
+        x = x * _FB_C1
+        x = x ^ (x >> np.uint64(27))
+        x = x * _FB_C2
+        return x ^ (x >> np.uint64(31))
 
     def hash64_strings(arr, seed: int = 42) -> np.ndarray:
-        return np.array(
-            [zlib.crc32((s or "").encode()) ^ seed for s in arr.to_pylist()],
-            dtype=np.uint64)
+        """Polynomial byte hash + splitmix64 finalizer, fully
+        vectorized over the Arrow data buffer — the exchange fabric
+        must never degrade to per-row Python hashing (the hash need
+        not match polars', only be a deterministic uniform uint64)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.cast(pa.large_binary())
+        n = len(arr)
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        validity, offbuf, databuf = arr.buffers()
+        o = arr.offset
+        off = np.frombuffer(offbuf, dtype=np.int64, count=n + 1 + o)[o:]
+        starts, ends = off[:-1], off[1:]
+        if validity is not None:
+            valid = np.unpackbits(
+                np.frombuffer(validity, dtype=np.uint8),
+                bitorder="little")[o:o + n].astype(bool)
+            ends = np.where(valid, ends, starts)  # nulls hash as ""
+        lens = (ends - starts).astype(np.int64)
+        base = np.zeros(n, dtype=np.uint64)
+        total = int(lens.sum())
+        if total:
+            data = np.frombuffer(databuf, dtype=np.uint8)
+            row = np.repeat(np.arange(n, dtype=np.int64), lens)
+            csum = np.cumsum(lens) - lens       # flat start per row
+            pos = np.arange(total, dtype=np.int64) - csum[row]
+            byts = data[starts[row] + pos].astype(np.uint64)
+            maxlen = int(lens.max())
+            powr = np.concatenate((
+                [np.uint64(1)],
+                np.multiply.accumulate(
+                    np.full(maxlen - 1, np.uint64(0x100000001B3),
+                            dtype=np.uint64)))) if maxlen > 1 else \
+                np.ones(1, dtype=np.uint64)
+            terms = byts * powr[lens[row] - 1 - pos]
+            nz = lens > 0
+            base[nz] = np.add.reduceat(terms, csum[nz])
+        h = base ^ (lens.astype(np.uint64) + _FB_GOLD)
+        smix = _fb_mix(np.array([seed], dtype=np.uint64) + _FB_GOLD)
+        return _fb_mix(h ^ smix[0])
 
 
 def with_part(tab: pa.Table, key_col: str, npart: int,
@@ -520,16 +567,40 @@ def auto_join(fact_ds, dim_path: str, *, fact_key: str, dim_key: str,
         dim_cols = {c: dim[c] for c in cols if c != dim_key}
 
         def probe(b: pa.Table) -> pa.Table:
+            if len(keys) == 0:
+                # empty dim: inner join is empty — emit the joined
+                # SCHEMA (fact cols + dim cols) with zero rows; the
+                # old `(len(keys) > 0) & ...` guard never ran because
+                # `&` is eager and keys[pos_c] raised first.
+                out = b.slice(0, 0)
+                for c, col in dim_cols.items():
+                    name = c + ("_r" if c in b.column_names else "")
+                    out = out.append_column(name, col.slice(0, 0))
+                return bucket_finish(out) if bucket_finish is not None \
+                    else out
             fk = b[fact_key].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(keys, fk)
-            pos_c = np.minimum(pos, len(keys) - 1)
-            hit = (len(keys) > 0) & (keys[pos_c] == fk)
-            b = b.filter(pa.array(hit))
-            take = pa.array(pos_c[hit])
-            out = b
-            for c, col in dim_cols.items():
-                name = c + ("_r" if c in b.column_names else "")
-                out = out.append_column(name, col.take(take))
+            lo = np.searchsorted(keys, fk, side="left")
+            hi = np.searchsorted(keys, fk, side="right")
+            cnt = hi - lo                    # 0 = miss, >1 = dup dim keys
+            if cnt.max(initial=0) <= 1:      # unique-key fast path
+                hit = cnt == 1
+                out = b.filter(pa.array(hit))
+                take = pa.array(lo[hit])
+                for c, col in dim_cols.items():
+                    name = c + ("_r" if c in b.column_names else "")
+                    out = out.append_column(name, col.take(take))
+            else:
+                # expand duplicate matches so all three strategies
+                # produce identical rows (hash/clustered join N:M)
+                fact_take = np.repeat(
+                    np.arange(len(fk), dtype=np.int64), cnt)
+                csum = np.cumsum(cnt) - cnt
+                pos = (np.arange(int(cnt.sum()), dtype=np.int64)
+                       - csum[fact_take] + lo[fact_take])
+                out = b.take(pa.array(fact_take))
+                for c, col in dim_cols.items():
+                    name = c + ("_r" if c in b.column_names else "")
+                    out = out.append_column(name, col.take(pa.array(pos)))
             return bucket_finish(out) if bucket_finish is not None \
                 else out
 

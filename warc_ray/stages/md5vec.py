@@ -1,0 +1,186 @@
+"""Batched MD5 over Arrow string/binary arrays — pure numpy.
+
+The engine's SQL-reproducible 64-bit key hash is the big-endian md5
+prefix (``dedup._hash64_str``): every DuckDB oracle re-derives it as
+``md5(s)`` hex folded to a HUGEINT, so the hash function CANNOT be
+swapped for a faster non-cryptographic one without breaking value
+parity.  What can change is the execution shape: hashlib's ~1.4 µs
+per-string Python loop becomes one vectorized MD5 compression run over
+the whole batch — the 64 rounds are numpy uint32 ops over an
+(n_rows, 16) message-word matrix, so cost per string drops ~20×
+and the per-unique-shingle Python loop (round-2 VERDICT item 4)
+disappears.
+
+Messages are grouped by padded block count (shingles are almost always
+one 64-byte block); each group runs the compression function
+block-sequentially but row-vectorized.  Verified bit-identical to
+``hashlib.md5`` in ``tests/test_md5vec.py`` (including the 55/56-byte
+padding boundary and multi-block messages).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+_K = np.array([int(abs(math.sin(i + 1)) * 2 ** 32) & 0xFFFFFFFF
+               for i in range(64)], dtype=np.uint32)
+_S = np.array([7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
+              + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4,
+              dtype=np.uint32)
+_G = np.array([i for i in range(16)]
+              + [(5 * i + 1) % 16 for i in range(16, 32)]
+              + [(3 * i + 5) % 16 for i in range(32, 48)]
+              + [(7 * i) % 16 for i in range(48, 64)], dtype=np.int64)
+
+_A0 = np.uint32(0x67452301)
+_B0 = np.uint32(0xEFCDAB89)
+_C0 = np.uint32(0x98BADCFE)
+_D0 = np.uint32(0x10325476)
+
+
+def _compress(state: tuple, M: np.ndarray) -> tuple:
+    """One MD5 compression round-vectorized over rows.
+
+    ``M``: (16, n) uint32 message words (TRANSPOSED so ``M[g]`` is a
+    zero-copy row view, not a strided column copy);
+    ``state``: 4 × (n,) uint32.
+    """
+    A, B, C, D = state
+    a, b, c, d = A.copy(), B.copy(), C.copy(), D.copy()
+    t1 = np.empty_like(a)
+    t2 = np.empty_like(a)
+    for i in range(64):
+        if i < 16:
+            np.bitwise_and(b, c, out=t1)
+            np.bitwise_or(t1, np.bitwise_and(~b, d, out=t2), out=t1)
+        elif i < 32:
+            np.bitwise_and(d, b, out=t1)
+            np.bitwise_or(t1, np.bitwise_and(~d, c, out=t2), out=t1)
+        elif i < 48:
+            np.bitwise_xor(b, c, out=t1)
+            np.bitwise_xor(t1, d, out=t1)
+        else:
+            np.bitwise_or(b, ~d, out=t1)
+            np.bitwise_xor(c, t1, out=t1)
+        np.add(t1, a, out=t1)
+        np.add(t1, _K[i], out=t1)
+        np.add(t1, M[_G[i]], out=t1)
+        a, d, c, swap = d, c, b, a
+        s = _S[i]
+        np.left_shift(t1, s, out=t2)
+        np.right_shift(t1, np.uint32(32) - s, out=t1)
+        np.bitwise_or(t1, t2, out=t1)
+        b = np.add(c, t1, out=swap)
+        # note: c here is the OLD b (rebound above) — matches RFC 1321
+    return A + a, B + b, C + c, D + d
+
+
+def _buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(data_bytes, starts, lens) from an Arrow string/binary array;
+    nulls hash as the empty string."""
+    if isinstance(arr, (list, np.ndarray)):
+        arr = pa.array(arr, type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.cast(pa.large_binary())
+    n = len(arr)
+    validity, offbuf, databuf = arr.buffers()
+    o = arr.offset
+    off = np.frombuffer(offbuf, dtype=np.int64, count=n + 1 + o)[o:]
+    starts, ends = off[:-1], off[1:]
+    if validity is not None:
+        valid = np.unpackbits(np.frombuffer(validity, dtype=np.uint8),
+                              bitorder="little")[o:o + n].astype(bool)
+        ends = np.where(valid, ends, starts)
+    data = (np.frombuffer(databuf, dtype=np.uint8)
+            if databuf is not None else np.empty(0, np.uint8))
+    return data, starts.astype(np.int64), (ends - starts).astype(np.int64)
+
+
+def md5_state(arr) -> tuple:
+    """Final (A, B, C, D) uint32 state vectors of md5 over each row."""
+    data, starts, lens = _buffers(arr)
+    n = len(lens)
+    A = np.empty(n, dtype=np.uint32)
+    B = np.empty(n, dtype=np.uint32)
+    C = np.empty(n, dtype=np.uint32)
+    D = np.empty(n, dtype=np.uint32)
+    nblocks = (lens + 9 + 63) // 64
+    with np.errstate(over="ignore"):
+        for nb in np.unique(nblocks):
+            sel = np.flatnonzero(nblocks == nb)
+            m = len(sel)
+            width = int(nb) * 64
+            g_lens = lens[sel]
+            padded = np.zeros(m * width, dtype=np.uint8)
+            total = int(g_lens.sum())
+            if total:
+                row = np.repeat(np.arange(m, dtype=np.int64), g_lens)
+                csum = np.cumsum(g_lens) - g_lens
+                pos = np.arange(total, dtype=np.int64) - csum[row]
+                padded[row * width + pos] = data[starts[sel][row] + pos]
+            padded[np.arange(m, dtype=np.int64) * width + g_lens] = 0x80
+            words = padded.view("<u4").reshape(m, width // 4)
+            bits = g_lens.astype(np.uint64) * np.uint64(8)
+            words[:, -2] = (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            words[:, -1] = (bits >> np.uint64(32)).astype(np.uint32)
+            st = (np.full(m, _A0), np.full(m, _B0),
+                  np.full(m, _C0), np.full(m, _D0))
+            for b in range(int(nb)):
+                # transpose → each word is a contiguous zero-copy row
+                M = np.ascontiguousarray(
+                    words[:, b * 16:(b + 1) * 16].T)
+                st = _compress(st, M)
+            A[sel], B[sel], C[sel], D[sel] = st
+    return A, B, C, D
+
+
+def md5_prefix64(arr) -> np.ndarray:
+    """uint64 big-endian md5 prefix per row — vectorized twin of
+    ``int.from_bytes(md5(s).digest()[:8], "big")``.
+
+    digest[:8] is A then B in little-endian byte order, so the
+    big-endian integer is bswap32(A) << 32 | bswap32(B)."""
+    A, B, _, _ = md5_state(arr)
+    return ((A.byteswap().astype(np.uint64) << np.uint64(32))
+            | B.byteswap().astype(np.uint64))
+
+
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def md5_raw(arr) -> np.ndarray:
+    """(n, 16) uint8 md5 digest bytes per row."""
+    A, B, C, D = md5_state(arr)
+    dig = np.empty((len(A), 4), dtype=np.uint32)
+    dig[:, 0], dig[:, 1], dig[:, 2], dig[:, 3] = A, B, C, D
+    return dig.view(np.uint8).reshape(len(A), 16)
+
+
+def md5_hex(arr) -> pa.Array:
+    """Full md5 hex digest per row as an Arrow string array — built
+    zero-copy from a (n, 32) ASCII matrix (no per-row Python)."""
+    raw = md5_raw(arr)
+    n = len(raw)
+    hx = np.empty((n, 32), dtype=np.uint8)
+    hx[:, 0::2] = _HEX[raw >> 4]
+    hx[:, 1::2] = _HEX[raw & 0x0F]
+    offsets = np.arange(0, 32 * (n + 1), 32, dtype=np.int32)
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(hx.tobytes()))
+
+
+def md5_chunks_u32(arr) -> np.ndarray:
+    """(n, 4) uint32 big-endian 32-bit digest chunks — chunk r is hex
+    chars [8r, 8r+8) of ``md5(s)`` read as an integer (what the CMS
+    SQL twin folds; replaces sketch.md5_chunks_u32's per-row loop)."""
+    A, B, C, D = md5_state(arr)
+    out = np.empty((len(A), 4), dtype=np.uint32)
+    out[:, 0] = A.byteswap()
+    out[:, 1] = B.byteswap()
+    out[:, 2] = C.byteswap()
+    out[:, 3] = D.byteswap()
+    return out

@@ -90,11 +90,14 @@ def normalize_text(s: str) -> str:
 
 def fingerprints(batch: pa.Table) -> pa.Table:
     """(doc_id, fp): md5 hex of the normalized text (lowercase, runs of
-    non-alphanumerics collapsed to single spaces)."""
-    texts = batch["text"].to_pylist()
-    fps = [hashlib.md5(normalize_text(t).encode("utf-8")).hexdigest() for t in texts]
-    return pa.table({"doc_id": batch["doc_id"],
-                     "fp": pa.array(fps, type=pa.string())})
+    non-alphanumerics collapsed to single spaces).  Normalization is an
+    Arrow regex kernel and the digest is the batched numpy MD5 — the
+    whole stage is loop-free (bit-identical to the round-2 per-row
+    ``hashlib`` path; see tests/test_md5vec.py)."""
+    from .md5vec import md5_hex
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(batch["text"]), "[^a-z0-9]+", " ")
+    return pa.table({"doc_id": batch["doc_id"], "fp": md5_hex(norm)})
 
 
 # ---------------------------------------------------------------------------
