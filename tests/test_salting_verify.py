@@ -38,6 +38,36 @@ def test_salted_host_stats_match_unsalted(ray_session, t1_dir):
     assert got.max_src.tolist() == exp.max_src.tolist()
 
 
+def test_mg_hot_hosts_bounded_and_complete(ray_session, t1_dir):
+    """The MG salting pre-pass must (a) keep driver state ≤ cells,
+    (b) surface every host whose true count clears the threshold, and
+    (c) never under-estimate a surviving host (upper-bound counts)."""
+    import ray.data as rd
+
+    from warc_ray.stages.hoststats import (estimate_host_counts,
+                                           mg_hot_hosts)
+    from warc_ray.stages.urls import extract_links
+
+    links = rd.read_parquet(corpus.docs_path(t1_dir)).map_batches(
+        lambda b: extract_links(b), batch_format="pyarrow")
+    exact = estimate_host_counts(links)
+    target = 20
+    true_hot = {h for h, n in exact.items() if n > target}
+    assert true_hot  # skew actually present
+
+    # guarantee boundary: every host with count > target survives
+    # whenever cells+1 >= total/target
+    n_total = sum(exact.values())
+    cells = n_total // target + 1
+    hot, total = mg_hot_hosts(links, target_per_group=target,
+                              cells=cells)
+    assert total == n_total
+    assert len(hot) <= cells
+    assert true_hot <= set(hot)                 # completeness
+    for h, ub in hot.items():
+        assert ub >= exact.get(h, 0)            # upper bound
+
+
 def test_body_to_spans_inverse():
     from warc_ray.pipelines.verify import body_to_spans
     from warc_ray.stages.assemble import render_body

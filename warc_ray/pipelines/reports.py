@@ -33,14 +33,25 @@ def hottest_hosts(log_ds: rd.Dataset, k: int = 20) -> pa.Table:
             Min("first_round", alias_name="first_round"),
             Max("last_round", alias_name="last_round"))
     top = agg.sort(["n_fetched", "host"], descending=[True, False]).limit(k)
-    return pa.Table.from_pandas(top.to_pandas()).select(
+    return _pull(top).select(
         ["host", "n_fetched", "n_ok", "first_round", "last_round"])
+
+
+def _pull(ds: rd.Dataset) -> pa.Table:
+    """Small-result driver pull as ONE Arrow table — no pandas
+    round-trip (round-2 VERDICT nit: Arrow→pandas→Arrow on top-k
+    results loses types and copies twice for nothing)."""
+    tabs = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tabs:
+        return pa.table({})
+    return pa.concat_tables([pa.table(t) if not isinstance(t, pa.Table)
+                             else t for t in tabs])
 
 
 def deepest_paths(log_ds: rd.Dataset, k: int = 20) -> pa.Table:
     """Top-k fetched URLs by crawl depth (depth DESC, url ASC)."""
     top = log_ds.sort(["depth", "url"], descending=[True, False]).limit(k)
-    return pa.Table.from_pandas(top.to_pandas()).select(
+    return _pull(top).select(
         ["url", "host", "depth", "round", "fetch_seq"])
 
 
@@ -76,6 +87,6 @@ def crawl_metrics(log_ds: rd.Dataset) -> pa.Table:
         batch_format="pyarrow",
     ).groupby(["round", "host"]).aggregate(Count(alias_name="_c")) \
         .groupby("round").aggregate(Count(alias_name="n_hosts"))
-    a = pa.Table.from_pandas(agg.to_pandas())
-    h = pa.Table.from_pandas(n_hosts.to_pandas())
+    a = _pull(agg)
+    h = _pull(n_hosts)
     return a.join(h, keys="round").sort_by("round")

@@ -28,9 +28,71 @@ def add_host_column(batch: pa.Table, url_col: str = "url") -> pa.Table:
     return batch.append_column("host", pc.cast(host, pa.string()))
 
 
+def mg_hot_hosts(ds: rd.Dataset, url_col: str = "url",
+                 target_per_group: int = 50_000,
+                 cells: int = 4096) -> tuple[dict[str, int], int]:
+    """Bounded hot-host pre-pass: per-block exact host counts pruned to
+    a ≤``cells``-row Misra-Gries summary (plus one null-host row
+    carrying the block total); the driver folds the tiny summaries and
+    keeps only hosts whose count UPPER bound clears the salt threshold.
+
+    Replaces the round-2 all-hosts driver dict (VERDICT item 3): driver
+    state is O(cells), independent of host cardinality (10⁸ hosts at
+    web scale).  The MG guarantee (under-count ≤ n/(cells+1), merge-
+    preserved — Agarwal et al., "Mergeable Summaries") means every host
+    with true count > target survives whenever target ≥ n/(cells+1);
+    below that the host was ≤ 1/(cells+1) of the data and could not
+    skew a ≥cells-way reduce in the first place.  Upper-bound counts
+    (est + fold error) only OVER-salt — salting is semantically
+    transparent, so results are unchanged either way (the
+    salted-vs-unsalted parity test pins this).
+
+    Returns ``(hot_host → upper-bound count, total_rows)``.
+    """
+    from .sketch import mg_prune
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = add_host_column(b, url_col)
+        g = t.group_by("host").aggregate([("host", "count")])
+        hosts = np.asarray(g["host"].to_pylist(), dtype=object)
+        counts = g["host_count"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hosts, counts = mg_prune(hosts, counts, cells)
+        return pa.table({
+            "host": pa.array(hosts.tolist() + [None], type=pa.string()),
+            "n": pa.array(np.append(counts, b.num_rows), type=pa.int64())})
+
+    acc: dict[str, int] = {}
+    total = 0
+    summaries = ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+    for t in summaries.iter_batches(batch_format="pyarrow"):
+        for h, n in zip(t["host"].to_pylist(), t["n"].to_pylist()):
+            if h is None:
+                total += int(n)
+            else:
+                acc[h] = acc.get(h, 0) + int(n)
+        if len(acc) > 4 * cells:        # re-prune the fold buffer
+            ks, cs = mg_prune(np.asarray(list(acc), dtype=object),
+                              np.fromiter(acc.values(), dtype=np.int64,
+                                          count=len(acc)), cells)
+            acc = dict(zip(ks.tolist(), cs.tolist()))
+    if len(acc) > cells:
+        ks, cs = mg_prune(np.asarray(list(acc), dtype=object),
+                          np.fromiter(acc.values(), dtype=np.int64,
+                                      count=len(acc)), cells)
+        acc = dict(zip(ks.tolist(), cs.tolist()))
+    err = total // (cells + 1)
+    hot = {h: c + err for h, c in acc.items()
+           if c + err > target_per_group}
+    return hot, total
+
+
 def estimate_host_counts(ds: rd.Dataset, url_col: str = "url") -> dict[str, int]:
-    """COUNT pre-pass: per-batch partials → bucket combine → tiny
-    driver-side dict (host-cardinality-sized, not link-sized)."""
+    """EXACT count pre-pass: per-batch partials → bucket combine → a
+    host-cardinality-sized driver dict.  Test/diagnostic variant —
+    the salting path itself uses the bounded ``mg_hot_hosts`` pass
+    (O(cells) driver state) so it survives web-scale host counts."""
     from .exchange import combine_buckets, with_part
 
     def partial(b: pa.Table) -> pa.Table:
@@ -93,14 +155,18 @@ class AddSaltedHost:
 
 
 def host_link_stats(ds: rd.Dataset, url_col: str = "url",
-                    target_per_group: int = 50_000) -> rd.Dataset:
+                    target_per_group: int = 50_000,
+                    cells: int = 4096) -> rd.Dataset:
     """Per-host inbound-link stats with hot-key salting:
     (host, n_links, n_src_docs is NOT computed — count + min/max src).
 
     Output columns: host, n_links, min_src, max_src — named identically
-    in the SQL oracle."""
-    counts = estimate_host_counts(ds, url_col)
-    salts = salt_factors(counts, target_per_group)
+    in the SQL oracle.  The salt map comes from the bounded
+    Misra-Gries pre-pass (≤``cells`` driver rows, any host
+    cardinality) — upper-bound counts may over-salt a warm host, which
+    costs one extra stage-2 merge row and changes no results."""
+    hot, _ = mg_hot_hosts(ds, url_col, target_per_group, cells)
+    salts = salt_factors(hot, target_per_group)
     salts_ref = ray.put(salts)
 
     from .exchange import combine_buckets, with_part
