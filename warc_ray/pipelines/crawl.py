@@ -253,6 +253,8 @@ class CrawlWorker:
         from ..state.u64set import U64Set
 
         self._offered = U64Set()
+        self._round_t: int | None = None
+        self._round_pending: list = []
 
     def bind_run(self, shards, out_dir: str) -> None:
         """Rebind to a new crawl run (pool reuse): fresh frontier shard
@@ -261,6 +263,8 @@ class CrawlWorker:
         self.out_dir = out_dir
         self._log_buf = []
         self._offered.clear()
+        self._round_t = None
+        self._round_pending = []
 
     def flush_log(self, upto: int) -> int:
         """Write buffered fetch-log rows (rounds < upto) as one parquet
@@ -299,21 +303,24 @@ class CrawlWorker:
         vectorized fetch/extract/offer path keeps its batch width —
         typically two waves: the fast shards together, then the hot one.
         The ``wave`` tag keeps WARC part ids unique per call."""
+        sid_of = {r: i for i, r in enumerate(slice_refs)}
         pend = list(slice_refs)
         agg = {"fetched": 0, "offer_refs": [], "warc_refs": [],
                "tm": [0.0, 0.0, 0.0, 0.0]}
-        wave = 0
         while pend:
             done, pend = ray.wait(pend, num_returns=1)
             if pend:  # drain everything else that is already complete
                 more, pend = ray.wait(pend, num_returns=len(pend), timeout=0)
                 done += more
-            tables = [tb for tb in ray.get(done) if tb.num_rows]
-            if not tables:
+            # keep the SHARD id with each slice: WARC chunk ids derive
+            # from it, so archive file layout is a pure function of the
+            # round content — wave composition (which slices happened
+            # to be ready together) never leaks into output bytes
+            slices = [(sid_of[r], tb) for r, tb in zip(done, ray.get(done))
+                      if tb.num_rows]
+            if not slices:
                 continue
-            one = self.process_round(t, pa.concat_tables(tables), write_warc,
-                                     wave)
-            wave += 1
+            one = self.process_round(t, slices, write_warc)
             agg["fetched"] += one["fetched"]
             agg["offer_refs"].extend(one["offer_refs"])
             agg["warc_refs"].extend(one["warc_refs"])
@@ -321,11 +328,23 @@ class CrawlWorker:
         agg["tm"] = tuple(agg["tm"])
         return agg
 
-    def process_round(self, t: int, urls: pa.Table, write_warc: bool,
-                      tag: int = 0) -> dict:
+    def process_round(self, t: int, slices: list, write_warc: bool) -> dict:
+        """``slices``: list of ``(shard_id, url_table)`` — fetch and
+        extraction run over the concatenation (vector width), WARC
+        dispatch runs per SLICE so chunk ids/file names are
+        deterministic (shard id, not arrival wave)."""
         import time as _t
         _p0 = _t.perf_counter()
-        fetched = self.fetch(urls)
+        # fetch PER SLICE: FetchGroup re-sorts its input bucket-
+        # contiguously, so a concatenated-wave fetch returns rows in an
+        # order that depends on which slices happened to share a wave —
+        # slicing THAT by offsets produced wave-dependent WARC chunks
+        # (the round-3 determinism hunt).  Per-slice fetch keeps each
+        # fetched part a pure function of (round, shard); vector width
+        # is the slice (thousands of rows at bench scale).
+        fetched_parts = [(sid, self.fetch(tb)) for sid, tb in slices]
+        fetched = (fetched_parts[0][1] if len(fetched_parts) == 1
+                   else pa.concat_tables([f for _, f in fetched_parts]))
         _p1 = _t.perf_counter()
         round_dir = os.path.join(self.out_dir, f"round={t:05d}")
         self._log_buf.append(fetched.select(LOG_COLS))
@@ -336,18 +355,22 @@ class CrawlWorker:
             # not one writer per fetch worker.  Only the columns the
             # record assembler reads are shipped — the spans column in
             # particular is ~1/3 of the fetched table's bytes and dead
-            # weight in the writer IPC.
-            to_write = fetched.select(WRITER_COLS)
+            # weight in the writer IPC.  Chunk identity is
+            # (worker, SHARD, chunk): a pure function of round content,
+            # so reruns/resumes regenerate byte-identical shard files.
             nwr = len(self.writers)
             csz = int(os.environ.get("GRAFT_WRITE_CHUNK", "2048"))
-            for c, lo in enumerate(range(0, fetched.num_rows, csz)):
-                chunk = to_write.slice(lo, csz)
-                w = self.writers[
-                    (t * 131 + self.worker_id * 7 + tag * 17 + c) % nwr]
-                warc_refs.append(w.write_round.remote(
-                    chunk, round_dir,
-                    "%03d-%02d-%02d" % (self.worker_id, tag, c),
-                    logical_date(t)))
+            for sid, fp in fetched_parts:
+                to_write = fp.select(WRITER_COLS)
+                for c, lo in enumerate(range(0, fp.num_rows, csz)):
+                    chunk = to_write.slice(lo, min(csz, fp.num_rows - lo))
+                    w = self.writers[
+                        (t * 131 + self.worker_id * 7 + sid * 17 + c)
+                        % nwr]
+                    warc_refs.append(w.write_round.remote(
+                        chunk, round_dir,
+                        "%03d-%02d-%02d" % (self.worker_id, sid, c),
+                        logical_date(t)))
 
         _p2 = _t.perf_counter()
         links = canonicalize_batch(
@@ -365,13 +388,33 @@ class CrawlWorker:
 
         offer_refs = []
         if links.num_rows:
-            if len(self._offered) > self.OFFERED_SET_CAP:
-                self._offered.clear()
+            # ROUND-SNAPSHOT suppression (determinism fix): slices are
+            # consumed in ray.wait readiness order, so the SAME round's
+            # links may split into different waves run-to-run.  If the
+            # set mutated per wave, which occurrence of a newly-found
+            # URL survives to the seal — and so its (depth, src_doc,
+            # src_offset) sort key, queue seq, even its depth — would
+            # depend on wave timing (observed: run-to-run fetch-order
+            # and depth divergence at t2/budget-64).  Membership is
+            # answered against the ROUND-START state and inserts apply
+            # at the round boundary, so the offered multiset is a pure
+            # function of the round's fetched pages.  This also makes
+            # checkpoint/resume exact: a resumed worker's emptier set
+            # only re-offers prior-round URLs, which the shard filter
+            # drops identically.
+            if t != self._round_t:
+                if len(self._offered) > self.OFFERED_SET_CAP:
+                    self._offered.clear()
+                for arr in self._round_pending:
+                    self._offered.add(arr)
+                self._round_pending = []
+                self._round_t = t
             h = links["hash64"].to_numpy(zero_copy_only=False)
             # GC-free vectorized set: a Python set[int] of millions of
             # offered keys made every gen-2 GC pass scan it — observed
             # as seconds of fixed stall per late crawl round
-            fresh = ~self._offered.contains_add(h)
+            fresh = ~self._offered.contains(h)
+            self._round_pending.append(h[fresh])
             sid = shard_ids_of(links, self.num_shards)
             sup = np.bincount(sid[~fresh], minlength=self.num_shards)
             # fire-and-forget: the DRIVER awaits these acks before

@@ -110,3 +110,23 @@ class U64Set:
             # dedup in-batch copies so the slot count stays exact
             self._insert(np.unique(keys[~found]))
         return found
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Bulk membership test WITHOUT insert (pure probe)."""
+        keys = np.asarray(keys).view(np.uint64)
+        keys = np.where(keys == 0, _ZERO_ALIAS, keys)
+        return self._probe(keys)
+
+    def add(self, keys: np.ndarray) -> None:
+        """Bulk insert (no membership report)."""
+        keys = np.asarray(keys).view(np.uint64)
+        if len(keys) == 0:
+            return
+        keys = np.where(keys == 0, _ZERO_ALIAS, keys)
+        need = self.n + len(keys)
+        if need * 10 > self.cap * 7:
+            new_cap = self.cap
+            while need * 10 > new_cap * 7:
+                new_cap <<= 1
+            self._rebuild(new_cap)
+        self._insert(np.unique(keys))
