@@ -1033,6 +1033,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q247_error_recovery": an.error_recovery,
         "q248_region_matrix": an.region_trade_matrix,
         "q249_volume_discount": an.volume_discount,
+        "q250_returnclass_priority": an.returnclass_priority,
+        "q251_bracket_revenue": an.bracket_revenue,
+        "q252_sole_latest_supplier": an.sole_latest_supplier,
+        "q253_rich_idle_customers": an.rich_idle_customers,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1464,6 +1468,10 @@ def oracle_sql() -> dict[str, str]:
         "q247_error_recovery": _an.RECOVERY_SQL,
         "q248_region_matrix": _an.REGION_MATRIX_SQL,
         "q249_volume_discount": _an.VOLUME_DISCOUNT_SQL,
+        "q250_returnclass_priority": _an.RETURNCLASS_PRIORITY_SQL,
+        "q251_bracket_revenue": _an.BRACKET_REVENUE_SQL,
+        "q252_sole_latest_supplier": _an.SOLE_LATEST_SQL,
+        "q253_rich_idle_customers": _an.RICH_IDLE_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

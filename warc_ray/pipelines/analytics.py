@@ -15182,3 +15182,411 @@ VOLUME_DISCOUNT_SQL = """
            CAST(a * d * 1000000 // GREATEST(b * c, 1) AS BIGINT)
              AS odds_ratio_ppm
     FROM t"""
+
+
+# ---------------------------------------------------------------------------
+# Q250: return-class priority split (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+
+def returnclass_priority(sf_dir: str, npart: int = 32):
+    """q250: per lineitem return class (l_returnflag — the schema's
+    stand-in for Q12's l_shipmode), how many 1995-shipped lineitems
+    belong to HIGH-priority orders (1-URGENT / 2-HIGH) vs lower —
+    TPC-H Q12's fact⋈fact join with conditional class counting.
+
+    Scale shape: lineitem rows pre-filter to the ship-year window and
+    carry only (okey, flag); orders ride as (okey, prio).  ONE
+    orderkey-hash exchange; each bucket joins and folds to ≤3 rows of
+    (flag, high, low) partials; a 3-row groupby finishes.
+    Reference parity: the reference has no relational layer —
+    file:line N/A (grafted operator family, SURVEY §2.C)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    lo_us = 788_918_400_000_000          # 1995-01-01 UTC in µs
+    hi_us = 820_454_400_000_000          # 1996-01-01 UTC in µs
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b["l_shipdate"].cast(pa.timestamp("us")), INT64)
+        keep = pc.and_(pc.greater_equal(ship, lo_us),
+                       pc.less(ship, hi_us))
+        t = b.filter(keep)
+        u = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": t["l_orderkey"],
+            "flag": t["l_returnflag"],
+            "prio": pa.nulls(t.num_rows, pa.string()),
+            "part": pa.array((u % npart).astype(np.int32))})
+
+    def o_scan(b: pa.Table) -> pa.Table:
+        u = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "okey": b["o_orderkey"],
+            "flag": pa.nulls(b.num_rows, pa.string()),
+            "prio": b["o_orderpriority"],
+            "part": pa.array((u % npart).astype(np.int32))})
+
+    def bucket(g: pa.Table) -> pa.Table:
+        is_o = pc.is_valid(g["prio"])
+        orders = g.filter(is_o).select(["okey", "prio"])
+        li = g.filter(pc.invert(is_o)).select(["okey", "flag"])
+        j = li.join(orders, keys=["okey"], join_type="inner")
+        high = pc.or_(pc.equal(j["prio"], "1-URGENT"),
+                      pc.equal(j["prio"], "2-HIGH"))
+        t = pa.table({"flag": j["flag"],
+                      "high": pc.cast(high, INT64),
+                      "low": pc.cast(pc.invert(high), INT64)})
+        return t.group_by(["flag"]).aggregate(
+            [("high", "sum"), ("low", "sum")]) \
+            .rename_columns(["l_returnflag", "high_line_count",
+                             "low_line_count"])
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_shipdate"]) \
+        .map_batches(li_scan, batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(o_scan, batch_format="pyarrow")
+    out = li.union(orders).groupby("part") \
+        .map_groups(lambda g: bucket(g.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(_Sum("high_line_count", alias_name="high_line_count"),
+                   _Sum("low_line_count", alias_name="low_line_count"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "high_line_count": pc.cast(b["high_line_count"], INT64),
+            "low_line_count": pc.cast(b["low_line_count"], INT64)})
+
+    return out.map_batches(finish, batch_format="pyarrow") \
+        .sort("l_returnflag")
+
+
+RETURNCLASS_PRIORITY_SQL = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1995-01-01'
+      AND l_shipdate < DATE '1996-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+
+# ---------------------------------------------------------------------------
+# Q251: disjunctive bracket revenue (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+_Q19_BRACKETS = (          # (brand, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+
+def bracket_revenue(sf_dir: str):
+    """q251: revenue from lineitems matching ANY of three
+    (brand, size-range, quantity-range) brackets — TPC-H Q19's
+    disjunctive multi-attribute predicate, the classic case where a
+    planner must not push a single conjunct.
+
+    Scale shape: the part table broadcasts once as three numpy arrays
+    (sorted partkey + brand code + size); each lineitem batch resolves
+    its partkeys with one searchsorted and evaluates all three
+    brackets as vectorized masks — NO exchange at all; the revenue
+    fold is the only (1-row) reduction.  Integer-exact: cents ×
+    (100 − discount%) units, folded as Python ints driver-side."""
+    import pyarrow.parquet as _pq2
+
+    part = _pq2.read_table(_pq(sf_dir, "part"),
+                           columns=["p_partkey", "p_brand", "p_size"])
+    order = pc.sort_indices(part["p_partkey"])
+    part = part.take(order)
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    brands = [b for b, _, _, _ in _Q19_BRACKETS]
+    bcode = pc.index_in(part["p_brand"],
+                        value_set=pa.array(brands)).fill_null(-1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    psize = part["p_size"].to_numpy(zero_copy_only=False)
+
+    def scan(b: pa.Table) -> pa.Table:
+        lpk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pk, lpk)
+        pos_c = np.minimum(pos, len(pk) - 1)
+        hit = pk[pos_c] == lpk
+        code = np.where(hit, bcode[pos_c], -1)
+        size = np.where(hit, psize[pos_c], -1)
+        qty = pc.cast(pc.round(b["l_quantity"]), INT64) \
+            .to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(lpk), dtype=bool)
+        for i, (_, size_hi, qlo, qhi) in enumerate(_Q19_BRACKETS):
+            keep |= ((code == i) & (size >= 1) & (size <= size_hi)
+                     & (qty >= qlo) & (qty <= qhi))
+        cents = pc.cast(pc.round(pc.multiply(
+            b["l_extendedprice"], 100.0)), INT64) \
+            .to_numpy(zero_copy_only=False)
+        disc = pc.cast(pc.round(pc.multiply(
+            b["l_discount"], 100.0)), INT64) \
+            .to_numpy(zero_copy_only=False)
+        rev = int((cents[keep] * (100 - disc[keep])).sum())
+        return pa.table({"rev_u": pa.array([rev], type=INT64),
+                         "n": pa.array([int(keep.sum())], type=INT64)})
+
+    g = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_quantity",
+                                 "l_extendedprice", "l_discount"]) \
+        .map_batches(scan, batch_format="pyarrow").sum(["rev_u", "n"])
+    return pa.table({
+        "n_lineitems": pa.array([int(g["sum(n)"])], type=INT64),
+        "revenue": pa.array([int(g["sum(rev_u)"]) / 10_000.0],
+                            type=pa.float64())})
+
+
+BRACKET_REVENUE_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)"""
+
+
+# ---------------------------------------------------------------------------
+# Q252: sole-latest supplier in multi-supplier orders (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+
+def sole_latest_supplier(sf_dir: str, npart: int = 32, k: int = 10):
+    """q252: suppliers who were the SOLE latest shipper in orders
+    served by ≥2 suppliers — TPC-H Q21's correlated EXISTS /
+    NOT-EXISTS pair (another supplier shipped the order; no other
+    supplier shipped as late) decorrelated into per-order aggregates:
+    EXISTS(other supp) ⇔ n_supp ≥ 2, and NOT EXISTS(other supp as
+    late) ⇔ exactly one supplier holds max(shipdate).
+
+    Scale shape: lineitem batches pre-combine to (okey, supp,
+    max_ship) partials; ONE orderkey exchange; each bucket folds the
+    per-(order, supplier) maxes with a lexsort + reduceat pass and
+    emits qualifying (supp, 1) partials; a supplier-sized groupby and
+    a broadcast name map finish with a k-row top-k.  Deterministic
+    ties: (count DESC, s_name ASC)."""
+    import pyarrow.parquet as _pq2
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def li_scan(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "okey": b["l_orderkey"],
+            "supp": b["l_suppkey"],
+            "ship_us": pc.cast(b["l_shipdate"].cast(pa.timestamp("us")),
+                               INT64),
+        }).group_by(["okey", "supp"]).aggregate([("ship_us", "max")])
+        u = t["okey"].to_numpy(zero_copy_only=False)
+        return t.rename_columns(["okey", "supp", "ship_us"]) \
+            .append_column("part",
+                           pa.array((u % npart).astype(np.int32)))
+
+    def bucket(g: pa.Table) -> pa.Table:
+        t = g.group_by(["okey", "supp"]).aggregate([("ship_us", "max")])
+        o = t["okey"].to_numpy(zero_copy_only=False)
+        s = t["supp"].to_numpy(zero_copy_only=False)
+        m = t["ship_us_max"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, o))
+        o, s, m = o[order], s[order], m[order]
+        starts = np.flatnonzero(np.concatenate(([True], o[1:] != o[:-1])))
+        sizes = np.diff(np.append(starts, len(o)))
+        omax = np.repeat(np.maximum.reduceat(m, starts), sizes)
+        is_max = m == omax
+        n_holders = np.repeat(np.add.reduceat(
+            is_max.astype(np.int64), starts), sizes)
+        n_supp = np.repeat(sizes, sizes)
+        win = is_max & (n_holders == 1) & (n_supp >= 2)
+        return pa.table({
+            "supp": pa.array(s[win], type=INT64),
+            "n": pa.array(np.ones(int(win.sum()), dtype=np.int64))}) \
+            .group_by(["supp"]).aggregate([("n", "sum")]) \
+            .rename_columns(["supp", "n"])
+
+    agg = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                          columns=["l_orderkey", "l_suppkey",
+                                   "l_shipdate"]) \
+        .map_batches(li_scan, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .groupby("supp").aggregate(_Sum("n", alias_name="numwait"))
+
+    names = _pq2.read_table(_pq(sf_dir, "supplier"),
+                            columns=["s_suppkey", "s_name"])
+    nmap = dict(zip(names["s_suppkey"].to_pylist(),
+                    names["s_name"].to_pylist()))
+
+    rows = pa.concat_tables(agg.iter_batches(batch_format="pyarrow"))
+    t = pa.table({
+        "s_name": pa.array([nmap[s] for s in rows["supp"].to_pylist()],
+                           type=pa.string()),
+        "numwait": pc.cast(rows["numwait"], INT64)})
+    t = t.take(pc.sort_indices(
+        t, sort_keys=[("numwait", "descending"), ("s_name", "ascending")]))
+    return t.slice(0, k)
+
+
+SOLE_LATEST_SQL = """
+    WITH per AS (
+      SELECT l_orderkey AS okey, l_suppkey AS supp,
+             MAX(epoch_us(l_shipdate)) AS ship
+      FROM lineitem GROUP BY 1, 2),
+    marked AS (
+      SELECT okey, supp, ship,
+             MAX(ship) OVER (PARTITION BY okey) AS omax,
+             COUNT(*) OVER (PARTITION BY okey) AS n_supp
+      FROM per),
+    winners AS (
+      SELECT okey, supp FROM marked
+      WHERE ship = omax AND n_supp >= 2
+        AND 1 = (SELECT COUNT(*) FROM marked m2
+                 WHERE m2.okey = marked.okey AND m2.ship = m2.omax))
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM winners JOIN supplier ON supp = s_suppkey
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"""
+
+
+# ---------------------------------------------------------------------------
+# Q253: rich idle customers (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+_IDLE_CUT_US = 883_612_800_000_000      # 1998-01-01 UTC in µs
+
+
+def rich_idle_customers(sf_dir: str, npart: int = 32):
+    """q253: per nation, customers whose account balance is above the
+    positive-balance average yet who placed NO orders since 1998 —
+    TPC-H Q22's global-scalar subquery + NOT EXISTS anti-join (the
+    "recent" window keeps the qualifying set non-empty on this
+    schema's order distribution, where every customer has SOME order).
+
+    Scale shape: pass 1 folds two ints (Σ positive cents, n) to the
+    driver; pass 2 unions customers (key, cents, nation) with
+    per-batch-distinct order custkeys through ONE custkey exchange and
+    anti-joins per bucket; a 25-row nation groupby + broadcast name
+    map finish.  The avg comparison is exact integer cross-multiply
+    (cents · n > Σ) in BOTH engines — no double at the boundary."""
+    import pyarrow.parquet as _pq2
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def bal_scan(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0)),
+                        INT64).to_numpy(zero_copy_only=False)
+        pos = cents > 0
+        return pa.table({
+            "s": pa.array([int(cents[pos].sum())], type=INT64),
+            "n": pa.array([int(pos.sum())], type=INT64)})
+
+    g = rd.read_parquet(_pq(sf_dir, "customer"),
+                        columns=["c_acctbal"]) \
+        .map_batches(bal_scan, batch_format="pyarrow").sum(["s", "n"])
+    tot, n_pos = int(g["sum(s)"]), int(g["sum(n)"])
+
+    def c_scan(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["c_acctbal"], 100.0)),
+                        INT64).to_numpy(zero_copy_only=False)
+        keep = cents * n_pos > tot          # cents > avg, exactly
+        t = b.filter(pa.array(keep))
+        u = t["c_custkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": t["c_custkey"],
+            "cents": pa.array(cents[keep], type=INT64),
+            "nat": t["c_nationkey"],
+            "part": pa.array((u % npart).astype(np.int32))})
+
+    def o_scan(b: pa.Table) -> pa.Table:
+        od = pc.cast(b["o_orderdate"].cast(pa.timestamp("us")), INT64)
+        recent = b.filter(pc.greater_equal(od, _IDLE_CUT_US))
+        t = pa.table({"key": recent["o_custkey"]}).group_by(["key"]) \
+            .aggregate([])
+        u = t["key"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": t["key"],
+            "cents": pa.nulls(t.num_rows, INT64),
+            "nat": pa.nulls(t.num_rows, INT64),
+            "part": pa.array((u % npart).astype(np.int32))})
+
+    def bucket(g2: pa.Table) -> pa.Table:
+        is_c = pc.is_valid(g2["cents"])
+        cust = g2.filter(is_c)
+        okeys = g2.filter(pc.invert(is_c))["key"]
+        hit = pc.fill_null(
+            pc.is_in(cust["key"], value_set=okeys.combine_chunks()),
+            False)
+        idle = cust.filter(pc.invert(hit))
+        return pa.table({
+            "nat": idle["nat"],
+            "numcust": pa.nulls(idle.num_rows, INT64).fill_null(1),
+            "totacctbal_c": idle["cents"]}).group_by(["nat"]) \
+            .aggregate([("numcust", "sum"), ("totacctbal_c", "sum")]) \
+            .rename_columns(["nat", "numcust", "totacctbal_c"])
+
+    cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_acctbal",
+                                    "c_nationkey"]) \
+        .map_batches(c_scan, batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(o_scan, batch_format="pyarrow")
+    agg = cust.union(orders).groupby("part") \
+        .map_groups(lambda g2: bucket(g2.drop_columns(["part"])),
+                    batch_format="pyarrow") \
+        .groupby("nat") \
+        .aggregate(_Sum("numcust", alias_name="numcust"),
+                   _Sum("totacctbal_c", alias_name="totacctbal_c"))
+
+    names = _pq2.read_table(_pq(sf_dir, "nation"),
+                            columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(names["n_nationkey"].to_pylist(),
+                    names["n_name"].to_pylist()))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    rows = (pa.concat_tables(batches) if batches
+            else pa.table({"nat": pa.array([], type=INT64),
+                           "numcust": pa.array([], type=INT64),
+                           "totacctbal_c": pa.array([], type=INT64)}))
+    t = pa.table({
+        "n_name": pa.array([nmap[x] for x in rows["nat"].to_pylist()],
+                           type=pa.string()),
+        "numcust": pc.cast(rows["numcust"], INT64),
+        "totacctbal": pc.divide(
+            pc.cast(rows["totacctbal_c"], pa.float64()), 100.0)})
+    return t.sort_by("n_name")
+
+
+RICH_IDLE_SQL = """
+    WITH stats AS (
+      SELECT SUM(CASE WHEN c > 0 THEN c ELSE 0 END) AS tot,
+             SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS n_pos
+      FROM (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS c
+            FROM customer)),
+    rich AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer, stats
+      WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > tot),
+    idle AS (
+      SELECT * FROM rich
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = rich.c_custkey
+                          AND o_orderdate >= DATE '1998-01-01'))
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS totacctbal
+    FROM idle JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name"""
