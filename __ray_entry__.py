@@ -1037,6 +1037,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q251_bracket_revenue": an.bracket_revenue,
         "q252_sole_latest_supplier": an.sole_latest_supplier,
         "q253_rich_idle_customers": an.rich_idle_customers,
+        "q254_volume_drawdown": an.volume_drawdown,
+        # q255: PQ-ADC ANN retrieval — approximate by construction
+        # (quantization error), rows-only like q31/q60; recall@k vs
+        # exact q30, determinism, code-range laws are pytest-pinned
+        "q255_pq_retrieval": tr.pq_retrieval,
         "q66_rollup_lineitem": rel.rollup_lineitem,
         "q67_moving_average": rel.moving_average,
         "q68_segment_order_stats": rel.segment_order_stats,
@@ -1472,6 +1477,7 @@ def oracle_sql() -> dict[str, str]:
         "q251_bracket_revenue": _an.BRACKET_REVENUE_SQL,
         "q252_sole_latest_supplier": _an.SOLE_LATEST_SQL,
         "q253_rich_idle_customers": _an.RICH_IDLE_SQL,
+        "q254_volume_drawdown": _an.VOLUME_DRAWDOWN_SQL,
         "q102_compact_files": _an.COMPACT_FILES_SQL.format(
             MD5H=_MD5H.format(col="CAST(doc_id AS VARCHAR)")),
         # q91: degree histograms over the corpus link graph — distinct

@@ -327,6 +327,37 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.5, recalls
 
 
+def test_pq_recall_vs_bruteforce(ray_session):
+    """q255 laws: PQ-ADC retrieval recalls a usable fraction of the
+    exact top-k, is deterministic, and codes stay in [0, K)."""
+    import pyarrow.parquet as _pq
+
+    from warc_ray.pipelines import training as tr
+    from warc_ray.stages import similarity as sim
+
+    exact = tr.knn_topk(SF_DIR, n_queries=5, k=10).to_pandas()
+    run1 = tr.pq_retrieval(SF_DIR, n_queries=5, k=10).to_pandas()
+    run2 = tr.pq_retrieval(SF_DIR, n_queries=5, k=10).to_pandas()
+    assert run1.equals(run2)                      # determinism
+    assert set(run1.query_id) == set(exact.query_id)
+    recalls = []
+    for qid in sorted(set(exact.query_id)):
+        e = set(exact[exact.query_id == qid].vec_id)
+        p = set(run1[run1.query_id == qid].vec_id)
+        recalls.append(len(e & p) / len(e))
+    # M=16 subspaces × K=256 codes on 64-dim vectors (16× compressed
+    # vs float32): empirical recall 0.74 on this near-orthogonal
+    # synthetic corpus; floor with margin for the deterministic seed
+    assert np.mean(recalls) >= 0.5, recalls
+
+    t = _pq.read_table(os.path.join(SF_DIR, "embeddings.parquet"))
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    books = sim.pq_train(mat[:256], m_sub=8, k_codes=16)
+    codes = sim.pq_encode(mat[:64], books)
+    assert codes.shape == (64, 8)
+    assert codes.max() < 16                       # code-range law
+
+
 def test_blocked_neardup_matches_broadcast(ray_session):
     import ray.data as rd
 

@@ -15590,3 +15590,100 @@ RICH_IDLE_SQL = """
            CAST(SUM(cents) AS DOUBLE) / 100.0 AS totacctbal
     FROM idle JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name ORDER BY n_name"""
+
+
+# ---------------------------------------------------------------------------
+# Q254: daily-volume max drawdown per priority class
+# ---------------------------------------------------------------------------
+
+
+def volume_drawdown(sf_dir: str, npart: int = 8):
+    """q254: per order-priority class, the largest decline from any
+    historical peak in the zero-filled DAILY order-count series —
+    running-max-minus-current maximized over the day axis (the
+    finance "max drawdown" window shape, which never reduces to a
+    plain groupby because the running max is order-sensitive).
+
+    Scale shape: per-batch (prio, day) count partials collapse each
+    block to ≤ classes × days rows; ONE priority-hash exchange; each
+    bucket zero-fills its classes' day grids (missing days are real
+    zero-volume days — skipping them would understate drawdowns) and
+    runs the segmented running max via the overflow-safe
+    ``_grp_span_chunks`` composite-key cummax (the q200 primitive);
+    a ≤5-row table returns.  Day range is data-derived per class."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(
+            pc.cast(b["o_orderdate"].cast(pa.timestamp("us")), INT64),
+            86_400_000_000), INT64)
+        t = pa.table({
+            "prio": b["o_orderpriority"],
+            "day": day,
+            "n": pa.nulls(b.num_rows, INT64).fill_null(1)})
+        g = t.group_by(["prio", "day"]).aggregate([("n", "sum")])
+        return with_part(g.rename_columns(["prio", "day", "n"]),
+                         "prio", npart)
+
+    def bucket(g: pa.Table) -> pa.Table:
+        g = g.group_by(["prio", "day"]).aggregate([("n", "sum")]) \
+            .rename_columns(["prio", "day", "n"])
+        enc = g["prio"].combine_chunks().dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        names = enc.dictionary.to_pylist()
+        out_p, out_dd, out_days = [], [], []
+        order = np.lexsort((day, code))
+        code, day, n = code[order], day[order], n[order]
+        starts = np.flatnonzero(np.concatenate(([True],
+                                                code[1:] != code[:-1])))
+        ends = np.append(starts[1:], len(code))
+        for s, e in zip(starts, ends):
+            d, cnt = day[s:e], n[s:e]
+            full = np.zeros(int(d[-1] - d[0]) + 1, dtype=np.int64)
+            full[d - d[0]] = cnt            # zero-fill missing days
+            peak = np.maximum.accumulate(full)
+            out_p.append(names[int(code[s])])
+            out_dd.append(int((peak - full).max()))
+            out_days.append(len(full))
+        return pa.table({
+            "o_orderpriority": pa.array(out_p, type=pa.string()),
+            "max_drawdown": pa.array(out_dd, type=INT64),
+            "n_days": pa.array(out_days, type=INT64)})
+
+    return rd.read_parquet(_pq(sf_dir, "orders"),
+                           columns=["o_orderpriority", "o_orderdate"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .sort("o_orderpriority")
+
+
+VOLUME_DRAWDOWN_SQL = """
+    WITH daily AS (
+      SELECT o_orderpriority AS prio,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    bounds AS (
+      SELECT prio, MIN(day) AS lo, MAX(day) AS hi FROM daily
+      GROUP BY prio),
+    alldays AS (
+      SELECT UNNEST(range((SELECT MIN(lo) FROM bounds),
+                          (SELECT MAX(hi) FROM bounds) + 1)) AS day),
+    grid AS (
+      SELECT b.prio, a.day, COALESCE(d.n, 0) AS n
+      FROM bounds b JOIN alldays a ON a.day BETWEEN b.lo AND b.hi
+      LEFT JOIN daily d ON d.prio = b.prio AND d.day = a.day),
+    dd AS (
+      SELECT prio,
+             MAX(n) OVER (PARTITION BY prio ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) - n AS drop_
+      FROM grid)
+    SELECT g2.prio AS o_orderpriority,
+           (SELECT CAST(MAX(drop_) AS BIGINT) FROM dd
+            WHERE dd.prio = g2.prio) AS max_drawdown,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM grid g2 GROUP BY g2.prio ORDER BY g2.prio"""

@@ -1295,3 +1295,28 @@ def mode_lang_by_source(sf_dir: str):
         "mode_lang": pa.array(lang[first], type=pa.string()),
         "n_docs": pa.array(n[first].astype(np.int64)),
     })
+
+
+def pq_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 m_sub: int = 16, k_codes: int = 256):
+    """q255: product-quantization ANN retrieval (PQ-ADC) — codebooks
+    from the bounded seeded sample (as q31/q60), each stored vector
+    compressed to ``m_sub`` code bytes, queries answered from per-query
+    (M × K) distance LUTs.  Approximate by construction (quantization
+    error), so rows-only for the driver; recall@k vs the exact q30
+    path, determinism, and the code-range law are pytest-pinned
+    (tests/test_dedup.py::test_pq_recall_vs_bruteforce).
+
+    Complements the ANN family: IVF (q31) prunes WHICH vectors are
+    scored, int8 (q48) shrinks the scalar width, PQ compresses the
+    DISTANCE COMPUTATION itself (D·4 bytes → M bytes per vector)."""
+    from ..stages import similarity as sim
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = _head_rows(path, KMEANS_SAMPLE_ROWS)
+    smat = np.array(sample["embedding"].to_pylist(), dtype=np.float64)
+    books = sim.pq_train(smat, m_sub=m_sub, k_codes=k_codes)
+    q = sample.slice(0, n_queries)
+    ids = q["vec_id"].to_pylist()
+    qm = np.array(q["embedding"].to_pylist(), dtype=np.float64)
+    return sim.pq_topk(_emb(sf_dir), ids, qm, books, k=k)

@@ -546,3 +546,117 @@ def semdedup_keep(emb_ds, centroids: np.ndarray, threshold: float = 0.4,
 
     return emb_ds.select_columns(["vec_id"]) \
         .map_batches(keep, batch_format="pyarrow").sort("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN scale path
+# ---------------------------------------------------------------------------
+#
+# Jégou et al., "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split D dims into M subspaces, k-means a small codebook
+# per subspace, store each vector as M code bytes, and answer queries
+# with asymmetric distance (ADC) — a (M × K) lookup table per query,
+# summed by code.  Memory per vector drops D·4 bytes → M bytes; the
+# distance loop becomes integer gathers.  Complements IVF (q31): IVF
+# prunes WHICH vectors to score, PQ compresses HOW each is scored.
+
+
+def pq_train(sample: np.ndarray, m_sub: int = 8, k_codes: int = 16,
+             iters: int = 8, seed: int = 42) -> np.ndarray:
+    """(M, K, D/M) codebooks from a bounded driver-side sample —
+    seeded per-subspace mini k-means on L2-normalized vectors (cosine
+    ranking == −L2² ranking after normalization)."""
+    x = normalize_rows(np.asarray(sample, dtype=np.float64))
+    d = x.shape[1]
+    assert d % m_sub == 0, "embedding dim must divide into subspaces"
+    dsub = d // m_sub
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, k_codes, dsub), dtype=np.float64)
+    for j in range(m_sub):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=min(k_codes, len(sub)),
+                              replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j, :len(cent)] = cent
+    return books
+
+
+def pq_encode(matrix: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, M) uint8 codes: per subspace, index of the nearest codeword
+    (vectors L2-normalized first, matching ``pq_train``)."""
+    x = normalize_rows(np.asarray(matrix, dtype=np.float64))
+    m_sub, _, dsub = books.shape
+    codes = np.empty((len(x), m_sub), dtype=np.uint8)
+    for j in range(m_sub):
+        sub = x[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+class PQTopK:
+    """map_batches actor: ADC top-(k+1) candidates per query per batch.
+
+    Setup (once per actor): per-query (M, K) distance LUTs.  Per batch:
+    encode, gather-sum LUT entries → (n_queries, n) ADC distances, emit
+    the per-batch candidate heads.  The driver merge sees only
+    (k+1) × n_blocks × n_queries rows."""
+
+    def __init__(self, query_ids, query_matrix, books, k):
+        self.qids = list(query_ids)
+        self.books = np.asarray(books)
+        q = normalize_rows(np.asarray(query_matrix, dtype=np.float64))
+        m_sub, k_codes, dsub = self.books.shape
+        self.luts = np.empty((len(q), m_sub, k_codes), dtype=np.float64)
+        for j in range(m_sub):
+            qs = q[:, j * dsub:(j + 1) * dsub]
+            self.luts[:, j, :] = (
+                (qs[:, None, :] - self.books[j][None, :, :]) ** 2
+            ).sum(axis=2)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        codes = pq_encode(_matrix(batch), self.books)   # (n, M)
+        n = len(ids)
+        out_q, out_v, out_d = [], [], []
+        for qi, qid in enumerate(self.qids):
+            lut = self.luts[qi]                          # (M, K)
+            adc = lut[np.arange(codes.shape[1]), codes].sum(axis=1)
+            take = min(self.k, n)
+            head = np.argpartition(adc, take - 1)[:take]
+            out_q.extend([qid] * take)
+            out_v.extend(ids[head].tolist())
+            out_d.extend(adc[head].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "adc_d2": pa.array(out_d, type=pa.float64())})
+
+
+def pq_topk(embeddings_ds, query_ids, query_matrix,
+            books: np.ndarray, k: int = 10) -> pa.Table:
+    """PQ-ADC top-k per query: (query_id, vec_id, rank), deterministic
+    ties (adc ASC, vec_id ASC), self-match excluded."""
+    cand = embeddings_ds.map_batches(
+        PQTopK, fn_constructor_args=(query_ids, query_matrix, books, k + 1),
+        batch_format="pyarrow", concurrency=(1, 2))
+    df = cand.to_pandas()
+    out_q, out_v, out_r = [], [], []
+    for qid, grp in df.groupby("query_id"):
+        grp = grp[grp.vec_id != qid]
+        grp = grp.sort_values(["adc_d2", "vec_id"],
+                              ascending=[True, True]).head(k)
+        out_q.extend([qid] * len(grp))
+        out_v.extend(grp.vec_id.tolist())
+        out_r.extend(range(1, len(grp) + 1))
+    return pa.table({
+        "query_id": pa.array(out_q, type=pa.int64()),
+        "vec_id": pa.array(out_v, type=pa.int64()),
+        "rank": pa.array(out_r, type=pa.int64())})
