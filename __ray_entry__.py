@@ -454,6 +454,22 @@ def _wet_extract_q(sf_dir: str):
     return wet_extraction(_ensure_archive(sf_dir))
 
 
+def _span_census_q(sf_dir: str):
+    """q256: per-kind span census over the interleaved corpus (spans
+    list<struct> analytics — pipelines/spans.py)."""
+    from warc_ray.pipelines.spans import span_census
+
+    return span_census(corpus_mod.docs_path(_corpus_for(sf_dir)))
+
+
+def _anchor_index_q(sf_dir: str):
+    """q257: anchor-text index over the corpus link spans
+    (pipelines/spans.py)."""
+    from warc_ray.pipelines.spans import anchor_text_index
+
+    return anchor_text_index(corpus_mod.docs_path(_corpus_for(sf_dir)))
+
+
 def _ensure_jsonl(sf_dir: str) -> str:
     """events.parquet → nested .jsonl shards ONCE per sf dir (stamped)
     — the q158 text-ingestion fixture (pipelines/logs.py)."""
@@ -1145,6 +1161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q99_host_reciprocity": _host_reciprocity_q,
         "q112_seed_distance": _seed_distance_q,
         "q135_triangle_count": _triangle_count_q,
+        "q256_span_census": _span_census_q,
+        "q257_anchor_index": _anchor_index_q,
     }
     out = {k: q[k] for k in _DRIVER_SAMPLE_ORDER}
     out.update({k: v for k, v in q.items() if k not in out})
@@ -1220,6 +1238,30 @@ def oracle_sql() -> dict[str, str]:
         " doc_id AS src_doc, s.\"offset\" AS src_offset"
         " FROM (%s) WHERE s.kind IN ('link','image','video')" % spans_src
     )
+    span_census_sql = f"""
+        SELECT s.kind AS kind, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(length(s.text)) AS BIGINT) AS text_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM ({spans_src}) GROUP BY s.kind ORDER BY s.kind"""
+    anchor_index_sql = f"""
+        WITH pairs AS (
+          SELECT s.media_ref AS target, s.text AS anchor,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM ({spans_src}) WHERE s.kind = 'link'
+          GROUP BY 1, 2),
+        tops AS (
+          SELECT target, anchor,
+                 row_number() OVER (PARTITION BY target
+                                    ORDER BY n DESC, anchor) AS rn
+          FROM pairs),
+        agg AS (
+          SELECT target, SUM(n) AS n_refs,
+                 CAST(COUNT(*) AS BIGINT) AS n_anchors
+          FROM pairs GROUP BY target)
+        SELECT a.target, CAST(a.n_refs AS BIGINT) AS n_refs,
+               a.n_anchors, t.anchor AS top_anchor
+        FROM agg a JOIN tops t ON t.target = a.target AND t.rn = 1
+        ORDER BY n_refs DESC, a.target LIMIT 50"""
 
     # q29: integer PageRank, the 5 iterations UNROLLED as CTEs (same
     # floor-division recurrence the BSP fabric runs — bit-equal)
@@ -2472,6 +2514,8 @@ def oracle_sql() -> dict[str, str]:
         # any defect in archive framing, HTTP-head split, or the RE2
         # tag-strip passes hash-mismatches; all-media docs surface via
         # the LEFT JOIN with md5('')
+        "q256_span_census": span_census_sql,
+        "q257_anchor_index": anchor_index_sql,
         "q157_wet_extract": f"""
             WITH spans AS (
               SELECT doc_id, UNNEST(spans) AS s
