@@ -454,6 +454,16 @@ def _wet_extract_q(sf_dir: str):
     return wet_extraction(_ensure_archive(sf_dir))
 
 
+def _wat_extract_q(sf_dir: str):
+    """q258: WAT-style metadata derivative over the WARC archive
+    (pipelines/archive.py:wat_extraction) — oracle reconstructs the
+    expected per-doc outlink list + media count from the corpus
+    spans."""
+    from warc_ray.pipelines.archive import wat_extraction
+
+    return wat_extraction(_ensure_archive(sf_dir))
+
+
 def _span_census_q(sf_dir: str):
     """q256: per-kind span census over the interleaved corpus (spans
     list<struct> analytics — pipelines/spans.py)."""
@@ -1163,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q135_triangle_count": _triangle_count_q,
         "q256_span_census": _span_census_q,
         "q257_anchor_index": _anchor_index_q,
+        "q258_wat_extract": _wat_extract_q,
     }
     out = {k: q[k] for k in _DRIVER_SAMPLE_ORDER}
     out.update({k: v for k, v in q.items() if k not in out})
@@ -2516,6 +2527,34 @@ def oracle_sql() -> dict[str, str]:
         # the LEFT JOIN with md5('')
         "q256_span_census": span_census_sql,
         "q257_anchor_index": anchor_index_sql,
+        # q258: WAT derivative — outlinks are the link spans' targets
+        # in offset order; media count = image+video spans; the digest
+        # is md5 of the '|'-joined ordered target list
+        "q258_wat_extract": f"""
+            WITH spans AS (
+              SELECT doc_id, UNNEST(spans) AS s
+              FROM read_parquet('{docs_glob}')
+            ),
+            links AS (
+              SELECT doc_id,
+                     STRING_AGG(s.media_ref, '|'
+                                ORDER BY s."offset") AS outl,
+                     CAST(COUNT(*) AS BIGINT) AS n_outlinks
+              FROM spans WHERE s.kind = 'link' GROUP BY doc_id
+            ),
+            media AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_media
+              FROM spans WHERE s.kind IN ('image', 'video')
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(l.n_outlinks, 0) AS n_outlinks,
+                   COALESCE(m.n_media, 0) AS n_media,
+                   md5(COALESCE(l.outl, '')) AS outlinks_md5
+            FROM (SELECT doc_id FROM read_parquet('{docs_glob}')) d
+            LEFT JOIN links l USING (doc_id)
+            LEFT JOIN media m USING (doc_id)
+            ORDER BY d.doc_id""",
         "q157_wet_extract": f"""
             WITH spans AS (
               SELECT doc_id, UNNEST(spans) AS s

@@ -290,3 +290,67 @@ def serialize_revisit_records(uris: list[str], refers_to: list[str],
         "payload_digest": pa.array(digests, type=pa.string()),
         "record_bytes": pa.array(blobs, type=pa.large_binary()),
     })
+
+
+def wat_extraction(archive_dir: str) -> "rd.Dataset":
+    """q258: WAT-style metadata-extraction derivative — the third
+    Common-Crawl companion (WARC → WAT): per ``response`` record, the
+    outlink list parsed from the rendered body (order-preserving), the
+    embedded-media count, and an md5 over the '|'-joined outlink
+    sequence (the digest a WAT metadata record would carry for the
+    link table).  Completes the derivative trio with q157 (WET text)
+    and q65 (CDX index).
+
+    Fully vectorized: one ``split_pattern`` per tag shape over the
+    payload column, list-offset arithmetic for the per-record href
+    slices, ``binary_join`` + batched numpy MD5 for the digest — no
+    per-row Python anywhere.  Scale shape: embarrassingly parallel
+    over gzip members, zero shuffles.  The DuckDB oracle reproduces
+    every field from the corpus spans (link spans in offset order),
+    so any defect in archive framing, HTTP-head split or href parsing
+    value-mismatches."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..sources import read_warc
+    from ..stages.md5vec import md5_hex
+
+    def extract(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["rec_type"], "response"))
+        pay = pc.cast(pc.cast(b["payload"], pa.binary()), pa.string())
+        body = pc.list_element(
+            pc.split_pattern(pay, "\r\n\r\n", max_splits=1), 1)
+        parts = pc.split_pattern(body, '<a href="').combine_chunks()
+        offs = parts.offsets.to_numpy(zero_copy_only=False)
+        n_out = (np.diff(offs) - 1).astype(np.int64)   # first = preamble
+        flat = pc.list_flatten(parts)
+        total = len(flat)
+        starts = offs[:-1]
+        par = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        pos = np.arange(total, dtype=np.int64) - starts[par]
+        keep = pos >= 1
+        hrefs = pc.list_element(
+            pc.split_pattern(flat.filter(pa.array(keep)), '"',
+                             max_splits=1), 0)
+        new_offs = np.concatenate(
+            ([0], np.cumsum(n_out))).astype(np.int32)
+        if isinstance(hrefs, pa.ChunkedArray):
+            hrefs = hrefs.combine_chunks()
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(new_offs), hrefs), "|")
+        n_media = pc.add(
+            pc.cast(pc.count_substring(body, '<img src="'), pa.int64()),
+            pc.cast(pc.count_substring(body, '<video src="'),
+                    pa.int64()))
+        return pa.table({
+            "doc_id": pc.replace_substring(b["target_uri"],
+                                           "urn:doc:", ""),
+            "n_outlinks": pa.array(n_out, type=pa.int64()),
+            "n_media": n_media,
+            "outlinks_md5": md5_hex(joined),
+        })
+
+    return read_warc(archive_dir) \
+        .map_batches(extract, batch_format="pyarrow") \
+        .sort("doc_id")
