@@ -454,6 +454,17 @@ def _wet_extract_q(sf_dir: str):
     return wet_extraction(_ensure_archive(sf_dir))
 
 
+def _robots_audit_q(sf_dir: str):
+    """q259: robots-compliance audit over the fetch log — n_violations
+    must be zero for every ruled host (pipelines/reports.py)."""
+    from warc_ray.pipelines.crawl import read_fetch_log
+    from warc_ray.pipelines.reports import robots_audit
+
+    cdir = _corpus_for(sf_dir)
+    return robots_audit(read_fetch_log(_ensure_crawl(sf_dir)),
+                        corpus_mod.read_robots(cdir))
+
+
 def _wat_extract_q(sf_dir: str):
     """q258: WAT-style metadata derivative over the WARC archive
     (pipelines/archive.py:wat_extraction) — oracle reconstructs the
@@ -1174,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q256_span_census": _span_census_q,
         "q257_anchor_index": _anchor_index_q,
         "q258_wat_extract": _wat_extract_q,
+        "q259_robots_audit": _robots_audit_q,
     }
     out = {k: q[k] for k in _DRIVER_SAMPLE_ORDER}
     out.update({k: v for k, v in q.items() if k not in out})
@@ -2527,6 +2539,34 @@ def oracle_sql() -> dict[str, str]:
         # the LEFT JOIN with md5('')
         "q256_span_census": span_census_sql,
         "q257_anchor_index": anchor_index_sql,
+        # q259: robots audit — independent recomputation over the
+        # SIMULATOR log × the robots parquet: the distributed crawl's
+        # per-ruled-host fetch counts and (zero) violations must match
+        "q259_robots_audit": f"""
+            WITH ruled AS (
+              SELECT host, UNNEST(disallow_prefixes) AS pfx
+              FROM read_parquet('{t2}/robots.parquet')),
+            rule_hosts AS (
+              SELECT host, CAST(COUNT(*) AS BIGINT) AS n_rules
+              FROM ruled GROUP BY host),
+            log AS (
+              SELECT host, url,
+                     regexp_extract(url, '^https?://[^/]+(/.*)$', 1)
+                       AS path
+              FROM read_parquet('{sim_log}')),
+            f AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetched
+                  FROM log GROUP BY host),
+            v AS (SELECT r.host, CAST(COUNT(*) AS BIGINT) AS n_violations
+                  FROM ruled r JOIN log l
+                    ON l.host = r.host AND starts_with(l.path, r.pfx)
+                  GROUP BY r.host)
+            SELECT rh.host, rh.n_rules,
+                   COALESCE(f.n_fetched, 0) AS n_fetched,
+                   COALESCE(v.n_violations, 0) AS n_violations
+            FROM rule_hosts rh
+            LEFT JOIN f USING (host)
+            LEFT JOIN v ON v.host = rh.host
+            ORDER BY rh.host""",
         # q258: WAT derivative — outlinks are the link spans' targets
         # in offset order; media count = image+video spans; the digest
         # is md5 of the '|'-joined ordered target list

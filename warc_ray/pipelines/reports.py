@@ -90,3 +90,68 @@ def crawl_metrics(log_ds: rd.Dataset) -> pa.Table:
     a = _pull(agg)
     h = _pull(n_hosts)
     return a.join(h, keys="round").sort_by("round")
+
+
+def robots_audit(log_ds: rd.Dataset, robots: pa.Table) -> pa.Table:
+    """q259: robots-compliance audit — for every host that publishes
+    disallow rules: rule count, fetches recorded, and VIOLATIONS
+    (fetched URLs whose path falls under a disallowed prefix — the
+    invariant the frontier's robots gate must keep at exactly zero,
+    here re-proved by an independent query over the output log instead
+    of trusted from the gate's own counters).
+
+    Scale shape: the rules table is the broadcast-small side (one row
+    per host, prefixes nested); per batch the path column is one regex
+    kernel and each (host, prefix) rule is a vectorized mask — the
+    rule count, not the log size, bounds the loop.  Per-host partials
+    fold in a ≤hosts-row groupby; no exchange of log rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    hosts = robots["host"].to_pylist()
+    prefs = robots["disallow_prefixes"].to_pylist()
+    ruled = [(h, tuple(p)) for h, p in zip(hosts, prefs) if p]
+    rule_hosts = [h for h, _ in ruled]
+
+    def partial(b: pa.Table) -> pa.Table:
+        path = pc.struct_field(
+            pc.extract_regex(b["url"], r"^https?://[^/]+(?P<path>/.*)$"),
+            "path")
+        out_h, out_f, out_v = [], [], []
+        for h, plist in ruled:
+            on_host = pc.equal(b["host"], h)
+            n_f = int(pc.sum(pc.cast(on_host, pa.int64())).as_py() or 0)
+            viol = 0
+            for p in plist:
+                m = pc.and_(on_host, pc.fill_null(
+                    pc.starts_with(path, p), False))
+                viol += int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
+            out_h.append(h)
+            out_f.append(n_f)
+            out_v.append(viol)
+        return pa.table({
+            "host": pa.array(out_h, type=pa.string()),
+            "n_fetched": pa.array(out_f, type=pa.int64()),
+            "n_violations": pa.array(out_v, type=pa.int64())})
+
+    agg = log_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("host") \
+        .aggregate(Sum("n_fetched", alias_name="n_fetched"),
+                   Sum("n_violations", alias_name="n_violations"))
+    rows = _pull(agg)
+    got = {h: (int(f), int(v)) for h, f, v in
+           zip(rows["host"].to_pylist(),
+               rows["n_fetched"].to_pylist(),
+               rows["n_violations"].to_pylist())} if rows.num_rows \
+        else {}
+    n_rules = {h: len(p) for h, p in ruled}
+    return pa.table({
+        "host": pa.array(rule_hosts, type=pa.string()),
+        "n_rules": pa.array([n_rules[h] for h in rule_hosts],
+                            type=pa.int64()),
+        "n_fetched": pa.array([got.get(h, (0, 0))[0]
+                               for h in rule_hosts], type=pa.int64()),
+        "n_violations": pa.array([got.get(h, (0, 0))[1]
+                                  for h in rule_hosts],
+                                 type=pa.int64())}).sort_by("host")
