@@ -2,9 +2,11 @@
 
 The driver samples the FIRST ~50 ``queries()`` entries; round-2's
 VERDICT asked for that window to span every operator family with
-fully-oracle-backed entries.  These tests pin the contract so future
-registry edits can't silently break it.  No Ray needed — the registry
-is plain dict construction.
+fully-oracle-backed entries, and round-3's VERDICT asked for the head
+to ROTATE each round to never-driver-sampled queries so cumulative
+driver-hard coverage grows.  These tests pin both contracts so future
+registry edits can't silently break them.  No Ray needed — the
+registry is plain dict construction.
 """
 
 import re
@@ -13,6 +15,52 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import __ray_entry__ as entry
+
+# Union of CORRECTNESS_r01/r02/r03 sampled keys (109 queries already
+# driver-verified in rounds 1-3).  The round-4 head must be DISJOINT
+# from this set so the driver's 50-query sample extends cumulative
+# coverage instead of re-verifying old ground.
+PREVIOUSLY_SAMPLED = {
+    "q01_agg_lineitem", "q02_revenue_by_nation", "q03_topk_events",
+    "q04_events_by_type", "q05_filter_orders", "q06_user_event_stats",
+    "q07_windowed_events", "q100_shipping_priority",
+    "q101_bucketed_dedup", "q102_compact_files", "q103_skewed_user_join",
+    "q104_unpivot_lineitem", "q105_percent_rank", "q106_event_mad",
+    "q107_weighted_avg", "q108_normalized_dedup",
+    "q109_table_fingerprints", "q10_token_counts", "q110_zscore_outliers",
+    "q111_streaming_windows", "q113_last_touch", "q114_ivf_recall",
+    "q115_integrity_audit", "q116_point_lookup", "q117_dense_event_grid",
+    "q118_charclass_entropy", "q119_median_interarrival",
+    "q11_quality_scores", "q120_audience_overlap",
+    "q121_top_user_per_type", "q122_bm25_topk", "q123_event_transitions",
+    "q124_sliding_distinct", "q125_pruned_join", "q126_above_avg_orders",
+    "q127_discount_revenue", "q128_source_lang_lift", "q129_part_skyline",
+    "q12_lang_id", "q130_lineitem_regression", "q131_scd2_user_state",
+    "q132_embedding_covariance", "q138_join_cardinality",
+    "q13_doc_fingerprints", "q150_custdist", "q157_wet_extract",
+    "q158_jsonl_ingest", "q162_evolved_scan", "q163_tpch_q5",
+    "q167_dlq_ingest", "q183_volume_shipping", "q184_market_share",
+    "q185_returned_items", "q189_large_orders", "q190_product_profit",
+    "q19_bloom_semi_join", "q202_csv_ingest", "q20_exact_dedup",
+    "q215_fixedwidth_ingest", "q216_churn_report",
+    "q217_radix_percentiles", "q21_minhash_pairs", "q22_simhash",
+    "q235_format_consistency", "q23_embedding_neardup", "q24_curation",
+    "q25_ngram_jaccard", "q26_hll_host_distinct", "q30_knn_topk",
+    "q31_knn_topk_ivf", "q39_bottomk_distinct", "q40_media_features",
+    "q44_segment_dedup", "q47_embedding_lsh", "q49_cms_url_refs",
+    "q50_extract_links", "q51_seen_dedup", "q52_crawl_frontier",
+    "q53_warc_roundtrip", "q54_hottest_hosts", "q55_crawl_metrics",
+    "q56_host_link_stats", "q57_verify_spans", "q58_arc_roundtrip",
+    "q59_neardup_curation", "q65_cdx_lookup", "q68_segment_order_stats",
+    "q70_global_sort_orders", "q72_heavy_hitter_hosts",
+    "q76_duplicate_spans", "q78_arc_to_warc", "q81_merge_upsert",
+    "q82_group_concat", "q83_feature_corr", "q84_json_props",
+    "q85_retention_cohorts", "q86_vocab_build", "q87_containment_pairs",
+    "q88_source_mixture", "q89_pivot_events", "q90_funnel",
+    "q91_degree_histogram", "q92_debounce_events", "q93_bigram_topk",
+    "q94_cumulative_users", "q95_cooccurrence", "q96_revisit_dedup",
+    "q97_session_trigrams", "q98_incremental_agg",
+}
 
 
 def test_sample_head_is_fully_oracle_backed():
@@ -24,21 +72,28 @@ def test_sample_head_is_fully_oracle_backed():
     assert not missing, f"sampled head lacks oracles: {missing}"
 
 
+def test_sample_head_never_driver_sampled_before():
+    overlap = set(entry._DRIVER_SAMPLE_ORDER) & PREVIOUSLY_SAMPLED
+    assert not overlap, f"head re-samples already-verified queries: {overlap}"
+    assert len(entry._DRIVER_SAMPLE_ORDER) == 50
+
+
 def test_sample_head_spans_families():
-    head = set(entry.queries())
     head = entry._DRIVER_SAMPLE_ORDER
     families = {
-        "crawl": {"q52_crawl_frontier", "q53_warc_roundtrip",
-                  "q57_verify_spans", "q58_arc_roundtrip"},
-        "formats": {"q158_jsonl_ingest", "q202_csv_ingest",
-                    "q215_fixedwidth_ingest"},
-        "dedup": {"q20_exact_dedup", "q21_minhash_pairs",
-                  "q44_segment_dedup"},
-        "sketch": {"q26_hll_host_distinct", "q49_cms_url_refs"},
-        "tpch": {"q100_shipping_priority", "q163_tpch_q5",
-                 "q189_large_orders"},
-        "engine": {"q68_segment_order_stats", "q70_global_sort_orders",
-                   "q103_skewed_user_join"},
+        "crawl/graph/spans": {"q99_host_reciprocity", "q256_span_census",
+                              "q258_wat_extract", "q259_robots_audit"},
+        "formats/storage": {"q79_export_partitioned", "q152_rle_advisor",
+                            "q137_time_travel"},
+        "dedup": {"q27_dup_clusters", "q45_contamination",
+                  "q205_collision_detector"},
+        "sketch": {"q160_bloom_join", "q181_merkle_diff"},
+        "tpch": {"q173_late_orders", "q252_sole_latest_supplier",
+                 "q253_rich_idle_customers"},
+        "engine": {"q69_cube_lineitem", "q09_asof_join",
+                   "q206_mutual_best"},
+        "text": {"q28_tfidf_topterms", "q154_bpe_merges"},
+        "statistics": {"q225_ks_distance", "q227_mann_whitney"},
     }
     for fam, keys in families.items():
         assert keys <= set(head), f"family {fam} missing from head"
