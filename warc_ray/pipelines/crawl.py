@@ -194,6 +194,12 @@ class WarcWriter:
             return 0
         tbl = pa.concat_tables(self._cdx_buf)
         self._cdx_buf = []
+        # (shard, offset) is a natural deterministic total order (one
+        # gzip member per compressed offset per file) — canonicalize
+        # so part contents don't depend on write_round arrival order.
+        # Parts stay content-identical across runs up to the absolute
+        # output-path prefix embedded in ``shard``.
+        tbl = tbl.sort_by([("shard", "ascending"), ("offset", "ascending")])
         cdx_dir = os.path.join(out_dir, "cdx")
         os.makedirs(cdx_dir, exist_ok=True)
         pq.write_table(tbl, os.path.join(
@@ -275,6 +281,15 @@ class CrawlWorker:
             return 0
         tbl = pa.concat_tables(self._log_buf)
         self._log_buf = []
+        # Canonical row order at flush: the buffer concatenates shard
+        # slices in ray.wait ARRIVAL order, which varies run-to-run
+        # even though the row multiset is deterministic.  Sorting by
+        # all columns here makes each part file byte-stable, so crash
+        # recovery (tools/kill_resume_check.py) can assert sha1
+        # equality on log parts, not just content equality
+        # (round-3 ADVICE).  Cost: one sort of this worker's buffered
+        # rows per checkpoint barrier — off the round critical path.
+        tbl = tbl.sort_by([(c, "ascending") for c in tbl.column_names])
         log_dir = os.path.join(self.out_dir, "log")
         os.makedirs(log_dir, exist_ok=True)
         pq.write_table(tbl, os.path.join(

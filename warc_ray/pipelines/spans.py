@@ -106,7 +106,11 @@ def anchor_text_index(docs_path: str, k: int = 50, npart: int = 32):
     def partial(b: pa.Table) -> pa.Table:
         _, kind, text, ref = _flat(b)
         is_link = pc.equal(kind, "link")
-        t = pa.table({"target": ref, "anchor": text,
+        # null anchor text → '' (matching the SQL twin's COALESCE):
+        # None is unorderable against str in the bucket lexsort, so a
+        # corpus with a null-text link span would otherwise TypeError
+        # (round-3 ADVICE; the synthetic corpus never produces one)
+        t = pa.table({"target": ref, "anchor": pc.fill_null(text, ""),
                       "n": pa.nulls(len(kind), INT64).fill_null(1)}) \
             .filter(is_link)
         g = t.group_by(["target", "anchor"]).aggregate([("n", "sum")])

@@ -165,6 +165,14 @@ def md5_hex(arr) -> pa.Array:
     zero-copy from a (n, 32) ASCII matrix (no per-row Python)."""
     raw = md5_raw(arr)
     n = len(raw)
+    # int32 string offsets cap a single call at 2**31 output BYTES
+    # (~67M rows at 32 hex chars each) — far above any Ray block size,
+    # but fail loudly instead of silently wrapping into a corrupt
+    # StringArray (round-3 ADVICE).
+    if n >= (1 << 31) // 32:
+        raise ValueError(
+            f"md5_hex batch of {n} rows overflows int32 string offsets; "
+            "split the batch (Ray blocks never get this large)")
     hx = np.empty((n, 32), dtype=np.uint8)
     hx[:, 0::2] = _HEX[raw >> 4]
     hx[:, 1::2] = _HEX[raw & 0x0F]

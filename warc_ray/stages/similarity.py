@@ -570,11 +570,16 @@ def pq_train(sample: np.ndarray, m_sub: int = 8, k_codes: int = 16,
     d = x.shape[1]
     assert d % m_sub == 0, "embedding dim must divide into subspaces"
     dsub = d // m_sub
+    # K can't exceed the sample size: np.empty rows beyond len(cent)
+    # would be uninitialized memory, making encode/ADC results
+    # nondeterministic on tiny tables (round-3 ADVICE).  Shrinking the
+    # books is safe — every consumer reads K from books.shape.
+    k_codes = min(k_codes, len(x))
     rng = np.random.default_rng(seed)
     books = np.empty((m_sub, k_codes, dsub), dtype=np.float64)
     for j in range(m_sub):
         sub = x[:, j * dsub:(j + 1) * dsub]
-        cent = sub[rng.choice(len(sub), size=min(k_codes, len(sub)),
+        cent = sub[rng.choice(len(sub), size=k_codes,
                               replace=False)].copy()
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -583,7 +588,7 @@ def pq_train(sample: np.ndarray, m_sub: int = 8, k_codes: int = 16,
                 mask = assign == c
                 if mask.any():
                     cent[c] = sub[mask].mean(axis=0)
-        books[j, :len(cent)] = cent
+        books[j] = cent
     return books
 
 

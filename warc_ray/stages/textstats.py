@@ -14,7 +14,6 @@ utf8_length) — no Python loop except md5 hashing, which IS the work.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 
@@ -24,7 +23,6 @@ import pyarrow.compute as pc
 TOKEN_RE = "[A-Za-z0-9]+"
 ALPHA_RE = "[A-Za-z]"
 STOPWORD_RE = r"\b(the|a|of|and|in)\b"
-_NORM_RE = re.compile(r"[^a-z0-9]+")
 
 
 def token_counts(batch: pa.Table) -> pa.Table:
@@ -84,16 +82,19 @@ def lang_id(batch: pa.Table) -> pa.Table:
     })
 
 
-def normalize_text(s: str) -> str:
-    return _NORM_RE.sub(" ", s.lower())
-
-
 def fingerprints(batch: pa.Table) -> pa.Table:
     """(doc_id, fp): md5 hex of the normalized text (lowercase, runs of
     non-alphanumerics collapsed to single spaces).  Normalization is an
     Arrow regex kernel and the digest is the batched numpy MD5 — the
-    whole stage is loop-free (bit-identical to the round-2 per-row
-    ``hashlib`` path; see tests/test_md5vec.py)."""
+    whole stage is loop-free.
+
+    Bit-identity with a Python ``s.lower()`` + re.sub + ``hashlib``
+    path holds for ASCII text (which the synthetic corpus and the SQL
+    oracle both are); Arrow's utf8proc lowering diverges from Python
+    ``str.lower()`` on a few Unicode codepoints (e.g. U+0130 'İ'), so
+    the claim is deliberately scoped to ASCII (round-3 ADVICE — the
+    divergent Python twin ``normalize_text`` was removed rather than
+    kept as a second source of truth)."""
     from .md5vec import md5_hex
     norm = pc.replace_substring_regex(
         pc.utf8_lower(batch["text"]), "[^a-z0-9]+", " ")
