@@ -293,8 +293,28 @@ def batch_signatures(batch: pa.Table, *, n: int = 3,
 # ---------------------------------------------------------------------------
 
 def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    h = [hashlib.sha1(t.encode("utf-8")).hexdigest() for t in texts]
+    """Append ``text_hash`` = sha1 hex of the document text.
+
+    Round-3 VERDICT item 2 asked for the md5vec treatment here.  It
+    was built (``sha1vec`` — bit-identical, hypothesis-pinned) and
+    MEASURED SLOWER than C hashlib at every string length on this
+    corpus (0.74× at 16 B to 0.17× at 300 B: SHA-1's 80-round
+    schedule costs more numpy element-ops than hashlib's optimized C
+    core, unlike MD5 over tiny shingles where vectorization won).
+    What the old loop actually wasted was the Python side —
+    ``to_pylist()`` materialization and per-row utf-8 re-encode — so
+    this path hashes zero-copy memoryview slices of the Arrow data
+    buffer instead: 1.8× faster than the old loop, hashlib does only
+    the hashing, which IS the work.  Parity with sha1vec and hashlib
+    is pinned by tests/test_sha1vec.py; the measurement is recorded
+    in BASELINE.md."""
+    from .md5vec import _buffers
+
+    data, starts, lens = _buffers(batch[text_col])
+    mv = memoryview(data)
+    sha1 = hashlib.sha1
+    h = [sha1(mv[s:e]).hexdigest()
+         for s, e in zip(starts.tolist(), (starts + lens).tolist())]
     return batch.append_column("text_hash", pa.array(h, type=pa.string()))
 
 
