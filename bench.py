@@ -139,16 +139,44 @@ def bench_crawl(sf_dir: str, num_cpus: int, *, write_warc: bool = True) -> dict:
     }
 
 
+# Queries that read a shared deterministic DISK artifact (the stamp-
+# cached fetch log of the reports crawl).  The artifact is pre-warmed
+# ONCE before the timed loop and its build cost reported separately,
+# so these rows time the analytic work only — explicitly, not by
+# accident of run order (round-3 VERDICT item 3).
+CRAWL_LOG_QUERIES = {"q54_hottest_hosts", "q55_crawl_metrics",
+                     "q259_robots_audit"}
+
+
+def _reset_session_caches() -> None:
+    """Clear in-memory memoization shared between queries, so every
+    per-query number stands alone.  Round-3's BENCH had q27 at 0.0 s
+    because q59 happened to run first and paid the shared
+    connected-components build (round-3 VERDICT item 3)."""
+    from warc_ray.pipelines import training as tr
+
+    tr._DUP_CLUSTERS_CACHE.clear()
+
+
 def bench_queries(sf_dir: str) -> dict:
     import pyarrow as pa
     import ray.data as rd
 
     import __ray_entry__ as e
 
+    artifact_sec: dict[str, float] = {}
+    t0 = time.perf_counter()
+    e._ensure_crawl(sf_dir)
+    artifact_sec["crawl_log"] = round(time.perf_counter() - t0, 3)
+
     out: dict[str, float] = {}
+    shared: dict[str, str] = {}
     for name, fn in e.queries().items():
         if name in SKIP_QUERIES:
             continue
+        _reset_session_caches()
+        if name in CRAWL_LOG_QUERIES:
+            shared[name] = "crawl_log"
         t0 = time.perf_counter()
         res = fn(sf_dir)
         if isinstance(res, rd.Dataset):
@@ -156,18 +184,22 @@ def bench_queries(sf_dir: str) -> dict:
         elif isinstance(res, pa.Table):
             pass  # already computed
         out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    return {"times": out, "shared_artifact": shared,
+            "artifact_sec": artifact_sec}
 
 
 def run_full(sf_dir: str, num_cpus: int, *, queries: bool = True) -> dict:
     _init_ray(num_cpus)
     crawl = bench_crawl(sf_dir, num_cpus)
-    qtimes = bench_queries(sf_dir) if queries else {}
+    q = (bench_queries(sf_dir) if queries
+         else {"times": {}, "shared_artifact": {}, "artifact_sec": {}})
     return {
         "metric": "crawl wall-sec (frontier+fetch+WARC) on synthetic corpus",
         "value": round(crawl["sec"], 3),
         "unit": "sec",
-        "queries": qtimes,
+        "queries": q["times"],
+        "shared_artifact": q["shared_artifact"],
+        "artifact_sec": q["artifact_sec"],
         "sf": os.path.basename(sf_dir.rstrip("/")),
         "num_cpus": num_cpus,
         "rounds": crawl["rounds"],
