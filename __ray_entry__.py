@@ -2548,6 +2548,13 @@ def oracle_sql() -> dict[str, str]:
         # q259: robots audit — independent recomputation over the
         # SIMULATOR log × the robots parquet: the distributed crawl's
         # per-ruled-host fetch counts and (zero) violations must match
+        # q259: full REP rule matching re-implemented in plain SQL —
+        # a pattern is pre*suf with an optional trailing '$' anchor
+        # (the corpus plants at most one star; the engine matcher
+        # handles arbitrary patterns).  No star: prefix match, or
+        # exact-path when anchored.  Star: path starts with pre AND
+        # suf occurs after pre (unanchored) / path ends with suf
+        # beyond pre (anchored).
         "q259_robots_audit": f"""
             WITH ruled AS (
               SELECT host, UNNEST(disallow_prefixes) AS pfx
@@ -2555,6 +2562,21 @@ def oracle_sql() -> dict[str, str]:
             rule_hosts AS (
               SELECT host, CAST(COUNT(*) AS BIGINT) AS n_rules
               FROM ruled GROUP BY host),
+            rparse AS (
+              SELECT host, pfx, (pfx LIKE '%$') AS anch,
+                     CASE WHEN pfx LIKE '%$'
+                          THEN substr(pfx, 1, length(pfx) - 1)
+                          ELSE pfx END AS core
+              FROM ruled),
+            rr AS (
+              SELECT host, anch, (strpos(core, '*') > 0) AS has_star,
+                     CASE WHEN strpos(core, '*') > 0
+                          THEN substr(core, 1, strpos(core, '*') - 1)
+                          ELSE core END AS pre,
+                     CASE WHEN strpos(core, '*') > 0
+                          THEN substr(core, strpos(core, '*') + 1)
+                          ELSE '' END AS suf
+              FROM rparse),
             log AS (
               SELECT host, url,
                      regexp_extract(url, '^https?://[^/]+(/.*)$', 1)
@@ -2563,8 +2585,23 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetched
                   FROM log GROUP BY host),
             v AS (SELECT r.host, CAST(COUNT(*) AS BIGINT) AS n_violations
-                  FROM ruled r JOIN log l
-                    ON l.host = r.host AND starts_with(l.path, r.pfx)
+                  FROM rr r JOIN log l
+                    ON l.host = r.host
+                   AND starts_with(l.path, r.pre)
+                   AND CASE
+                         WHEN NOT r.has_star AND NOT r.anch THEN TRUE
+                         WHEN NOT r.has_star AND r.anch
+                           THEN l.path = r.pre
+                         WHEN r.anch
+                           THEN length(l.path)
+                                  >= length(r.pre) + length(r.suf)
+                            AND substr(l.path, length(l.path)
+                                               - length(r.suf) + 1)
+                                  = r.suf
+                         ELSE r.suf = ''
+                           OR strpos(substr(l.path, length(r.pre) + 1),
+                                     r.suf) > 0
+                       END
                   GROUP BY r.host)
             SELECT rh.host, rh.n_rules,
                    COALESCE(f.n_fetched, 0) AS n_fetched,

@@ -85,6 +85,12 @@ def test_robots_rules(t1_dir):
     assert t.num_rows == p.n_hosts
     rules = dict(zip(t["host"].to_pylist(), t["disallow_prefixes"].to_pylist()))
     assert rules[f"host-{p.n_hosts-1}.example"] == ["/"]
+    # full REP grammar is planted: plain prefixes, star+anchor rules,
+    # trailing-star rules, and a multi-rule host (GEN_VERSION 3)
+    all_rules = [r for rs in rules.values() for r in rs]
+    assert any("*" in r and r.endswith("$") for r in all_rules)
+    assert any(r.endswith("*") for r in all_rules)
+    assert any(len(rs) > 1 for rs in rules.values())
 
 
 def test_idempotent_ensure(t1_dir, tmp_path):

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 
 from .schema import DOC_SCHEMA, ROBOTS_SCHEMA, SEED_SCHEMA, SPAN_STRUCT
 
-GEN_VERSION = 2
+GEN_VERSION = 3  # v3: REP wildcard/$ robots rules (round-4)
 DEFAULT_SEED = 42
 CORPUS_ROOT = "/tmp/warc_ray_corpus"
 
@@ -237,8 +237,16 @@ def _gen_seeds(p: Profile) -> pa.Table:
 
 
 def _gen_robots(p: Profile) -> pa.Table:
-    """Per-host rules: ~10% of hosts disallow a /doc/1* prefix range; the
-    last host disallows everything; seeded crawl delays."""
+    """Per-host disallow rules in full REP form (RFC 9309): plain
+    prefixes, ``*`` wildcards and trailing-``$`` anchors, chosen by a
+    deterministic host-hash mix; the last host disallows everything;
+    seeded crawl delays.
+
+    Rule grammar planted here is deliberately single-star (``pre*suf``
+    with optional ``$``): the engine's matcher handles arbitrary REP
+    patterns (state/frontier.rep_rule_to_regex), but the q259 DuckDB
+    oracle re-implements matching in plain SQL, which stays exact for
+    one star."""
     rng = np.random.default_rng([p.seed, 10_002])
     hosts, rules, delays = [], [], []
     # Crawl-Delay is the exception, not the rule (real robots.txt
@@ -249,10 +257,17 @@ def _gen_robots(p: Profile) -> pa.Table:
     delay_p = np.array([0.9, 0.05, 0.05])
     for h in range(p.n_hosts):
         hosts.append(f"host-{h}.example")
+        kind = int(_mix(np.int64(h)) % np.uint64(20)) if h > 0 else -1
         if p.n_hosts > 1 and h == p.n_hosts - 1:
             rules.append(["/"])
-        elif h > 0 and int(_mix(np.int64(h)) % np.uint64(10)) == 3:
-            rules.append(["/doc/1"])
+        elif kind in (3, 13):
+            rules.append(["/doc/1"])          # plain prefix
+        elif kind == 4:
+            rules.append(["/media/*7$"])      # star + end anchor
+        elif kind == 6:
+            rules.append(["/doc/*3$", "/media/9"])  # two rules, mixed
+        elif kind == 8:
+            rules.append(["/doc/2*"])         # trailing star ≡ prefix
         else:
             rules.append([])
         delays.append(int(rng.choice(delay_choices, p=delay_p)))

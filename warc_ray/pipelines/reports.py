@@ -115,6 +115,8 @@ def robots_audit(log_ds: rd.Dataset, robots: pa.Table) -> pa.Table:
     rule_hosts = [h for h, _ in ruled]
 
     def partial(b: pa.Table) -> pa.Table:
+        from ..state.frontier import rep_rule_to_regex
+
         path = pc.struct_field(
             pc.extract_regex(b["url"], r"^https?://[^/]+(?P<path>/.*)$"),
             "path")
@@ -124,8 +126,16 @@ def robots_audit(log_ds: rd.Dataset, robots: pa.Table) -> pa.Table:
             n_f = int(pc.sum(pc.cast(on_host, pa.int64())).as_py() or 0)
             viol = 0
             for p in plist:
-                m = pc.and_(on_host, pc.fill_null(
-                    pc.starts_with(path, p), False))
+                # full REP rule forms: plain prefixes keep the
+                # starts_with kernel; '*'/'$' rules run the SAME
+                # regex translation the frontier gate compiles
+                # (state/frontier.rep_rule_to_regex) as one RE2 kernel
+                if "*" in p or p.endswith("$"):
+                    hit = pc.match_substring_regex(
+                        path, rep_rule_to_regex(p))
+                else:
+                    hit = pc.starts_with(path, p)
+                m = pc.and_(on_host, pc.fill_null(hit, False))
                 viol += int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
             out_h.append(h)
             out_f.append(n_f)

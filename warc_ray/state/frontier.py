@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -70,6 +71,43 @@ def delay_rounds(crawl_delay_ms: int) -> int:
     return crawl_delay_ms // 100  # 0ms→0, 100ms→1, 500ms→5 logical rounds
 
 
+def rep_rule_to_regex(pattern: str) -> str:
+    """One REP (RFC 9309 §2.2.3) disallow pattern → anchored regex.
+
+    ``*`` matches any character sequence (including empty); a ``$`` at
+    the END of the pattern anchors at end-of-path ('$' elsewhere is a
+    literal, handled by re.escape on the split segments).  Without the
+    anchor the rule is a prefix match, as in the plain-prefix case."""
+    anchored = pattern.endswith("$")
+    core = pattern[:-1] if anchored else pattern
+    body = ".*".join(re.escape(seg) for seg in core.split("*"))
+    return "^" + body + ("$" if anchored else "")
+
+
+def compile_robots_rules(patterns) -> tuple:
+    """Disallow patterns → (plain_prefixes, combined_regex_or_None).
+
+    Plain prefixes (no ``*``, no trailing ``$``) keep the str.startswith
+    fast path; wildcard/anchored rules compile ONCE into a single
+    alternation so the seal hot loop pays one C regex call per URL on
+    ruled hosts only.  The same translation drives the vectorized
+    audit (pipelines/reports.robots_audit) and, in single-star form,
+    the q259 DuckDB oracle — one matching semantics, three
+    executions."""
+    plain, wild = [], []
+    for p in patterns:
+        (wild if ("*" in p or p.endswith("$")) else plain).append(p)
+    rx = (re.compile("|".join(f"(?:{rep_rule_to_regex(p)})" for p in wild))
+          if wild else None)
+    return tuple(plain), rx
+
+
+def _robots_deny(path: str, plain: tuple, rx) -> bool:
+    """True iff any disallow rule matches ``path``."""
+    return (any(path.startswith(p) for p in plain)
+            or (rx is not None and rx.match(path) is not None))
+
+
 class FrontierCore:
     """Single-shard frontier state machine (pure python + numpy)."""
 
@@ -77,8 +115,13 @@ class FrontierCore:
                  robots: dict[str, tuple[tuple[str, ...], int]] | None = None):
         self.shard_id = shard_id
         self.config = config
-        # host -> (disallow_prefixes, delay_rounds); missing host = allow-all
+        # host -> (disallow_patterns, delay_rounds); missing host =
+        # allow-all.  Patterns are full REP rules (plain prefixes plus
+        # '*' wildcards and trailing-'$' anchors, RFC 9309).
         self.robots = robots or {}
+        # per-host compiled matchers: (plain_prefixes, combined_regex)
+        self.robots_match = {h: compile_robots_rules(r[0])
+                             for h, r in self.robots.items() if r[0]}
         self.filter = CuckooFilter(config.filter_capacity,
                                    seed=config.seed * 1000 + shard_id)
         self.queues: dict[str, list] = {}
@@ -200,7 +243,7 @@ class FrontierCore:
         host_dict = host_codes.dictionary
         codes_sorted = codes[order]
         prios_sorted = prios[order]
-        robots = self.robots
+        matchers = self.robots_match
         queues = self.queues
         seq = self.seq
         queued = 0
@@ -215,13 +258,12 @@ class FrontierCore:
             prio = int(prios_sorted[s])
             u_sl = g_urls.slice(s, e - s)
             d_sl = g_depths.slice(s, e - s)
-            rules = robots.get(host)
-            if rules:
-                pres = rules[0]
+            m = matchers.get(host)
+            if m:
+                plain, rx = m
                 ul = u_sl.to_pylist()
                 keep = [i for i, u in enumerate(ul)
-                        if not any(path_of(u).startswith(pre)
-                                   for pre in pres)]
+                        if not _robots_deny(path_of(u), plain, rx)]
                 denied += (e - s) - len(keep)
                 if not keep:
                     continue
