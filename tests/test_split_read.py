@@ -162,3 +162,93 @@ def test_warc_columnar_parse_real_shard(tmp_path, ray_session):
                              f, [m[0] for m in members],
                              [m[1] for m in members])
     assert fast.to_pydict() == core.to_pydict()
+
+
+def _corrupt_one_member(data: bytes, idx: int) -> tuple[bytes, int, int]:
+    """Zero 16 bytes in the middle of member ``idx``'s compressed body
+    (past the 10-byte gzip header, so the member still looks like a
+    member and fails only at inflate/CRC time).  Returns (corrupted
+    bytes, member offset, member size)."""
+    members = gzipm.split_members(data)
+    off, size, _ = members[idx]
+    mid = off + max(12, size // 2)
+    m = bytearray(data)
+    m[mid:mid + 16] = b"\x00" * 16
+    return bytes(m), off, size
+
+
+def test_planted_corrupt_member_strict_fails_one_range_task(
+        ray_session, tmp_path):
+    """Strict mode (reference IOError semantics): the corrupt member
+    fails its OWN record-range task — other ranges, run independently,
+    still parse their members (the failure granularity is the range,
+    not the scan plan)."""
+    import io as _io
+
+    import pytest
+
+    from warc_ray.sources import read_warc
+    from warc_ray.sources.warc_source import _ReadWarcRanges, _plan_ranges
+
+    data = _archive_bytes()
+    bad, bad_off, _ = _corrupt_one_member(data, 60)
+    p = tmp_path / "corrupt.warc.gz"
+    p.write_bytes(bad)
+
+    # whole-scan strict read surfaces the IOError (wrapped by Ray)
+    with pytest.raises(Exception, match="(?i)gzip|corrupt|invalid|error"):
+        read_warc(str(p), split_size=4096).materialize()
+
+    # range-level: ONLY the range containing the corrupt member fails
+    ranges = _plan_ranges([(str(p), len(bad))], 4096)
+    reader = _ReadWarcRanges()
+    n_fail = 0
+    ok_rows = 0
+    for r in ranges:
+        batch = pa.table({"path": [r["path"]],
+                          "start": pa.array([r["start"]], type=pa.int64()),
+                          "end": pa.array([r["end"]], type=pa.int64())})
+        try:
+            for t in reader(batch):
+                ok_rows += t.num_rows
+        except Exception:
+            n_fail += 1
+    assert n_fail == 1              # exactly the corrupted range
+    assert ok_rows > 60             # every other range parsed fine
+
+
+def test_planted_corrupt_member_dlq_scan_completes(ray_session, tmp_path):
+    """DLQ mode (q167 discipline applied to archives): the scan
+    COMPLETES; every member before the corruption and every member
+    owned by OTHER ranges parses; the corruption surfaces as
+    ``_quarantined`` row(s) at a real offset — nothing silently
+    vanishes and nothing fails."""
+    from warc_ray.sources import read_warc
+    from warc_ray.sources.warc_source import DLQ_REC_TYPE
+
+    data = _archive_bytes()
+    bad, bad_off, _ = _corrupt_one_member(data, 60)
+    p = tmp_path / "corrupt.warc.gz"
+    p.write_bytes(bad)
+
+    df = read_warc(str(p), split_size=4096,
+                   on_error="dlq").to_pandas()
+    quarantined = df[df.rec_type == DLQ_REC_TYPE]
+    good = df[df.rec_type != DLQ_REC_TYPE]
+    assert len(quarantined) >= 1
+    # the quarantine row points into the corrupted region's range
+    assert (quarantined.offset <= bad_off).any()
+    # members of every OTHER range all parsed: only the corrupted
+    # range's tail (members from the corrupt one to its range end) is
+    # lost to parsing — and is accounted for by the quarantine row
+    expect = gzipm.split_members(data)
+    range_end = ((bad_off // 4096) + 1) * 4096
+    lost = [o for o, *_ in expect
+            if bad_off <= o and o < range_end]
+    assert len(good) == 120 - len(lost)
+    # single-file (unsplit) dlq read also completes, quarantining the
+    # tail from the corrupt member on
+    df1 = read_warc(str(p), on_error="dlq").to_pandas()
+    q1 = df1[df1.rec_type == DLQ_REC_TYPE]
+    g1 = df1[df1.rec_type != DLQ_REC_TYPE]
+    assert len(q1) == 1 and len(g1) == 60

@@ -292,7 +292,15 @@ def read_header(fileobj) -> WARCHeader | None:
         if not m:
             raise IOError("Bad header line: %r" % line)
         name, value = m.groups()
-        headers[name.decode("ascii")] = value.decode("ascii")
+        try:
+            headers[name.decode("ascii")] = value.decode("ascii")
+        except UnicodeDecodeError:
+            # the write path is ASCII ("replace"-lossy), so non-ASCII
+            # header bytes can only come from corruption — surface as
+            # the strict reader's IOError, not a codec error escaping
+            # the format layer (caught by the round-4 byte-flip
+            # property test)
+            raise IOError("Bad header line (non-ASCII): %r" % line)
     return WARCHeader(headers)
 
 
@@ -347,11 +355,22 @@ def parse_record_bytes(data: bytes) -> WARCRecord:
     header = read_header(f)
     if header is None:
         raise IOError("Empty record data")
-    payload = f.read(header.content_length)
-    if len(payload) != header.content_length:
+    try:
+        clen = header.content_length
+    except (KeyError, ValueError):
+        # corruption can tear the Content-Length header name or value;
+        # the reference's WARCReader propagates the raw KeyError /
+        # ValueError (warc/warc.py:107-109 — parity kept there), but
+        # this batch-parse entry is the distributed reader's error
+        # boundary, so corruption surfaces as the strict IOError
+        raise IOError("Bad or missing Content-Length header")
+    if clen < 0:
+        raise IOError("Bad or missing Content-Length header")
+    payload = f.read(clen)
+    if len(payload) != clen:
         raise IOError(
             "Truncated payload: expected %d bytes, got %d"
-            % (header.content_length, len(payload))
+            % (clen, len(payload))
         )
     _expect_line(f, b"\r\n")
     _expect_line(f, b"\r\n")

@@ -54,8 +54,11 @@ def _fixed_header_keys() -> frozenset:
 _FIXED = None
 
 
+DLQ_REC_TYPE = "_quarantined"
+
+
 def _members_to_table(members: list[tuple[int, int, bytes]],
-                      path: str) -> pa.Table:
+                      path: str, on_error: str = "raise") -> pa.Table:
     """Gzip members → WARC rows without per-record objects.
 
     The fast path replicates ``read_header``/``parse_record_bytes``
@@ -64,7 +67,15 @@ def _members_to_table(members: list[tuple[int, int, bytes]],
     trailer right after ``Content-Length`` payload bytes — and hands any
     other member to the core parser, so errors and liberal framings
     behave identically (parity pinned by
-    tests/test_split_read.py::test_warc_columnar_parse_parity)."""
+    tests/test_split_read.py::test_warc_columnar_parse_parity).
+
+    ``on_error="raise"`` (default) keeps the reference's strict
+    ``IOError`` semantics — a malformed member fails ITS read task.
+    ``on_error="dlq"`` applies the q167 dead-letter discipline to
+    archives: the malformed member becomes one row with
+    ``rec_type="_quarantined"``, the raw member bytes as payload and
+    the parse error in ``extra_headers`` — no record silently
+    vanishes, the scan completes, and totals reconcile."""
     global _FIXED
     if _FIXED is None:
         _FIXED = _fixed_header_keys()
@@ -100,7 +111,24 @@ def _members_to_table(members: list[tuple[int, int, bytes]],
                     hmap = m
                     payload = d[pstart:pstart + clen]
         if hmap is None:
-            rec = _core_parse(d)   # strict core path; exact error parity
+            try:
+                rec = _core_parse(d)  # strict core path; exact error parity
+            except IOError as exc:
+                if on_error != "dlq":
+                    raise
+                cols["record_id"].append("")
+                cols["rec_type"].append(DLQ_REC_TYPE)
+                cols["target_uri"].append("")
+                cols["date"].append("")
+                cols["ip_address"].append("")
+                cols["content_type"].append("")
+                cols["content_length"].append(len(d))
+                cols["payload_digest"].append("")
+                cols["extra_headers"].append([("error", str(exc))])
+                cols["payload"].append(d)   # raw member — nothing vanishes
+                offs.append(off)
+                lens.append(size)
+                continue
             hmap = dict(rec.header.items())
             payload = rec.payload_bytes()
             clen = int(hmap.get("content-length", 0))
@@ -125,12 +153,30 @@ def _members_to_table(members: list[tuple[int, int, bytes]],
     return pa.Table.from_arrays(arrs, schema=READ_SCHEMA)
 
 
+def _dlq_row_table(path: str, offset: int, length: int,
+                   payload: bytes, error: str) -> pa.Table:
+    """One quarantine row in READ_SCHEMA (truncated / undecodable
+    member region — the raw bytes stay addressable via offset)."""
+    return pa.Table.from_arrays(
+        [pa.array([""]), pa.array([DLQ_REC_TYPE]), pa.array([""]),
+         pa.array([""]), pa.array([""]), pa.array([""]),
+         pa.array([length], type=pa.int64()), pa.array([""]),
+         pa.array([[("error", error)]],
+                  type=READ_SCHEMA.field("extra_headers").type),
+         pa.array([payload], type=pa.binary()),
+         pa.array([path]), pa.array([offset], type=pa.int64()),
+         pa.array([length], type=pa.int64())],
+        schema=READ_SCHEMA)
+
+
 class WarcDatasource(FileBasedDatasource):
     _FILE_EXTENSIONS = ["warc", "warc.gz"]
 
-    def __init__(self, paths, batch_rows: int = 512, **kwargs):
+    def __init__(self, paths, batch_rows: int = 512,
+                 on_error: str = "raise", **kwargs):
         super().__init__(paths, **kwargs)
         self._batch_rows = batch_rows
+        self._on_error = on_error
 
     def _open_input_source(self, filesystem, path, **open_args):
         # We scan gzip members ourselves (record-aligned split points);
@@ -143,16 +189,40 @@ class WarcDatasource(FileBasedDatasource):
         )
 
     def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
+        import zlib
+
         recs, offs, lens = [], [], []
         if path.endswith(".gz"):
             members: list[tuple[int, int, bytes]] = []
-            for member in gzipm.iter_members(f):
+            tail_off = 0
+            it = gzipm.iter_members(f)
+            while True:
+                try:
+                    member = next(it)
+                except StopIteration:
+                    break
+                except (IOError, OSError, EOFError, zlib.error) as exc:
+                    # truncated / undecodable gzip member: strict mode
+                    # fails THIS file's read task (reference IOError
+                    # semantics); dlq mode quarantines the unreadable
+                    # tail as one addressable row and the scan goes on
+                    if self._on_error != "dlq":
+                        raise
+                    if members:
+                        yield _members_to_table(members, path,
+                                                self._on_error)
+                        members = []
+                    yield _dlq_row_table(
+                        path, tail_off, 0, b"",
+                        "truncated or undecodable gzip member: %s" % exc)
+                    return
+                tail_off = member[0] + member[1]
                 members.append(member)
                 if len(members) >= self._batch_rows:
-                    yield _members_to_table(members, path)
+                    yield _members_to_table(members, path, self._on_error)
                     members = []
             if members:
-                yield _members_to_table(members, path)
+                yield _members_to_table(members, path, self._on_error)
             return
         else:
             # Uncompressed: offsets are raw byte offsets.
@@ -220,10 +290,13 @@ class _ReadWarcRanges:
     next validated gzip member (prefix b"WARC/"), stream members whose
     start offset falls inside the range (gzipm.members_in_range)."""
 
-    def __init__(self, batch_rows: int = 512):
+    def __init__(self, batch_rows: int = 512, on_error: str = "raise"):
         self._batch_rows = batch_rows
+        self._on_error = on_error
 
     def __call__(self, batch: pa.Table):
+        import zlib
+
         recs, offs, lens = [], [], []
         cur_path = None
         for path, start, end in zip(batch["path"].to_pylist(),
@@ -232,15 +305,39 @@ class _ReadWarcRanges:
             cur_path = path
             if path.endswith(".gz"):
                 members: list[tuple[int, int, bytes]] = []
+                tail_off = start
                 with open(path, "rb") as f:
-                    for member in gzipm.members_in_range(
-                            f, start, end, prefix=b"WARC/"):
+                    it = gzipm.members_in_range(f, start, end,
+                                                prefix=b"WARC/")
+                    while True:
+                        try:
+                            member = next(it)
+                        except StopIteration:
+                            break
+                        except (IOError, OSError, EOFError,
+                                zlib.error) as exc:
+                            # strict: ONE range task fails — not the
+                            # scan plan; dlq: quarantine row, go on
+                            if self._on_error != "dlq":
+                                raise
+                            if members:
+                                yield _members_to_table(
+                                    members, path, self._on_error)
+                                members = []
+                            yield _dlq_row_table(
+                                path, tail_off, 0, b"",
+                                "truncated or undecodable gzip member "
+                                "in range [%d, %d): %s"
+                                % (start, end, exc))
+                            break
+                        tail_off = member[0] + member[1]
                         members.append(member)
                         if len(members) >= self._batch_rows:
-                            yield _members_to_table(members, path)
+                            yield _members_to_table(members, path,
+                                                    self._on_error)
                             members = []
                 if members:
-                    yield _members_to_table(members, path)
+                    yield _members_to_table(members, path, self._on_error)
             else:
                 with open(path, "rb") as f:
                     buf = io.BytesIO(f.read())
@@ -270,7 +367,8 @@ class _ReadWarcRanges:
 
 
 def read_warc(paths, *, batch_rows: int = 512,
-              split_size: int = DEFAULT_SPLIT_SIZE, **kwargs) -> "rd.Dataset":
+              split_size: int = DEFAULT_SPLIT_SIZE,
+              on_error: str = "raise", **kwargs) -> "rd.Dataset":
     """Read WARC archives into a Dataset of record rows.
 
     ``paths`` may be a file, a directory of shards, or a list.  A
@@ -279,7 +377,13 @@ def read_warc(paths, *, batch_rows: int = 512,
     record-per-member write invariant makes every member a split
     point), so one 100 GB Common-Crawl-style shard parallelizes across
     the cluster instead of pinning one reader task.  Files below the
-    threshold keep the one-task-per-file datasource path."""
+    threshold keep the one-task-per-file datasource path.
+
+    ``on_error``: ``"raise"`` (default) keeps the reference's strict
+    ``IOError`` semantics — one corrupt member fails exactly its own
+    record-range task; ``"dlq"`` applies the q167 dead-letter
+    discipline (corrupt members → ``rec_type="_quarantined"`` rows
+    carrying the raw bytes and error; the scan completes)."""
     try:
         files = _expand_paths(paths)
     except OSError:
@@ -292,9 +396,9 @@ def read_warc(paths, *, batch_rows: int = 512,
             "end": pa.array([r["end"] for r in ranges], type=pa.int64()),
         }))
         # one descriptor per task: ranges are the parallelism unit
-        return desc.map_batches(_ReadWarcRanges(batch_rows),
+        return desc.map_batches(_ReadWarcRanges(batch_rows, on_error),
                                 batch_format="pyarrow", batch_size=1)
-    src = WarcDatasource(paths, batch_rows=batch_rows)
+    src = WarcDatasource(paths, batch_rows=batch_rows, on_error=on_error)
     if "override_num_blocks" not in kwargs:
         # CPU-scaled file-level parallelism (see _util.default_read_blocks:
         # Ray's own estimate under-splits gzip; raw file count over-splits
