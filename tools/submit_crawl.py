@@ -97,6 +97,14 @@ def main() -> None:
                       fetch_concurrency=args.fetch_workers or None)
     stats["cluster_cpus"] = total_cpus
     stats["num_shards"] = n_shards
+    # raw per-shard cuckoo tables (bytes, for parity checks) aren't
+    # JSON; report their fingerprint + size instead
+    filters = stats.pop("filter_bytes", None)
+    if filters:
+        import hashlib
+
+        stats["filter_sha1"] = hashlib.sha1(b"".join(filters)).hexdigest()
+        stats["filter_bytes_total"] = sum(len(b) for b in filters)
     print(json.dumps(stats))
 
 
