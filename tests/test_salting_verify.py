@@ -11,10 +11,34 @@ def t1_dir(tmp_path_factory):
     return corpus.ensure_corpus("t1", root=str(tmp_path_factory.mktemp("c")))
 
 
+def estimate_host_counts(ds, url_col: str = "url") -> dict[str, int]:
+    """EXACT count pre-pass — TEST ORACLE ONLY (moved out of
+    stages/hoststats per round-3 What's-wrong #4: it materializes a
+    host-cardinality driver dict, which production salting must never
+    do; the engine path is the bounded ``mg_hot_hosts``).  Per-batch
+    partials -> bucket combine -> driver dict."""
+    import pyarrow as pa
+
+    from warc_ray.stages.exchange import combine_buckets, with_part
+    from warc_ray.stages.hoststats import add_host_column
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = add_host_column(b, url_col)
+        g = t.group_by("host").aggregate([("host", "count")])
+        return with_part(g.rename_columns(["host", "n"]), "host", 8)
+
+    agg = combine_buckets(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "host", [("n", "sum")], names=["host", "n"])
+    t = pa.Table.from_pandas(agg.to_pandas())
+    return dict(zip(t["host"].to_pylist(),
+                    (int(n) for n in t["n"].to_pylist())))
+
+
 def test_salted_host_stats_match_unsalted(ray_session, t1_dir):
     import ray.data as rd
 
-    from warc_ray.stages.hoststats import estimate_host_counts, host_link_stats
+    from warc_ray.stages.hoststats import host_link_stats
     from warc_ray.stages.urls import extract_links
 
     links = rd.read_parquet(corpus.docs_path(t1_dir)).map_batches(
@@ -44,8 +68,7 @@ def test_mg_hot_hosts_bounded_and_complete(ray_session, t1_dir):
     (c) never under-estimate a surviving host (upper-bound counts)."""
     import ray.data as rd
 
-    from warc_ray.stages.hoststats import (estimate_host_counts,
-                                           mg_hot_hosts)
+    from warc_ray.stages.hoststats import mg_hot_hosts
     from warc_ray.stages.urls import extract_links
 
     links = rd.read_parquet(corpus.docs_path(t1_dir)).map_batches(

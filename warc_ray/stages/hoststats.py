@@ -88,28 +88,6 @@ def mg_hot_hosts(ds: rd.Dataset, url_col: str = "url",
     return hot, total
 
 
-def estimate_host_counts(ds: rd.Dataset, url_col: str = "url") -> dict[str, int]:
-    """EXACT count pre-pass: per-batch partials → bucket combine → a
-    host-cardinality-sized driver dict.  Test/diagnostic variant —
-    the salting path itself uses the bounded ``mg_hot_hosts`` pass
-    (O(cells) driver state) so it survives web-scale host counts."""
-    from .exchange import combine_buckets, with_part
-
-    def partial(b: pa.Table) -> pa.Table:
-        t = add_host_column(b, url_col)
-        g = t.group_by("host").aggregate([("host", "count")])
-        return with_part(g.rename_columns(["host", "n"]), "host", 8)
-
-    agg = combine_buckets(
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        "host", [("n", "sum")], names=["host", "n"])
-    # one Arrow pull of the (host-cardinality-sized) aggregate — not a
-    # row-at-a-time driver loop
-    t = pa.Table.from_pandas(agg.to_pandas())
-    return dict(zip(t["host"].to_pylist(),
-                    (int(n) for n in t["n"].to_pylist())))
-
-
 def salt_factors(counts: dict[str, int], target_per_group: int = 50_000,
                  max_salt: int = 32) -> dict[str, int]:
     """k per host that needs splitting (k=1 hosts are left unsalted)."""
