@@ -9500,9 +9500,15 @@ def returned_items(sf_dir: str, npart: int = 16, k: int = 20):
             .group_by(["c_custkey"]).aggregate([("rev", "sum")]) \
             .rename_columns(["c_custkey", "rev"])
 
+    # cust_rev carries per-custkey revenue PARTIALS (one per orderkey
+    # bucket the customer's orders landed in).  The global custkey
+    # merge needs no exchange of its own: the customer join below is
+    # ALSO keyed by c_custkey, so every partial for a custkey lands
+    # in that join's bucket — merge + top-k fuse into bucket_finish.
+    # This removed a Ray-native custkey Aggregate (~5 s wall at
+    # sf0.1; same round-4 profiler finding as q206/q189).
     cust_rev = hash_join(lines, orders, "l_orderkey", npart=npart,
-                         bucket_finish=cust_partial) \
-        .groupby("c_custkey").aggregate(Sum("rev", alias_name="rev"))
+                         bucket_finish=cust_partial)
 
     cust = rd.read_parquet(_pq(sf_dir, "customer"),
                            columns=["c_custkey", "c_name", "c_acctbal",
@@ -9510,13 +9516,18 @@ def returned_items(sf_dir: str, npart: int = 16, k: int = 20):
 
     def topk_bucket(j: pa.Table) -> pa.Table:
         j = j.filter(pc.is_valid(j["rev"]))
+        # merge this bucket's co-located partials (customer attrs ride
+        # as grouping keys — constant per custkey), then local top-k
+        j = j.group_by(["c_custkey", "c_name", "c_acctbal",
+                        "c_nationkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["c_custkey", "c_name", "c_acctbal",
+                             "c_nationkey", "rev"])
         order = np.lexsort((j["c_custkey"].to_numpy(zero_copy_only=False),
                             -j["rev"].to_numpy(zero_copy_only=False)))
         return j.take(pa.array(order[:k]))
 
     top = hash_join(cust_rev, cust, "c_custkey", npart=npart,
-                    bucket_finish=topk_bucket) \
-        .sort(["rev", "c_custkey"], descending=[True, False]).limit(k)
+                    bucket_finish=topk_bucket)
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -9530,8 +9541,14 @@ def returned_items(sf_dir: str, npart: int = 16, k: int = 20):
                 type=pa.string()),
         })
 
-    return top.map_batches(finish, batch_format="pyarrow") \
-        .sort(["revenue", "c_custkey"], descending=[True, False])
+    # k·npart candidate rows: global top-k + present-sort on the
+    # driver instead of a distributed sort+limit over ≤320 rows
+    out = pa.concat_tables(
+        top.map_batches(finish, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    order = np.lexsort((out["c_custkey"].to_numpy(zero_copy_only=False),
+                        -out["revenue"].to_numpy(zero_copy_only=False)))
+    return rd.from_arrow(out.take(pa.array(order[:k])))
 
 
 Q10_SQL = """
@@ -9818,55 +9835,134 @@ def large_volume_customers(sf_dir: str, min_qty: int = 250,
     leave as ISO strings so both engines hash identical bytes."""
     from ..stages.exchange import hash_join
 
+    import ray
+
+    from ..stages.exchange import combine_buckets, with_part
+
     def qty_partial(b: pa.Table) -> pa.Table:
-        return pa.table({
+        t = pa.table({
             "o_orderkey": b["l_orderkey"],
             "qc": pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)),
                           INT64)}) \
             .group_by(["o_orderkey"]).aggregate([("qc", "sum")]) \
             .rename_columns(["o_orderkey", "qc"])
+        return with_part(t, "o_orderkey", npart)
 
-    big = rd.read_parquet(_pq(sf_dir, "lineitem"),
-                          columns=["l_orderkey", "l_quantity"]) \
-        .map_batches(qty_partial, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Sum("qc", alias_name="qc")) \
+    # orderkey fold through the repo's bucket exchange — Ray's native
+    # 600k-row Aggregate here cost ~6 s wall at sf0.1 (round-4
+    # profiler; same finding as q206), the part-exchange + Arrow
+    # group_by costs ~1 s.  The HAVING filter fuses into the bucket.
+    big = combine_buckets(
+        rd.read_parquet(_pq(sf_dir, "lineitem"),
+                        columns=["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow"),
+        "o_orderkey", [("qc", "sum")], names=["o_orderkey", "qc"]) \
         .map_batches(lambda b: b.filter(pc.greater(
             b["qc"], pa.scalar(min_qty * 100, type=INT64))),
             batch_format="pyarrow") \
-        .materialize()          # tiny; hash_join probes .schema() —
-    # unmaterialized, the whole quantity aggregate would execute twice
+        .materialize()
 
-    def orders_side(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderkey": b["o_orderkey"],
-            "c_custkey": b["o_custkey"],
-            "tp_cents": pc.cast(pc.round(pc.multiply(
-                b["o_totalprice"], 100.0)), INT64),
-            "o_date_us": pc.cast(b["o_orderdate"], INT64)})
+    # the HAVING survivors are ~0.1% of orders — the textbook
+    # broadcast semi-join side.  Pull them once (driver), ray.put the
+    # sorted keymap, and let the orders scan filter + gather qc with
+    # searchsorted; the former orderkey hash_join moved every order
+    # row through an exchange to discard 99.9% of them.  Guard: past
+    # ~4M survivors fall back to the exchange join (web-scale path).
+    n_big = big.count()
+    if n_big <= 4_000_000:
+        big_tbl = pa.concat_tables(
+            big.iter_batches(batch_format="pyarrow", batch_size=None))
+        okeys = big_tbl["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(okeys)
+        keys_ref = ray.put(okeys[order])
+        qc_ref = ray.put(
+            big_tbl["qc"].to_numpy(zero_copy_only=False)[order])
 
-    orders = rd.read_parquet(_pq(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_custkey",
-                                      "o_totalprice", "o_orderdate"]) \
-        .map_batches(orders_side, batch_format="pyarrow")
+        def attach_qc(b: pa.Table) -> pa.Table:
+            keys = np.asarray(ray.get(keys_ref))
+            ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ok)
+            pos_c = np.minimum(pos, len(keys) - 1) if len(keys) \
+                else np.zeros(len(ok), np.int64)
+            m = keys[pos_c] == ok if len(keys) \
+                else np.zeros(len(ok), bool)
+            b = b.filter(pa.array(m))
+            qc = np.asarray(ray.get(qc_ref))[pos_c[m]]
+            return pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "c_custkey": b["o_custkey"],
+                "tp_cents": pc.cast(pc.round(pc.multiply(
+                    b["o_totalprice"], 100.0)), INT64),
+                "o_date_us": pc.cast(b["o_orderdate"], INT64),
+                "qc": pa.array(qc, type=INT64)})
 
-    with_orders = hash_join(
-        big, orders, "o_orderkey", npart=npart,
-        bucket_finish=lambda j: j.filter(pc.is_valid(j["c_custkey"])))
-
-    cust = rd.read_parquet(_pq(sf_dir, "customer"),
-                           columns=["c_custkey", "c_name"])
-
-    def topk_bucket(j: pa.Table) -> pa.Table:
-        j = j.filter(pc.is_valid(j["qc"]))
+        with_orders = rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderdate"]) \
+            .map_batches(attach_qc, batch_format="pyarrow")
+        # qualified-sized result: global top-k on the driver
+        wo = pa.concat_tables(
+            with_orders.iter_batches(batch_format="pyarrow",
+                                     batch_size=None))
         order = np.lexsort((
-            j["o_orderkey"].to_numpy(zero_copy_only=False),
-            -j["tp_cents"].to_numpy(zero_copy_only=False)))
-        return j.take(pa.array(order[:k]))
+            wo["o_orderkey"].to_numpy(zero_copy_only=False),
+            -wo["tp_cents"].to_numpy(zero_copy_only=False)))
+        top_tbl = wo.take(pa.array(order[:k]))
+        # c_name lookup: broadcast the ≤k custkeys into the customer
+        # scan — no exchange for a 100-row enrichment
+        want = np.unique(
+            top_tbl["c_custkey"].to_numpy(zero_copy_only=False))
+        want_ref = ray.put(want)
 
-    top = hash_join(with_orders, cust, "c_custkey", npart=npart,
-                    bucket_finish=topk_bucket) \
-        .sort(["tp_cents", "o_orderkey"], descending=[True, False]) \
-        .limit(k)
+        def cust_filter(b: pa.Table) -> pa.Table:
+            w = np.asarray(ray.get(want_ref))
+            m = np.isin(b["c_custkey"].to_numpy(zero_copy_only=False), w)
+            return b.filter(pa.array(m))
+
+        cust_tbl = pa.concat_tables(
+            rd.read_parquet(_pq(sf_dir, "customer"),
+                            columns=["c_custkey", "c_name"])
+            .map_batches(cust_filter, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=None))
+        top_tbl = top_tbl.join(cust_tbl, keys="c_custkey",
+                               join_type="inner")
+        order = np.lexsort((
+            top_tbl["o_orderkey"].to_numpy(zero_copy_only=False),
+            -top_tbl["tp_cents"].to_numpy(zero_copy_only=False)))
+        top = rd.from_arrow(top_tbl.take(pa.array(order)))
+    else:  # pragma: no cover - web-scale fallback (exchange joins)
+        def orders_side(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": b["o_orderkey"],
+                "c_custkey": b["o_custkey"],
+                "tp_cents": pc.cast(pc.round(pc.multiply(
+                    b["o_totalprice"], 100.0)), INT64),
+                "o_date_us": pc.cast(b["o_orderdate"], INT64)})
+
+        orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_totalprice", "o_orderdate"]) \
+            .map_batches(orders_side, batch_format="pyarrow")
+
+        with_orders = hash_join(
+            big, orders, "o_orderkey", npart=npart,
+            bucket_finish=lambda j: j.filter(pc.is_valid(j["c_custkey"])))
+
+        cust = rd.read_parquet(_pq(sf_dir, "customer"),
+                               columns=["c_custkey", "c_name"])
+
+        def topk_bucket(j: pa.Table) -> pa.Table:
+            j = j.filter(pc.is_valid(j["qc"]))
+            order = np.lexsort((
+                j["o_orderkey"].to_numpy(zero_copy_only=False),
+                -j["tp_cents"].to_numpy(zero_copy_only=False)))
+            return j.take(pa.array(order[:k]))
+
+        top = hash_join(with_orders, cust, "c_custkey", npart=npart,
+                        bucket_finish=topk_bucket) \
+            .sort(["tp_cents", "o_orderkey"], descending=[True, False]) \
+            .limit(k)
 
     def finish(b: pa.Table) -> pa.Table:
         d = b["o_date_us"].to_numpy(zero_copy_only=False)
@@ -9880,8 +9976,12 @@ def large_volume_customers(sf_dir: str, min_qty: int = 250,
                                               pa.float64()), 100.0),
             "sum_qty": pc.divide(pc.cast(b["qc"], pa.float64()), 100.0)})
 
-    return top.map_batches(finish, batch_format="pyarrow") \
-        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+    # ≤ k rows: present-sort on the driver, not one more all-to-all
+    out = pa.concat_tables(
+        top.map_batches(finish, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    return rd.from_arrow(out.sort_by([
+        ("o_totalprice", "descending"), ("o_orderkey", "ascending")]))
 
 
 Q18_SQL = """
@@ -11067,36 +11167,35 @@ def degree_assortativity(sf_dir: str, npart: int = 16):
     topology statistic behind hub/authority and recommendation-bias
     audits.
 
-    Scale shape: each side's degree is a key-count aggregate; edges
-    pick their endpoint degrees up through one hash_join per side
-    (both-sides-large, no degree broadcast); the correlation folds as
-    six int64 moment partials (n, Σx, Σy, Σxy, Σx², Σy²) — the only
-    float is the closing Pearson expression, evaluated in the same
-    double shape both engines use."""
-    from ..stages.exchange import hash_join
+    Scale shape: an endpoint's degree is simply how many edge rows
+    carry that key, and a hash exchange on the key CO-LOCATES all of
+    them — so each degree is a bincount inside its own exchange
+    bucket and no degree table, no aggregate and no join exist at
+    all.  Two edge exchanges total (round-4: this replaced two
+    Ray-native degree Aggregates + two hash_joins, 9.8 s → ~3 s at
+    sf0.1); the correlation folds as six int64 moment partials
+    (n, Σx, Σy, Σxy, Σx², Σy²) — the only float is the closing
+    Pearson expression, evaluated in the same double shape both
+    engines use."""
 
     edges = rd.read_parquet(_pq(sf_dir, "lineitem"),
                             columns=["l_orderkey", "l_partkey"])
 
-    def deg(ds, key):
-        return ds.map_batches(
-            lambda b: b.select([key]).group_by([key]).aggregate(
-                [([], "count_all")]).rename_columns([key, "n"]),
-            batch_format="pyarrow") \
-            .groupby(key).aggregate(Sum("n", alias_name="d" + key[2]))
+    def _codes(col) -> np.ndarray:
+        enc = col.combine_chunks().dictionary_encode()
+        return enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 
-    # materialized: hash_join probes .schema() on both inputs — left
-    # lazy these key-count aggregates would execute twice each
-    odeg = deg(edges, "l_orderkey").materialize()
-    pdeg = deg(edges, "l_partkey").materialize()
+    def bucket_do(g: pa.Table) -> pa.Table:
+        # all edges of an orderkey are in this bucket: degree = count
+        codes = _codes(g["l_orderkey"])
+        do = np.bincount(codes)[codes]
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "do": pa.array(do, type=INT64)})
 
-    with_dx = hash_join(edges, odeg, "l_orderkey", npart=npart,
-                        bucket_finish=lambda j: j.select(
-                            ["l_partkey", "do"])).materialize()
-
-    def moments(j: pa.Table) -> pa.Table:
-        x = j["do"].to_numpy(zero_copy_only=False)
-        y = j["dp"].to_numpy(zero_copy_only=False)
+    def bucket_moments(g: pa.Table) -> pa.Table:
+        codes = _codes(g["l_partkey"])
+        y = np.bincount(codes)[codes]          # dp, in-bucket
+        x = g["do"].to_numpy(zero_copy_only=False)
         return pa.table({
             "n": pa.array([len(x)], type=INT64),
             "sx": pa.array([int(x.sum())], type=INT64),
@@ -11105,8 +11204,16 @@ def degree_assortativity(sf_dir: str, npart: int = 16):
             "sxx": pa.array([int((x * x).sum())], type=INT64),
             "syy": pa.array([int((y * y).sum())], type=INT64)})
 
-    g = hash_join(with_dx, pdeg, "l_partkey", npart=npart,
-                  bucket_finish=moments) \
+    g = edges.map_batches(lambda b: with_part(b, "l_orderkey", npart),
+                          batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket_do(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
+        .map_batches(lambda b: with_part(b, "l_partkey", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: bucket_moments(g.drop_columns(["part"])),
+            batch_format="pyarrow") \
         .sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
 
     import math
@@ -11434,16 +11541,25 @@ def mutual_best(sf_dir: str, npart: int = 16):
         return j.select(["c", "p", "r"]).group_by(["c", "p"]) \
             .aggregate([("r", "sum")]).rename_columns(["c", "p", "r"])
 
+    # cp holds PARTIAL (c, p, r) sums — one partial per orderkey
+    # bucket a pair appeared in.  The global (c,p) merge is NOT a
+    # separate exchange: each argmax direction already co-locates all
+    # partials of its key (bucket by c ⟹ every (c, p) partial for
+    # that c is in the bucket), so the merge fuses into the argmax
+    # bucket below.  This removed a full 600k-row Ray-native
+    # Aggregate (8.2 s wall / 71 core-s at sf0.1 — the round-4
+    # profiler's top q206 cost).
     cp = hash_join(lines, orders, "l_orderkey", npart=npart,
-                   bucket_finish=cp_partial) \
-        .groupby(["c", "p"]).aggregate(Sum("r", alias_name="r")) \
-        .materialize()
+                   bucket_finish=cp_partial).materialize()
 
     def argmax_by(key: str, other: str):
         def bucket(g: pa.Table) -> pa.Table:
+            # merge the co-located partials, then argmax with pinned
+            # (r DESC, other ASC) ties — one Arrow group_by + lexsort
+            g = g.group_by([key, other]).aggregate([("r", "sum")])
             k = g[key].to_numpy(zero_copy_only=False)
             o = g[other].to_numpy(zero_copy_only=False)
-            r = g["r"].to_numpy(zero_copy_only=False)
+            r = g["r_sum"].to_numpy(zero_copy_only=False)
             order = np.lexsort((o, -r, k))
             k, o, r = k[order], o[order], r[order]
             first = np.concatenate(([True], k[1:] != k[:-1]))
@@ -11460,14 +11576,51 @@ def mutual_best(sf_dir: str, npart: int = 16):
     best_c = argmax_by("c", "p").materialize()   # key-sized; avoids
     best_p = argmax_by("p", "c").materialize()   # schema() re-execution
 
-    mutual = hash_join(best_c, best_p, ["c", "p"], npart=npart,
-                       bucket_finish=lambda j: j.filter(
-                           pc.is_valid(j["r_r"])).select(["c", "p", "r"]))
+    # mutual set = inner join of two KEY-SIZED argmax tables.  Both
+    # are tiny relative to the fact (one row per customer / per
+    # part), so a third full exchange + a final distributed sort cost
+    # ~4.4 s of pure fixed all-to-all overhead at sf0.1 for 35k rows
+    # (round-4 profiler).  Broadcast-intersect instead: pack best_p's
+    # (c, p) pairs into uint64, ray.put once, filter best_c batches
+    # with np.isin — the canonical broadcast-small-side shape.  Guard:
+    # above ~4M pairs (64 MB per actor in the worst case) fall back
+    # to the pair-hash exchange, which is the arbitrary-scale path.
+    import ray as _ray
 
-    return mutual.map_batches(lambda b: pa.table({
-        "c_custkey": b["c"], "p_partkey": b["p"],
-        "revenue": pc.divide(pc.cast(b["r"], pa.float64()), 10_000.0)}),
-        batch_format="pyarrow").sort("c_custkey")
+    if best_p.count() <= 4_000_000:
+        bp_tbl = pa.concat_tables(
+            best_p.iter_batches(batch_format="pyarrow", batch_size=None))
+        bp_pack = ((bp_tbl["p"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64) << np.uint64(32))
+                   | bp_tbl["c"].to_numpy(zero_copy_only=False)
+                   .astype(np.uint64))
+        pairs_ref = _ray.put(np.sort(bp_pack))
+
+        def keep_mutual(b: pa.Table) -> pa.Table:
+            c = b["c"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            p = b["p"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            pack = (p << np.uint64(32)) | c
+            ref = np.asarray(_ray.get(pairs_ref))
+            pos = np.searchsorted(ref, pack)
+            pos[pos >= len(ref)] = 0
+            m = ref[pos] == pack if len(ref) else np.zeros(len(pack), bool)
+            return b.filter(pa.array(m))
+
+        mutual = best_c.map_batches(keep_mutual, batch_format="pyarrow")
+    else:  # pragma: no cover - web-scale fallback
+        mutual = hash_join(best_c, best_p, ["c", "p"], npart=npart,
+                           bucket_finish=lambda j: j.filter(
+                               pc.is_valid(j["r_r"])).select(["c", "p", "r"]))
+
+    # result is mutual-match-sized (≤ min(|c|,|p|)) — sort it on the
+    # driver instead of paying one more all-to-all for presentation
+    out = pa.concat_tables(
+        mutual.iter_batches(batch_format="pyarrow", batch_size=None))
+    out = pa.table({
+        "c_custkey": out["c"], "p_partkey": out["p"],
+        "revenue": pc.divide(pc.cast(out["r"], pa.float64()), 10_000.0),
+    }).sort_by("c_custkey")
+    return rd.from_arrow(out)
 
 
 MUTUAL_SQL = """
