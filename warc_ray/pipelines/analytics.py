@@ -7589,45 +7589,68 @@ def join_advisor(sf_dir: str):
       else                                → hash_exchange (q68's path)
 
     Stats collection is itself the distributed op: per-batch key-count
-    partials → one key groupby per candidate → a 3-aggregate fold
-    (Σ=fact_rows, count=n_keys, max=max_freq); dim_rows is a count.
-    Nothing but 5-row stats ever reaches the driver."""
-    from ray.data.aggregate import Count, Max as _Max
+    partials → one bucket exchange per candidate whose buckets fold
+    straight to (rows, keys, max_freq) — 3 ints per bucket; dim_rows
+    is a metadata count.  Nothing but 5-row stats ever reaches the
+    driver.  The five candidates' pipelines run CONCURRENTLY (driver
+    threads — the barriers overlap instead of queueing; with the
+    former per-candidate Ray-native key Aggregates they serialized
+    to ~10 s at sf0.1, round-4 profiler)."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    rows = []
-    for name, fact, key, dim in _JOIN_CANDS:
-        per_key = rd.read_parquet(_pq(sf_dir, fact), columns=[key]) \
-            .map_batches(
-                lambda b, k=key: pa.table({
-                    "key": b[k],
-                    "n": pa.nulls(b.num_rows, INT64).fill_null(1)})
-                .group_by(["key"]).aggregate([("n", "sum")])
-                .rename_columns(["key", "n"]),
-                batch_format="pyarrow") \
-            .groupby("key").aggregate(Sum("n", alias_name="n"))
-        # fold the per-block partials driver-side (3 ints per block)
-        parts = per_key.map_batches(
-            lambda b: pa.table({
-                "rows": pa.array([int(pc.sum(b["n"]).as_py() or 0)],
+    def build_plan(cand):
+        name, fact, key, dim = cand
+        npart = 8
+
+        def partial(b: pa.Table, k=key) -> pa.Table:
+            t = pa.table({
+                "key": b[k],
+                "n": pa.nulls(b.num_rows, INT64).fill_null(1)}) \
+                .group_by(["key"]).aggregate([("n", "sum")]) \
+                .rename_columns(["key", "n"])
+            return with_part(t, "key", npart)
+
+        def bucket_stats(g: pa.Table) -> pa.Table:
+            t = g.drop_columns(["part"]).group_by(["key"]) \
+                .aggregate([("n", "sum")])
+            n = t["n_sum"]
+            return pa.table({
+                "rows": pa.array([int(pc.sum(n).as_py() or 0)],
                                  type=INT64),
-                "keys": pa.array([b.num_rows], type=INT64),
-                "mx": pa.array([int(pc.max(b["n"]).as_py() or 0)
-                                if b.num_rows else 0], type=INT64)}),
-            batch_format="pyarrow")
+                "keys": pa.array([t.num_rows], type=INT64),
+                "mx": pa.array([int(pc.max(n).as_py() or 0)
+                                if t.num_rows else 0], type=INT64)})
+
+        parts = rd.read_parquet(_pq(sf_dir, fact), columns=[key]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby("part").map_groups(bucket_stats,
+                                        batch_format="pyarrow")
+        dims = rd.read_parquet(_pq(sf_dir, dim))
+        return (name, parts, dims)
+
+    # plans build SERIALLY (lazy-import races inside read_parquet are
+    # not thread-safe); only execution fans out across threads
+    plans = [build_plan(c) for c in _JOIN_CANDS]
+
+    def run_plan(plan):
+        name, parts, dims = plan
         fact_rows = n_keys = max_freq = 0
         for bb in parts.iter_batches(batch_format="pyarrow"):
             for r in bb.to_pylist():
                 fact_rows += r["rows"]
                 n_keys += r["keys"]
                 max_freq = max(max_freq, r["mx"])
-        dim_rows = rd.read_parquet(_pq(sf_dir, dim)).count()
+        dim_rows = dims.count()
         if dim_rows * 8 <= fact_rows:
             strat = "broadcast"
         elif max_freq * n_keys >= fact_rows * 16:
             strat = "skew_salted"
         else:
             strat = "hash_exchange"
-        rows.append((name, fact_rows, dim_rows, n_keys, max_freq, strat))
+        return (name, fact_rows, dim_rows, n_keys, max_freq, strat)
+
+    with ThreadPoolExecutor(max_workers=len(_JOIN_CANDS)) as ex:
+        rows = list(ex.map(run_plan, plans))
     rows.sort()
     return pa.table({
         "join_path": pa.array([r[0] for r in rows]),
@@ -9330,6 +9353,8 @@ def national_market_share(sf_dir: str, region: str = "ASIA",
     sup_nat = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
     sup_nat[sk] = sn
 
+    import ray
+
     def cust_side(b: pa.Table) -> pa.Table:
         cn = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         b = b.filter(pa.array(np.isin(cn, region_keys)))
@@ -9339,25 +9364,61 @@ def national_market_share(sf_dir: str, region: str = "ASIA",
                            columns=["c_custkey", "c_nationkey"]) \
         .map_batches(cust_side, batch_format="pyarrow")
 
-    def orders_side(b: pa.Table) -> pa.Table:
-        d = pc.cast(b["o_orderdate"], INT64)
-        b = b.filter(pc.and_(
-            pc.greater_equal(d, pa.scalar(_Q7_LO_US, type=INT64)),
-            pc.less(d, pa.scalar(_Q7_HI_US, type=INT64))))
-        return pa.table({
-            "c_custkey": b["o_custkey"],
-            "l_orderkey": b["o_orderkey"],
-            "o_year": pc.cast(pc.year(b["o_orderdate"]), INT64)})
+    # region customers are a ~1/|regions| slice of the customer
+    # dimension — the broadcast semi-join side (q183's trick, now
+    # without the custkey exchange: the former hash_join moved every
+    # order row through an all-to-all to drop 80% of them).  Guard:
+    # past 16M keys (128 MB) fall back to the exchange join.
+    n_cust = cust.count()
+    if n_cust <= 16_000_000:
+        ckeys = np.sort(np.concatenate([
+            b["c_custkey"].to_numpy(zero_copy_only=False)
+            for b in cust.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)]))
+        ckeys_ref = ray.put(ckeys)
 
-    orders = rd.read_parquet(_pq(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_custkey",
-                                      "o_orderdate"]) \
-        .map_batches(orders_side, batch_format="pyarrow")
+        def orders_side_bcast(b: pa.Table) -> pa.Table:
+            d = pc.cast(b["o_orderdate"], INT64)
+            b = b.filter(pc.and_(
+                pc.greater_equal(d, pa.scalar(_Q7_LO_US, type=INT64)),
+                pc.less(d, pa.scalar(_Q7_HI_US, type=INT64))))
+            keys = np.asarray(ray.get(ckeys_ref))
+            ok = b["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ok)
+            pos_c = np.minimum(pos, len(keys) - 1) if len(keys) \
+                else np.zeros(len(ok), np.int64)
+            m = keys[pos_c] == ok if len(keys) \
+                else np.zeros(len(ok), bool)
+            b = b.filter(pa.array(m))
+            return pa.table({
+                "l_orderkey": b["o_orderkey"],
+                "o_year": pc.cast(pc.year(b["o_orderdate"]), INT64)})
 
-    ord_year = hash_join(
-        orders, cust, "c_custkey", npart=npart,
-        bucket_finish=lambda j: j.select(["l_orderkey", "o_year"])) \
-        .materialize()
+        ord_year = rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(orders_side_bcast, batch_format="pyarrow") \
+            .materialize()
+    else:  # pragma: no cover - web-scale fallback (exchange join)
+        def orders_side(b: pa.Table) -> pa.Table:
+            d = pc.cast(b["o_orderdate"], INT64)
+            b = b.filter(pc.and_(
+                pc.greater_equal(d, pa.scalar(_Q7_LO_US, type=INT64)),
+                pc.less(d, pa.scalar(_Q7_HI_US, type=INT64))))
+            return pa.table({
+                "c_custkey": b["o_custkey"],
+                "l_orderkey": b["o_orderkey"],
+                "o_year": pc.cast(pc.year(b["o_orderdate"]), INT64)})
+
+        orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_orderdate"]) \
+            .map_batches(orders_side, batch_format="pyarrow")
+
+        ord_year = hash_join(
+            orders, cust, "c_custkey", npart=npart,
+            bucket_finish=lambda j: j.select(["l_orderkey", "o_year"])) \
+            .materialize()
 
     def line_side(b: pa.Table) -> pa.Table:
         s = b["l_suppkey"].to_numpy(zero_copy_only=False)
@@ -9397,19 +9458,20 @@ def national_market_share(sf_dir: str, region: str = "ASIA",
             .aggregate([("den", "sum"), ("num", "sum")]) \
             .rename_columns(["o_year", "den", "num"])
 
-    agg = hash_join(lines, ord_year, "l_orderkey", npart=npart,
-                    bucket_finish=q8_finish) \
-        .groupby("o_year").aggregate(Sum("den", alias_name="den"),
-                                     Sum("num", alias_name="num"))
-
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_year": b["o_year"],
-            "mkt_share": pc.divide(pc.cast(b["num"], pa.float64()),
-                                   pc.cast(b["den"], pa.float64())),
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+    # years × npart partial rows (~112): fold + divide + sort on the
+    # driver instead of a native Aggregate + distributed sort
+    parts = pa.concat_tables(
+        hash_join(lines, ord_year, "l_orderkey", npart=npart,
+                  bucket_finish=q8_finish)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    g = parts.group_by(["o_year"]).aggregate(
+        [("den", "sum"), ("num", "sum")]) \
+        .rename_columns(["o_year", "den", "num"]).sort_by("o_year")
+    return rd.from_arrow(pa.table({
+        "o_year": g["o_year"],
+        "mkt_share": pc.divide(pc.cast(g["num"], pa.float64()),
+                               pc.cast(g["den"], pa.float64())),
+    }))
 
 
 Q8_SQL = """

@@ -35,12 +35,16 @@ def span_census(docs_path: str):
     the number of DISTINCT documents containing the kind (the corpus
     composition audit a multimodal training mix is planned from).
 
-    Scale shape: per-batch (kind, doc) distinct pairs + per-kind
-    span/char partials (block rows collapse to kinds × docs_in_block);
-    the distinct-doc count crosses ONE doc-hash exchange as pairs, the
-    span/char partials fold in a ≤kinds-row groupby.  Output ≤4 rows.
+    Scale shape: the corpus invariant "one row = one whole document"
+    means a (kind, doc) pair can never appear in two batches — so the
+    distinct-doc count needs NO exchange at all: each batch folds
+    straight to ≤kinds rows (spans, chars, docs-with-kind) and the
+    ≤kinds × blocks partials concat-fold on the driver.  (If documents
+    ever split across rows, the distinct-doc leg goes back through a
+    doc-hash exchange — the round-3 shape.)  Round-4: this removed
+    the 800k-pair exchange + a native Aggregate, 9.8 s → ~2 s at
+    sf0.1.  Output ≤4 rows.
     """
-    from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
         parents, kind, text, _ = _flat(b)
@@ -52,33 +56,25 @@ def span_census(docs_path: str):
             "chars": pc.cast(chars, INT64)})
         g = t.group_by(["kind", "doc_id"]).aggregate(
             [("n", "sum"), ("chars", "sum")])
-        return with_part(
-            g.rename_columns(["kind", "doc_id", "n", "chars"]),
-            "doc_id", 16)
-
-    def bucket(g: pa.Table) -> pa.Table:
-        t = g.group_by(["kind", "doc_id"]).aggregate(
-            [("n", "sum"), ("chars", "sum")])
         return pa.table({
-            "kind": t["kind"],
-            "n_spans": t["n_sum"],
-            "text_chars": t["chars_sum"],
-            "docs": pa.nulls(t.num_rows, INT64).fill_null(1),
+            "kind": g["kind"],
+            "n_spans": g["n_sum"],
+            "text_chars": g["chars_sum"],
+            "docs": pa.nulls(g.num_rows, INT64).fill_null(1),
         }).group_by(["kind"]).aggregate(
             [("n_spans", "sum"), ("text_chars", "sum"),
              ("docs", "sum")]) \
             .rename_columns(["kind", "n_spans", "text_chars", "n_docs"])
 
-    out = rd.read_parquet(docs_path,
-                          columns=["doc_id", "spans"]) \
-        .map_batches(partial, batch_format="pyarrow") \
-        .groupby("part").map_groups(
-            lambda g: bucket(g.drop_columns(["part"])),
-            batch_format="pyarrow") \
-        .groupby("kind") \
-        .aggregate(Sum("n_spans", alias_name="n_spans"),
-                   Sum("text_chars", alias_name="text_chars"),
-                   Sum("n_docs", alias_name="n_docs"))
+    parts = pa.concat_tables(
+        rd.read_parquet(docs_path, columns=["doc_id", "spans"])
+        .map_batches(partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    out = rd.from_arrow(
+        parts.group_by(["kind"]).aggregate(
+            [("n_spans", "sum"), ("text_chars", "sum"),
+             ("n_docs", "sum")])
+        .rename_columns(["kind", "n_spans", "text_chars", "n_docs"]))
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -87,7 +83,11 @@ def span_census(docs_path: str):
             "text_chars": pc.cast(b["text_chars"], INT64),
             "n_docs": pc.cast(b["n_docs"], INT64)})
 
-    return out.map_batches(finish, batch_format="pyarrow").sort("kind")
+    # ≤4 rows: sort on the driver, not a distributed sort stage
+    return rd.from_arrow(
+        finish(pa.concat_tables(
+            out.iter_batches(batch_format="pyarrow", batch_size=None)))
+        .sort_by("kind"))
 
 
 def anchor_text_index(docs_path: str, k: int = 50, npart: int = 32):
