@@ -7206,21 +7206,50 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
     cust = rd.read_parquet(_pq(sf_dir, "customer"),
                            columns=["c_custkey", "c_nationkey"])
 
-    def cust_finish(j: pa.Table) -> pa.Table:
-        # orders outside the region's customer base still join (inner)
-        # but can never match a supplier nation outside the region —
-        # drop them here so the second exchange moves less
-        keep = np.isin(j["c_nationkey"].to_numpy(zero_copy_only=False),
-                       nat_keys)
-        j = j.filter(pa.array(keep))
-        return pa.table({"l_orderkey": j["o_orderkey"],
-                         "c_nationkey": j["c_nationkey"]})
+    # custkey → nationkey is 8 bytes per customer — broadcast it as a
+    # dense array instead of exchanging every order row against the
+    # customer dim (round-4: the custkey hash_join was half of q163's
+    # ~10 s wall).  Guard: past 16M customers (128 MB) fall back to
+    # the exchange join, the arbitrary-scale path.
+    import ray as _ray
 
-    # materialize the (orderkey, nationkey) intermediate: it's 2 ints
-    # per in-range order (bounded), and the second hash_join probes
-    # schema() + unions it — left lazy it would execute twice
-    ord_nat = hash_join(orders, cust, "c_custkey", npart=npart,
-                        bucket_finish=cust_finish).materialize()
+    n_cust_total = rd.read_parquet(_pq(sf_dir, "customer"),
+                                   columns=["c_custkey"]).count()
+    if n_cust_total <= 16_000_000:
+        cust_tbl = _pq2.read_table(_pq(sf_dir, "customer"),
+                                   columns=["c_custkey", "c_nationkey"])
+        ck = cust_tbl["c_custkey"].to_numpy(zero_copy_only=False)
+        cn = cust_tbl["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cust_nat = np.full(int(ck.max()) + 1, -1, dtype=np.int64)
+        keep = np.isin(cn, nat_keys)       # region customers only
+        cust_nat[ck[keep]] = cn[keep]
+        cust_nat_ref = _ray.put(cust_nat)
+
+        def attach_nat(b: pa.Table) -> pa.Table:
+            dense = np.asarray(_ray.get(cust_nat_ref))
+            c = b["c_custkey"].to_numpy(zero_copy_only=False)
+            c_nat = np.where(c < len(dense),
+                             dense[np.minimum(c, len(dense) - 1)], -1)
+            m = c_nat >= 0
+            b = b.filter(pa.array(m))
+            return pa.table({"l_orderkey": b["o_orderkey"],
+                             "c_nationkey": pa.array(c_nat[m],
+                                                     type=INT64)})
+
+        ord_nat = orders.map_batches(attach_nat,
+                                     batch_format="pyarrow") \
+            .materialize()
+    else:  # pragma: no cover - web-scale fallback (exchange join)
+        def cust_finish(j: pa.Table) -> pa.Table:
+            keep = np.isin(
+                j["c_nationkey"].to_numpy(zero_copy_only=False), nat_keys)
+            j = j.filter(pa.array(keep))
+            return pa.table({"l_orderkey": j["o_orderkey"],
+                             "c_nationkey": j["c_nationkey"]})
+
+        ord_nat = hash_join(orders, cust, "c_custkey", npart=npart,
+                            bucket_finish=cust_finish).materialize()
 
     def line_side(b: pa.Table) -> pa.Table:
         s = b["l_suppkey"].to_numpy(zero_copy_only=False)
@@ -7250,19 +7279,19 @@ def local_supplier_revenue(sf_dir: str, region: str = "ASIA",
             .group_by(["n_nationkey"]).aggregate([("rev", "sum")]) \
             .rename_columns(["n_nationkey", "rev"])
 
-    agg = hash_join(lines, ord_nat, "l_orderkey", npart=npart,
-                    bucket_finish=q5_finish) \
-        .groupby("n_nationkey").aggregate(Sum("rev", alias_name="rev"))
-
-    def finish(b: pa.Table) -> pa.Table:
-        names = [nat_name[int(k)] for k in b["n_nationkey"].to_pylist()]
-        return pa.table({
-            "n_name": pa.array(names, type=pa.string()),
-            "revenue": pc.divide(pc.cast(b["rev"], pa.float64()), 10_000.0),
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow") \
-        .sort("revenue", descending=True)
+    # nations × npart partial rows (≤80): fold + name + sort driver-side
+    parts = pa.concat_tables(
+        hash_join(lines, ord_nat, "l_orderkey", npart=npart,
+                  bucket_finish=q5_finish)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    g = parts.group_by(["n_nationkey"]).aggregate([("rev", "sum")]) \
+        .rename_columns(["n_nationkey", "rev"])
+    names = [nat_name[int(k)] for k in g["n_nationkey"].to_pylist()]
+    out = pa.table({
+        "n_name": pa.array(names, type=pa.string()),
+        "revenue": pc.divide(pc.cast(g["rev"], pa.float64()), 10_000.0),
+    }).sort_by([("revenue", "descending")])
+    return rd.from_arrow(out)
 
 
 Q5_SQL = """
@@ -9231,10 +9260,43 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
                              columns=["o_orderkey", "o_custkey"]) \
         .map_batches(orders_side, batch_format="pyarrow")
 
-    ord_nat = hash_join(
-        orders, cust, "c_custkey", npart=npart,
-        bucket_finish=lambda j: j.select(["l_orderkey", "c_nat"])) \
-        .materialize()
+    # the two-nation customer slice is broadcast-small (2/|nations| of
+    # the dim): sorted-key searchsorted gather in the orders scan
+    # replaces the custkey exchange (q163's round-4 treatment); guard
+    # + exchange fallback for web scale
+    import ray as _ray
+
+    n_cust2 = cust.count()
+    if n_cust2 <= 16_000_000:
+        ct = pa.concat_tables(
+            cust.iter_batches(batch_format="pyarrow", batch_size=None))
+        ck2 = ct["c_custkey"].to_numpy(zero_copy_only=False)
+        cn2 = ct["c_nat"].to_numpy(zero_copy_only=False)
+        o2 = np.argsort(ck2)
+        ck_ref = _ray.put(ck2[o2])
+        cn_ref = _ray.put(cn2[o2])
+
+        def attach_cnat(b: pa.Table) -> pa.Table:
+            keys = np.asarray(_ray.get(ck_ref))
+            ok = b["c_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, ok)
+            pos_c = np.minimum(pos, len(keys) - 1) if len(keys) \
+                else np.zeros(len(ok), np.int64)
+            m = keys[pos_c] == ok if len(keys) \
+                else np.zeros(len(ok), bool)
+            b = b.filter(pa.array(m))
+            cnat = np.asarray(_ray.get(cn_ref))[pos_c[m]]
+            return pa.table({"l_orderkey": b["l_orderkey"],
+                             "c_nat": pa.array(cnat, type=INT64)})
+
+        ord_nat = orders.map_batches(attach_cnat,
+                                     batch_format="pyarrow") \
+            .materialize()
+    else:  # pragma: no cover - web-scale fallback
+        ord_nat = hash_join(
+            orders, cust, "c_custkey", npart=npart,
+            bucket_finish=lambda j: j.select(["l_orderkey", "c_nat"])) \
+            .materialize()
 
     def line_side(b: pa.Table) -> pa.Table:
         d = pc.cast(b["l_shipdate"], INT64)
@@ -9271,26 +9333,26 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
             .aggregate([("rev", "sum")]) \
             .rename_columns(["s_nat", "c_nat", "l_year", "rev"])
 
-    agg = hash_join(lines, ord_nat, "l_orderkey", npart=npart,
-                    bucket_finish=q7_finish) \
-        .groupby(["s_nat", "c_nat", "l_year"]) \
-        .aggregate(Sum("rev", alias_name="rev"))
-
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "supp_nation": pa.array(
-                [name_of[int(k)] for k in b["s_nat"].to_pylist()],
-                type=pa.string()),
-            "cust_nation": pa.array(
-                [name_of[int(k)] for k in b["c_nat"].to_pylist()],
-                type=pa.string()),
-            "l_year": b["l_year"],
-            "revenue": pc.divide(pc.cast(b["rev"], pa.float64()),
-                                 10_000.0),
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow") \
-        .sort(["supp_nation", "cust_nation", "l_year"])
+    # ≤ 2·2·years × npart partial rows: fold + name + sort driver-side
+    parts = pa.concat_tables(
+        hash_join(lines, ord_nat, "l_orderkey", npart=npart,
+                  bucket_finish=q7_finish)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    g = parts.group_by(["s_nat", "c_nat", "l_year"]) \
+        .aggregate([("rev", "sum")]) \
+        .rename_columns(["s_nat", "c_nat", "l_year", "rev"])
+    out = pa.table({
+        "supp_nation": pa.array(
+            [name_of[int(k)] for k in g["s_nat"].to_pylist()],
+            type=pa.string()),
+        "cust_nation": pa.array(
+            [name_of[int(k)] for k in g["c_nat"].to_pylist()],
+            type=pa.string()),
+        "l_year": g["l_year"],
+        "revenue": pc.divide(pc.cast(g["rev"], pa.float64()), 10_000.0),
+    }).sort_by([("supp_nation", "ascending"),
+                ("cust_nation", "ascending"), ("l_year", "ascending")])
+    return rd.from_arrow(out)
 
 
 Q7_SQL = """
