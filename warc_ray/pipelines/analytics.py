@@ -14341,9 +14341,13 @@ def reorder_rate(sf_dir: str, k: int = 20, npart: int = 32,
         .groupby("part").map_groups(
             lambda g: bucket(g.drop_columns(["part"])),
             batch_format="pyarrow") \
-        .groupby("p").aggregate(Sum("buyers", alias_name="buyers"),
-                                Sum("reorderers",
-                                    alias_name="reorderers"))
+        .map_batches(lambda b: with_part(b, "p", npart),
+                     batch_format="pyarrow") \
+        .groupby("part").map_groups(
+            lambda g: g.drop_columns(["part"]).group_by(["p"])
+            .aggregate([("buyers", "sum"), ("reorderers", "sum")])
+            .rename_columns(["p", "buyers", "reorderers"]),
+            batch_format="pyarrow")
 
     def block_topk(b: pa.Table) -> pa.Table:
         buyers = b["buyers"].to_numpy(zero_copy_only=False)
