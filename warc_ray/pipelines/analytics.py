@@ -3129,8 +3129,19 @@ def host_reciprocity(docs_path: str, n_hosts: int):
     n_self = int(self_m.sum())
     s, d = s[~self_m], d[~self_m]
     n_edges = len(s)
-    fwd = set((int(a), int(b)) for a, b in zip(s, d))
-    n_recip = sum(1 for a, b in fwd if a < b and (b, a) in fwd)
+    # vectorized reciprocity: an unordered pair {a<b} is reciprocal
+    # iff the reversed key exists — searchsorted membership over the
+    # sorted distinct keys (the former Python set comprehension was
+    # seconds of driver time at n_hosts² pair counts)
+    keys = np.sort(s * np.int64(n_hosts) + d)
+    lo_m = s < d
+    rev = d[lo_m] * np.int64(n_hosts) + s[lo_m]
+    if len(keys):
+        pos = np.searchsorted(keys, rev)
+        pos_c = np.minimum(pos, len(keys) - 1)
+        n_recip = int((keys[pos_c] == rev).sum())
+    else:
+        n_recip = 0
     ppm = 2 * n_recip * 1_000_000 // n_edges if n_edges else 0
     return pa.table({
         "n_edges": pa.array([n_edges], type=INT64),
