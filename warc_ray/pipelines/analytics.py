@@ -9629,21 +9629,55 @@ def returned_items(sf_dir: str, npart: int = 16, k: int = 20):
                                      "l_extendedprice", "l_discount"]) \
         .map_batches(line_side, batch_format="pyarrow")
 
-    def cust_partial(j: pa.Table) -> pa.Table:
-        j = j.filter(pc.is_valid(j["c_custkey"]))
-        return j.select(["c_custkey", "rev"]) \
-            .group_by(["c_custkey"]).aggregate([("rev", "sum")]) \
-            .rename_columns(["c_custkey", "rev"])
+    # cust_rev carries per-custkey revenue PARTIALS.  The global
+    # custkey merge needs no exchange of its own: the customer join
+    # below is ALSO keyed by c_custkey, so every partial for a
+    # custkey lands in that join's bucket — merge + top-k fuse into
+    # bucket_finish (removed a Ray-native custkey Aggregate, ~5 s).
+    # The lineitem⋈orders leg: quarter-filtered orders are ~1/32 of
+    # the fact (3 months of 8 years) — broadcast the (orderkey →
+    # custkey) slice into the lineitem scan instead of exchanging
+    # both sides (round-4 second pass); 4M-order guard falls back to
+    # the exchange join for web scale.
+    import ray as _ray
 
-    # cust_rev carries per-custkey revenue PARTIALS (one per orderkey
-    # bucket the customer's orders landed in).  The global custkey
-    # merge needs no exchange of its own: the customer join below is
-    # ALSO keyed by c_custkey, so every partial for a custkey lands
-    # in that join's bucket — merge + top-k fuse into bucket_finish.
-    # This removed a Ray-native custkey Aggregate (~5 s wall at
-    # sf0.1; same round-4 profiler finding as q206/q189).
-    cust_rev = hash_join(lines, orders, "l_orderkey", npart=npart,
-                         bucket_finish=cust_partial)
+    n_q_orders = orders.count()
+    if n_q_orders <= 4_000_000:
+        ot = pa.concat_tables(
+            orders.iter_batches(batch_format="pyarrow", batch_size=None))
+        ok_arr = ot["l_orderkey"].to_numpy(zero_copy_only=False)
+        o_ord = np.argsort(ok_arr)
+        okeys_ref = _ray.put(ok_arr[o_ord])
+        ocust_ref = _ray.put(
+            ot["c_custkey"].to_numpy(zero_copy_only=False)[o_ord])
+
+        def line_partial(b: pa.Table) -> pa.Table:
+            keys = np.asarray(_ray.get(okeys_ref))
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, lk)
+            pos_c = np.minimum(pos, len(keys) - 1) if len(keys) \
+                else np.zeros(len(lk), np.int64)
+            m = keys[pos_c] == lk if len(keys) \
+                else np.zeros(len(lk), bool)
+            b = b.filter(pa.array(m))
+            cust = np.asarray(_ray.get(ocust_ref))[pos_c[m]]
+            return pa.table({
+                "c_custkey": pa.array(cust, type=INT64),
+                "rev": b["rev"],
+            }).group_by(["c_custkey"]).aggregate([("rev", "sum")]) \
+                .rename_columns(["c_custkey", "rev"])
+
+        cust_rev = lines.map_batches(line_partial,
+                                     batch_format="pyarrow")
+    else:  # pragma: no cover - web-scale fallback (exchange join)
+        def cust_partial(j: pa.Table) -> pa.Table:
+            j = j.filter(pc.is_valid(j["c_custkey"]))
+            return j.select(["c_custkey", "rev"]) \
+                .group_by(["c_custkey"]).aggregate([("rev", "sum")]) \
+                .rename_columns(["c_custkey", "rev"])
+
+        cust_rev = hash_join(lines, orders, "l_orderkey", npart=npart,
+                             bucket_finish=cust_partial)
 
     cust = rd.read_parquet(_pq(sf_dir, "customer"),
                            columns=["c_custkey", "c_name", "c_acctbal",
