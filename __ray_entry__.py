@@ -863,49 +863,42 @@ def _arc_roundtrip_q(sf_dir: str):
 # The correctness driver samples the FIRST ~50 queries() entries.
 # Round-3 VERDICT item 1: rotate this head each round to a NEVER-
 # driver-sampled, family-spanning set so cumulative driver-hard
-# coverage grows (rounds 1-3 verified 109 distinct queries; this
-# round-4 head adds 50 more, none of which appear in
-# CORRECTNESS_r01/r02/r03).  Every key here has a full DuckDB oracle
-# (rows+schema+value-hash); rows-only-by-design queries
-# (q31/q40-43/q60/q64/q75/q114/q179/q255 — k-means, media codecs,
-# zlib, KLL, eigh, PQ: non-SQL-expressible, each pytest-gated)
-# deliberately sit AFTER this block so the sampled window is 100%
-# value-checked.  The round 1-3 sampled set is pinned in
-# tests/test_registry.py (PREVIOUSLY_SAMPLED) with a disjointness
+# coverage grows (rounds 1-4 verified 159 distinct queries; this
+# round-5 head adds 50 more, none of which appear in
+# CORRECTNESS_r01-r04 — cumulative 209/259 if sampled).  Every key
+# here has a full DuckDB oracle (rows+schema+value-hash);
+# rows-only-by-design queries (q31/q40-43/q60/q64/q75/q114/q179/q255
+# — k-means, media codecs, zlib, KLL, eigh, PQ: non-SQL-expressible,
+# each pytest-gated) deliberately sit AFTER this block so the sampled
+# window is 100% value-checked.  The round 1-4 sampled set is pinned
+# in tests/test_registry.py (PREVIOUSLY_SAMPLED) with a disjointness
 # invariant.
 _DRIVER_SAMPLE_ORDER = [
-    # crawl substrate / web-graph / interleaved spans / derivatives
-    "q99_host_reciprocity", "q112_seed_distance", "q135_triangle_count",
-    "q256_span_census", "q257_anchor_index", "q258_wat_extract",
-    "q259_robots_audit",
-    # storage formats / lakehouse layout
-    "q79_export_partitioned", "q152_rle_advisor", "q137_time_travel",
-    # dedup family
-    "q27_dup_clusters", "q45_contamination", "q74_fuzzy_name_pairs",
-    "q205_collision_detector", "q71_snapshot_diff",
-    # sketch / hash-pruning family
-    "q160_bloom_join", "q181_merkle_diff",
-    # TPC-H compositions
-    "q173_late_orders", "q186_promo_effect", "q187_top_supplier",
-    "q188_small_qty_revenue", "q250_returnclass_priority",
-    "q251_bracket_revenue", "q252_sole_latest_supplier",
-    "q253_rich_idle_customers",
-    # engine primitives (window / join / sort / sample shapes)
-    "q69_cube_lineitem", "q67_moving_average", "q08_sessionize",
-    "q09_asof_join", "q14_grouped_topk", "q15_event_quantiles",
-    "q17_range_join", "q18_anti_join", "q168_join_advisor",
-    "q206_mutual_best",
-    # text analysis
-    "q28_tfidf_topterms", "q32_inverted_index", "q34_pii_scrub",
-    "q38_ngram_counts", "q62_quality_model", "q154_bpe_merges",
-    "q234_hapax_rate",
-    # training-loader prep
-    "q33_pack_chunks", "q35_split_assign", "q37_stratified_sample",
-    "q63_weighted_sample",
-    # embedding family
-    "q46_group_centroids", "q48_embedding_quantize",
-    # exact statistics
-    "q225_ks_distance", "q227_mann_whitney",
+    # graph / hierarchy (iterative + semiring pointer doubling)
+    "q29_pagerank", "q201_assortativity", "q176_bom_explosion",
+    "q159_hierarchy_rollup",
+    # engine primitives (window / sample / quantile / interval shapes)
+    "q16_doc_sample", "q66_rollup_lineitem", "q73_quality_deciles",
+    "q77_outlier_events", "q133_lineitem_profile", "q134_trimmed_mean",
+    "q136_equidepth_histogram", "q141_big_spenders",
+    "q145_weighted_median", "q144_max_concurrent", "q164_pit_snapshot",
+    "q165_windowed_pairs", "q200_interval_union",
+    # storage layout / anti-entropy
+    "q139_zorder_range", "q142_replica_repair",
+    # text / training-data prep
+    "q36_repetition", "q61_window_chunks", "q80_mode_lang_by_source",
+    "q151_naive_bayes", "q153_logreg_train", "q196_brand_triples",
+    "q204_journey_paths", "q208_quantized_retrieval",
+    # exact / privacy statistics
+    "q140_private_count", "q146_drift_psi", "q147_ab_experiment",
+    "q155_benford", "q166_bootstrap_ci", "q178_mi_table",
+    "q231_kendall_tau", "q242_discount_response", "q191_gini_spend",
+    # business / operational censuses and audits
+    "q143_revenue_rollup_geo", "q148_basket_pairs", "q149_spatial_join",
+    "q156_gdpr_cascade", "q161_lpm_enrich", "q169_activity_streaks",
+    "q170_fd_discovery", "q171_changepoint", "q172_period_movers",
+    "q174_reconcile", "q175_pareto_cut", "q177_apportioned_sample",
+    "q180_time_weighted_avg", "q182_lifecycle_audit",
 ]
 
 
@@ -1339,12 +1332,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
         # q67: trailing 3-row window per user, (ts, event_id) order;
-        # milli values + floor division on non-negative sums
+        # milli values + DuckDB // (truncating) division.  The outer
+        # CAST matters: SUM(BIGINT) OVER w is HUGEINT in DuckDB, and a
+        # decimal128 ma_milli hash-mismatches the engine's int64 under
+        # dtype-sensitive canonicalization even when values are equal
+        # (the round-4 driver red row).
         "q67_moving_average": """
             SELECT user_id, event_id,
                    CAST(FLOOR(value*1000) AS BIGINT) AS value_milli,
-                   SUM(CAST(FLOOR(value*1000) AS BIGINT)) OVER w
-                     // COUNT(*) OVER w AS ma_milli
+                   CAST(SUM(CAST(FLOOR(value*1000) AS BIGINT)) OVER w
+                     // COUNT(*) OVER w AS BIGINT) AS ma_milli
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)

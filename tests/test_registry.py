@@ -16,11 +16,31 @@ sys.path.insert(0, "/root/repo")
 
 import __ray_entry__ as entry
 
-# Union of CORRECTNESS_r01/r02/r03 sampled keys (109 queries already
-# driver-verified in rounds 1-3).  The round-4 head must be DISJOINT
+# Union of CORRECTNESS_r01-r04 sampled keys (159 queries already
+# driver-verified in rounds 1-4).  The round-5 head must be DISJOINT
 # from this set so the driver's 50-query sample extends cumulative
 # coverage instead of re-verifying old ground.
 PREVIOUSLY_SAMPLED = {
+    # round 4 window (CORRECTNESS_r04.json)
+    "q08_sessionize", "q09_asof_join", "q112_seed_distance",
+    "q135_triangle_count", "q137_time_travel", "q14_grouped_topk",
+    "q152_rle_advisor", "q154_bpe_merges", "q15_event_quantiles",
+    "q160_bloom_join", "q168_join_advisor", "q173_late_orders",
+    "q17_range_join", "q181_merkle_diff", "q186_promo_effect",
+    "q187_top_supplier", "q188_small_qty_revenue", "q18_anti_join",
+    "q205_collision_detector", "q206_mutual_best", "q225_ks_distance",
+    "q227_mann_whitney", "q234_hapax_rate", "q250_returnclass_priority",
+    "q251_bracket_revenue", "q252_sole_latest_supplier",
+    "q253_rich_idle_customers", "q256_span_census", "q257_anchor_index",
+    "q258_wat_extract", "q259_robots_audit", "q27_dup_clusters",
+    "q28_tfidf_topterms", "q32_inverted_index", "q33_pack_chunks",
+    "q34_pii_scrub", "q35_split_assign", "q37_stratified_sample",
+    "q38_ngram_counts", "q45_contamination", "q46_group_centroids",
+    "q48_embedding_quantize", "q62_quality_model", "q63_weighted_sample",
+    "q67_moving_average", "q69_cube_lineitem", "q71_snapshot_diff",
+    "q74_fuzzy_name_pairs", "q79_export_partitioned",
+    "q99_host_reciprocity",
+    # rounds 1-3
     "q01_agg_lineitem", "q02_revenue_by_nation", "q03_topk_events",
     "q04_events_by_type", "q05_filter_orders", "q06_user_event_stats",
     "q07_windowed_events", "q100_shipping_priority",
@@ -81,19 +101,17 @@ def test_sample_head_never_driver_sampled_before():
 def test_sample_head_spans_families():
     head = entry._DRIVER_SAMPLE_ORDER
     families = {
-        "crawl/graph/spans": {"q99_host_reciprocity", "q256_span_census",
-                              "q258_wat_extract", "q259_robots_audit"},
-        "formats/storage": {"q79_export_partitioned", "q152_rle_advisor",
-                            "q137_time_travel"},
-        "dedup": {"q27_dup_clusters", "q45_contamination",
-                  "q205_collision_detector"},
-        "sketch": {"q160_bloom_join", "q181_merkle_diff"},
-        "tpch": {"q173_late_orders", "q252_sole_latest_supplier",
-                 "q253_rich_idle_customers"},
-        "engine": {"q69_cube_lineitem", "q09_asof_join",
-                   "q206_mutual_best"},
-        "text": {"q28_tfidf_topterms", "q154_bpe_merges"},
-        "statistics": {"q225_ks_distance", "q227_mann_whitney"},
+        "graph/hierarchy": {"q29_pagerank", "q201_assortativity",
+                            "q176_bom_explosion", "q159_hierarchy_rollup"},
+        "engine": {"q16_doc_sample", "q66_rollup_lineitem",
+                   "q145_weighted_median", "q200_interval_union"},
+        "storage": {"q139_zorder_range", "q142_replica_repair"},
+        "text/training": {"q36_repetition", "q80_mode_lang_by_source",
+                          "q151_naive_bayes", "q208_quantized_retrieval"},
+        "statistics": {"q146_drift_psi", "q155_benford",
+                       "q231_kendall_tau", "q140_private_count"},
+        "business/audit": {"q156_gdpr_cascade", "q170_fd_discovery",
+                           "q174_reconcile", "q182_lifecycle_audit"},
     }
     for fam, keys in families.items():
         assert keys <= set(head), f"family {fam} missing from head"

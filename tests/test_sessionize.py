@@ -112,3 +112,46 @@ def test_moving_average_edges_and_npart_invariance(ray_session):
         got = a[a.user_id == uid].sort_values("event_id")
         got = got.set_index("event_id").loc[sub.event_id].ma_milli.tolist()
         assert got == want, uid
+
+
+def test_moving_average_negative_values_trunc_division(ray_session, tmp_path):
+    """q67 division convention pinned against DuckDB on a corpus with
+    NEGATIVE values: DuckDB ``//`` truncates toward zero (-7//2 = -3)
+    while numpy ``//`` floors (-4).  The engine must divide like its
+    declared SQL twin on ANY corpus — this test plants window sums of
+    both signs, including ones where floor != trunc, and diffs the
+    engine against the exact oracle SQL run by DuckDB."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+    from warc_ray.pipelines.relational import moving_average
+
+    rng = np.random.default_rng(67)
+    n = 400
+    base = 1_700_000_000_000_000
+    t = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array((rng.integers(0, 13, n)).astype(np.int64)),
+        "ts": pa.array(base + rng.permutation(n) * 1_000_000,
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["x"] * n),
+        # values in [-5, 5): negative milli sums guaranteed, odd sums
+        # over 3-row windows exercise floor != trunc
+        "value": pa.array(rng.uniform(-5.0, 5.0, n)),
+        "props": pa.array([""] * n),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = moving_average(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.register("events", t)
+    want = con.sql(entrymod.oracle_sql()["q67_moving_average"]).df()
+    con.close()
+    # the oracle must come back BIGINT (the CAST that fixes the round-4
+    # driver hash row), and values must match exactly
+    assert str(want.ma_milli.dtype) == "int64"
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.values.tolist() == want.values.tolist()
+    # sanity: the corpus actually exercised the floor != trunc branch
+    assert (got.ma_milli < 0).any()

@@ -452,8 +452,9 @@ def moving_average(sf_dir: str, window: int = 3, npart: int = 32):
 
     One bucket exchange co-locates each user's events; per bucket ONE
     vectorized pass: lexsort, per-user prefix sums, window sums as two
-    cumsum gathers.  Integer milli values with floor division on
-    non-negative sums keep the DuckDB oracle value-exact."""
+    cumsum gathers.  Integer milli values with TRUNCATING division
+    (DuckDB ``//`` semantics, toward zero) keep the oracle value-exact
+    on any corpus, including negative window sums."""
     import pyarrow as pa
 
     def partial(b: pa.Table) -> pa.Table:
@@ -486,7 +487,10 @@ def moving_average(sf_dir: str, window: int = 3, npart: int = 32):
         w = np.minimum(pos + 1, window)
         cum = np.concatenate(([0], np.cumsum(v_s)))
         wsum = cum[np.arange(1, n + 1)] - cum[np.arange(1, n + 1) - w]
-        ma = wsum // w                            # non-negative: floor==trunc
+        # DuckDB // truncates toward zero (-7//2 = -3); numpy floors
+        # (-4).  Divide like the declared SQL twin so the operator is
+        # corpus-independent, not gated on value >= 0.
+        ma = np.where(wsum < 0, -(-wsum // w), wsum // w)
         return pa.table({
             "user_id": pa.array(u_s.astype(np.int64)),
             "event_id": pa.array(e_s.astype(np.int64)),
