@@ -584,14 +584,25 @@ def _format_consistency_q(sf_dir: str):
         return (int(pc.sum(t["n_events"]).as_py()),
                 int(pc.sum(t["sum_cents"]).as_py()))
 
-    import pyarrow.parquet as pq2
-
-    ev = pq2.read_table(os.path.join(sf_dir, "events.parquet"),
-                        columns=["value"])
     import numpy as np
-    pq_totals = (ev.num_rows,
-                 int(np.rint(ev["value"].to_numpy(zero_copy_only=False)
-                             * 100).astype(np.int64).sum()))
+
+    # parquet leg: distributed per-batch (count, cents-sum) partials +
+    # scalar driver fold, mirroring the JSONL/CSV legs — never a
+    # driver-side pq.read_table of a fact column (at 100x the events
+    # table that is a driver OOM)
+    def pq_partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(b["value"].to_numpy(zero_copy_only=False)
+                        * 100).astype(np.int64)
+        return pa.table({
+            "n_events": pa.array([b.num_rows], type=pa.int64()),
+            "sum_cents": pa.array([int(cents.sum())], type=pa.int64())})
+
+    pt = pa.concat_tables(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["value"])
+        .map_batches(pq_partial, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    pq_totals = totals_from(pt)
     jt = pa.concat_tables(
         ingest_events_jsonl(_ensure_jsonl(sf_dir))
         .iter_batches(batch_format="pyarrow"))

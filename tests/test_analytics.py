@@ -1158,6 +1158,10 @@ def test_triangle_partition_invariance(ray_session, tmp_path):
     a = triangle_count(str(d), nparts=2).to_pandas()
     b = triangle_count(str(d), nparts=16).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+    # web-scale fallback: dense_max_nodes=0 forces the two-exchange
+    # degree JOIN instead of the dense broadcast — identical output
+    c = triangle_count(str(d), nparts=16, dense_max_nodes=0).to_pandas()
+    pd.testing.assert_frame_equal(a, c)
 
 
 # --------------------------------------------------------------------- q139

@@ -800,3 +800,17 @@ def test_minhash_prune_docs_parity(ray_session):
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert base.values.tolist() == pruned.values.tolist()
     assert len(base) > 0
+
+
+def test_add_text_hash_rejects_null_text():
+    """Null text must fail loud (the zero-copy buffer path would
+    otherwise silently hash a null as sha1('') and dedup it against
+    genuinely-empty documents)."""
+    import pyarrow as pa
+    import pytest
+
+    from warc_ray.stages.dedup import add_text_hash
+
+    t = pa.table({"doc_id": [1, 2], "text": ["a", None]})
+    with pytest.raises(ValueError, match="null"):
+        add_text_hash(t)

@@ -3081,9 +3081,12 @@ def host_reciprocity(docs_path: str, n_hosts: int):
     Scale shape: the scan reduces each batch to its distinct
     (src_host, dst_host) pairs — source host recomputed from the
     corpus host function (``corpus.host_index``), target host parsed
-    from the url — so only host-domain-sized partials (≤ n_hosts²
-    rows per batch) reach the single tiny distinct; reciprocity is
-    driver set arithmetic on that tiny edge table.  Output is one
+    from the url — and routes BOTH orientations of a pair on the
+    UNORDERED (min, max) key, so the one bucket exchange co-locates a
+    pair's two directions: global distinct AND reciprocity both
+    resolve in-bucket (an unordered key seen with both orientations is
+    reciprocal), and the driver folds only per-bucket counters — no
+    driver edge table, no n_hosts² bound anywhere.  Output is one
     row: directed-edge count, self-loop count, reciprocal pair count
     and the reciprocity ratio in ppm."""
     from .. import corpus as corpus_mod
@@ -3107,41 +3110,45 @@ def host_reciprocity(docs_path: str, n_hosts: int):
         src = corpus_mod.host_index(i, n_hosts)[par]
         key = src * np.int64(n_hosts) + dst
         uk = np.unique(key)
-        t = pa.table({"h_src": pa.array(uk // n_hosts, type=INT64),
-                      "h_dst": pa.array(uk % n_hosts, type=INT64)})
-        part = (uk % 16).astype(np.int32)
-        return t.append_column("part", pa.array(part))
+        us, ud = uk // n_hosts, uk % n_hosts
+        t = pa.table({"h_src": pa.array(us, type=INT64),
+                      "h_dst": pa.array(ud, type=INT64)})
+        # UNORDERED routing key: both orientations of a pair land in
+        # the same bucket, so reciprocity resolves there
+        ukey = (np.minimum(us, ud) * np.int64(n_hosts)
+                + np.maximum(us, ud))
+        return t.append_column("part",
+                               pa.array((ukey % 16).astype(np.int32)))
 
     def bucket(g: pa.Table) -> pa.Table:
         # batch partials overlap — global distinct resolves per bucket
-        # so only globally-distinct edges (≤ n_hosts² total) reach the
-        # driver set arithmetic
-        return g.drop_columns(["part"]) \
-            .group_by(["h_src", "h_dst"]).aggregate([])
+        # (the unordered routing key is a function of the pair, so
+        # every copy of either orientation is here); reciprocity is an
+        # unordered key seen with BOTH directed orientations
+        s = g["h_src"].to_numpy(zero_copy_only=False)
+        d = g["h_dst"].to_numpy(zero_copy_only=False)
+        k = np.unique(s * np.int64(n_hosts) + d)  # distinct directed
+        s, d = k // n_hosts, k % n_hosts
+        self_m = s == d
+        n_self = int(self_m.sum())
+        s, d = s[~self_m], d[~self_m]
+        u = np.minimum(s, d) * np.int64(n_hosts) + np.maximum(s, d)
+        _, cnt = np.unique(u, return_counts=True)
+        return pa.table({
+            "n_edges": pa.array([len(s)], type=INT64),
+            "n_self": pa.array([n_self], type=INT64),
+            "n_recip_pairs": pa.array([int((cnt == 2).sum())],
+                                      type=INT64)})
 
     parts = _read_capped(docs_path, columns=["doc_id", "spans"]) \
         .map_batches(edges, batch_format="pyarrow") \
         .groupby("part").map_groups(bucket, batch_format="pyarrow")
-    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow"))
-    s = t["h_src"].to_numpy(zero_copy_only=False)
-    d = t["h_dst"].to_numpy(zero_copy_only=False)
-    self_m = s == d
-    n_self = int(self_m.sum())
-    s, d = s[~self_m], d[~self_m]
-    n_edges = len(s)
-    # vectorized reciprocity: an unordered pair {a<b} is reciprocal
-    # iff the reversed key exists — searchsorted membership over the
-    # sorted distinct keys (the former Python set comprehension was
-    # seconds of driver time at n_hosts² pair counts)
-    keys = np.sort(s * np.int64(n_hosts) + d)
-    lo_m = s < d
-    rev = d[lo_m] * np.int64(n_hosts) + s[lo_m]
-    if len(keys):
-        pos = np.searchsorted(keys, rev)
-        pos_c = np.minimum(pos, len(keys) - 1)
-        n_recip = int((keys[pos_c] == rev).sum())
-    else:
-        n_recip = 0
+    # per-bucket counters only — the driver never sees an edge table
+    n_edges = n_self = n_recip = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        n_edges += int(pc.sum(b["n_edges"]).as_py() or 0)
+        n_self += int(pc.sum(b["n_self"]).as_py() or 0)
+        n_recip += int(pc.sum(b["n_recip_pairs"]).as_py() or 0)
     ppm = 2 * n_recip * 1_000_000 // n_edges if n_edges else 0
     return pa.table({
         "n_edges": pa.array([n_edges], type=INT64),
@@ -4483,20 +4490,27 @@ TRIMMED_MEAN_SQL = """
 # Q135: triangle counting (degree-oriented wedge enumeration)
 # ---------------------------------------------------------------------------
 
-def triangle_count(docs_path: str, nparts: int = 16):
+def triangle_count(docs_path: str, nparts: int = 16,
+                   dense_max_nodes: int = 16_000_000):
     """q135: exact triangle count + global clustering coefficient of
     the undirected doc link graph — the graph-analytics complement to
     q27 components / q29 PageRank / q112 BFS.
 
     Distributed shape (standard node-iterator with DEGREE ORIENTATION):
     (1) distinct canonical edges via per-batch unique + one key
-    groupby; (2) degrees fold to a small table, broadcast; (3) each
-    edge orients low-degree → high-degree endpoint, so per-source
+    groupby; (2) degrees via a NODE-keyed exchange (per-batch sparse
+    partials, in-bucket bincount merge — the q201 assortativity
+    pattern: no driver pass over the edge list); the wedge count folds
+    as per-bucket ``np.sum(d*(d-1)//2)`` scalars; (3) each edge
+    orients low-degree → high-degree endpoint, so per-source
     out-neighborhoods are O(√m) and wedge generation is quadratic only
-    in that bound; (4) wedges and edges co-route by key hash and one
-    vectorized ``np.isin`` per bucket closes triangles — each triangle
-    counted exactly once.  Wedge generation is grouped BY SEGMENT
-    LENGTH (reshape + one `triu_indices` gather per distinct
+    in that bound — the degree table broadcasts as a dense array only
+    under a ``dense_max_nodes`` guard (<=128 MB at 16M nodes), else a
+    two-exchange degree JOIN attaches (deg[lo], deg[hi]) per edge for
+    the web-scale graph; (4) wedges and edges co-route by key hash and
+    one vectorized ``np.isin`` per bucket closes triangles — each
+    triangle counted exactly once.  Wedge generation is grouped BY
+    SEGMENT LENGTH (reshape + one `triu_indices` gather per distinct
     out-degree): no per-node Python anywhere.
 
     Oracle: the 3-way self-join SQL twin over the same distinct-edge
@@ -4544,40 +4558,160 @@ def triangle_count(docs_path: str, nparts: int = 16):
             lambda g: dedup_bucket(g.drop_columns(["kpart"])),
             batch_format="pyarrow").materialize()
 
-    # degrees: O(edges) driver fold (2 bincounts per streamed block) —
-    # the edge list is already the reduced small side that the
-    # orientation broadcast needs, so no second exchange
-    n_edges = 0
-    deg_arr = np.zeros(1, np.int64)
-    for b in edges.iter_batches(batch_format="pyarrow"):
+    # degrees: NODE-keyed exchange (the q201 pattern).  Per-batch
+    # sparse partials (unique node, count) route by node hash; each
+    # bucket owns every partial for its nodes, so one bincount merge
+    # per bucket yields exact degrees — the edge list never crosses
+    # the driver.
+    def deg_partial(b: pa.Table) -> pa.Table:
         k = b["key"].to_numpy()
-        n_edges += len(k)
-        lo, hi = k >> np.int64(32), k & np.int64(0xFFFFFFFF)
-        top = int(max(lo.max(initial=0), hi.max(initial=0)))
-        if top >= len(deg_arr):
-            deg_arr = np.concatenate(
-                (deg_arr, np.zeros(top + 1 - len(deg_arr), np.int64)))
-        np.add.at(deg_arr, lo, 1)
-        np.add.at(deg_arr, hi, 1)
-    n_wedges = int(sum(int(d_) * (int(d_) - 1) // 2
-                       for d_ in deg_arr[deg_arr > 1]))
-    deg_ref = _ray.put(deg_arr)
+        node = np.concatenate((k >> np.int64(32),
+                               k & np.int64(0xFFFFFFFF)))
+        u, c = np.unique(node, return_counts=True)
+        return pa.table({
+            "node": pa.array(u), "cnt": pa.array(c.astype(np.int64)),
+            "dpart": pa.array((u % nparts).astype(np.int32))})
 
-    class OrientAndPart:
-        def __init__(self):
-            self.deg = _ray.get(deg_ref)
+    def deg_bucket(g: pa.Table) -> pa.Table:
+        n = g["node"].to_numpy()
+        c = g["cnt"].to_numpy()
+        u, inv = np.unique(n, return_inverse=True)
+        d = np.bincount(inv, weights=c).astype(np.int64)
+        return pa.table({"node": pa.array(u), "deg": pa.array(d)})
 
-        def __call__(self, b: pa.Table) -> pa.Table:
+    degs = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("dpart").map_groups(
+            lambda g: deg_bucket(g.drop_columns(["dpart"])),
+            batch_format="pyarrow").materialize()
+
+    # key-sized scalars fold on the driver: wedge count as vectorized
+    # per-bucket np.sum(d*(d-1)//2) partials, plus max node id for the
+    # dense-broadcast guard (bounds MAGNITUDE, which the 4M/16M row
+    # guards elsewhere do not)
+    def deg_scalars(b: pa.Table) -> pa.Table:
+        d = b["deg"].to_numpy()
+        n = b["node"].to_numpy()
+        return pa.table({
+            "wedges": pa.array([int(np.sum(d * (d - 1) // 2))],
+                               type=INT64),
+            "max_node": pa.array([int(n.max(initial=-1))], type=INT64),
+            "n_nodes": pa.array([len(n)], type=INT64)})
+
+    n_wedges, max_node, n_nodes = 0, -1, 0
+    for b in degs.map_batches(deg_scalars, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        n_wedges += int(pc.sum(b["wedges"]).as_py() or 0)
+        max_node = max(max_node, int(pc.max(b["max_node"]).as_py()
+                                     if b.num_rows else -1))
+        n_nodes += int(pc.sum(b["n_nodes"]).as_py() or 0)
+    n_edges = edges.count()
+
+    if max_node < dense_max_nodes:
+        # dense broadcast path: <=8 B/node under the guard; the deg
+        # table (n_nodes rows, not edges) is the only driver pull
+        deg_arr = np.zeros(max_node + 1, np.int64)
+        for b in degs.iter_batches(batch_format="pyarrow"):
+            deg_arr[b["node"].to_numpy()] = b["deg"].to_numpy()
+        deg_ref = _ray.put(deg_arr)
+
+        class OrientAndPart:
+            def __init__(self):
+                self.deg = _ray.get(deg_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                k = b["key"].to_numpy()
+                lo, hi = k >> np.int64(32), k & np.int64(0xFFFFFFFF)
+                dl, dh = self.deg[lo], self.deg[hi]
+                # orient low-(degree, id) → high-(degree, id)
+                fwd = (dl < dh) | ((dl == dh) & (lo < hi))
+                src = np.where(fwd, lo, hi)
+                dst = np.where(fwd, hi, lo)
+                return pa.table({
+                    "src": pa.array(src), "dst": pa.array(dst),
+                    "part": pa.array((src % nparts).astype(np.int32))})
+
+        oriented = edges.map_batches(OrientAndPart,
+                                     batch_format="pyarrow",
+                                     concurrency=(1, 2))
+    else:
+        # web-scale fallback: degree JOIN — two node-keyed exchanges
+        # attach deg[lo] then deg[hi] via in-bucket searchsorted
+        # against the co-routed degree table; no dense array anywhere
+        def _attach(which: str):
+            def attach(g: pa.Table) -> pa.Table:
+                ie = g["is_deg"].to_numpy().astype(bool)
+                dn = g["node"].to_numpy()[ie]
+                dd = g["deg"].to_numpy()[ie]
+                o = np.argsort(dn)
+                dn, dd = dn[o], dd[o]
+                sub = g.filter(pa.array(~ie))
+                nd = sub["node"].to_numpy()
+                got = dd[np.searchsorted(dn, nd)]
+                cols = {"key": sub["key"]}
+                if which == "lo":
+                    cols["dl"] = pa.array(got)
+                else:
+                    cols["dl"] = sub["dl"]
+                    cols["dh"] = pa.array(got)
+                return pa.table(cols)
+            return attach
+
+        def edge_by(which: str):
+            def f(b: pa.Table) -> pa.Table:
+                k = b["key"].to_numpy()
+                node = (k >> np.int64(32)) if which == "lo" \
+                    else (k & np.int64(0xFFFFFFFF))
+                cols = {"key": b["key"], "node": pa.array(node),
+                        "deg": pa.array(np.zeros(len(k), np.int64)),
+                        "is_deg": pa.array(np.zeros(len(k), np.int64)),
+                        "jpart": pa.array((node % nparts)
+                                          .astype(np.int32))}
+                if which == "hi":
+                    cols["dl"] = b["dl"]
+                return pa.table(cols)
+            return f
+
+        def deg_side(extra: bool):
+            def f(b: pa.Table) -> pa.Table:
+                n = b["node"].to_numpy()
+                cols = {"key": pa.array(np.zeros(len(n), np.int64)),
+                        "node": b["node"], "deg": b["deg"],
+                        "is_deg": pa.array(np.ones(len(n), np.int64)),
+                        "jpart": pa.array((n % nparts)
+                                          .astype(np.int32))}
+                if extra:
+                    cols["dl"] = pa.array(np.zeros(len(n), np.int64))
+                return pa.table(cols)
+            return f
+
+        with_dl = edges.map_batches(edge_by("lo"),
+                                    batch_format="pyarrow") \
+            .union(degs.map_batches(deg_side(False),
+                                    batch_format="pyarrow")) \
+            .groupby("jpart").map_groups(
+                lambda g: _attach("lo")(g.drop_columns(["jpart"])),
+                batch_format="pyarrow")
+        with_both = with_dl.map_batches(edge_by("hi"),
+                                        batch_format="pyarrow") \
+            .union(degs.map_batches(deg_side(True),
+                                    batch_format="pyarrow")) \
+            .groupby("jpart").map_groups(
+                lambda g: _attach("hi")(g.drop_columns(["jpart"])),
+                batch_format="pyarrow")
+
+        def orient(b: pa.Table) -> pa.Table:
             k = b["key"].to_numpy()
             lo, hi = k >> np.int64(32), k & np.int64(0xFFFFFFFF)
-            dl, dh = self.deg[lo], self.deg[hi]
-            # orient low-(degree, id) → high-(degree, id)
+            dl = b["dl"].to_numpy()
+            dh = b["dh"].to_numpy()
             fwd = (dl < dh) | ((dl == dh) & (lo < hi))
             src = np.where(fwd, lo, hi)
             dst = np.where(fwd, hi, lo)
             return pa.table({
                 "src": pa.array(src), "dst": pa.array(dst),
                 "part": pa.array((src % nparts).astype(np.int32))})
+
+        oriented = with_both.map_batches(orient, batch_format="pyarrow")
 
     def wedges(g: pa.Table) -> pa.Table:
         s = g["src"].to_numpy()
@@ -4606,11 +4740,9 @@ def triangle_count(docs_path: str, nparts: int = 16):
                          "cnt": pa.array(c.astype(np.int64)),
                          "is_edge": pa.array(np.zeros(len(u), np.int64))})
 
-    wedge_ds = edges.map_batches(OrientAndPart, batch_format="pyarrow",
-                                 concurrency=(1, 2)) \
-        .groupby("part").map_groups(
-            lambda g: wedges(g.drop_columns(["part"])),
-            batch_format="pyarrow")
+    wedge_ds = oriented.groupby("part").map_groups(
+        lambda g: wedges(g.drop_columns(["part"])),
+        batch_format="pyarrow")
 
     def tag_edges(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -9277,6 +9409,9 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
     # + exchange fallback for web scale
     import ray as _ray
 
+    # materialize so the guard count and the broadcast pull share ONE
+    # execution of the filtered scan (the count alone re-ran it)
+    cust = cust.materialize()
     n_cust2 = cust.count()
     if n_cust2 <= 16_000_000:
         ct = pa.concat_tables(
@@ -9442,6 +9577,7 @@ def national_market_share(sf_dir: str, region: str = "ASIA",
     # without the custkey exchange: the former hash_join moved every
     # order row through an all-to-all to drop 80% of them).  Guard:
     # past 16M keys (128 MB) fall back to the exchange join.
+    cust = cust.materialize()   # one execution for guard + pull
     n_cust = cust.count()
     if n_cust <= 16_000_000:
         ckeys = np.sort(np.concatenate([
@@ -9641,6 +9777,7 @@ def returned_items(sf_dir: str, npart: int = 16, k: int = 20):
     # the exchange join for web scale.
     import ray as _ray
 
+    orders = orders.materialize()  # one execution for guard + pull
     n_q_orders = orders.count()
     if n_q_orders <= 4_000_000:
         ot = pa.concat_tables(
@@ -11754,9 +11891,29 @@ def mutual_best(sf_dir: str, npart: int = 16):
     # with np.isin — the canonical broadcast-small-side shape.  Guard:
     # above ~4M pairs (64 MB per actor in the worst case) fall back
     # to the pair-hash exchange, which is the arbitrary-scale path.
+    # The uint64 pack needs BOTH key domains < 2^32 — the row-count
+    # guard bounds cardinality, not magnitude, so a huge sparse
+    # keyspace would otherwise pack-corrupt silently (mirrors
+    # md5_hex's fail-loud int32 offset check, but with a fallback).
     import ray as _ray
 
-    if best_p.count() <= 4_000_000:
+    def _max_key(ds_, col):
+        m = -1
+        for b_ in ds_.map_batches(
+                lambda t: pa.table({"m": pa.array(
+                    [int(t[col].to_numpy(zero_copy_only=False)
+                         .max(initial=-1))], type=INT64)}),
+                batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            if b_.num_rows:
+                m = max(m, int(pc.max(b_["m"]).as_py()))
+        return m
+
+    keys_fit_u32 = all(_max_key(d_, c_) < (1 << 32)
+                       for d_, c_ in ((best_c, "c"), (best_c, "p"),
+                                      (best_p, "c"), (best_p, "p")))
+
+    if best_p.count() <= 4_000_000 and keys_fit_u32:
         bp_tbl = pa.concat_tables(
             best_p.iter_batches(batch_format="pyarrow", batch_size=None))
         bp_pack = ((bp_tbl["p"].to_numpy(zero_copy_only=False)

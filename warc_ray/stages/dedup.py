@@ -310,7 +310,15 @@ def add_text_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     in BASELINE.md."""
     from .md5vec import _buffers
 
-    data, starts, lens = _buffers(batch[text_col])
+    # fail loud on null text: the _buffers path would silently hash a
+    # null as sha1('') and dedup it against genuinely-empty documents
+    # (the old to_pylist loop raised); nulls are a corrupt upstream
+    col = batch[text_col]
+    if col.null_count:
+        raise ValueError(
+            f"add_text_hash: {col.null_count} null {text_col!r} rows — "
+            "nulls must be filtered or filled upstream")
+    data, starts, lens = _buffers(col)
     mv = memoryview(data)
     sha1 = hashlib.sha1
     h = [sha1(mv[s:e]).hexdigest()

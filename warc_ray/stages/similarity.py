@@ -669,8 +669,8 @@ class PQTopK:
             # L2-normalized vectors
             d2 = 2.0 - 2.0 * (x[cand] @ self.q[qi])
             take = min(self.k, n)
-            head = cand[np.argpartition(d2, take - 1)[:take]]
-            d2h = d2[np.argpartition(d2, take - 1)[:take]]
+            idx = np.argpartition(d2, take - 1)[:take]
+            head, d2h = cand[idx], d2[idx]
             out_q.extend([qid] * take)
             out_v.extend(ids[head].tolist())
             out_d.extend(d2h.tolist())
