@@ -20,7 +20,7 @@ import ray.data as rd
 from ray.data.datasource import FileBasedDatasource
 
 from ..core.arcrec import ARCFile
-from ..core.gzipm import decompress_members
+from ..core.gzipm import decompress_members, iter_members
 from ..schema import ARC_RECORD_SCHEMA
 
 READ_SCHEMA = pa.schema(
@@ -30,6 +30,9 @@ READ_SCHEMA = pa.schema(
 
 _COLS = ("url", "ip_address", "date", "content_type", "result_code",
          "checksum", "location", "offset", "filename", "length")
+
+
+DLQ_URL = "_quarantined"
 
 
 class _ScanFallback(Exception):
@@ -126,6 +129,90 @@ def _scan_columnar(data: bytes, path: str, batch_rows: int) -> list[pa.Table]:
     return out
 
 
+def _arc_dlq_table(path: str, payload: bytes, error: str,
+                   file_org: str = "", file_date: str = "") -> pa.Table:
+    """One quarantine row in READ_SCHEMA: ``url == DLQ_URL`` marks it
+    (ARC rows have no rec_type; url is the natural key and a real ARC
+    record's url is never ``_quarantined``), the parse/gzip error rides
+    in ``location`` (free-text in the quarantine context), the raw
+    unreadable region stays addressable as the payload — the
+    ``read_warc(on_error="dlq")`` discipline (G19) ported to ARC."""
+    row = {c: "" for c in _COLS}
+    row.update(url=DLQ_URL, location=error, length=str(len(payload)))
+    arrs = [pa.array([row[c]], type=pa.string()) for c in _COLS]
+    arrs += [pa.array([0], type=pa.int8()),
+             pa.array([payload], type=pa.large_binary()),
+             pa.array([path], type=pa.string()),
+             pa.array([file_org], type=pa.string()),
+             pa.array([file_date], type=pa.string())]
+    return pa.Table.from_arrays(arrs, schema=READ_SCHEMA)
+
+
+def _decompress_salvage(raw: bytes) -> tuple[bytes, bytes, str | None]:
+    """Member-wise decompress that keeps the good prefix: returns
+    (decompressed_prefix, raw_tail_from_first_bad_member, error|None).
+    Strict mode uses ``decompress_members`` (whole-or-IOError,
+    reference semantics); this is the dlq-mode path."""
+    import zlib
+
+    out: list[bytes] = []
+    tail_off = 0
+    try:
+        for off, size, d in iter_members(io.BytesIO(raw)):
+            out.append(d)
+            tail_off = off + size
+    except (IOError, OSError, EOFError, zlib.error) as exc:
+        return b"".join(out), raw[tail_off:], str(exc)
+    return b"".join(out), b"", None
+
+
+def _scan_core_dlq(data: bytes, path: str,
+                   batch_rows: int) -> Iterator[pa.Table]:
+    """Core cursor with the dead-letter discipline: rows stream out
+    until the first parse failure; the unread tail (from the last
+    successfully-consumed record boundary) becomes ONE quarantine row
+    — the scan completes, nothing silently vanishes, totals
+    reconcile."""
+    buf = io.BytesIO(data)
+    rows: list[dict] = []
+    pos_ok = 0
+    file_org = file_date = ""
+    err: str | None = None
+    try:
+        af = ARCFile(fileobj=buf)
+        it = iter(af)
+        while True:
+            try:
+                rec = next(it)
+            except StopIteration:
+                break
+            h = rec.header
+            file_org = af.file_headers.get("org", "")
+            file_date = (af.file_headers["date"].strftime("%Y%m%d%H%M%S")
+                         if af.file_headers.get("date") else "")
+            rows.append({
+                "url": h["url"], "ip_address": h["ip_address"],
+                "date": h["date"], "content_type": h["content_type"],
+                "result_code": h["result_code"], "checksum": h["checksum"],
+                "location": h["location"], "offset": h["offset"],
+                "filename": h["filename"], "length": h["length"],
+                "arc_version": af.version, "payload": rec.payload or b"",
+                "shard": path, "file_org": file_org,
+                "file_date": file_date,
+            })
+            pos_ok = buf.tell()
+            if len(rows) >= batch_rows:
+                yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
+                rows = []
+    except Exception as exc:  # parse failure: quarantine the tail
+        err = "%s: %s" % (type(exc).__name__, exc)
+    if rows:
+        yield pa.Table.from_pylist(rows, schema=READ_SCHEMA)
+    if err is not None:
+        yield _arc_dlq_table(path, data[pos_ok:], err,
+                             file_org, file_date)
+
+
 def _scan_core(data: bytes, path: str, batch_rows: int) -> Iterator[pa.Table]:
     """Reference-parity fallback: the core one-record cursor."""
     af = ARCFile(fileobj=io.BytesIO(data))
@@ -154,9 +241,13 @@ def _scan_core(data: bytes, path: str, batch_rows: int) -> Iterator[pa.Table]:
 class ArcDatasource(FileBasedDatasource):
     _FILE_EXTENSIONS = ["arc", "arc.gz"]
 
-    def __init__(self, paths, batch_rows: int = 512, **kwargs):
+    def __init__(self, paths, batch_rows: int = 512,
+                 on_error: str = "raise", **kwargs):
+        if on_error not in ("raise", "dlq"):
+            raise ValueError("on_error must be 'raise' or 'dlq'")
         super().__init__(paths, **kwargs)
         self._batch_rows = batch_rows
+        self._on_error = on_error
 
     def _open_input_source(self, filesystem, path, **open_args):
         # raw bytes; we decompress (multi-member capable) ourselves
@@ -169,6 +260,27 @@ class ArcDatasource(FileBasedDatasource):
 
     def _read_stream(self, f, path: str) -> Iterator[pa.Table]:
         data = f.read()
+        if self._on_error == "dlq":
+            # dead-letter discipline (G19 ported to ARC): salvage the
+            # good gzip-member prefix, parse it with quarantine-on-
+            # error, and quarantine the undecodable raw tail — the
+            # scan always completes, nothing silently vanishes
+            gz_tail, gz_err = b"", None
+            if path.endswith(".gz"):
+                data, gz_tail, gz_err = _decompress_salvage(data)
+            try:
+                # the columnar scan builds ALL batches before
+                # returning, so falling back after any complaint
+                # (framing OR a strict parse error it replicates)
+                # never duplicates rows
+                yield from _scan_columnar(data, path, self._batch_rows)
+            except Exception:
+                yield from _scan_core_dlq(data, path, self._batch_rows)
+            if gz_err is not None:
+                yield _arc_dlq_table(
+                    path, gz_tail,
+                    "truncated or undecodable gzip member: %s" % gz_err)
+            return
         if path.endswith(".gz"):
             data = decompress_members(data)
         try:
@@ -181,8 +293,17 @@ class ArcDatasource(FileBasedDatasource):
         yield from batches
 
 
-def read_arc(paths, *, batch_rows: int = 512, **kwargs) -> "rd.Dataset":
-    src = ArcDatasource(paths, batch_rows=batch_rows)
+def read_arc(paths, *, batch_rows: int = 512,
+             on_error: str = "raise", **kwargs) -> "rd.Dataset":
+    """Read ARC v1/v2 archives into a Dataset of record rows.
+
+    ``on_error``: ``"raise"`` (default) keeps the reference's strict
+    error semantics (warc/arc.py:337-366 read path) — a corrupt member
+    or malformed record fails its file's read task; ``"dlq"`` applies
+    the q167 dead-letter discipline: the unreadable region becomes one
+    ``url == DLQ_URL`` row carrying the raw bytes and the error in
+    ``location``, and the scan completes."""
+    src = ArcDatasource(paths, batch_rows=batch_rows, on_error=on_error)
     if "override_num_blocks" not in kwargs:
         # CPU-scaled file-level parallelism (see _util.default_read_blocks:
         # Ray's own estimate under-splits gzip; raw file count over-splits
