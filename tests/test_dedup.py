@@ -758,9 +758,11 @@ def test_semdedup_laws(ray_session):
     ids = emb["vec_id"].to_numpy(zero_copy_only=False)
     m = sim.normalize_rows(
         np.array(emb["embedding"].to_pylist(), dtype=np.float64))
-    # recompute the pipeline's cluster assignment
-    sample = tr._head_rows(os.path.join(SF_DIR, "embeddings.parquet"),
-                           tr.KMEANS_SAMPLE_ROWS)
+    # recompute the pipeline's cluster assignment (seeded uniform
+    # bottom-k-by-hash sample — the round-5 head-bias fix)
+    sample = tr._seeded_sample_rows(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        tr.KMEANS_SAMPLE_ROWS, columns=["vec_id", "embedding"])
     cent = sim.kmeans_lite(
         np.array(sample["embedding"].to_pylist(), dtype=np.float64), 16)
     top = np.argsort(-(m @ sim.normalize_rows(cent).T), axis=1)[:, :3]
@@ -814,3 +816,33 @@ def test_add_text_hash_rejects_null_text():
     t = pa.table({"doc_id": [1, 2], "text": ["a", None]})
     with pytest.raises(ValueError, match="null"):
         add_text_hash(t)
+
+
+def test_seeded_sample_rows_laws(ray_session, tmp_path):
+    """_seeded_sample_rows (round-5 head-bias fix): bottom-k-by-hash
+    is (1) exactly n rows, (2) deterministic, (3) independent of table
+    ORDER — the property a head sample lacks on sorted tables."""
+    import pyarrow.parquet as pqw
+
+    from warc_ray.pipelines import training as tr
+
+    rng = np.random.default_rng(5)
+    ids = np.arange(1000, dtype=np.int64)
+    emb = rng.normal(size=(1000, 4))
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(emb.tolist())})
+    p1 = str(tmp_path / "a.parquet")
+    pqw.write_table(t, p1)
+    # the same rows in a shuffled (e.g. sorted-by-quality) order
+    perm = rng.permutation(1000)
+    p2 = str(tmp_path / "b.parquet")
+    pqw.write_table(t.take(pa.array(perm)), p2)
+
+    s1 = tr._seeded_sample_rows(p1, 64, columns=["vec_id", "embedding"])
+    s1b = tr._seeded_sample_rows(p1, 64, columns=["vec_id", "embedding"])
+    s2 = tr._seeded_sample_rows(p2, 64, columns=["vec_id", "embedding"])
+    assert s1.num_rows == 64
+    assert s1.to_pydict() == s1b.to_pydict()          # deterministic
+    assert s1.to_pydict() == s2.to_pydict()           # order-free
+    # and it is NOT the head (the bias being fixed)
+    assert sorted(s1["vec_id"].to_pylist()) != list(range(64))

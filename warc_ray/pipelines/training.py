@@ -44,6 +44,43 @@ def _head_rows(path: str, n: int, columns: list[str] | None = None) -> pa.Table:
     return pa.Table.from_batches(batches).slice(0, n)
 
 
+def _seeded_sample_rows(path: str, n: int,
+                        columns: list[str] | None = None,
+                        id_col: str = "vec_id") -> pa.Table:
+    """Deterministic UNIFORM ``n``-row sample: bottom-``n`` by a
+    64-bit splitmix hash of the id column (the q39 KMV discipline).
+
+    Round-4 VERDICT item 6: a first-K-rows head sample is not a
+    uniform sample of a sorted-by-anything table at 100 TB — k-means
+    centroids / PQ codebooks seeded from it inherit whatever the sort
+    key correlates with.  Bottom-k-by-hash is (a) uniform regardless
+    of table order, (b) deterministic (splitmix64 is bijective, so
+    unique ids give unique hashes — no tie ambiguity), and (c)
+    partition-independent: per-block bottom-k partials merge
+    associatively, so the identical sample is computable distributed
+    at any scale.  Runs as a Ray pipeline — each block reduces to its
+    ``n`` smallest-hash rows; the driver merges ≤ n·nblocks rows,
+    never the table."""
+    from ..stages.dedup import _mix64
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _mix64(b[id_col].to_numpy(zero_copy_only=False)
+                   .astype(np.uint64))
+        if len(h) > n:
+            idx = np.argpartition(h, n - 1)[:n]
+            b = b.take(pa.array(idx))
+            h = h[idx]
+        return b.append_column("_h", pa.array(h, type=pa.uint64()))
+
+    parts = rd.read_parquet(path, columns=columns) \
+        .map_batches(partial, batch_format="pyarrow")
+    t = pa.concat_tables(parts.iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
+    h = t["_h"].to_numpy()
+    order = np.argsort(h, kind="stable")[:n]
+    return t.take(pa.array(order)).drop_columns(["_h"])
+
+
 # -- text analysis ----------------------------------------------------------
 
 def token_counts(sf_dir: str):
@@ -157,14 +194,17 @@ def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 10,
                  n_clusters: int = 16, nprobe: int = 4):
     """IVF-bucketed ANN variant (approximate — the scale path).
 
-    Centroids are seeded from a bounded driver-side SAMPLE
-    (first KMEANS_SAMPLE_ROWS rows), never the full matrix; recall vs
-    the exact q30 path is pinned by tests/test_dedup.py."""
+    Centroids are seeded from a bounded UNIFORM sample
+    (bottom-KMEANS_SAMPLE_ROWS by id hash — ``_seeded_sample_rows``,
+    unbiased on sorted tables), never the full matrix; query vectors
+    stay on the head contract so they equal q30's, and recall vs the
+    exact q30 path is pinned by tests/test_dedup.py."""
     path = os.path.join(sf_dir, "embeddings.parquet")
-    sample = _head_rows(path, KMEANS_SAMPLE_ROWS)
+    sample = _seeded_sample_rows(path, KMEANS_SAMPLE_ROWS,
+                                 columns=["vec_id", "embedding"])
     smat = np.array(sample["embedding"].to_pylist(), dtype=np.float64)
     cent = sim.kmeans_lite(smat, n_clusters)
-    q = sample.slice(0, n_queries)
+    q = _head_rows(path, n_queries)
     ids = q["vec_id"].to_pylist()
     qm = np.array(q["embedding"].to_pylist(), dtype=np.float64)
     return sim.ivf_topk(_emb(sf_dir), ids, qm, cent, k=k, nprobe=nprobe)
@@ -178,7 +218,8 @@ def semdedup(sf_dir: str, n_clusters: int = 16, threshold: float = 0.4):
     surviving within-cluster pair, recall vs the exact q23 pair set —
     are pytest-pinned (tests/test_dedup.py)."""
     path = os.path.join(sf_dir, "embeddings.parquet")
-    sample = _head_rows(path, KMEANS_SAMPLE_ROWS)
+    sample = _seeded_sample_rows(path, KMEANS_SAMPLE_ROWS,
+                                 columns=["vec_id", "embedding"])
     smat = np.array(sample["embedding"].to_pylist(), dtype=np.float64)
     cent = sim.kmeans_lite(smat, n_clusters)
     return sim.semdedup_keep(_emb(sf_dir), cent, threshold=threshold)
@@ -1313,10 +1354,11 @@ def pq_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10,
     from ..stages import similarity as sim
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    sample = _head_rows(path, KMEANS_SAMPLE_ROWS)
+    sample = _seeded_sample_rows(path, KMEANS_SAMPLE_ROWS,
+                                 columns=["vec_id", "embedding"])
     smat = np.array(sample["embedding"].to_pylist(), dtype=np.float64)
     books = sim.pq_train(smat, m_sub=m_sub, k_codes=k_codes)
-    q = sample.slice(0, n_queries)
+    q = _head_rows(path, n_queries)
     ids = q["vec_id"].to_pylist()
     qm = np.array(q["embedding"].to_pylist(), dtype=np.float64)
     return sim.pq_topk(_emb(sf_dir), ids, qm, books, k=k)
