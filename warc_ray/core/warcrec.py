@@ -280,7 +280,14 @@ def read_header(fileobj) -> WARCHeader | None:
     m = RE_VERSION.match(version_line)
     if not m:
         raise IOError("Bad version line: %r" % version_line)
-    version = m.group(1).decode("ascii")
+    try:
+        version = m.group(1).decode("ascii")
+    except UnicodeDecodeError:
+        # the version pattern's unescaped '.' (reference parity,
+        # warc/warc.py RE_VERSION) matches ANY byte, so corruption
+        # like b"1\xae0" reaches here — strict IOError, never a codec
+        # error escaping the reader (hypothesis-found, round 5)
+        raise IOError("Bad version line: %r" % version_line)
     if version not in SUPPORTED_VERSIONS:
         raise IOError("Unsupported WARC version: %s" % version)
     headers = {}
