@@ -257,9 +257,15 @@ def wet_extraction(archive_dir: str) -> "rd.Dataset":
             "text_md5": pa.array(digs, type=pa.string()),
         })
 
-    return read_warc(archive_dir) \
-        .map_batches(extract, batch_format="pyarrow") \
-        .sort("doc_id")
+    from .training import _present_sorted
+
+    # presentation sort on the driver under the 4M guard: the
+    # distributed .sort() costs ~2-3 s of fixed all-to-all wall for a
+    # result-sized table (round-5 profiler, q258)
+    return _present_sorted(
+        read_warc(archive_dir).map_batches(extract,
+                                           batch_format="pyarrow"),
+        ["doc_id"])
 
 
 def serialize_revisit_records(uris: list[str], refers_to: list[str],
@@ -351,6 +357,12 @@ def wat_extraction(archive_dir: str) -> "rd.Dataset":
             "outlinks_md5": md5_hex(joined),
         })
 
-    return read_warc(archive_dir) \
-        .map_batches(extract, batch_format="pyarrow") \
-        .sort("doc_id")
+    from .training import _present_sorted
+
+    # presentation sort on the driver under the 4M guard: the
+    # distributed .sort() costs ~2-3 s of fixed all-to-all wall for a
+    # result-sized table (round-5 profiler, q258)
+    return _present_sorted(
+        read_warc(archive_dir).map_batches(extract,
+                                           batch_format="pyarrow"),
+        ["doc_id"])
