@@ -135,7 +135,15 @@ def main() -> None:
             shutil.rmtree(args.out, ignore_errors=True)
             bench._settle(15)
             bench._wait_quiet(thresh=max(4.0, 34.0 - total))
+            # probe-GATE the arm (the round-3/4 workflow): unhealthy
+            # windows produce 0.3-0.7 tenancy artifacts, not engine
+            # readings — wait up to ~20 min for a healthy probe
             probe_pre = bench._host_probe()
+            t_gate = time.time()
+            while (probe_pre is None or not probe_pre.get("healthy")) \
+                    and time.time() - t_gate < 1200:
+                time.sleep(120)
+                probe_pre = bench._host_probe()
             addr = _start_cluster(n_raylets, args.cpus_per_raylet, env)
             # warmup: worker-pool spinup + corpus page cache
             _submit(cdir, os.path.join(args.out, "warmup"), addr, env,
