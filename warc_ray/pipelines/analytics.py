@@ -11892,40 +11892,40 @@ def mutual_best(sf_dir: str, npart: int = 16):
     # above ~4M pairs (64 MB per actor in the worst case) fall back
     # to the pair-hash exchange, which is the arbitrary-scale path.
     # The uint64 pack needs BOTH key domains < 2^32 — the row-count
-    # guard bounds cardinality, not magnitude, so a huge sparse
-    # keyspace would otherwise pack-corrupt silently (mirrors
-    # md5_hex's fail-loud int32 offset check, but with a fallback).
+    # guard bounds cardinality, not magnitude.  The bp side's maxes
+    # come FREE from the table the broadcast already pulls (4 extra
+    # mini-dataset max folds here cost ~0.8 s fixed wall EACH — a
+    # measured 3 s regression, reverted); the bc side is checked
+    # fail-loud inside the batch filter (md5_hex's discipline: a key
+    # ≥ 2^32 there would pack-wrap and could FALSELY match, so it
+    # raises rather than silently corrupting).
     import ray as _ray
 
-    def _max_key(ds_, col):
-        m = -1
-        for b_ in ds_.map_batches(
-                lambda t: pa.table({"m": pa.array(
-                    [int(t[col].to_numpy(zero_copy_only=False)
-                         .max(initial=-1))], type=INT64)}),
-                batch_format="pyarrow") \
-                .iter_batches(batch_format="pyarrow"):
-            if b_.num_rows:
-                m = max(m, int(pc.max(b_["m"]).as_py()))
-        return m
-
-    keys_fit_u32 = all(_max_key(d_, c_) < (1 << 32)
-                       for d_, c_ in ((best_c, "c"), (best_c, "p"),
-                                      (best_p, "c"), (best_p, "p")))
-
-    if best_p.count() <= 4_000_000 and keys_fit_u32:
+    if best_p.count() <= 4_000_000:
         bp_tbl = pa.concat_tables(
             best_p.iter_batches(batch_format="pyarrow", batch_size=None))
-        bp_pack = ((bp_tbl["p"].to_numpy(zero_copy_only=False)
-                    .astype(np.uint64) << np.uint64(32))
-                   | bp_tbl["c"].to_numpy(zero_copy_only=False)
-                   .astype(np.uint64))
+        bp_c = bp_tbl["c"].to_numpy(zero_copy_only=False)
+        bp_p = bp_tbl["p"].to_numpy(zero_copy_only=False)
+        keys_fit_u32 = (len(bp_c) == 0
+                        or (max(int(bp_c.max()), int(bp_p.max()))
+                            < (1 << 32)))
+    else:
+        keys_fit_u32 = False
+
+    if best_p.count() <= 4_000_000 and keys_fit_u32:
+        bp_pack = ((bp_p.astype(np.uint64) << np.uint64(32))
+                   | bp_c.astype(np.uint64))
         pairs_ref = _ray.put(np.sort(bp_pack))
 
         def keep_mutual(b: pa.Table) -> pa.Table:
-            c = b["c"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            p = b["p"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            pack = (p << np.uint64(32)) | c
+            c_i = b["c"].to_numpy(zero_copy_only=False)
+            p_i = b["p"].to_numpy(zero_copy_only=False)
+            if len(c_i) and max(int(c_i.max()), int(p_i.max())) >= (1 << 32):
+                raise ValueError(
+                    "mutual_best: argmax key >= 2^32 — uint64 pack "
+                    "would wrap; rerun via the exchange-join path")
+            pack = ((p_i.astype(np.uint64) << np.uint64(32))
+                    | c_i.astype(np.uint64))
             ref = np.asarray(_ray.get(pairs_ref))
             pos = np.searchsorted(ref, pack)
             pos[pos >= len(ref)] = 0
