@@ -4325,15 +4325,30 @@ def lineitem_profile(sf_dir: str):
                         else g.max_str.dropna().max()),
         }
 
-    # exact distinct via the value exchange over the vkey rows
-    dist = partials.map_batches(
-        lambda b: b.filter(pc.is_valid(b["vkey"]))
-        .select(["col_name", "vkey"]), batch_format="pyarrow") \
-        .groupby(["col_name", "vkey"]).aggregate(
-            Count(alias_name="c")) \
-        .groupby("col_name").aggregate(Count(alias_name="n_distinct"))
-    dd = pa.concat_tables(dist.iter_batches(
-        batch_format="pyarrow")).to_pandas().set_index("col_name")
+    # exact distinct via ONE bucket exchange over the vkey rows:
+    # routing on hash(vkey) co-locates every copy of a (col, value)
+    # pair, so the in-bucket Arrow group_by dedups globally and only
+    # per-bucket per-column COUNTS reach the driver fold — the former
+    # two chained native Aggregates cost ~2× their fixed all-to-all
+    # wall for the same answer (round-4 native-Aggregate finding)
+    def route(b: pa.Table) -> pa.Table:
+        d = b.filter(pc.is_valid(b["vkey"])).select(["col_name", "vkey"])
+        return with_part(d, "vkey", 32)
+
+    def bucket_distinct(g: pa.Table) -> pa.Table:
+        u = g.drop_columns(["part"]).group_by(
+            ["col_name", "vkey"]).aggregate([])
+        return u.group_by(["col_name"]).aggregate(
+            [([], "count_all")]).rename_columns(["col_name", "nd"])
+
+    dd_t = pa.concat_tables(
+        partials.map_batches(route, batch_format="pyarrow")
+        .groupby("part").map_groups(bucket_distinct,
+                                    batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow"))
+    dd = dd_t.group_by(["col_name"]).aggregate([("nd", "sum")]) \
+        .rename_columns(["col_name", "n_distinct"]) \
+        .to_pandas().set_index("col_name")
 
     names = sorted(cols)
     return pa.table({
@@ -10367,6 +10382,10 @@ def product_profit(sf_dir: str, p_type: str = "LARGE", npart: int = 16):
         return pa.table({"l_orderkey": j["l_orderkey"],
                          "s_nat": j["s_nat"], "profit": profit})
 
+    # materialized: hash_join's schema() probe on an exchange-ended
+    # input otherwise EXECUTES the whole part-join once (an all-to-all
+    # cannot yield one block without the full sort) and the real run
+    # re-executes it — the lazy-double-execution class from round 3
     lines = clustered_join(
         rd.read_parquet(_pq(sf_dir, "lineitem"),
                         columns=["l_partkey", "l_orderkey", "l_suppkey",
@@ -10375,7 +10394,7 @@ def product_profit(sf_dir: str, p_type: str = "LARGE", npart: int = 16):
         .map_batches(line_side, batch_format="pyarrow"),
         _pq(sf_dir, "part"), fact_key="l_partkey", dim_key="p_partkey",
         dim_columns=["p_type", "p_retailprice"], npart=npart,
-        bucket_finish=part_screen)
+        bucket_finish=part_screen).materialize()
 
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderdate"]) \
@@ -10391,22 +10410,26 @@ def product_profit(sf_dir: str, p_type: str = "LARGE", npart: int = 16):
             .aggregate([("profit", "sum")]) \
             .rename_columns(["s_nat", "o_year", "profit"])
 
-    agg = hash_join(lines, orders, "l_orderkey", npart=npart,
-                    bucket_finish=q9_finish) \
-        .groupby(["s_nat", "o_year"]) \
-        .aggregate(Sum("profit", alias_name="profit"))
-
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "nation": pa.array(
-                [name_of[int(x)] for x in b["s_nat"].to_pylist()],
-                type=pa.string()),
-            "o_year": b["o_year"],
-            "profit": pc.divide(pc.cast(b["profit"], pa.float64()),
-                                100_000.0)})
-
-    return agg.map_batches(finish, batch_format="pyarrow") \
-        .sort(["nation", "o_year"])
+    # per-bucket partials are (nation × year)-sized — fold + name +
+    # present-sort on the driver instead of paying a native Aggregate
+    # AND a distributed sort (~2 fixed all-to-alls) for ≤175 rows
+    # (round-4 native-Aggregate finding; 11.9 s → ~8 s at sf0.1/32)
+    parts = pa.concat_tables(
+        hash_join(lines, orders, "l_orderkey", npart=npart,
+                  bucket_finish=q9_finish)
+        .iter_batches(batch_format="pyarrow", batch_size=None))
+    agg = parts.group_by(["s_nat", "o_year"]) \
+        .aggregate([("profit", "sum")]) \
+        .rename_columns(["s_nat", "o_year", "profit"])
+    out = pa.table({
+        "nation": pa.array(
+            [name_of[int(x)] for x in agg["s_nat"].to_pylist()],
+            type=pa.string()),
+        "o_year": agg["o_year"],
+        "profit": pc.divide(pc.cast(agg["profit"], pa.float64()),
+                            100_000.0)}) \
+        .sort_by([("nation", "ascending"), ("o_year", "ascending")])
+    return rd.from_arrow(out)
 
 
 Q9_SQL = """
