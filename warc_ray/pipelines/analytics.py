@@ -4621,6 +4621,35 @@ def triangle_count(docs_path: str, nparts: int = 16,
         n_nodes += int(pc.sum(b["n_nodes"]).as_py() or 0)
     n_edges = edges.count()
 
+    # Bloom sideways prune for the CLOSURE exchange: wedges outnumber
+    # edges by orders of magnitude (sf0.1: 9.4M wedges vs 2.3M edges),
+    # so a broadcast edge-membership filter probed at wedge GENERATION
+    # drops ~all non-closing wedges before they ever move — the same
+    # sideways-information pass as q19/q160, sized at 16 bits/edge
+    # (FPR < 1%).  False positives are removed by the exact in-bucket
+    # np.isin close, so the triangle count stays exact.  Guard: past
+    # 64M edges (a 128 MB filter) skip the prune — the exchange still
+    # answers, just with full wedge volume (or shard the filter).
+    from ..stages.sketch import bloom_contains, bloom_partial
+
+    bloom_ref = None
+    if 0 < n_edges <= 64_000_000:
+        nbits = 1 << max(20, int(np.ceil(np.log2(16 * n_edges))))
+
+        def bpart(b: pa.Table) -> pa.Table:
+            return pa.table({"bits": pa.array(
+                [bloom_partial(b["key"].to_numpy(), nbits).tobytes()],
+                type=pa.binary())})
+
+        merged = np.zeros(nbits >> 3, dtype=np.uint8)
+        for b in edges.map_batches(bpart, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            for v in b["bits"].to_pylist():
+                np.bitwise_or(merged,
+                              np.frombuffer(v, dtype=np.uint8),
+                              out=merged)
+        bloom_ref = _ray.put(merged)
+
     if max_node < dense_max_nodes:
         # dense broadcast path: <=8 B/node under the guard; the deg
         # table (n_nodes rows, not edges) is the only driver pull
@@ -4729,6 +4758,7 @@ def triangle_count(docs_path: str, nparts: int = 16,
         oriented = with_both.map_batches(orient, batch_format="pyarrow")
 
     def wedges(g: pa.Table) -> pa.Table:
+        bloom = _ray.get(bloom_ref) if bloom_ref is not None else None
         s = g["src"].to_numpy()
         d = g["dst"].to_numpy()
         order = np.lexsort((d, s))
@@ -4743,8 +4773,11 @@ def triangle_count(docs_path: str, nparts: int = 16,
             iu, ju = np.triu_indices(int(L), 1)
             a = block[:, iu].ravel()
             b_ = block[:, ju].ravel()
-            outs.append(((np.minimum(a, b_) << np.int64(32))
-                         | np.maximum(a, b_)))
+            wk_l = ((np.minimum(a, b_) << np.int64(32))
+                    | np.maximum(a, b_))
+            if bloom is not None:     # drop non-closing wedges HERE
+                wk_l = wk_l[bloom_contains(bloom, wk_l)]
+            outs.append(wk_l)
         if not outs:
             return pa.table({"key": pa.array([], type=INT64),
                              "cnt": pa.array([], type=INT64),

@@ -191,20 +191,23 @@ _MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
-def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _bloom_positions(keys: np.ndarray,
+                     nbits: int = BLOOM_BITS) -> tuple[np.ndarray,
+                                                       np.ndarray]:
+    mask = np.uint64(nbits - 1)        # nbits must be a power of two
     k = keys.astype(np.uint64, copy=False)
     h1 = k * _MIX1
     h1 ^= h1 >> np.uint64(29)
     h2 = (k ^ (k >> np.uint64(33))) * _MIX2
     h2 ^= h2 >> np.uint64(31)
-    return (h1 & _BLOOM_MASK).astype(np.int64), \
-        (h2 & _BLOOM_MASK).astype(np.int64)
+    return (h1 & mask).astype(np.int64), (h2 & mask).astype(np.int64)
 
 
-def bloom_partial(keys: np.ndarray) -> np.ndarray:
-    """uint8[BLOOM_BITS/8] partial with this batch's keys set."""
-    bits = np.zeros(BLOOM_BITS >> 3, dtype=np.uint8)
-    for pos in _bloom_positions(keys):
+def bloom_partial(keys: np.ndarray,
+                  nbits: int = BLOOM_BITS) -> np.ndarray:
+    """uint8[nbits/8] partial with this batch's keys set."""
+    bits = np.zeros(nbits >> 3, dtype=np.uint8)
+    for pos in _bloom_positions(keys, nbits):
         np.bitwise_or.at(bits, pos >> 3,
                          np.left_shift(np.uint8(1), pos & 7).astype(np.uint8))
     return bits
@@ -215,8 +218,10 @@ def bloom_merge(partials: list[np.ndarray]) -> np.ndarray:
 
 
 def bloom_contains(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
-    """Vectorized membership probe (may return false positives)."""
-    p1, p2 = _bloom_positions(keys)
+    """Vectorized membership probe (may return false positives); the
+    filter size is inferred from the byte array (power-of-two bits)."""
+    nbits = len(bits) << 3
+    p1, p2 = _bloom_positions(keys, nbits)
     hit1 = (bits[p1 >> 3] >> (p1 & 7).astype(np.uint8)) & 1
     hit2 = (bits[p2 >> 3] >> (p2 & 7).astype(np.uint8)) & 1
     return (hit1 & hit2).astype(bool)
