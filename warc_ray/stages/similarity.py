@@ -600,13 +600,21 @@ def pq_train(sample: np.ndarray, m_sub: int = 8, k_codes: int = 16,
         sub = x[:, j * dsub:(j + 1) * dsub]
         cent = sub[rng.choice(len(sub), size=k_codes,
                               replace=False)].copy()
+        sub_sq = (sub * sub).sum(axis=1)
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # ||a-c||² = ||a||² + ||c||² − 2a·c as ONE matmul — the
+            # (n, K, dsub) broadcast temporary was ~3.7 s of the q255
+            # driver wall; argmin is invariant to the identity
+            d2 = (sub_sq[:, None] + (cent * cent).sum(axis=1)[None, :]
+                  - 2.0 * (sub @ cent.T))
             assign = np.argmin(d2, axis=1)
-            for c in range(len(cent)):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sub[mask].mean(axis=0)
+            # per-cluster means via scatter-add (the 256-way boolean
+            # mask loop was the other half of the cost)
+            sums = np.zeros((len(cent), dsub))
+            np.add.at(sums, assign, sub)
+            cnt = np.bincount(assign, minlength=len(cent))
+            nz = cnt > 0
+            cent[nz] = sums[nz] / cnt[nz, None]
         books[j] = cent
     return books
 
@@ -619,7 +627,11 @@ def pq_encode(matrix: np.ndarray, books: np.ndarray) -> np.ndarray:
     codes = np.empty((len(x), m_sub), dtype=np.uint8)
     for j in range(m_sub):
         sub = x[:, j * dsub:(j + 1) * dsub]
-        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        # same matmul identity as pq_train (argmin-invariant); the
+        # broadcast temporary was per-BATCH work in the ADC scan
+        d2 = ((sub * sub).sum(axis=1)[:, None]
+              + (books[j] * books[j]).sum(axis=1)[None, :]
+              - 2.0 * (sub @ books[j].T))
         codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
     return codes
 
